@@ -1,0 +1,107 @@
+"""Single-node pure-Python BM25 oracle (SURVEY.md §5).
+
+DPR delegates sparse retrieval to external Lucene/Pyserini
+(`/root/reference/README.md:25-26`), so the rank-identity contract is
+against THIS deterministic in-repo oracle, which fixes every ambiguous
+choice; the Spark engine applies the exact same rules:
+
+- tokenizer: SimpleTokenizer semantics, uncased
+  (`dpr/utils/tokenizers.py:157-199`) via dpr_spark.functions.tokenizer.
+- question normalization `’`->`'` before tokenizing
+  (`dpr/utils/data_utils.py:63-65`).
+- BM25 (Okapi, Lucene-style idf): k1=1.2, b=0.75 (BASELINE.json);
+    idf(t)  = ln( (N - df + 0.5) / (df + 0.5) + 1 )
+    s(t, d) = idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+  computed in float64; duplicate query terms count ONCE (set semantics).
+- ties broken by ascending doc_id; ranks are 1-based.
+
+Also hosts the validation oracles:
+- has_answer V1 (`dpr/data/qa_validation.py:175-193`): NFD + uncased
+  token-subsequence containment.
+- accuracy@k A1 (`qa_validation.py:72-78`): cumulative first-hit
+  histogram.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+from dpr_spark import BM25_B, BM25_K1
+from dpr_spark.functions.normalize import nfd, normalize_question
+from dpr_spark.functions.tokenizer import tokenize
+
+
+@dataclass
+class BM25Oracle:
+    k1: float = BM25_K1
+    b: float = BM25_B
+    # doc_id -> token list
+    doc_tokens: Dict[int, List[str]] = field(default_factory=dict)
+    doc_text: Dict[int, str] = field(default_factory=dict)
+
+    def add(self, doc_id: int, text: str) -> None:
+        self.doc_tokens[doc_id] = tokenize(text)
+        self.doc_text[doc_id] = text
+
+    def build(self) -> None:
+        self.N = len(self.doc_tokens)
+        self.doclen = {d: len(t) for d, t in self.doc_tokens.items()}
+        self.avgdl = sum(self.doclen.values()) / self.N if self.N else 0.0
+        self.postings: Dict[str, Dict[int, int]] = {}
+        for d, toks in self.doc_tokens.items():
+            for t in toks:
+                self.postings.setdefault(t, {})
+                self.postings[t][d] = self.postings[t].get(d, 0) + 1
+        self.df = {t: len(p) for t, p in self.postings.items()}
+
+    def idf(self, term: str) -> float:
+        df = self.df.get(term, 0)
+        return math.log((self.N - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score_one(self, term: str, doc_id: int) -> float:
+        tf = self.postings.get(term, {}).get(doc_id, 0)
+        if tf == 0:
+            return 0.0
+        dl = self.doclen[doc_id]
+        return (
+            self.idf(term)
+            * tf
+            * (self.k1 + 1.0)
+            / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+        )
+
+    def search(self, question: str, k: int = 10) -> List[Tuple[int, float]]:
+        """Top-k (doc_id, score), score desc then doc_id asc; 0-score docs
+        are never returned (a doc must contain >=1 query term)."""
+        terms = sorted(set(tokenize(normalize_question(question))))
+        scores: Dict[int, float] = {}
+        for t in terms:
+            for d in self.postings.get(t, ()):  # docs containing t
+                scores[d] = scores.get(d, 0.0) + self.score_one(t, d)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+
+def has_answer(answers: Sequence[str], text: str) -> bool:
+    """V1 string match: `qa_validation.py:175-193`."""
+    text_toks = tokenize(nfd(text))
+    for ans in answers:
+        a = tokenize(nfd(ans))
+        if not a:
+            continue
+        for i in range(0, len(text_toks) - len(a) + 1):
+            if a == text_toks[i : i + len(a)]:
+                return True
+    return False
+
+
+def top_k_hits(per_question_hits: Iterable[List[bool]], n_docs: int) -> List[int]:
+    """A1 cumulative histogram: `qa_validation.py:72-78`."""
+    out = [0] * n_docs
+    for hits in per_question_hits:
+        best = next((i for i, h in enumerate(hits) if h), None)
+        if best is not None:
+            out[best:] = [v + 1 for v in out[best:]]
+    return out

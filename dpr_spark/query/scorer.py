@@ -1,0 +1,113 @@
+"""Exact BM25 top-k query engine (SURVEY.md J6 + M1 + K1).
+
+Replaces `dense_retriever.py`'s FAISS `search_knn`
+(`/root/reference/dpr/indexer/faiss_indexers.py:107-112`, k=100 per
+`conf/dense_retriever.yaml`) with a declarative DataFrame DAG:
+
+    queries ──normalize(P5)──tokenize(T1)──explode──distinct──►
+      ⋈ broadcast(dictionary)  [term -> term_id, idf]
+      ⋈ postings on term_id    [the J6 join; sort-merge at scale]
+      ──per-(qid,doc) ordered float fold──window top-k──results
+
+Rank identity details (must mirror oracle/bm25.py bit-for-bit):
+- per-term component: idf * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+  all float64, same operation order;
+- the per-document sum folds components in ascending `term` order via
+  sort_array + aggregate — the same order the oracle uses, so float
+  addition rounds identically;
+- ties: score DESC, doc_id ASC; ranks 1-based; docs sharing no query
+  term never appear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dpr_spark import BM25_B, BM25_K1, DEFAULT_TOP_K
+from dpr_spark.functions.normalize import normalize_question_col
+from dpr_spark.functions.tokenizer import tokenize_udf
+from dpr_spark.index.build import InvertedIndex
+
+
+def query_terms(queries: DataFrame) -> DataFrame:
+    """queries(qid, question) -> distinct (qid, term); duplicate query
+    terms count once (set semantics, fixed by the oracle contract)."""
+    return (
+        queries.select(
+            "qid",
+            F.explode(
+                tokenize_udf()(normalize_question_col(F.col("question")))
+            ).alias("term"),
+        )
+        .distinct()
+    )
+
+
+def score_exact(
+    queries: DataFrame,
+    index: InvertedIndex,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(qid, doc_id, score) for every candidate doc (>=1 shared term)."""
+    avgdl = index.stats.avgdl
+    qt = query_terms(queries)
+    qt = qt.join(
+        F.broadcast(index.dictionary.select("term", "term_id", "idf")), "term"
+    )
+    joined = qt.join(index.postings, "term_id")
+    component = (
+        F.col("idf")
+        * F.col("tf").cast("double")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen").cast("double") / F.lit(avgdl))
+        )
+    )
+    parts = joined.select(
+        "qid", "doc_id", F.struct(F.col("term"), component.alias("component")).alias("tc")
+    )
+    # ordered float fold: ascending term, exactly like the oracle
+    return (
+        parts.groupBy("qid", "doc_id")
+        .agg(F.sort_array(F.collect_list("tc")).alias("tcs"))
+        .select(
+            "qid",
+            "doc_id",
+            F.aggregate(
+                "tcs", F.lit(0.0), lambda acc, x: acc + x["component"]
+            ).alias("score"),
+        )
+    )
+
+
+def top_k(scored: DataFrame, k: int = DEFAULT_TOP_K) -> DataFrame:
+    """K1: results(qid, rank, doc_id, score). Window row_number is exact
+    and fine up to ~10^5 candidates/query; the WAND engine (query/wand.py)
+    is the scale path that avoids materializing all candidates."""
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
+def search(
+    queries: DataFrame,
+    index: InvertedIndex,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    return top_k(score_exact(queries, index, k1=k1, b=b), k)
+
+
+def attach_passages(results: DataFrame, index: InvertedIndex, docs: DataFrame) -> DataFrame:
+    """J1: results -> passage text lookup (`dense_retriever.py:352`,
+    `:461-469`). Broadcast only when the doc side is small; at 10^12 docs
+    this is a sort-merge join on doc_id (results side is tiny * k)."""
+    return results.join(docs.select("doc_id", "url", "text"), "doc_id", "inner")
