@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Per-round benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline queries run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Also measures inverted-index build throughput
+(docs/sec) over a deterministic synthetic 50k-page Common-Crawl-style
+corpus (cached parquet under .bench_cache/) and BM25 query throughput over
+the built index — the BASELINE.md comparables (Lucene: ~11.7k passages/s
+build, 23.7 q/s query; DPR dense: 995 q/s on a 21M index).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+BENCH_DOCS = int(os.environ.get("DPR_SPARK_BENCH_DOCS", "50000"))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def _pages_parquet() -> str:
+    path = os.path.join(CACHE, f"pages_{BENCH_DOCS}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(CACHE, exist_ok=True)
+        from dpr_spark.fixtures.corpus import write_pages_parquet
+
+        write_pages_parquet(path, BENCH_DOCS, seed=42)
+    return path
+
+
+def main() -> None:
+    from dpr_spark.session import get_spark
+
+    spark = get_spark("dpr_spark_bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(8, int(CPUS)))
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        try:
+            fn()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # never break the driver's bench record
+            print(f"bench {name} failed: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    # --- headline driver-table queries (same code path as __spark_entry__)
+    from dpr_spark.engine_queries import all_entries
+
+    entries = all_entries()
+    for name in [
+        "bm25_topk",
+        "accuracy_at_k",
+        "tf_term_doc",
+        "dictionary",
+        "union_dedup",
+        "ngram_jaccard_pairs",
+        "minhash_lsh",
+        "embedding_topk_cosine",
+        "doc_fingerprint",
+        "langid_quality",
+    ]:
+        fn, _ = entries[name]
+        timed(name, lambda fn=fn: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save())
+
+    # --- synthetic-corpus index build + query throughput
+    pages_path = _pages_parquet()
+    from dpr_spark.index.build import build_index
+
+    state = {}
+
+    def _build():
+        pages = spark.read.parquet(pages_path)
+        idx = build_index(spark, pages, build_blocks=True)
+        # force the full DAG: postings + blocks + stats
+        idx.postings.persist()
+        n_post = idx.postings.count()
+        n_blocks = idx.blocks.write.format("noop").mode("overwrite").save()
+        state["idx"] = idx
+        extra["n_postings"] = n_post
+
+    timed("index_build_50k", _build)
+    if timings["index_build_50k"] > 0:
+        extra["index_build_docs_per_sec"] = round(BENCH_DOCS / timings["index_build_50k"], 1)
+
+    def _query():
+        from dpr_spark.fixtures.corpus import gen_queries_pdf, gen_pages_pdf
+        from dpr_spark.query.scorer import search
+
+        qpdf = gen_queries_pdf(gen_pages_pdf(100, seed=42), n_queries=200, seed=43)
+        qdf = spark.createDataFrame(qpdf[["qid", "question"]])
+        search(qdf, state["idx"], k=100).write.format("noop").mode("overwrite").save()
+
+    if "idx" in state:
+        timed("bm25_search_200q_k100", _query)
+        if timings["bm25_search_200q_k100"] > 0:
+            extra["queries_per_sec"] = round(200 / timings["bm25_search_200q_k100"], 1)
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

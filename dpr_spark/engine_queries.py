@@ -1,0 +1,728 @@
+"""Driver-contract queries: each SURVEY.md §2 operator expressed over the
+driver's testdata tables (documents/embeddings/events at
+/root/testdata/sf*/), with a DuckDB-runnable oracle SQL twin.
+
+Parity rules that make the value-hash comparison deterministic:
+- tokenization uses the lowercase-first Catalyst/RE2 shared spelling
+  (identical on the ASCII testdata corpus; full reference fidelity is
+  pytest-gated separately against the regex-module tokenizer);
+- every float column is rounded (6 dp scores, 4 dp ratios) in BOTH
+  engines, and ranks order by the ROUNDED score so last-ulp float
+  differences can't flip a rank;
+- int math (minhash, fingerprints) is exact in both engines.
+
+Each `q_*` function returns (callable(spark, sf_dir) -> DataFrame,
+oracle_sql or None).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dpr_spark import BM25_B, BM25_K1
+from dpr_spark.functions.tokenizer import TOKEN_PATTERN_SQL, tokenize
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKS = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN_SQL}')"
+
+# Fixed NQ-style query set over the testdata documents vocabulary
+# (SURVEY.md S2/J6; the driver corpus speaks a 31-word SQL-flavored language).
+BENCH_QUERIES = [
+    (0, "spark window agg"),
+    (1, "customer join order"),
+    (2, "fast scan filter"),
+    (3, "the big table"),
+    (4, "hash merge sort key"),
+    (5, "stream batch window data"),
+    (6, "slow query line part"),
+    (7, "vector group value column"),
+]
+
+# answers copied verbatim from corpus phrases (has_answer A1/V1 needs hits)
+BENCH_ANSWERS = {
+    0: ["spark window", "agg"],
+    1: ["customer join", "order scan"],
+    2: ["fast scan", "filter value"],
+    3: ["big table", "the part"],
+    4: ["hash merge", "sort key"],
+    5: ["stream batch", "window data"],
+    6: ["slow query", "line part"],
+    7: ["vector group", "value column"],
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _tok_col():
+    from dpr_spark.functions.tokenizer import tokenize_col
+
+    return tokenize_col("text", lowercase_first=True)
+
+
+def _tokenized(spark, sf_dir) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", _tok_col().alias("toks")
+    )
+
+
+def _qterm_values_sql() -> str:
+    """(qid, term) VALUES literal — queries pre-tokenized with the
+    reference tokenizer (pure Python, ASCII → identical to SQL spelling)."""
+    pairs = []
+    for qid, q in BENCH_QUERIES:
+        for t in sorted(set(tokenize(q))):
+            pairs.append(f"({qid}, '{t}')")
+    return ", ".join(pairs)
+
+
+def _qterms_df(spark: SparkSession) -> DataFrame:
+    rows = []
+    for qid, q in BENCH_QUERIES:
+        for t in sorted(set(tokenize(q))):
+            rows.append((qid, t))
+    return spark.createDataFrame(rows, "qid int, term string")
+
+
+_BM25_CTES = f"""
+tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+ds AS (SELECT doc_id, len(toks) AS doclen FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM ds),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+qt AS (SELECT * FROM (VALUES {{QTERMS}}) AS q(qid, term)),
+scored AS (
+  SELECT qt.qid, tf.doc_id,
+         sum(ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+             * tf.tf * {BM25_K1 + 1.0}
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl))
+         ) AS score
+  FROM qt JOIN dict USING (term) JOIN tf USING (term)
+       JOIN ds ON tf.doc_id = ds.doc_id CROSS JOIN stats
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, doc_id, round(score, 6) AS score_r,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored)
+"""
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Spark-side BM25 pipeline over the testdata documents table,
+    mirroring _BM25_CTES term for term (J6 + M1 + A6/A7)."""
+    tok = _tokenized(spark, sf_dir)
+    ds = tok.select("doc_id", F.size("toks").alias("doclen"))
+    srow = ds.agg(F.count("*").cast("double").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
+    n, avgdl = float(srow["n"]), float(srow["avgdl"])
+    tf = (
+        tok.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dic = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qt = _qterms_df(spark)
+    joined = (
+        qt.join(F.broadcast(dic), "term")
+        .join(tf, "term")
+        .join(ds, "doc_id")
+    )
+    component = (
+        F.log((F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
+        * F.col("tf").cast("double")
+        * F.lit(BM25_K1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("doclen").cast("double") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        joined.select("qid", "doc_id", component.alias("c"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("c").alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(F.round("score", 6)), F.asc("doc_id"))
+    return scored.select(
+        "qid",
+        "doc_id",
+        F.round("score", 6).alias("score_r"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# operator entries: (spark_fn, oracle_sql)
+# ---------------------------------------------------------------------------
+
+Entry = Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]
+
+
+def q_docstats() -> Entry:
+    """A6 doc stats: doclen per doc via the shared tokenizer."""
+
+    def fn(spark, sf_dir):
+        return _tokenized(spark, sf_dir).select(
+            "doc_id", F.size("toks").cast("long").alias("doclen")
+        )
+
+    sql = f"SELECT doc_id, len({_DUCK_TOKS})::BIGINT AS doclen FROM documents"
+    return fn, sql
+
+
+def q_dictionary() -> Entry:
+    """A6 document frequency per term (`dictionary` table of the engine)."""
+
+    def fn(spark, sf_dir):
+        tok = _tokenized(spark, sf_dir)
+        return (
+            tok.select("doc_id", F.explode_outer("toks").alias("term"))
+            .distinct()
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("df"))
+        )
+
+    sql = f"""
+      SELECT term, count(*)::BIGINT AS df
+      FROM (SELECT DISTINCT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents)
+      GROUP BY term"""
+    return fn, sql
+
+
+def q_tf_term_doc() -> Entry:
+    """A7 term frequency per (term, doc) — the posting rows."""
+
+    def fn(spark, sf_dir):
+        return (
+            _tokenized(spark, sf_dir)
+            .select("doc_id", F.explode("toks").alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").cast("long").alias("tf"))
+        )
+
+    sql = f"""
+      SELECT term, doc_id, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents)
+      GROUP BY term, doc_id"""
+    return fn, sql
+
+
+def q_corpus_stats() -> Entry:
+    """A6: N + avgdl (broadcast scalars of the scorer)."""
+
+    def fn(spark, sf_dir):
+        return (
+            _tokenized(spark, sf_dir)
+            .select(F.size("toks").alias("dl"))
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.round(F.avg("dl"), 6).alias("avgdl"),
+            )
+        )
+
+    sql = f"""
+      SELECT count(*)::BIGINT AS n_docs, round(avg(len({_DUCK_TOKS})), 6) AS avgdl
+      FROM documents"""
+    return fn, sql
+
+
+def q_bm25_topk() -> Entry:
+    """The flagship: BM25 (k1=1.2, b=0.75) top-10 per fixed query (J6+M1+K1)."""
+
+    def fn(spark, sf_dir):
+        return (
+            _bm25_ranked(spark, sf_dir)
+            .filter(F.col("rank") <= 10)
+            .select("qid", "rank", "doc_id", "score_r")
+        )
+
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + "SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"
+    )
+    return fn, sql
+
+
+def q_topk_join_text() -> Entry:
+    """J1: top-3 results joined back to passage text
+    (`dense_retriever.py:352`)."""
+
+    def fn(spark, sf_dir):
+        top = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= 3)
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+        return top.join(docs, "doc_id").select("qid", "rank", "doc_id", "text", "lang")
+
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + """
+        SELECT r.qid, r.rank, r.doc_id, d.text, d.lang
+        FROM ranked r JOIN documents d USING (doc_id) WHERE r.rank <= 3"""
+    )
+    return fn, sql
+
+
+def _answers_values_sql() -> str:
+    rows = []
+    for qid, answers in BENCH_ANSWERS.items():
+        for a in answers:
+            toks = " ".join(tokenize(a))
+            rows.append(f"({qid}, '{toks}')")
+    return ", ".join(rows)
+
+
+def q_accuracy_at_k() -> Entry:
+    """A1+V1: has_answer (token-subsequence via space-joined containment)
+    over top-10 docs, first-hit rank, cumulative accuracy@k histogram
+    (`qa_validation.py:72-78`, `:175-193`)."""
+    n_q = len(BENCH_QUERIES)
+
+    def fn(spark, sf_dir):
+        top = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= 10)
+        toks = _tokenized(spark, sf_dir).select(
+            "doc_id",
+            F.concat(F.lit(" "), F.concat_ws(" ", "toks"), F.lit(" ")).alias("tstr"),
+        )
+        ans_rows = [
+            (qid, " ".join(tokenize(a)))
+            for qid, answers in BENCH_ANSWERS.items()
+            for a in answers
+        ]
+        ans = spark.createDataFrame(ans_rows, "qid int, ans_toks string")
+        hits = (
+            top.join(toks, "doc_id")
+            .join(ans, "qid")
+            .withColumn(
+                "hit",
+                F.col("tstr").contains(F.concat(F.lit(" "), F.col("ans_toks"), F.lit(" "))),
+            )
+            .groupBy("qid")
+            .agg(F.min(F.when(F.col("hit"), F.col("rank"))).alias("first_hit"))
+        )
+        ks = spark.range(1, 11).select(F.col("id").cast("int").alias("k"))
+        return (
+            ks.join(hits, F.col("first_hit") <= F.col("k"), "left")
+            .groupBy("k")
+            .agg(F.count("qid").cast("long").alias("hits"))
+            .select(
+                "k", "hits", F.round(F.col("hits") / F.lit(float(n_q)), 6).alias("accuracy")
+            )
+        )
+
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + f""",
+        tstr AS (SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS tstr FROM tok),
+        ans AS (SELECT * FROM (VALUES {_answers_values_sql()}) AS a(qid, ans_toks)),
+        firsthit AS (
+          SELECT r.qid, min(CASE WHEN contains(t.tstr, ' ' || a.ans_toks || ' ')
+                                 THEN r.rank END) AS first_hit
+          FROM ranked r JOIN tstr t USING (doc_id) JOIN ans a ON a.qid = r.qid
+          WHERE r.rank <= 10 GROUP BY r.qid),
+        ks AS (SELECT range::INT AS k FROM range(1, 11))
+        SELECT k, count(f.qid)::BIGINT AS hits,
+               round(count(f.qid) / {float(n_q)}, 6) AS accuracy
+        FROM ks LEFT JOIN firsthit f ON f.first_hit <= ks.k
+        GROUP BY k"""
+    )
+    return fn, sql
+
+
+def q_union_dedup() -> Entry:
+    """J7 union of sources + A2 exact dedup: duplicate the `en` slice via
+    unionByName, dedup on text, count copies."""
+
+    def fn(spark, sf_dir):
+        d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+        dup = d.filter(F.col("lang") == "en")
+        u = d.unionByName(dup)
+        return (
+            u.groupBy("text")
+            .agg(F.min("doc_id").cast("long").alias("keep_id"), F.count("*").cast("long").alias("n_copies"))
+            .select("keep_id", "n_copies")
+        )
+
+    sql = """
+      SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies
+      FROM (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id, text FROM documents WHERE lang = 'en')
+      GROUP BY text"""
+    return fn, sql
+
+
+def q_id_prefix_slice() -> Entry:
+    """P2 id-prefix projection + P10 range slice over a deterministic
+    ordering (`retriever_data.py:280-283`, `:119-124`)."""
+
+    def fn(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        w = Window.orderBy("doc_id")
+        return (
+            d.select(F.concat(F.lit("wiki:"), F.col("doc_id")).alias("sample_id"),
+                     F.row_number().over(w).alias("rn"), "lang")
+            .filter((F.col("rn") > 100) & (F.col("rn") <= 200))
+            .select("sample_id", "rn", "lang")
+        )
+
+    sql = """
+      SELECT 'wiki:' || doc_id AS sample_id, rn, lang
+      FROM (SELECT doc_id, lang, row_number() OVER (ORDER BY doc_id) AS rn
+            FROM documents)
+      WHERE rn > 100 AND rn <= 200"""
+    return fn, sql
+
+
+def q_normalize_em() -> Entry:
+    """P9+V4 exact-match after answer normalization
+    (`qa_validation.py:214-232`): prediction = first 30 chars, gold = a
+    mangled twin (case/punct for even ids, truncated for odd)."""
+    from dpr_spark.functions.normalize import normalize_answer_col, normalize_answer_sql
+
+    def fn(spark, sf_dir):
+        d = _docs(spark, sf_dir).select("doc_id", F.substring("text", 1, 30).alias("pred"))
+        d = d.withColumn(
+            "gold",
+            F.when(F.col("doc_id") % 2 == 0, F.concat(F.upper(F.col("pred")), F.lit("!!")))
+            .otherwise(F.substring("pred", 1, 25)),
+        )
+        return d.select(
+            "doc_id",
+            (normalize_answer_col("pred") == normalize_answer_col("gold")).alias("em"),
+        )
+
+    npred = normalize_answer_sql("pred")
+    ngold = normalize_answer_sql("gold")
+    sql = f"""
+      SELECT doc_id, ({npred} = {ngold}) AS em
+      FROM (SELECT doc_id, pred,
+                   CASE WHEN doc_id % 2 = 0 THEN upper(pred) || '!!'
+                        ELSE substr(pred, 1, 25) END AS gold
+            FROM (SELECT doc_id, substr(text, 1, 30) AS pred FROM documents))"""
+    return fn, sql
+
+
+def q_ngram_jaccard_pairs() -> Entry:
+    """Near-dup by n-gram Jaccard: 5-gram shingles, bucket join on shared
+    shingle, |A∩B| / (|A|+|B|-|A∩B|); top-20 pairs by similarity."""
+    N = 5
+
+    def fn(spark, sf_dir):
+        tok = _tokenized(spark, sf_dir)
+        sh = tok.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - N),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, N)),
+                )
+            ).alias("shingle"),
+        ).distinct()
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        common = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("common"))
+        )
+        jac = (
+            common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 6
+                ).alias("jaccard"),
+            )
+        )
+        w = Window.orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        return jac.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20).drop("rk")
+
+    sql = f"""
+      WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+      sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               array_to_string(toks[i + 1 : i + {N}], ' ') AS shingle
+        FROM tok, unnest(range(0, len(toks) - {N} + 1)) AS t(i))),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+      jac AS (SELECT doc_a, doc_b,
+                     round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+              FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                          JOIN sizes sb ON sb.doc_id = doc_b)
+      SELECT doc_a, doc_b, jaccard FROM jac
+      ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"""
+    return fn, sql
+
+
+def q_embedding_topk_cosine() -> Entry:
+    """Brute-force cosine top-10 ANN baseline over embeddings
+    (array<float>), queries = vec_id 0..4; rank by rounded cosine."""
+
+    def fn(spark, sf_dir):
+        e = _emb(spark, sf_dir).select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        q = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        )
+        dot = F.aggregate(
+            F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        nrm = lambda c: F.sqrt(
+            F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+        )
+        pairs = (
+            q.crossJoin(e)
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid",
+                "vec_id",
+                F.round(dot / (nrm(F.col("qv")) * nrm(F.col("v"))), 6).alias("cos_r"),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("cos_r"), "vec_id")
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("qid", "rank", "vec_id", "cos_r")
+        )
+
+    sql = """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      pairs AS (
+        SELECT q.qid, e.vec_id,
+               round(list_dot_product(q.qv, e.v)
+                     / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))),
+                     6) AS cos_r
+        FROM q CROSS JOIN e WHERE e.vec_id != q.qid),
+      ranked AS (SELECT qid, vec_id, cos_r,
+                        row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS rank
+                 FROM pairs)
+      SELECT qid, rank, vec_id, cos_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
+def q_langid_quality() -> Entry:
+    """Text analysis: stopword-ratio language-ID heuristic + quality score
+    (length / stopword-ratio / mean word length)."""
+    stop = "the a of and to in is was for on as with by at from it".split()
+    stop_sql = ", ".join(f"'{s}'" for s in stop)
+
+    def fn(spark, sf_dir):
+        tok = _tokenized(spark, sf_dir)
+        st = F.array(*[F.lit(s) for s in stop])
+        return tok.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.round(
+                F.size(F.filter("toks", lambda t: F.array_contains(st, t)))
+                / F.greatest(F.size("toks"), F.lit(1)).cast("double"),
+                6,
+            ).alias("stop_ratio"),
+            F.round(
+                F.aggregate("toks", F.lit(0.0), lambda acc, t: acc + F.length(t))
+                / F.greatest(F.size("toks"), F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_wlen"),
+        ).withColumn("en_like", F.col("stop_ratio") > 0.02)
+
+    sql = f"""
+      WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+      SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+             round(len(list_filter(toks, t -> list_contains([{stop_sql}], t)))
+                   / greatest(len(toks), 1)::DOUBLE, 6) AS stop_ratio,
+             round(list_sum(list_transform(toks, t -> length(t)::DOUBLE))
+                   / greatest(len(toks), 1)::DOUBLE, 6) AS mean_wlen,
+             (round(len(list_filter(toks, t -> list_contains([{stop_sql}], t)))
+                   / greatest(len(toks), 1)::DOUBLE, 6) > 0.02) AS en_like
+      FROM tok"""
+    return fn, sql
+
+
+def q_doc_fingerprint() -> Entry:
+    """Document fingerprint: polynomial rolling hash over per-term ids
+    (exact integer math — deterministic in both engines)."""
+    P = 2147483647  # 2^31-1
+    R = 1000003
+
+    def fn(spark, sf_dir):
+        tok = _tokenized(spark, sf_dir)
+        terms = tok.select(F.explode("toks").alias("term")).distinct()
+        tid = terms.withColumn(
+            "term_id", F.row_number().over(Window.orderBy("term")).cast("long")
+        )
+        exploded = tok.select(
+            "doc_id", F.posexplode("toks").alias("pos", "term")
+        ).join(F.broadcast(tid), "term")
+        ordered = (
+            exploded.groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "term_id"))).alias("seq"))
+            .select(
+                "doc_id",
+                F.aggregate(
+                    F.transform("seq", lambda s: s["term_id"]),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: (acc * F.lit(R) + x) % F.lit(P),
+                ).alias("fingerprint"),
+            )
+        )
+        return ordered
+
+    sql = f"""
+      WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+      tid AS (SELECT term, row_number() OVER (ORDER BY term) AS term_id
+              FROM (SELECT DISTINCT unnest(toks) AS term FROM tok)),
+      seq AS (SELECT doc_id, i, toks[i + 1] AS term
+              FROM tok, unnest(range(0, len(toks))) AS u(i)),
+      ids AS (SELECT doc_id, list(term_id ORDER BY i) AS ids
+              FROM seq JOIN tid USING (term) GROUP BY doc_id)
+      SELECT doc_id,
+             list_reduce(list_prepend(0::BIGINT, ids),
+                         (acc, x) -> (acc * {R} + x) % {P})::BIGINT AS fingerprint
+      FROM ids"""
+    return fn, sql
+
+
+def q_minhash_lsh() -> Entry:
+    """MinHash (16 perms, exact affine-hash arithmetic) + LSH banding
+    (4 bands × 4 rows) over 3-gram shingles; emits candidate pairs that
+    collide in ≥1 band, with their estimated Jaccard (fraction of equal
+    minhash components)."""
+    NPERM, BANDS, ROWS_PER = 16, 4, 4
+    P = 2147483647
+    A = [(i * 2 + 1) * 40503 % P for i in range(1, NPERM + 1)]
+    B = [(i * 7 + 3) * 69069 % P for i in range(1, NPERM + 1)]
+    N = 3
+
+    def fn(spark, sf_dir):
+        tok = _tokenized(spark, sf_dir)
+        sh = tok.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - N),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, N)),
+                )
+            ).alias("shingle"),
+        ).distinct()
+        sid = (
+            sh.select("shingle")
+            .distinct()
+            .withColumn("sid", F.row_number().over(Window.orderBy("shingle")).cast("long"))
+        )
+        shid = sh.join(F.broadcast(sid), "shingle").select("doc_id", "sid")
+        mins = shid.groupBy("doc_id").agg(
+            *[
+                F.min((F.col("sid") * F.lit(A[j]) + F.lit(B[j])) % F.lit(P)).alias(f"h{j}")
+                for j in range(NPERM)
+            ]
+        )
+        bands = mins.select(
+            "doc_id",
+            *[
+                F.concat_ws(
+                    "_", *[F.col(f"h{b * ROWS_PER + r}") for r in range(ROWS_PER)]
+                ).alias(f"band{b}")
+                for b in range(BANDS)
+            ],
+            F.array(*[F.col(f"h{j}") for j in range(NPERM)]).alias("sig"),
+        )
+        cands = None
+        for b in range(BANDS):
+            x = bands.alias("x")
+            y = bands.alias("y")
+            pair = x.join(
+                y,
+                (F.col(f"x.band{b}") == F.col(f"y.band{b}"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            ).select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                F.col("x.sig").alias("siga"),
+                F.col("y.sig").alias("sigb"),
+            )
+            cands = pair if cands is None else cands.unionByName(pair)
+        est = (
+            cands.dropDuplicates(["doc_a", "doc_b"])
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.size(
+                        F.filter(
+                            F.zip_with("siga", "sigb", lambda a, bb: a == bb),
+                            lambda e: e,
+                        )
+                    )
+                    / F.lit(float(NPERM)),
+                    6,
+                ).alias("est_jaccard"),
+            )
+        )
+        return est
+
+    return fn, None  # hash functions not portable to a one-statement oracle
+
+
+def q_range_slice_events() -> Entry:
+    """P10 range slice over the events table (deterministic ts order)."""
+
+    def fn(spark, sf_dir):
+        w = Window.orderBy("event_id")
+        return (
+            _events(spark, sf_dir)
+            .select("event_id", "event_type", F.row_number().over(w).alias("rn"))
+            .filter((F.col("rn") > 50) & (F.col("rn") <= 150))
+            .select("event_id", "event_type", "rn")
+        )
+
+    sql = """
+      SELECT event_id, event_type, rn
+      FROM (SELECT event_id, event_type,
+                   row_number() OVER (ORDER BY event_id) AS rn FROM events)
+      WHERE rn > 50 AND rn <= 150"""
+    return fn, sql
+
+
+def all_entries() -> Dict[str, Entry]:
+    return {
+        "docstats": q_docstats(),
+        "dictionary": q_dictionary(),
+        "tf_term_doc": q_tf_term_doc(),
+        "corpus_stats": q_corpus_stats(),
+        "bm25_topk": q_bm25_topk(),
+        "topk_join_text": q_topk_join_text(),
+        "accuracy_at_k": q_accuracy_at_k(),
+        "union_dedup": q_union_dedup(),
+        "id_prefix_slice": q_id_prefix_slice(),
+        "normalize_em": q_normalize_em(),
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs(),
+        "embedding_topk_cosine": q_embedding_topk_cosine(),
+        "langid_quality": q_langid_quality(),
+        "doc_fingerprint": q_doc_fingerprint(),
+        "minhash_lsh": q_minhash_lsh(),
+        "range_slice_events": q_range_slice_events(),
+    }
