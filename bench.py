@@ -91,18 +91,39 @@ def main() -> None:
     if timings["index_build_50k"] > 0:
         extra["index_build_docs_per_sec"] = round(BENCH_DOCS / timings["index_build_50k"], 1)
 
-    def _query():
+    def _qdf():
         from dpr_spark.fixtures.corpus import gen_queries_pdf, gen_pages_pdf
-        from dpr_spark.query.scorer import search
 
         qpdf = gen_queries_pdf(gen_pages_pdf(100, seed=42), n_queries=200, seed=43)
-        qdf = spark.createDataFrame(qpdf[["qid", "question"]])
-        search(qdf, state["idx"], k=100).write.format("noop").mode("overwrite").save()
+        return spark.createDataFrame(qpdf[["qid", "question"]])
+
+    def _query_exact():
+        from dpr_spark.query.scorer import search
+
+        search(_qdf(), state["idx"], k=100).write.format("noop").mode("overwrite").save()
+
+    def _build_segments():
+        from dpr_spark.query.wand import build_impact_segments
+
+        seg = build_impact_segments(state["idx"], num_buckets=int(CPUS)).persist()
+        seg.count()
+        state["seg"] = seg
+
+    def _query_segments():
+        from dpr_spark.query.wand import search_segments
+
+        search_segments(spark, _qdf(), state["idx"], state["seg"], k=100).write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     if "idx" in state:
-        timed("bm25_search_200q_k100", _query)
-        if timings["bm25_search_200q_k100"] > 0:
-            extra["queries_per_sec"] = round(200 / timings["bm25_search_200q_k100"], 1)
+        timed("bm25_search_exact_200q_k100", _query_exact)
+        timed("impact_segments_build", _build_segments)
+        timed("bm25_search_segments_200q_k100", _query_segments)
+        if timings["bm25_search_segments_200q_k100"] > 0:
+            extra["queries_per_sec"] = round(
+                200 / timings["bm25_search_segments_200q_k100"], 1
+            )
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

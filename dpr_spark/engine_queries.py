@@ -687,6 +687,36 @@ def q_minhash_lsh() -> Entry:
     return fn, None  # hash functions not portable to a one-statement oracle
 
 
+def q_bm25_topk_wand() -> Entry:
+    """The full engine path on the driver corpus: build_index_from_docs ->
+    impact segments -> doc-partitioned searcher (query/wand.py), checked
+    against the same DuckDB BM25 oracle as q_bm25_topk. Rank re-derived
+    from the 6-dp-rounded score so float last-ulp noise can't flip it."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.wand import build_impact_segments, search_segments
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        seg = build_impact_segments(idx, num_buckets=8)
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search_segments(spark, qdf, idx, seg, k=10).select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + "SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"
+    )
+    return fn, sql
+
+
 def q_range_slice_events() -> Entry:
     """P10 range slice over the events table (deterministic ts order)."""
 
@@ -714,6 +744,7 @@ def all_entries() -> Dict[str, Entry]:
         "tf_term_doc": q_tf_term_doc(),
         "corpus_stats": q_corpus_stats(),
         "bm25_topk": q_bm25_topk(),
+        "bm25_topk_wand": q_bm25_topk_wand(),
         "topk_join_text": q_topk_join_text(),
         "accuracy_at_k": q_accuracy_at_k(),
         "union_dedup": q_union_dedup(),

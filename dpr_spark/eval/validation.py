@@ -1,0 +1,138 @@
+"""Validation operators V1/V2/V4 + A1 and the results JSON sink S7 — the
+full `dense_retriever.py` evaluation surface (SURVEY.md §2.9, §3.1 steps
+6-7).
+
+The reference fans has_answer out over a multiprocessing.Pool
+(`/root/reference/dpr/data/qa_validation.py:63-68`); here it is one
+Arrow-vectorized stage. The JSON sink mirrors save_results
+(`dense_retriever.py:337-379`): per question a nested record
+{question, answers[], ctxs:[{id, title, text, score, has_answer}]}.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dpr_spark.oracle.bm25 import has_answer as _has_answer_py
+
+
+def has_answer_udf():
+    """V1 (string match): NFD + SimpleTokenizer-uncased token-subsequence
+    containment (`qa_validation.py:175-193`), vectorized over Arrow
+    batches. Args: text column, answers array column."""
+
+    @F.pandas_udf(T.BooleanType())
+    def _ha(text: pd.Series, answers: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                bool(_has_answer_py(list(a), t)) if t is not None and a is not None else False
+                for t, a in zip(text, answers)
+            ]
+        )
+
+    return _ha
+
+
+def regex_match_udf():
+    """V2 (regex match): compile each answer as a regex with I+U+M, bad
+    patterns -> False (`qa_validation.py:195-210`)."""
+    import re as _re
+    import unicodedata
+
+    @F.pandas_udf(T.BooleanType())
+    def _rm(text: pd.Series, answers: pd.Series) -> pd.Series:
+        out = []
+        for t, ans in zip(text, answers):
+            hit = False
+            if t is not None and ans is not None:
+                nt = unicodedata.normalize("NFD", t)
+                for a in ans:
+                    try:
+                        pat = _re.compile(
+                            unicodedata.normalize("NFD", a),
+                            flags=_re.IGNORECASE + _re.UNICODE + _re.MULTILINE,
+                        )
+                    except BaseException:
+                        continue
+                    if pat.search(nt) is not None:
+                        hit = True
+                        break
+            out.append(hit)
+        return pd.Series(out)
+
+    return _rm
+
+
+def annotate_hits(
+    results: DataFrame, docs: DataFrame, answers: DataFrame, match_type: str = "string"
+) -> DataFrame:
+    """J1+V1/V2: results(qid, rank, doc_id, score) ⋈ docs(doc_id, text)
+    ⋈ answers(qid, answers) -> + has_answer. The reference's Pool map
+    (`qa_validation.py:63-68`) is just this join + UDF stage."""
+    udf = has_answer_udf() if match_type == "string" else regex_match_udf()
+    return (
+        results.join(docs.select("doc_id", "text"), "doc_id")
+        .join(answers.select("qid", "answers"), "qid")
+        .withColumn("has_answer", udf(F.col("text"), F.col("answers")))
+    )
+
+
+def accuracy_at_k(hits: DataFrame, n_questions: int, max_k: int) -> DataFrame:
+    """A1 cumulative first-hit histogram (`qa_validation.py:72-78`,
+    `dense_retriever.py:301-315`): accuracy(k) = |{q: first hit rank <= k}|
+    / n_questions. Returns (k, hits, accuracy) for k=1..max_k."""
+    spark = hits.sparkSession
+    first = hits.groupBy("qid").agg(
+        F.min(F.when(F.col("has_answer"), F.col("rank"))).alias("first_hit")
+    )
+    ks = spark.range(1, max_k + 1).select(F.col("id").cast("int").alias("k"))
+    return (
+        ks.join(first, F.col("first_hit") <= F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.count("qid").cast("long").alias("hits"))
+        .select(
+            "k",
+            "hits",
+            (F.col("hits") / F.lit(float(n_questions))).alias("accuracy"),
+        )
+        .orderBy("k")
+    )
+
+
+def results_json(
+    results: DataFrame,
+    docs: DataFrame,
+    queries: DataFrame,
+) -> DataFrame:
+    """S7 nested output (`dense_retriever.py:337-379`, README.md:216-233):
+    one row per question with ctxs sorted by rank; write with
+    .write.json(...). Scores stringified like the reference (`:353`)."""
+    annotated = annotate_hits(results, docs, queries)
+    ctx = F.struct(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("title"),
+        F.col("text"),
+        F.col("score").cast("string").alias("score"),
+        F.col("has_answer"),
+    )
+    with_title = (
+        annotated.join(docs.select("doc_id", F.col("url").alias("title")), "doc_id")
+        if "title" not in annotated.columns and "url" in docs.columns
+        else annotated.withColumn("title", F.lit(None).cast("string"))
+    )
+    per_q = (
+        with_title.withColumn("ctx", ctx)
+        .groupBy("qid")
+        .agg(F.sort_array(F.collect_list(F.struct("rank", "ctx"))).alias("rc"))
+        .select("qid", F.transform("rc", lambda x: x["ctx"]).alias("ctxs"))
+    )
+    return (
+        queries.select("qid", "question", "answers")
+        .join(per_q, "qid", "left")
+        .select("qid", "question", "answers", F.coalesce("ctxs", F.array()).alias("ctxs"))
+    )

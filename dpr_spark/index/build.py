@@ -40,13 +40,12 @@ from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dpr_spark import BM25_B, BM25_K1
 from dpr_spark.functions.textextract import extract_text_udf
-from dpr_spark.functions.tokenizer import tokenize_udf
 from dpr_spark.index.codec import BLOCK_SIZE, encode_block
 
 POSTINGS_BLOCK_SCHEMA = T.StructType(
@@ -112,12 +111,14 @@ def prepare_docs(
     verify_extract: bool = False,
     id_strategy: str = "dense_rank",
 ) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) -> docs(doc_id, url, text,
-    tokens, doclen).
+    """pages(url, warc_ts, html, text, lang) -> docs(doc_id, url, text).
 
     Only url/text/lang leave storage (column pruning; `html` is read only
     when verify_extract=True — the byte-identity gate of
-    BASELINE.json:input_hint).
+    BASELINE.json:input_hint). doc_id = dense rank of url via the
+    two-phase range rank (plans/ids.py — no single-partition window);
+    `hash` strategy = xxhash64(url), no sort at all (collision-check it
+    at >10^9 docs before trusting).
     """
     if lang is not None:
         pages = pages.filter(F.col("lang") == lang)  # pushed to the scan
@@ -130,19 +131,59 @@ def prepare_docs(
             "_extract_ok", F.col("_extracted") == F.col("text")
         ).drop("html", "_extracted")
     if id_strategy == "dense_rank":
-        docs = docs.withColumn(
-            "doc_id", F.row_number().over(Window.orderBy("url")) - F.lit(1)
-        )
+        from dpr_spark.plans.ids import assign_dense_ids
+
+        docs = assign_dense_ids(docs, "url", "doc_id")
     elif id_strategy == "hash":
         docs = docs.withColumn("doc_id", F.xxhash64("url"))
     else:
         raise ValueError(id_strategy)
-    docs = docs.withColumn("tokens", tokenize_udf()(F.col("text")))
-    docs = docs.withColumn("doclen", F.size("tokens"))
     return docs.select(
-        "doc_id", "url", "text", "tokens", "doclen",
-        *(["_extract_ok"] if verify_extract else []),
+        "doc_id", "url", "text", *(["_extract_ok"] if verify_extract else [])
     )
+
+
+DOC_TERMS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("doclen", T.IntegerType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("tf", T.LongType()),
+    ]
+)
+
+
+def doc_terms(docs: DataFrame) -> DataFrame:
+    """Fused tokenize + per-doc term histogram (T1 + A7) in ONE Arrow
+    pass. tf per (term, doc) is a per-document quantity — computing it
+    inside the tokenizer UDF removes the explode + groupBy shuffle of
+    8.75M token rows entirely (a doc's tokens never leave its partition).
+    doclen rides on every row (functionally dependent on doc_id)."""
+    from collections import Counter
+
+    from dpr_spark.functions.tokenizer import tokenize_fast
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_doc, out_dl, out_t, out_tf = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = tokenize_fast(text) if text is not None else []
+                c = Counter(toks)
+                n = len(toks)
+                out_doc.extend([doc_id] * len(c))
+                out_dl.extend([n] * len(c))
+                out_t.extend(c.keys())
+                out_tf.extend(c.values())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "doclen": pd.Series(out_dl, dtype="int32"),
+                    "term": pd.Series(out_t, dtype="object"),
+                    "tf": pd.Series(out_tf, dtype="int64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, DOC_TERMS_SCHEMA)
 
 
 def build_index(
@@ -161,25 +202,40 @@ def build_index(
         if n_bad:
             raise ValueError(f"extract_text(html) != text for {n_bad} rows")
         docs = docs.drop("_extract_ok")
-    docs = docs.persist()
-
-    docstats = docs.select("doc_id", "url", "doclen")
-    row = docs.agg(
-        F.count("*").alias("n"), F.avg("doclen").alias("avgdl")
-    ).collect()[0]
-    stats = IndexStats(int(row["n"]), float(row["avgdl"]))
-
-    # A7: tf per (term, doc) — partial+final hash agg, Catalyst-native.
-    # doclen rides along in the grouping key (functionally dependent on
-    # doc_id, zero extra groups) so scoring never re-joins docstats.
-    tf = (
-        docs.select("doc_id", "doclen", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id", "doclen")
-        .agg(F.count("*").alias("tf"))
+    return build_index_from_docs(
+        spark, docs, build_blocks=build_blocks, k1=k1, b=b, salt_df_agg=salt_df_agg
     )
 
-    # A6: document frequency. tf rows are already distinct per (term,doc),
-    # so df is a plain count — map-side partial agg bounds head-term skew;
+
+def build_index_from_docs(
+    spark: SparkSession,
+    docs: DataFrame,
+    build_blocks: bool = True,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    salt_df_agg: int = 0,
+) -> InvertedIndex:
+    """Build from docs that already carry (doc_id, text[, url]) — e.g.
+    the driver's `documents` table, or prepare_docs output."""
+    if "url" not in docs.columns:
+        docs = docs.withColumn("url", F.col("doc_id").cast("string"))
+    # one Arrow pass: tokenize + per-doc tf histogram (no explode shuffle)
+    tf = doc_terms(docs).persist()
+
+    # docstats: doclen = sum(tf); zero-token docs are kept via left join
+    # (they count toward N and avgdl exactly like the oracle).
+    doclens = tf.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("doclen"))
+    docstats = (
+        docs.select("doc_id", "url")
+        .join(doclens, "doc_id", "left")
+        .withColumn("doclen", F.coalesce("doclen", F.lit(0)))
+        .persist()
+    )
+    row = docstats.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
+    stats = IndexStats(int(row["n"]), float(row["avgdl"]))
+
+    # A6: document frequency. tf rows are distinct per (term,doc), so df
+    # is a plain count — map-side partial agg bounds head-term skew;
     # salt_df_agg>0 forces an explicit two-level salted merge (plans/skew.py).
     if salt_df_agg > 0:
         from dpr_spark.plans.skew import salted_count
@@ -188,11 +244,11 @@ def build_index(
     else:
         df_by_term = tf.groupBy("term").agg(F.count("*").alias("df"))
 
+    from dpr_spark.plans.ids import assign_dense_ids
+
     n_docs = float(stats.n_docs)
     dictionary = (
-        df_by_term.withColumn(
-            "term_id", F.row_number().over(Window.orderBy("term")).cast("long") - F.lit(1)
-        )
+        assign_dense_ids(df_by_term, "term", "term_id")
         .withColumn(
             "idf",
             F.log((F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0)),

@@ -26,40 +26,41 @@ BLOCK_SIZE = 128  # docs per posting block; bounds Python memory per term
 
 
 def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a non-negative int64 array."""
-    values = np.asarray(values, dtype=np.uint64)
-    if values.size == 0:
+    """LEB128-encode a non-negative int64 array. Fully numpy-vectorized:
+    ≤10 passes (one per possible byte position), no per-value Python."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
         return b""
-    # worst case 10 bytes per value
-    out = bytearray()
-    for v in values.tolist():
-        while True:
-            b = v & 0x7F
-            v >>= 7
-            if v:
-                out.append(b | 0x80)
-            else:
-                out.append(b)
-                break
-    return bytes(out)
+    # bytes needed per value: 1 + number of 7-bit groups above the first
+    nbytes = np.ones(v.size, dtype=np.int64)
+    for k in range(1, 10):
+        nbytes += (v >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(nbytes)[:-1]])
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    max_nb = int(nbytes.max())
+    for j in range(max_nb):
+        mask = nbytes > j
+        byte = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
+        out[offsets[mask] + j] = byte | cont
+    return out.tobytes()
 
 
 def varint_decode(buf: bytes, n: int) -> np.ndarray:
-    """Decode n LEB128 values from buf."""
-    out = np.empty(n, dtype=np.uint64)
-    pos = 0
-    for i in range(n):
-        shift = 0
-        val = 0
-        while True:
-            b = buf[pos]
-            pos += 1
-            val |= (b & 0x7F) << shift
-            if not (b & 0x80):
-                break
-            shift += 7
-        out[i] = val
-    return out.astype(np.int64)
+    """Decode n LEB128 values. Vectorized via np.add.reduceat over 7-bit
+    groups shifted into place."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    payload = (raw & np.uint8(0x7F)).astype(np.uint64)
+    terminal = (raw & np.uint8(0x80)) == 0  # last byte of each value
+    starts = np.concatenate([[0], np.flatnonzero(terminal)[:-1] + 1])
+    # position of each byte within its value
+    idx = np.arange(raw.size, dtype=np.int64)
+    within = idx - np.repeat(starts, np.diff(np.concatenate([starts, [raw.size]])))
+    shifted = payload << (np.uint64(7) * within.astype(np.uint64))
+    vals = np.add.reduceat(shifted, starts)
+    return vals[:n].astype(np.int64)
 
 
 def encode_block(doc_ids: np.ndarray, tfs: np.ndarray) -> Tuple[bytes, bytes]:

@@ -1,0 +1,64 @@
+"""Scalable deterministic dense-id assignment (0..N-1 by sort order).
+
+A single-partition `row_number() OVER (ORDER BY col)` window is the
+textbook non-scalable step (all rows through one task). The two-phase
+form is shuffle-equivalent to a global sort but embarrassingly parallel:
+
+  1. repartitionByRange(col) + sortWithinPartitions(col) — global order
+     across ordered range partitions;
+  2. count rows per partition (tiny job), prefix-sum the counts on the
+     driver, broadcast the offsets;
+  3. mapInPandas: id = partition_offset + local running index.
+
+Deterministic for unique `col` values regardless of sampled range
+boundaries (order, not placement, defines the id). This is the engine's
+doc_id (dense rank of url, FIXTURES.md §1) and term_id assignment at
+10^12-row scale (SURVEY.md §4 "explicit engineering").
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def assign_dense_ids(
+    df: DataFrame, order_col: str, id_col: str, num_partitions: Optional[int] = None
+) -> DataFrame:
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(n, order_col).sortWithinPartitions(order_col).persist()
+    counts = (
+        parts.select(F.spark_partition_id().alias("_pid"))
+        .groupBy("_pid")
+        .count()
+        .collect()
+    )
+    cmap = {int(r["_pid"]): int(r["count"]) for r in counts}
+    offsets = {}
+    acc = 0
+    for pid in sorted(cmap):
+        offsets[pid] = acc
+        acc += cmap[pid]
+    bc = spark.sparkContext.broadcast(offsets)
+    from pyspark.sql import types as T
+
+    # copy, don't .add(): StructType.add mutates the df's cached schema
+    out_schema = T.StructType(
+        list(parts.schema.fields) + [T.StructField(id_col, T.LongType())]
+    )
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        base = bc.value.get(pid, 0)
+        seen = 0
+        for pdf in it:
+            ids = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf.assign(**{id_col: list(ids)})
+
+    return parts.mapInPandas(assign, out_schema)
