@@ -607,84 +607,69 @@ def q_doc_fingerprint() -> Entry:
 
 
 def q_minhash_lsh() -> Entry:
-    """MinHash (16 perms, exact affine-hash arithmetic) + LSH banding
-    (4 bands × 4 rows) over 3-gram shingles; emits candidate pairs that
-    collide in ≥1 band, with their estimated Jaccard (fraction of equal
-    minhash components)."""
-    NPERM, BANDS, ROWS_PER = 16, 4, 4
-    P = 2147483647
-    A = [(i * 2 + 1) * 40503 % P for i in range(1, NPERM + 1)]
-    B = [(i * 7 + 3) * 69069 % P for i in range(1, NPERM + 1)]
-    N = 3
+    """MinHash + LSH banding over 3-gram shingles (extras/dedup.py):
+    candidate pairs colliding in >=1 band with estimated Jaccard.
+    xxhash64 shingle ids are not portable to DuckDB -> rows-only check."""
 
     def fn(spark, sf_dir):
-        tok = _tokenized(spark, sf_dir)
-        sh = tok.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - N),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, N)),
-                )
-            ).alias("shingle"),
-        ).distinct()
-        sid = (
-            sh.select("shingle")
-            .distinct()
-            .withColumn("sid", F.row_number().over(Window.orderBy("shingle")).cast("long"))
-        )
-        shid = sh.join(F.broadcast(sid), "shingle").select("doc_id", "sid")
-        mins = shid.groupBy("doc_id").agg(
-            *[
-                F.min((F.col("sid") * F.lit(A[j]) + F.lit(B[j])) % F.lit(P)).alias(f"h{j}")
-                for j in range(NPERM)
-            ]
-        )
-        bands = mins.select(
-            "doc_id",
-            *[
-                F.concat_ws(
-                    "_", *[F.col(f"h{b * ROWS_PER + r}") for r in range(ROWS_PER)]
-                ).alias(f"band{b}")
-                for b in range(BANDS)
-            ],
-            F.array(*[F.col(f"h{j}") for j in range(NPERM)]).alias("sig"),
-        )
-        cands = None
-        for b in range(BANDS):
-            x = bands.alias("x")
-            y = bands.alias("y")
-            pair = x.join(
-                y,
-                (F.col(f"x.band{b}") == F.col(f"y.band{b}"))
-                & (F.col("x.doc_id") < F.col("y.doc_id")),
-            ).select(
-                F.col("x.doc_id").alias("doc_a"),
-                F.col("y.doc_id").alias("doc_b"),
-                F.col("x.sig").alias("siga"),
-                F.col("y.sig").alias("sigb"),
-            )
-            cands = pair if cands is None else cands.unionByName(pair)
-        est = (
-            cands.dropDuplicates(["doc_a", "doc_b"])
-            .select(
-                "doc_a",
-                "doc_b",
-                F.round(
-                    F.size(
-                        F.filter(
-                            F.zip_with("siga", "sigb", lambda a, bb: a == bb),
-                            lambda e: e,
-                        )
-                    )
-                    / F.lit(float(NPERM)),
-                    6,
-                ).alias("est_jaccard"),
-            )
-        )
-        return est
+        from dpr_spark.extras.dedup import lsh_candidate_pairs, minhash_signatures
 
-    return fn, None  # hash functions not portable to a one-statement oracle
+        sig = minhash_signatures(_docs(spark, sf_dir), num_perm=16)
+        return lsh_candidate_pairs(sig, bands=4, rows_per_band=4).select(
+            "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
+        )
+
+    return fn, None
+
+
+def q_simhash_dedup() -> Entry:
+    """SimHash-64 signatures (extras/dedup.py): exact-duplicate groups by
+    identical signature. xxhash64 -> rows-only check."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.dedup import simhash64
+
+        return simhash64(_docs(spark, sf_dir))
+
+    return fn, None
+
+
+def q_ann_lsh_topk() -> Entry:
+    """Hyperplane-LSH approximate cosine top-k (extras/ann.py) — the ANN
+    scale path. Literal plane arrays not portable -> rows-only check."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.ann import lsh_cosine_topk
+
+        e = _emb(spark, sf_dir)
+        q = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        return lsh_cosine_topk(e, q, k=10, num_planes=8, probe_hamming=2).select(
+            "qid", "rank", "vec_id", F.round("cosine", 6).alias("cos_r")
+        )
+
+    return fn, None
+
+
+def q_token_counts() -> Entry:
+    """Token counting (extras/textstats.py): whitespace, reference
+    tokenizer, BPE-ish subword estimate — with a DuckDB twin."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.textstats import token_counts
+
+        return token_counts(_docs(spark, sf_dir)).withColumnRenamed("doc", "doc_id")
+
+    sql = f"""
+      WITH tok AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS ws_tokens,
+             len(toks)::BIGINT AS simple_tokens,
+             list_sum(list_transform(toks, t -> ceil(length(t) / 4.0)::BIGINT))::BIGINT
+               AS bpe_ish_tokens
+      FROM tok"""
+    return fn, sql
 
 
 def q_bm25_topk_wand() -> Entry:
@@ -755,5 +740,8 @@ def all_entries() -> Dict[str, Entry]:
         "langid_quality": q_langid_quality(),
         "doc_fingerprint": q_doc_fingerprint(),
         "minhash_lsh": q_minhash_lsh(),
+        "simhash_dedup": q_simhash_dedup(),
+        "ann_lsh_topk": q_ann_lsh_topk(),
+        "token_counts": q_token_counts(),
         "range_slice_events": q_range_slice_events(),
     }

@@ -1,0 +1,276 @@
+"""Deduplication suite for large-scale training-data pipelines — exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+All shapes are shuffle-conscious for web scale:
+- exact: hash-groupBy on a digest, never on the raw text (a 100 TB
+  corpus shuffles 16-byte digests, not documents);
+- MinHash/LSH: signatures are per-doc (narrow), candidate generation is
+  an equi-join on band keys (only colliding docs meet);
+- SimHash: 64-bit signature per doc; near-dup = identical signature or
+  banded-prefix join for hamming<=3;
+- n-gram Jaccard: shingle inverted join with a frequency cap on hot
+  shingles (a boilerplate shingle shared by 10^6 docs would otherwise
+  produce 10^12 candidate pairs).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dpr_spark.functions.tokenizer import tokenize_col
+
+_P = 2147483647  # 2^31-1
+
+
+def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    toks = tokenize_col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                )
+            )
+        ).alias("shingle"),
+    ).filter(F.col("shingle") != "")
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content digest: (keep_id, dup_id) pairs; keep_id =
+    min id per group. groupBy on xxhash64+md5 digest (fixed width)."""
+    d = df.select(
+        F.col(id_col).alias("doc"),
+        F.md5(F.col(text_col)).alias("digest"),
+    )
+    groups = d.groupBy("digest").agg(
+        F.min("doc").alias("keep_id"), F.collect_list("doc").alias("docs"), F.count("*").alias("n")
+    )
+    return (
+        groups.filter(F.col("n") > 1)
+        .select("keep_id", F.explode("docs").alias("dup_id"))
+        .filter(F.col("dup_id") != F.col("keep_id"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc, sig array<long>) — affine permutations over dense shingle
+    ids (hash-based, no global dictionary: xxhash64 & (2^31-1) keeps the
+    arithmetic exact and portable)."""
+    a = [((i * 2 + 1) * 40503) % _P for i in range(1, num_perm + 1)]
+    b = [((i * 7 + 3) * 69069) % _P for i in range(1, num_perm + 1)]
+    sh = _shingles(df, text_col, id_col, shingle_n).withColumn(
+        "sid", F.pmod(F.xxhash64("shingle"), F.lit(_P))
+    )
+    return sh.groupBy("doc").agg(
+        F.array(
+            *[
+                F.min((F.col("sid") * F.lit(a[j]) + F.lit(b[j])) % F.lit(_P))
+                for j in range(num_perm)
+            ]
+        ).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard): docs colliding in >=1 LSH band;
+    est_jaccard = matching signature fraction. Band join is the only
+    shuffle; signatures stay narrow."""
+    num_perm = bands * rows_per_band
+    banded = signatures.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bb).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.element_at("sig", bb * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for bb in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    x, y = banded.alias("x"), banded.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.sig").alias("siga"),
+            F.col("y.sig").alias("sigb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    match = F.size(F.filter(F.zip_with("siga", "sigb", lambda p, q: p == q), lambda e: e))
+    return pairs.select(
+        "doc_a", "doc_b", (match / F.lit(float(num_perm))).alias("est_jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(keep_id, dup_id) near-dup pairs above the estimated-Jaccard
+    threshold (MinHash -> LSH -> verify)."""
+    sig = minhash_signatures(df, text_col, id_col, num_perm)
+    cands = lsh_candidate_pairs(sig, bands, num_perm // bands)
+    hits = cands.filter(F.col("est_jaccard") >= threshold)
+    return hits.select(
+        F.least("doc_a", "doc_b").alias("keep_id"),
+        F.greatest("doc_a", "doc_b").alias("dup_id"),
+        "est_jaccard",
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc, simhash long): tf-weighted 64-bit SimHash over terms. Pure
+    column math: per (doc, term) the term's xxhash64 bits vote +tf/-tf
+    per position; sign of the per-position sum sets the bit."""
+    toks = tokenize_col(text_col)
+    tf = (
+        df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.xxhash64("term"))
+    )
+    def _mask(i):  # JVM-side shift: bit 63 overflows a Python->py4j long lit
+        return F.shiftleft(F.lit(1).cast("long"), i)
+
+    votes = tf.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(_mask(i)) != 0, F.col("tf")).otherwise(
+                    -F.col("tf")
+                )
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, _mask(i)).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return votes.select("doc", sim.alias("simhash"))
+
+
+def simhash_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(keep_id, dup_id): docs with IDENTICAL simhash (hamming 0). For
+    hamming<=k, band the 64 bits into k+1 chunks and equi-join per chunk
+    (same LSH trick as minhash) — same join shape, omitted here.
+
+    CAUTION (observed on short Zipfian corpora): simhash bits are
+    majority votes dominated by head terms, so short docs with similar
+    term-frequency profiles can collide at hamming 0 without being
+    near-duplicates. Treat the output as CANDIDATE pairs and verify with
+    ngram_jaccard_pairs / exact cosine before deleting anything."""
+    s = simhash64(df, text_col, id_col)
+    g = s.groupBy("simhash").agg(
+        F.min("doc").alias("keep_id"), F.collect_list("doc").alias("docs"), F.count("*").alias("n")
+    )
+    return (
+        g.filter(F.col("n") > 1)
+        .select("keep_id", F.explode("docs").alias("dup_id"))
+        .filter(F.col("dup_id") != F.col("keep_id"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.0,
+    max_shingle_df: Optional[int] = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for docs sharing >=1 n-gram shingle.
+    `max_shingle_df` drops shingles hotter than the cap before the
+    self-join — the web-scale guard against quadratic blowup on
+    boilerplate (dropped shingles only LOWER estimated similarity for
+    pairs glued by boilerplate alone, which is the desired bias)."""
+    sh = _shingles(df, text_col, id_col, n)
+    if max_shingle_df:
+        hot = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+        sh = sh.join(
+            F.broadcast(hot.filter(F.col("sdf") > max_shingle_df).select("shingle")),
+            "shingle",
+            "left_anti",
+        )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    x, y = sh.alias("x"), sh.alias("y")
+    common = (
+        x.join(y, (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc") < F.col("y.doc")))
+        .groupBy(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    jac = (
+        common.join(sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("common") / (F.col("sza") + F.col("szb") - F.col("common"))).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def embedding_neardup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+) -> DataFrame:
+    """(doc_a, doc_b, cosine) pairs above threshold. Candidates via
+    random-hyperplane LSH buckets (seeded, deterministic), verified with
+    exact cosine inside each bucket — only bucket-mates meet."""
+    from dpr_spark.extras.ann import add_hyperplane_bucket, cosine_expr
+
+    e = emb.select(
+        F.col(id_col).alias("doc"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    e = add_hyperplane_bucket(e, "v", num_planes=num_planes, seed=42)
+    x, y = e.alias("x"), e.alias("y")
+    pairs = x.join(
+        y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.doc") < F.col("y.doc"))
+    ).select(
+        F.col("x.doc").alias("doc_a"),
+        F.col("y.doc").alias("doc_b"),
+        cosine_expr(F.col("x.v"), F.col("y.v")).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,203 @@
+"""Dedup / ANN / textstats / multimodal extras."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, pages_pdf):
+    from dpr_spark.fixtures.corpus import assign_doc_ids
+
+    pw = assign_doc_ids(pages_pdf)
+    return spark.createDataFrame(pw[["doc_id", "text"]])
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def test_exact_duplicates(spark, docs_df):
+    from dpr_spark.extras.dedup import exact_duplicates
+
+    # plant duplicates: copy 5 docs with new ids
+    dups = docs_df.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    d = docs_df.unionByName(dups)
+    pairs = exact_duplicates(d).collect()
+    assert len(pairs) == 5
+    for r in pairs:
+        assert r.dup_id == r.keep_id + 100000
+
+
+def test_minhash_dedup_finds_planted_neardups(spark, docs_df):
+    from dpr_spark.extras.dedup import minhash_dedup
+
+    # plant near-dups: same text with the last 3 words changed
+    base = docs_df.limit(5).collect()
+    mutated = [
+        (r.doc_id + 100000, " ".join(r.text.split(" ")[:-3] + ["zzz", "yyy", "xxx"]))
+        for r in base
+    ]
+    d = docs_df.unionByName(spark.createDataFrame(mutated, "doc_id long, text string"))
+    hits = {(r.keep_id, r.dup_id) for r in minhash_dedup(d, threshold=0.5).collect()}
+    planted = {(r.doc_id, r.doc_id + 100000) for r in base}
+    assert planted <= hits, f"missing {planted - hits}"
+    # planted pairs estimate high; stray Zipf-head collisions are expected
+    # at 32 perms, so only bound the total
+    assert len(hits) <= len(planted) + 5
+
+
+def test_minhash_estimates_jaccard(spark, docs_df):
+    """MinHash est_jaccard approximates true shingle jaccard for a
+    planted pair."""
+    from dpr_spark.extras.dedup import lsh_candidate_pairs, minhash_signatures
+    from dpr_spark.functions.tokenizer import tokenize
+
+    r = docs_df.limit(1).collect()[0]
+    words = r.text.split(" ")
+    half = words[: len(words) // 2] + ["qqq"] * (len(words) - len(words) // 2)
+    d = docs_df.limit(1).unionByName(
+        spark.createDataFrame([(999999, " ".join(half))], "doc_id long, text string")
+    )
+    sig = minhash_signatures(d, num_perm=64)
+    pairs = lsh_candidate_pairs(sig, bands=16, rows_per_band=4).collect()
+    if pairs:  # bands may or may not collide; if they do, estimate sane
+        est = pairs[0].est_jaccard
+        assert 0.05 <= est <= 0.9
+
+
+def test_simhash_duplicates(spark, docs_df):
+    from dpr_spark.extras.dedup import simhash_duplicates
+
+    dups = docs_df.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    d = docs_df.unionByName(dups)
+    pairs = {(r.keep_id, r.dup_id) for r in simhash_duplicates(d).collect()}
+    expect = {(r.doc_id, r.doc_id + 100000) for r in docs_df.limit(3).collect()}
+    assert expect <= pairs
+
+
+def test_ngram_jaccard_exact_value(spark):
+    from dpr_spark.extras.dedup import ngram_jaccard_pairs
+
+    a = "w1 w2 w3 w4 w5 w6"
+    b = "w1 w2 w3 w4 w5 zz"  # 3-gram shingles: a has 4, b has 4, common 3
+    d = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    rows = ngram_jaccard_pairs(d, n=3, max_shingle_df=None).collect()
+    assert len(rows) == 1
+    assert rows[0].jaccard == pytest.approx(3 / 5)
+
+
+def test_embedding_neardup(spark):
+    from dpr_spark.extras.dedup import embedding_neardup
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 16)).astype("float32")
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    # plant: vec 100 = vec 0 + tiny noise
+    rows.append((100, (vecs[0] + 0.001).tolist()))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.doc_a, r.doc_b) for r in embedding_neardup(e, threshold=0.99).collect()}
+    assert (0, 100) in pairs
+
+
+# --------------------------------------------------------------------- ann
+
+
+def test_brute_cosine_topk_matches_numpy(spark):
+    from dpr_spark.extras.ann import brute_cosine_topk
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((80, 24)).astype("float64")
+    e = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    q = spark.createDataFrame([(0, vecs[3].tolist())], "qid long, qv array<float>")
+    got = [
+        (r.rank, r.vec_id)
+        for r in brute_cosine_topk(e, q, k=5).orderBy("rank").collect()
+    ]
+    vf = vecs.astype(np.float32).astype(np.float64)  # array<float> storage
+    sims = (vf @ vf[3]) / (np.linalg.norm(vf, axis=1) * np.linalg.norm(vf[3]))
+    order = sorted(range(80), key=lambda i: (-sims[i], i))[:5]
+    assert [v for _, v in got] == order
+    assert got[0][1] == 3  # self is the nearest
+
+
+def test_lsh_recall_vs_brute(spark):
+    from dpr_spark.extras.ann import brute_cosine_topk, lsh_cosine_topk
+
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((200, 16)).astype("float32")
+    e = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    q = spark.createDataFrame(
+        [(j, vecs[j].tolist()) for j in range(3)], "qid long, qv array<float>"
+    )
+    brute = {
+        (r.qid, r.vec_id) for r in brute_cosine_topk(e, q, k=10).collect()
+    }
+    approx = {
+        (r.qid, r.vec_id)
+        for r in lsh_cosine_topk(e, q, k=10, num_planes=8, probe_hamming=2).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    # random gaussians are LSH's worst case; hamming<=2 probes 37/256
+    # buckets (~14% of corpus) — recall must beat that candidate fraction
+    assert recall >= 0.4, f"recall {recall}"
+
+
+# --------------------------------------------------------------- textstats
+
+
+def test_langid_and_quality(spark, docs_df):
+    from dpr_spark.extras.textstats import langid, quality_score, token_counts
+
+    lid = langid(docs_df.limit(50))
+    rows = lid.collect()
+    assert all(r.lang_pred in ("en", "de", "fr", "es", "und") for r in rows)
+    # fixture head terms are english stopwords -> mostly en
+    assert sum(r.lang_pred == "en" for r in rows) > len(rows) * 0.7
+
+    qs = quality_score(docs_df.limit(20)).collect()
+    for r in qs:
+        assert 0.0 <= r.quality <= 1.0
+        assert r.n_tokens > 0 and r.alpha_ratio <= 1.0
+
+    tc = token_counts(docs_df.limit(20)).collect()
+    for r in tc:
+        assert r.bpe_ish_tokens >= r.simple_tokens >= r.ws_tokens - 5
+
+
+def test_fingerprint_deterministic_and_order_sensitive(spark):
+    from dpr_spark.extras.textstats import fingerprint
+
+    d = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "c b a")], "doc_id long, text string"
+    )
+    rows = {r.doc: r.fingerprint for r in fingerprint(d).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def test_multimodal_features_and_framesample(spark):
+    from dpr_spark.extras.multimodal import extract_features, frame_sample, gen_fake_media
+
+    media = gen_fake_media(spark, 30)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r.feature) == 16 and r.n_bytes > 0
+    # deterministic: same payload -> same feature
+    again = extract_features(media).collect()
+    assert {r.media_id: list(r.feature) for r in feats} == {
+        r.media_id: list(r.feature) for r in again
+    }
+    fs = frame_sample(media, every_n=10)
+    rows = fs.groupBy("media_id").count().collect()
+    assert all(r["count"] >= 1 for r in rows)
+
+    with pytest.raises(NotImplementedError, match="decode backend"):
+        extract_features(media, decode_backend="pil").collect()
