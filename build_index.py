@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Index-build entry point (replaces generate_dense_embeddings.py +
+faiss index build, SURVEY.md §3.2).
+
+Launch locally or on a cluster:
+
+    spark-submit --py-files dpr_spark.zip build_index.py \\
+        --pages /data/pages_parquet --out /data/index \\
+        [--lang en] [--verify-extract] [--resumable /data/work --shards 64]
+
+The resumable mode checkpoints per-shard tokenize output with a manifest
+(kill it, re-run, only missing shards are processed)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="parquet dir/file of pages")
+    ap.add_argument("--out", required=True, help="output index directory")
+    ap.add_argument("--lang", default=None)
+    ap.add_argument("--verify-extract", action="store_true")
+    ap.add_argument("--no-blocks", action="store_true", help="skip compressed blocks")
+    ap.add_argument("--segments-buckets", type=int, default=0,
+                    help="also materialize doc-bucketed impact segments (0=off)")
+    ap.add_argument("--resumable", default=None, help="workdir for manifest-checkpointed build")
+    ap.add_argument("--shards", type=int, default=16)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from dpr_spark.session import get_spark
+
+    spark = get_spark("dpr_spark_build", master=args.master)
+    t0 = time.perf_counter()
+    pages = spark.read.parquet(args.pages)
+
+    if args.resumable:
+        from dpr_spark.index.manifest import ResumableIndexBuilder
+
+        b = ResumableIndexBuilder(spark, args.resumable, n_shards=args.shards, lang=args.lang)
+        done = b.run_shards(pages)
+        print(f"shards processed this run: {done}")
+        idx = b.assemble(pages, build_blocks=not args.no_blocks)
+    else:
+        from dpr_spark.index.build import build_index
+
+        idx = build_index(
+            spark,
+            pages,
+            lang=args.lang,
+            build_blocks=not args.no_blocks,
+            verify_extract=args.verify_extract,
+        )
+    idx.save(args.out)
+    if args.segments_buckets:
+        from dpr_spark.query.wand import build_impact_segments
+
+        seg = build_impact_segments(idx, num_buckets=args.segments_buckets)
+        seg.write.mode("overwrite").parquet(os.path.join(args.out, "segments"))
+    wall = time.perf_counter() - t0
+    n = idx.stats.n_docs
+    print(
+        f"built index: {n} docs, avgdl {idx.stats.avgdl:.2f}, "
+        f"{wall:.1f}s, {n / wall:.1f} docs/s -> {args.out}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -702,6 +702,30 @@ def q_bm25_topk_wand() -> Entry:
     return fn, sql
 
 
+def q_chunk_100w() -> Entry:
+    """T5 100-word chunking over documents (reference corpus prep,
+    `download_data.py:31-36`) with a DuckDB twin. 30-word chunks so the
+    short driver docs actually split."""
+    from dpr_spark.functions.chunking import chunk_sql, chunk_text
+
+    def fn(spark, sf_dir):
+        return chunk_text(_docs(spark, sf_dir), id_col="doc_id", max_words=30)
+
+    return fn, chunk_sql("documents", id_col="doc_id", max_words=30)
+
+
+def q_deterministic_shuffle() -> Entry:
+    """K4 seeded shuffle: same seed -> same permutation (xxhash64 not in
+    DuckDB -> rows-only; determinism is pytest-gated instead)."""
+    from dpr_spark.functions.chunking import deterministic_shuffle
+
+    def fn(spark, sf_dir):
+        d = deterministic_shuffle(_docs(spark, sf_dir).select("doc_id"), "doc_id", seed=7)
+        return d.withColumn("pos", F.monotonically_increasing_id())
+
+    return fn, None
+
+
 def q_range_slice_events() -> Entry:
     """P10 range slice over the events table (deterministic ts order)."""
 
@@ -743,5 +767,7 @@ def all_entries() -> Dict[str, Entry]:
         "simhash_dedup": q_simhash_dedup(),
         "ann_lsh_topk": q_ann_lsh_topk(),
         "token_counts": q_token_counts(),
+        "chunk_100w": q_chunk_100w(),
+        "deterministic_shuffle": q_deterministic_shuffle(),
         "range_slice_events": q_range_slice_events(),
     }

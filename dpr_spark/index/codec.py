@@ -25,12 +25,14 @@ import numpy as np
 BLOCK_SIZE = 128  # docs per posting block; bounds Python memory per term
 
 
-def varint_encode(values: np.ndarray) -> bytes:
+def varint_encode_with_lengths(values: np.ndarray):
     """LEB128-encode a non-negative int64 array. Fully numpy-vectorized:
-    ≤10 passes (one per possible byte position), no per-value Python."""
+    ≤10 passes (one per possible byte position), no per-value Python.
+    Returns (buffer bytes, per-value byte lengths) so callers can split
+    one big encode into sub-ranges without re-encoding."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # bytes needed per value: 1 + number of 7-bit groups above the first
     nbytes = np.ones(v.size, dtype=np.int64)
     for k in range(1, 10):
@@ -43,7 +45,11 @@ def varint_encode(values: np.ndarray) -> bytes:
         byte = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
         out[offsets[mask] + j] = byte | cont
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    return varint_encode_with_lengths(values)[0]
 
 
 def varint_decode(buf: bytes, n: int) -> np.ndarray:

@@ -27,8 +27,22 @@ from pyspark.sql import functions as F
 
 
 def assign_dense_ids(
-    df: DataFrame, order_col: str, id_col: str, num_partitions: Optional[int] = None
+    df: DataFrame,
+    order_col: str,
+    id_col: str,
+    num_partitions: Optional[int] = None,
+    narrow: bool = False,
 ) -> DataFrame:
+    """narrow=True ranks over order_col ALONE (a slim shuffle: one string
+    column instead of the whole row, e.g. no page text) and joins the
+    (order_col, id) map back — requires order_col values to be unique.
+    AQE picks a broadcast join when the map is small; sort-merge at
+    scale."""
+    if narrow:
+        ids = assign_dense_ids(
+            df.select(order_col), order_col, id_col, num_partitions
+        )
+        return df.join(ids, order_col)
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     parts = df.repartitionByRange(n, order_col).sortWithinPartitions(order_col).persist()

@@ -51,30 +51,20 @@ def build_impact_segments(
     """Materialize (bucket, term_id, doc_id, impact) from the exact
     postings; impact folds idf + doc normalization so queries are pure
     additions. One shuffle, done once at index time."""
+    from dpr_spark.index.build import impact_expr
+
     avgdl = index.stats.avgdl
     p = index.postings.join(
         F.broadcast(index.dictionary.select("term_id", "idf")), "term_id"
     )
-    impact = (
-        F.col("idf")
-        * F.col("tf").cast("double")
-        * F.lit(k1 + 1.0)
-        / (
-            F.col("tf").cast("double")
-            + F.lit(k1)
-            * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen").cast("double") / F.lit(avgdl))
-        )
-    )
-    return (
-        p.select(
-            F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int").alias("bucket"),
-            "term_id",
-            "doc_id",
-            impact.alias("impact"),
-        )
-        .repartition(num_buckets, "bucket")
-        .sortWithinPartitions("term_id", "doc_id")
-    )
+    # no sortWithinPartitions: the searcher lexsorts its partition once
+    # in numpy anyway, cheaper than Spark's per-row sort here
+    return p.select(
+        F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int").alias("bucket"),
+        "term_id",
+        "doc_id",
+        impact_expr(avgdl, k1, b).alias("impact"),
+    ).repartition(num_buckets, "bucket")
 
 
 def _driver_query_terms(
@@ -101,8 +91,53 @@ def _driver_query_terms(
     return out
 
 
+def _at_least_top(scores: np.ndarray, m: int) -> np.ndarray:
+    """Indexes of all entries with score >= the m-th largest (INCLUDING
+    full tie runs at the boundary) — the exact-selection superset that
+    argpartition alone can't give (it splits ties arbitrarily, but the
+    engine's tie-break is by doc_id)."""
+    if len(scores) <= m:
+        return np.arange(len(scores))
+    theta = np.partition(scores, len(scores) - m)[len(scores) - m]
+    return np.flatnonzero(scores >= theta)
+
+
+def _final_topk(
+    local_idx: np.ndarray, exact_scores: np.ndarray, udocs: np.ndarray, k: int
+):
+    """(score desc, doc_id asc) exact top-k."""
+    sel = np.lexsort((udocs[local_idx], -exact_scores))[: min(k, len(local_idx))]
+    return local_idx[sel], exact_scores[sel]
+
+
+def _rescore_exact(
+    top_local: np.ndarray,
+    hit: np.ndarray,
+    t_starts: np.ndarray,
+    t_ends: np.ndarray,
+    doc_idx_sorted_by_term: np.ndarray,
+    impacts: np.ndarray,
+) -> np.ndarray:
+    """Exact scores for the given local doc indexes, folding per-term
+    components in ASCENDING term order — the oracle's float-add order —
+    via searchsorted probes into each (doc-sorted) posting slice."""
+    out = np.zeros(len(top_local), dtype=np.float64)
+    order = np.argsort(top_local, kind="stable")
+    sorted_docs = top_local[order]
+    for p in hit:  # hit is ascending term order
+        sl_docs = doc_idx_sorted_by_term[t_starts[p] : t_ends[p]]
+        sl_imp = impacts[t_starts[p] : t_ends[p]]
+        pos = np.searchsorted(sl_docs, sorted_docs)
+        valid = (pos < len(sl_docs)) & (sl_docs[np.minimum(pos, len(sl_docs) - 1)] == sorted_docs)
+        out[order[valid]] += sl_imp[pos[valid]]
+    return out
+
+
 def _search_partition(
-    pdfs: Iterator[pd.DataFrame], qterms: List[Tuple[int, np.ndarray]], k: int
+    pdfs: Iterator[pd.DataFrame],
+    qterms: List[Tuple[int, np.ndarray]],
+    k: int,
+    prune: bool = True,
 ) -> Iterator[pd.DataFrame]:
     chunks = [p for p in pdfs if len(p)]
     if not chunks or not qterms:
@@ -116,11 +151,10 @@ def _search_partition(
     # local dense doc index
     udocs, doc_idx = np.unique(doc_ids, return_inverse=True)
     n_docs = len(udocs)
-    # term -> slice bounds
+    # term -> slice bounds (postings within a slice are doc-sorted)
     uterms, t_starts = np.unique(term_ids, return_index=True)
     t_ends = np.r_[t_starts[1:], len(term_ids)]
-    # per-term max impact (the max-score bound; block-max at finer grain
-    # when segments carry block ids)
+    # per-term max impact — the MaxScore bound
     tmax = np.maximum.reduceat(impacts, t_starts) if len(t_starts) else np.empty(0)
 
     out_q, out_d, out_s = [], [], []
@@ -134,21 +168,59 @@ def _search_partition(
             continue
         scores.fill(0.0)
         touched.fill(False)
-        # ascending term order == oracle float-fold order
-        for p in hit:
-            sl = slice(t_starts[p], t_ends[p])
-            scores[doc_idx[sl]] += impacts[sl]
-            touched[doc_idx[sl]] = True
-        cand = np.flatnonzero(touched)
-        if len(cand) > k:
-            top = cand[np.argpartition(-scores[cand], k - 1)[:k]]
-            # exact local order: score desc, doc_id asc
-            top = top[np.lexsort((udocs[top], -scores[top]))]
+
+        list_sizes = t_ends[hit] - t_starts[hit]
+        use_prune = prune and len(hit) > 1 and int(list_sizes.sum()) > 8 * k
+        if not use_prune:
+            # ascending term order == oracle float-fold order
+            for p in hit:
+                sl = slice(t_starts[p], t_ends[p])
+                scores[doc_idx[sl]] += impacts[sl]
+                touched[doc_idx[sl]] = True
+            cand = np.flatnonzero(touched)
+            keep = _at_least_top(scores[cand], k)  # tie runs included
+            top, top_scores = _final_topk(cand[keep], scores[cand[keep]], udocs, k)
         else:
-            top = cand[np.lexsort((udocs[cand], -scores[cand]))]
+            # ---- MaxScore (term-at-a-time): traverse lists in DESCENDING
+            # max-impact order; once the suffix upper bound can't beat the
+            # current kth-best, remaining (stopword-sized) lists are only
+            # PROBED for existing candidates, never traversed.
+            desc = hit[np.argsort(-tmax[hit], kind="stable")]
+            suffix = np.concatenate([np.cumsum(tmax[desc][::-1])[::-1], [0.0]])
+            probed_from = len(desc)
+            for i, p in enumerate(desc):
+                if i > 0:
+                    ncand = int(touched.sum())
+                    if ncand >= k:
+                        cand_now = np.flatnonzero(touched)
+                        kth = np.partition(scores[cand_now], ncand - k)[ncand - k]
+                        if suffix[i] < kth:  # no new doc can reach top-k
+                            probed_from = i
+                            break
+                sl = slice(t_starts[p], t_ends[p])
+                scores[doc_idx[sl]] += impacts[sl]
+                touched[doc_idx[sl]] = True
+            cand = np.flatnonzero(touched)
+            # probe remaining lists for candidates only (searchsorted)
+            for p in desc[probed_from:]:
+                sl_docs = doc_idx[t_starts[p] : t_ends[p]]
+                sl_imp = impacts[t_starts[p] : t_ends[p]]
+                ppos = np.searchsorted(sl_docs, cand)
+                valid = (ppos < len(sl_docs)) & (
+                    sl_docs[np.minimum(ppos, len(sl_docs) - 1)] == cand
+                )
+                scores[cand[valid]] += sl_imp[ppos[valid]]
+            # select top-(k+margin) by pruned-order scores (full tie runs),
+            # then re-fold exactly in ascending term order so the floats
+            # are bit-identical to the oracle's
+            keep = _at_least_top(scores[cand], min(len(cand), k + 16))
+            top = cand[keep]
+            exact = _rescore_exact(top, hit, t_starts, t_ends, doc_idx, impacts)
+            top, top_scores = _final_topk(top, exact, udocs, k)
+
         out_q.append(np.full(len(top), qid, dtype=np.int64))
         out_d.append(udocs[top])
-        out_s.append(scores[top])
+        out_s.append(top_scores)
     if out_q:
         yield pd.DataFrame(
             {

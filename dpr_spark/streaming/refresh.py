@@ -1,0 +1,85 @@
+"""Incremental index refresh via Structured Streaming (SURVEY.md §2.11).
+
+The reference is strictly batch; the streaming-adjacent need is index
+FRESHNESS: new crawl pages should become searchable without a full
+rebuild. Design:
+
+- a file-source stream watches the pages directory (at real scale:
+  Kafka / Iceberg CDC);
+- foreachBatch tokenizes each micro-batch with the same fused doc_terms
+  pass and APPENDS url-keyed posting rows to a delta area;
+- queries see base + delta via DataFrame union (delta doclen/df slightly
+  stale global stats is the standard trade; `compact()` folds the delta
+  into a fresh full build when it grows past a threshold).
+
+doc ids for delta docs use the hash strategy (dense rank would need a
+global resort — exactly what incrementality avoids); base ids stay
+stable, so results remain reproducible between compactions.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dpr_spark.index.build import build_index_from_docs, doc_terms
+
+
+class StreamingIndexRefresher:
+    def __init__(self, spark: SparkSession, delta_dir: str):
+        self.spark = spark
+        self.delta_dir = delta_dir
+        os.makedirs(delta_dir, exist_ok=True)
+
+    def start(self, pages_path: str, schema, checkpoint: Optional[str] = None):
+        """Watch pages_path for new parquet files; append tokenized
+        doc_terms per micro-batch. Returns the StreamingQuery."""
+        stream = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(pages_path)
+        )
+
+        def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            docs = batch_df.select(
+                F.xxhash64("url").alias("doc_id"), "url", "text"
+            )
+            terms = doc_terms(docs)
+            urls = docs.select("doc_id", "url")
+            terms.write.mode("append").parquet(os.path.join(self.delta_dir, "doc_terms"))
+            urls.write.mode("append").parquet(os.path.join(self.delta_dir, "docs"))
+
+        q = (
+            stream.writeStream.foreachBatch(per_batch)
+            .option(
+                "checkpointLocation",
+                checkpoint or os.path.join(self.delta_dir, "_checkpoint"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        return q
+
+    def delta_doc_terms(self) -> Optional[DataFrame]:
+        p = os.path.join(self.delta_dir, "doc_terms")
+        if not os.path.isdir(p) or not any(f.endswith(".parquet") for f in os.listdir(p)):
+            return None
+        return self.spark.read.parquet(p)
+
+    def delta_docs(self) -> Optional[DataFrame]:
+        p = os.path.join(self.delta_dir, "docs")
+        if not os.path.isdir(p) or not any(f.endswith(".parquet") for f in os.listdir(p)):
+            return None
+        return self.spark.read.parquet(p)
+
+    def compact(self, base_pages: DataFrame, delta_pages: DataFrame):
+        """Fold the delta into a fresh full build (periodic compaction):
+        base ∪ delta pages -> build_index. Returns the new index."""
+        all_pages = base_pages.select("url", "text").unionByName(
+            delta_pages.select("url", "text")
+        )
+        docs = all_pages.withColumn("doc_id", F.xxhash64("url"))
+        return build_index_from_docs(self.spark, docs, build_blocks=False)

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Query entry point (replaces dense_retriever.py, SURVEY.md §3.1).
+
+    spark-submit --py-files dpr_spark.zip query.py \\
+        --index /data/index --queries qa.tsv --k 100 \\
+        --out /data/results [--engine segments|exact] [--eval]
+
+--queries accepts DPR QA TSV (question \\t python-literal answers) or a
+parquet with (qid, question[, answers]). --eval adds has_answer +
+accuracy@k (requires answers). Output: results parquet + nested
+results.json (the reference's output format, dense_retriever.py:337-379).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--queries", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--engine", choices=["exact", "segments"], default="segments")
+    ap.add_argument("--eval", action="store_true")
+    ap.add_argument("--pages", default=None, help="pages parquet (doc text for --eval)")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from dpr_spark.session import get_spark
+
+    spark = get_spark("dpr_spark_query", master=args.master)
+    from dpr_spark.index.build import InvertedIndex
+
+    idx = InvertedIndex.load(spark, args.index)
+
+    if args.queries.endswith(".tsv"):
+        from dpr_spark.sources.readers import read_qa_tsv
+
+        queries = read_qa_tsv(spark, args.queries)
+    else:
+        queries = spark.read.parquet(args.queries)
+
+    t0 = time.perf_counter()
+    if args.engine == "segments":
+        from dpr_spark.query.wand import build_impact_segments, search_segments
+
+        seg_path = os.path.join(args.index, "segments")
+        if os.path.isdir(seg_path):
+            seg = spark.read.parquet(seg_path)
+        else:
+            seg = build_impact_segments(idx).persist()
+            seg.count()
+        results = search_segments(spark, queries, idx, seg, k=args.k)
+    else:
+        from dpr_spark.query.scorer import search
+
+        results = search(queries, idx, k=args.k)
+    results = results.persist()
+    n_res = results.count()
+    wall = time.perf_counter() - t0
+    n_q = queries.count()
+    results.write.mode("overwrite").parquet(os.path.join(args.out, "results"))
+    print(f"searched {n_q} queries (k={args.k}, {n_res} rows) in {wall:.2f}s "
+          f"= {n_q / wall:.1f} q/s [{args.engine}]")
+
+    if args.eval:
+        if not args.pages:
+            print("--eval requires --pages (the index stores no text)", file=sys.stderr)
+            spark.stop()
+            return
+        from dpr_spark.eval.validation import accuracy_at_k, annotate_hits, results_json
+
+        pages = spark.read.parquet(args.pages).select("url", "text")
+        docs_text = idx.docstats.join(pages, "url").select("doc_id", "url", "text")
+        hits = annotate_hits(results, docs_text, queries)
+        acc = accuracy_at_k(hits, n_q, args.k)
+        acc.write.mode("overwrite").parquet(os.path.join(args.out, "accuracy"))
+        out = results_json(results, docs_text, queries)
+        out.write.mode("overwrite").json(os.path.join(args.out, "results_json"))
+        for r in acc.collect()[:5]:
+            print(f"accuracy@{r.k} = {r.accuracy:.4f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

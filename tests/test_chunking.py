@@ -1,0 +1,68 @@
+"""T5 chunking + K4 deterministic shuffle + J5/V3 KILT ops."""
+
+from pyspark.sql import functions as F
+
+
+def test_chunk_text_exact(spark):
+    from dpr_spark.functions.chunking import chunk_text
+
+    words = [f"w{i}" for i in range(25)]
+    d = spark.createDataFrame([("u1", " ".join(words)), ("u2", "a b")], "url string, text string")
+    rows = chunk_text(d, max_words=10).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.url, []).append((r.chunk_id, r.chunk, r.n_words))
+    u1 = sorted(by["u1"])
+    assert [c[2] for c in u1] == [10, 10, 5]
+    assert u1[0][1] == " ".join(words[:10])
+    assert u1[2][1] == " ".join(words[20:])
+    assert by["u2"] == [(0, "a b", 2)]
+
+
+def test_chunk_matches_reference_split_semantics(spark, pages_pdf):
+    """ceil(W/100) chunks per page, no overlap, concatenation restores
+    the original text (download_data.py:31-36 semantics)."""
+    from dpr_spark.functions.chunking import chunk_text
+
+    d = spark.createDataFrame(pages_pdf[["url", "text"]].head(50))
+    rows = chunk_text(d, max_words=100).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.url, []).append((r.chunk_id, r.chunk))
+    for _, p in pages_pdf.head(50).iterrows():
+        chunks = [c for _, c in sorted(by[p.url])]
+        assert " ".join(chunks) == p.text
+        w = len(p.text.split(" "))
+        assert len(chunks) == -(-w // 100)
+
+
+def test_deterministic_shuffle(spark):
+    from dpr_spark.functions.chunking import deterministic_shuffle
+
+    d = spark.range(100).withColumnRenamed("id", "doc_id")
+    a = [r.doc_id for r in deterministic_shuffle(d, "doc_id", seed=7).collect()]
+    b = [r.doc_id for r in deterministic_shuffle(d, "doc_id", seed=7).collect()]
+    c = [r.doc_id for r in deterministic_shuffle(d, "doc_id", seed=8).collect()]
+    assert a == b  # same seed -> same permutation
+    assert a != c  # different seed -> different permutation
+    assert sorted(a) == list(range(100))
+
+
+def test_kilt_join_and_contains(spark):
+    from dpr_spark.functions.chunking import kilt_contains, kilt_provenance_join
+
+    results = spark.createDataFrame([(0, 1, 10), (0, 2, 11)], "qid int, rank int, doc_id long")
+    mapping = spark.createDataFrame(
+        [(10, 555, 3)], "doc_id long, wikipedia_id long, end_paragraph_id int"
+    )
+    j = {r.doc_id: (r.wikipedia_id, r.end_paragraph_id) for r in kilt_provenance_join(results, mapping).collect()}
+    assert j[10] == (555, 3)
+    assert j[11] == (None, None)
+
+    d = spark.createDataFrame(
+        [("The Quick, Brown Fox!", "quick brown", True), ("nothing here", "absent", False)],
+        "text string, ans string, expect boolean",
+    )
+    rows = d.withColumn("got", kilt_contains(F.col("text"), F.col("ans"))).collect()
+    for r in rows:
+        assert r.got == r.expect, r.text

@@ -1,0 +1,66 @@
+"""S8 serialize/deserialize analog (InvertedIndex.save/load) and the
+spark-submit entry points build_index.py / query.py driven end-to-end."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_index_save_load_roundtrip(spark, index, queries_df, tmp_path):
+    from dpr_spark.index.build import InvertedIndex
+    from dpr_spark.query.scorer import search
+
+    path = str(tmp_path / "idx")
+    index.save(path)
+    loaded = InvertedIndex.load(spark, path)
+    assert loaded.stats.n_docs == index.stats.n_docs
+    assert loaded.stats.avgdl == index.stats.avgdl
+    assert loaded.blocks is not None
+
+    r1 = {(r.qid, r.rank): (r.doc_id, r.score) for r in search(queries_df, index, k=5).collect()}
+    r2 = {(r.qid, r.rank): (r.doc_id, r.score) for r in search(queries_df, loaded, k=5).collect()}
+    assert r1 == r2
+
+
+@pytest.mark.slow
+def test_cli_build_and_query(tmp_path, pages_pdf, queries_pdf):
+    """Drive the CLIs as subprocesses (the spark-submit surface)."""
+    from dpr_spark.fixtures.corpus import write_queries_tsv
+
+    pages_path = str(tmp_path / "pages.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(pages_pdf[["url", "text"]].head(150), preserve_index=False),
+        pages_path,
+    )
+    write_queries_tsv(str(tmp_path / "qa.tsv"), queries_pdf.head(10))
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    out1 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "build_index.py"),
+         "--pages", pages_path, "--out", str(tmp_path / "idx"),
+         "--segments-buckets", "4"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out1.returncode == 0, out1.stderr[-2000:]
+    assert "built index: 150 docs" in out1.stdout
+
+    out2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "query.py"),
+         "--index", str(tmp_path / "idx"), "--queries", str(tmp_path / "qa.tsv"),
+         "--k", "5", "--out", str(tmp_path / "run"),
+         "--engine", "segments", "--eval", "--pages", pages_path],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "searched 10 queries" in out2.stdout
+    assert os.path.isdir(tmp_path / "run" / "results")
+    assert os.path.isdir(tmp_path / "run" / "results_json")
+    assert "accuracy@" in out2.stdout

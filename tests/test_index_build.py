@@ -1,0 +1,59 @@
+"""Index-table invariants (FIXTURES.md §3): posting blocks decode back to
+the exact postings; block ids are per-term ordered first-doc-ids;
+block_max equals the max BM25 component in the block."""
+
+import numpy as np
+import pytest
+
+from dpr_spark import BM25_B, BM25_K1
+from dpr_spark.index.codec import BLOCK_SIZE, decode_block
+
+
+def test_blocks_roundtrip_to_postings(index):
+    postings = {}
+    for r in index.postings.collect():
+        postings.setdefault(r.term_id, []).append((r.doc_id, r.tf))
+    for t in postings:
+        postings[t].sort()
+
+    decoded = {}
+    maxes_ok = 0
+    avgdl = index.stats.avgdl
+    doclen = {r.doc_id: r.doclen for r in index.docstats.collect()}
+    idf = {r.term_id: r.idf for r in index.dictionary.collect()}
+    for r in index.blocks.collect():
+        ids, tfs = decode_block(bytes(r.doc_ids), bytes(r.tfs), r.n)
+        assert r.n <= BLOCK_SIZE
+        assert r.block_id == ids[0]  # block_id = first doc id
+        assert (np.diff(ids) > 0).all()  # strictly ascending inside block
+        decoded.setdefault(r.term_id, []).extend(zip(ids.tolist(), tfs.tolist()))
+        # block_max == max component in block (float32 storage)
+        comp = [
+            idf[r.term_id]
+            * tf
+            * (BM25_K1 + 1.0)
+            / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * doclen[d] / avgdl))
+            for d, tf in zip(ids.tolist(), tfs.tolist())
+        ]
+        assert r.block_max_score == pytest.approx(max(comp), rel=1e-6)
+        maxes_ok += 1
+    for t in decoded:
+        decoded[t].sort()
+    assert decoded == postings
+    assert maxes_ok > 100
+
+
+def test_dense_ids_are_contiguous(index):
+    ids = sorted(r.doc_id for r in index.docstats.collect())
+    assert ids == list(range(len(ids)))
+    tids = sorted(r.term_id for r in index.dictionary.collect())
+    assert tids == list(range(len(tids)))
+
+
+def test_doc_ids_match_url_rank(index, pages_pdf):
+    from dpr_spark.fixtures.corpus import assign_doc_ids
+
+    pw = assign_doc_ids(pages_pdf)
+    expect = dict(zip(pw.url, pw.doc_id))
+    got = {r.url: r.doc_id for r in index.docstats.collect()}
+    assert got == expect

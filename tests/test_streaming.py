@@ -1,0 +1,64 @@
+"""Structured-Streaming incremental index refresh: new page files become
+searchable doc_terms deltas without a rebuild."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import types as T
+
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _write_batch(path, rows):
+    pq.write_table(
+        pa.table(
+            {"url": [r[0] for r in rows], "text": [r[1] for r in rows]},
+        ),
+        path,
+    )
+
+
+def test_streaming_refresh(spark, tmp_path):
+    from dpr_spark.streaming.refresh import StreamingIndexRefresher
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    _write_batch(str(src / "b1.parquet"), [("u1", "alpha beta gamma"), ("u2", "beta delta")])
+
+    r = StreamingIndexRefresher(spark, str(tmp_path / "delta"))
+    q = r.start(str(src), PAGES_SCHEMA)
+    q.awaitTermination(120)
+
+    dt = r.delta_doc_terms()
+    assert dt is not None
+    terms = {(row.term) for row in dt.collect()}
+    assert {"alpha", "beta", "gamma", "delta"} <= terms
+    n1 = dt.count()
+
+    # second batch arrives -> only the new file is processed (checkpoint)
+    _write_batch(str(src / "b2.parquet"), [("u3", "epsilon beta")])
+    q2 = r.start(str(src), PAGES_SCHEMA)
+    q2.awaitTermination(120)
+    dt2 = r.delta_doc_terms()
+    assert dt2.count() == n1 + 2  # epsilon + beta for u3, nothing re-tokenized
+    assert r.delta_docs().count() == 3
+
+    # compaction folds delta into a searchable index
+    base = spark.createDataFrame([("u0", "alpha zeta")], PAGES_SCHEMA)
+    delta_pages = spark.createDataFrame(
+        [("u1", "alpha beta gamma"), ("u2", "beta delta"), ("u3", "epsilon beta")],
+        PAGES_SCHEMA,
+    )
+    idx = r.compact(base, delta_pages)
+    assert idx.stats.n_docs == 4
+    qdf = spark.createDataFrame([(0, "beta")], "qid long, question string")
+    from dpr_spark.query.scorer import search
+
+    hits = search(qdf, idx, k=10).count()
+    assert hits == 3  # u1, u2, u3 contain beta
