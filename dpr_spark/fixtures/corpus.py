@@ -173,7 +173,14 @@ def write_pages_parquet(path: str, n_docs: int, seed: int = 42) -> pd.DataFrame:
             ("lang", pa.string()),
         ]
     )
-    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), path)
+    # small row groups: a single-row-group file is read by ONE Spark task
+    # (a row group is assigned to the split holding its midpoint), which
+    # would serialize the scan + first shuffle write regardless of cores
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+        path,
+        row_group_size=max(1024, n_docs // 64),
+    )
     return pdf
 
 

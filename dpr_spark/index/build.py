@@ -118,6 +118,7 @@ def prepare_docs(
     lang: Optional[str] = None,
     verify_extract: bool = False,
     id_strategy: str = "dense_rank",
+    cleanup: Optional[list] = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> docs(doc_id, url, text).
 
@@ -142,14 +143,16 @@ def prepare_docs(
         from dpr_spark.plans.ids import assign_dense_ids
 
         # narrow: rank urls alone (12 bytes/row shuffles, not page text)
-        docs = assign_dense_ids(docs, "url", "doc_id", narrow=True)
+        docs = assign_dense_ids(docs, "url", "doc_id", narrow=True, cleanup=cleanup)
     elif id_strategy == "hash":
         docs = docs.withColumn("doc_id", F.xxhash64("url"))
     else:
         raise ValueError(id_strategy)
-    return docs.select(
+    out = docs.select(
         "doc_id", "url", "text", *(["_extract_ok"] if verify_extract else [])
     )
+    out._dense_id_count = getattr(docs, "_dense_id_count", None)
+    return out
 
 
 DOC_TERMS_SCHEMA = T.StructType(
@@ -176,18 +179,21 @@ def doc_terms(docs: DataFrame) -> DataFrame:
             doc_ids = pdf["doc_id"].to_numpy(np.int64)
             texts = pdf["text"]
             # tokenize the whole batch, then count (doc, term) pairs with
-            # ONE factorize + ONE np.unique — no per-doc Python dicts
-            tok_lists = [
-                [m.lower() for m in pat.findall(t)] if t is not None else []
-                for t in texts
-            ]
+            # ONE factorize + ONE np.unique — no per-doc Python dicts.
+            # Tokens are factorized RAW and only the (small, Zipf) vocab
+            # is lowercased, then re-factorized to merge case variants —
+            # semantically identical to lowering every token, ~25% faster
+            # (lowers ~10k vocab strings instead of ~3.5M tokens/batch).
+            tok_lists = [pat.findall(t) if t is not None else [] for t in texts]
             lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
             if lens.sum() == 0:
                 continue
             flat = pd.Series(
                 [tok for toks in tok_lists for tok in toks], dtype="object"
             )
-            codes, terms = pd.factorize(flat, sort=False)
+            codes_raw, vocab_raw = pd.factorize(flat, sort=False)
+            code_map, terms = pd.factorize(pd.Series(vocab_raw).str.lower(), sort=False)
+            codes = code_map[codes_raw]
             doc_idx = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
             key = (doc_idx << np.int64(32)) | codes.astype(np.int64)
             ukey, counts = np.unique(key, return_counts=True)
@@ -215,14 +221,16 @@ def build_index(
     b: float = BM25_B,
     salt_df_agg: int = 0,
 ) -> InvertedIndex:
-    docs = prepare_docs(pages, lang=lang, verify_extract=verify_extract)
+    cleanup: list = []
+    docs = prepare_docs(pages, lang=lang, verify_extract=verify_extract, cleanup=cleanup)
     if verify_extract:
         n_bad = docs.filter(~F.col("_extract_ok")).count()
         if n_bad:
             raise ValueError(f"extract_text(html) != text for {n_bad} rows")
         docs = docs.drop("_extract_ok")
     return build_index_from_docs(
-        spark, docs, build_blocks=build_blocks, k1=k1, b=b, salt_df_agg=salt_df_agg
+        spark, docs, build_blocks=build_blocks, k1=k1, b=b, salt_df_agg=salt_df_agg,
+        cleanup=cleanup,
     )
 
 
@@ -233,9 +241,11 @@ def build_index_from_docs(
     k1: float = BM25_K1,
     b: float = BM25_B,
     salt_df_agg: int = 0,
+    cleanup: Optional[list] = None,
 ) -> InvertedIndex:
     """Build from docs that already carry (doc_id, text[, url]) — e.g.
     the driver's `documents` table, or prepare_docs output."""
+    cleanup = cleanup if cleanup is not None else []
     if "url" not in docs.columns:
         docs = docs.withColumn("url", F.col("doc_id").cast("string"))
     # D1: spread the corpus over all cores before the tokenize pass — a
@@ -244,17 +254,18 @@ def build_index_from_docs(
     # (unconditional: one row shuffle is cheap next to a serial tokenize;
     # callers with a pre-partitioned source can pass repartition=False)
     par = spark.sparkContext.defaultParallelism
-    docs = docs.repartition(par)
+    n_docs_hint = getattr(docs, "_dense_id_count", None)
+    # 3 tasks/core: straggler smoothing for the expensive Arrow stage
+    docs = docs.repartition(3 * par)
     # one Arrow pass: tokenize + per-doc tf histogram (no explode shuffle)
     tf = doc_terms(docs).persist()
 
-    # N and avgdl as SCALAR aggregates (map-side partial, no 20M-row
-    # groupBy on the critical path): sum(tf) == sum over docs of doclen,
-    # and zero-token docs contribute 0 to the sum while still counting in
-    # N — exactly the oracle's arithmetic (integer-exact).
-    n_docs_cnt = docs.count()
-    sum_dl = tf.agg(F.sum("tf")).collect()[0][0] or 0
-    stats = IndexStats(int(n_docs_cnt), float(sum_dl) / n_docs_cnt if n_docs_cnt else 0.0)
+    # N is a free byproduct of the dense-id prefix sum when available;
+    # sum(doclen) == sum(tf) rides on the df aggregation below (one fewer
+    # full pass over the tf cache). Zero-token docs contribute 0 to the
+    # sum while still counting in N — exactly the oracle's arithmetic
+    # (integer-exact).
+    n_docs_cnt = int(n_docs_hint) if n_docs_hint is not None else docs.count()
 
     # docstats TABLE stays lazy (used by eval joins / save, not by the
     # build critical path); zero-token docs kept via left join.
@@ -272,15 +283,25 @@ def build_index_from_docs(
         from dpr_spark.plans.skew import salted_count
 
         df_by_term = salted_count(tf, key="term", salt_col="doc_id", buckets=salt_df_agg)
+        df_by_term = df_by_term.join(
+            tf.groupBy("term").agg(F.sum("tf").alias("ttf")), "term"
+        )
     else:
-        df_by_term = tf.groupBy("term").agg(F.count("*").alias("df"))
+        df_by_term = tf.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("ttf")
+        )
 
     from dpr_spark.plans.ids import assign_dense_ids
 
+    ranked = assign_dense_ids(df_by_term, "term", "term_id", cleanup=cleanup)
+    # scalar corpus stats off the (persisted) ranked dictionary — a
+    # vocab-sized job, not another 10^10-row tf pass
+    sum_dl = ranked.agg(F.sum("ttf")).collect()[0][0] or 0
+    stats = IndexStats(n_docs_cnt, float(sum_dl) / n_docs_cnt if n_docs_cnt else 0.0)
+
     n_docs = float(stats.n_docs)
     dictionary = (
-        assign_dense_ids(df_by_term, "term", "term_id")
-        .withColumn(
+        ranked.withColumn(
             "idf",
             F.log((F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0)),
         )
@@ -293,10 +314,16 @@ def build_index_from_docs(
     )
 
     blocks = (
-        _encode_blocks(postings, stats.avgdl, k1=k1, b=b) if build_blocks else None
+        # explicit partition count: without it AQE coalesces the encode
+        # shuffle to ~64MB partitions, idling most cores in the stage;
+        # 2 tasks/core smooths head-term skew
+        _encode_blocks(postings, stats.avgdl, k1=k1, b=b, num_partitions=2 * par)
+        if build_blocks
+        else None
     )
     return InvertedIndex(
-        docstats, dictionary, postings.drop("idf"), blocks, stats, cached=[tf, docstats]
+        docstats, dictionary, postings.drop("idf"), blocks, stats,
+        cached=[tf, docstats] + cleanup,
     )
 
 
@@ -316,18 +343,29 @@ def impact_expr(avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
 
 
 def _encode_blocks(
-    postings: DataFrame, avgdl: float, k1: float, b: float, num_partitions: Optional[int] = None
+    postings: DataFrame,
+    avgdl: float,
+    k1: float,
+    b: float,
+    num_partitions: Optional[int] = None,
+    doc_split_bits: Optional[int] = None,
 ) -> DataFrame:
     """Compressed posting blocks: slim the shuffle (impact precomputed,
-    doclen/idf dropped), repartitionByRange(term_id, doc_id), then ONE
-    numpy lexsort + vectorized encode per partition (SURVEY.md §4.2).
+    doclen/idf dropped), HASH repartition on term_id, then ONE numpy
+    lexsort + vectorized encode per partition (SURVEY.md §4.2).
 
-    Spark's per-row sortWithinPartitions is replaced by the encoder's
-    np.lexsort — measured ~2x faster for this narrow schema. Each task
-    buffers only its partition (size it via num_partitions; ~24 bytes/
-    posting). A head term spanning several range partitions yields
-    independently-ordered blocks because block_id is the block's first
-    doc_id and range partitions are doc_id-disjoint.
+    Hash partitioning (vs repartitionByRange) skips Spark's range-bounds
+    sampling job, which would execute the postings join TWICE — measured
+    ~25% of the blocks-phase wall time. Spark's per-row
+    sortWithinPartitions is likewise replaced by the encoder's np.lexsort
+    (~2x faster for this narrow schema).
+
+    Skew: a term's postings land in one task (best compression — gaps
+    stay dense). Max task skew is max(df)·16B; at 10^12 docs a head term
+    ("the", df≈N) must be split: doc_split_bits=s adds doc_id>>s to the
+    shuffle key so each term splits into doc-ranges of 2^s docs. Blocks
+    stay globally ordered without coordination because block_id is the
+    block's first doc_id and the ranges are doc_id-disjoint.
     """
     slim = postings.select(
         "term_id",
@@ -337,34 +375,56 @@ def _encode_blocks(
     )
 
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        chunks = [p for p in it if len(p)]
-        if not chunks:
+        # stay in numpy end-to-end: pandas DataFrame take (iloc[order])
+        # measured ~5s/1M rows vs ~0.1s for four array takes
+        ts, ds, fs, ss = [], [], [], []
+        for p in it:
+            if len(p):
+                ts.append(p["term_id"].to_numpy(np.int64))
+                ds.append(p["doc_id"].to_numpy(np.int64))
+                fs.append(p["tf"].to_numpy(np.int64))
+                ss.append(p["score"].to_numpy(np.float64))
+        if not ts:
             return
-        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        order = np.lexsort((pdf["doc_id"].to_numpy(), pdf["term_id"].to_numpy()))
-        out = _encode_pdf(pdf.iloc[order].reset_index(drop=True))
+        t = np.concatenate(ts) if len(ts) > 1 else ts[0]
+        d = np.concatenate(ds) if len(ds) > 1 else ds[0]
+        f = np.concatenate(fs) if len(fs) > 1 else fs[0]
+        s = np.concatenate(ss) if len(ss) > 1 else ss[0]
+        order = np.lexsort((d, t))
+        out = _encode_arrays(t.take(order), d.take(order), f.take(order), s.take(order))
         if out is not None:
             yield out
 
-    parts = {"numPartitions": num_partitions} if num_partitions else {}
-    return slim.repartitionByRange(
-        *(list(parts.values()) + ["term_id", "doc_id"])
-    ).mapInPandas(encode, POSTINGS_BLOCK_SCHEMA)
+    keys = [F.col("term_id")]
+    if doc_split_bits is not None:
+        keys.append(F.shiftright(F.col("doc_id"), doc_split_bits))
+    parts = [num_partitions] if num_partitions else []
+    return slim.repartition(*parts, *keys).mapInPandas(encode, POSTINGS_BLOCK_SCHEMA)
 
 
 def _encode_pdf(pdf: pd.DataFrame):
+    """Test/compat wrapper over _encode_arrays for a sorted DataFrame."""
+    if len(pdf) == 0:
+        return None
+    return _encode_arrays(
+        pdf["term_id"].to_numpy(np.int64),
+        pdf["doc_id"].to_numpy(np.int64),
+        pdf["tf"].to_numpy(np.int64),
+        pdf["score"].to_numpy(np.float64),
+    )
+
+
+def _encode_arrays(
+    term_ids: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray, score: np.ndarray
+):
     """Encode one sorted (term_id, doc_id) run into posting blocks.
     Fully vectorized: ONE varint pass over the whole chunk, then blocks
     are byte-range slices of the shared buffer (no per-block encode)."""
     from dpr_spark.index.codec import varint_encode_with_lengths
 
-    n_rows = len(pdf)
+    n_rows = len(term_ids)
     if n_rows == 0:
         return None
-    score = pdf["score"].to_numpy(np.float64)
-    doc_ids = pdf["doc_id"].to_numpy(np.int64)
-    tfs = pdf["tf"].to_numpy(np.int64)
-    term_ids = pdf["term_id"].to_numpy(np.int64)
 
     # block starts: every term-run start, then every BLOCK_SIZE within a run
     run_start = np.r_[True, term_ids[1:] != term_ids[:-1]]

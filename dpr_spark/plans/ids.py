@@ -32,26 +32,45 @@ def assign_dense_ids(
     id_col: str,
     num_partitions: Optional[int] = None,
     narrow: bool = False,
+    cleanup: Optional[list] = None,
+    broadcast_map: bool = True,
 ) -> DataFrame:
     """narrow=True ranks over order_col ALONE (a slim shuffle: one string
     column instead of the whole row, e.g. no page text) and joins the
     (order_col, id) map back — requires order_col values to be unique.
     AQE picks a broadcast join when the map is small; sort-merge at
-    scale."""
+    scale.
+
+    cleanup: optional list that receives the DataFrames this function
+    persists (the ranked partitions must outlive the returned DataFrame's
+    lineage); callers unpersist them when the ids are no longer needed.
+    """
     if narrow:
         ids = assign_dense_ids(
-            df.select(order_col), order_col, id_col, num_partitions
+            df.select(order_col), order_col, id_col, num_partitions, cleanup=cleanup
         )
-        return df.join(ids, order_col)
+        # explicit broadcast: the (order_col, id) map is tiny relative to
+        # the full rows (no AQE/stats needed to see it). At 10^12 rows set
+        # broadcast_map=False — the join becomes sort-merge on order_col.
+        out = df.join(F.broadcast(ids) if broadcast_map else ids, order_col)
+        out._dense_id_count = ids._dense_id_count  # row count, free byproduct
+        return out
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    parts = df.repartitionByRange(n, order_col).sortWithinPartitions(order_col).persist()
+    # range partitioning SAMPLES its child (one full execution) before the
+    # real shuffle (a second): cache the slim input so upstream (e.g. a
+    # groupBy over 10^10 tf rows) computes once
+    src = df.persist()
+    parts = src.repartitionByRange(n, order_col).sortWithinPartitions(order_col).persist()
     counts = (
         parts.select(F.spark_partition_id().alias("_pid"))
         .groupBy("_pid")
         .count()
         .collect()
     )
+    src.unpersist()  # the counts job materialized the `parts` cache
+    if cleanup is not None:
+        cleanup.append(parts)
     cmap = {int(r["_pid"]): int(r["count"]) for r in counts}
     offsets = {}
     acc = 0
@@ -75,4 +94,8 @@ def assign_dense_ids(
             seen += len(pdf)
             yield pdf.assign(**{id_col: list(ids)})
 
-    return parts.mapInPandas(assign, out_schema)
+    out = parts.mapInPandas(assign, out_schema)
+    # the prefix-sum already counted every row: callers (e.g. corpus N for
+    # BM25 idf) can reuse it instead of running a count() job
+    out._dense_id_count = acc
+    return out

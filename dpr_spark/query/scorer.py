@@ -56,7 +56,9 @@ def score_exact(
     qt = qt.join(
         F.broadcast(index.dictionary.select("term", "term_id", "idf")), "term"
     )
-    joined = qt.join(index.postings, "term_id")
+    # queries are tiny (q * ~5 terms): broadcast them so the postings
+    # table is probed in place — no 10^10-row shuffle on term_id
+    joined = index.postings.join(F.broadcast(qt), "term_id")
     component = (
         F.col("idf")
         * F.col("tf").cast("double")

@@ -139,13 +139,19 @@ def _search_partition(
     k: int,
     prune: bool = True,
 ) -> Iterator[pd.DataFrame]:
-    chunks = [p for p in pdfs if len(p)]
-    if not chunks or not qterms:
+    if not qterms:
         return
-    part = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-    term_ids = part["term_id"].to_numpy(np.int64)
-    doc_ids = part["doc_id"].to_numpy(np.int64)
-    impacts = part["impact"].to_numpy(np.float64)
+    t_chunks, d_chunks, i_chunks = [], [], []
+    for p in pdfs:
+        if len(p):
+            t_chunks.append(p["term_id"].to_numpy(np.int64))
+            d_chunks.append(p["doc_id"].to_numpy(np.int64))
+            i_chunks.append(p["impact"].to_numpy(np.float64))
+    if not t_chunks:
+        return
+    term_ids = np.concatenate(t_chunks) if len(t_chunks) > 1 else t_chunks[0]
+    doc_ids = np.concatenate(d_chunks) if len(d_chunks) > 1 else d_chunks[0]
+    impacts = np.concatenate(i_chunks) if len(i_chunks) > 1 else i_chunks[0]
     order = np.lexsort((doc_ids, term_ids))
     term_ids, doc_ids, impacts = term_ids[order], doc_ids[order], impacts[order]
     # local dense doc index
