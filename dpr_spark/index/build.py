@@ -165,6 +165,33 @@ DOC_TERMS_SCHEMA = T.StructType(
 )
 
 
+def tf_batch(texts, pat) -> Optional[tuple]:
+    """The fused tokenize + per-document term-histogram kernel (T1 + A7)
+    for one Arrow batch. Returns (row_idx, doclen_per_row, terms, tfs)
+    where row_idx indexes into `texts`, or None for an all-empty batch.
+
+    Tokenize the whole batch, then count (row, term) pairs with ONE
+    factorize + ONE np.unique — no per-doc Python dicts. Tokens are
+    factorized RAW and only the (small, Zipf) vocab is lowercased, then
+    re-factorized to merge case variants — semantically identical to
+    lowering every token, ~25% faster (lowers ~10k vocab strings instead
+    of ~3.5M tokens per batch)."""
+    tok_lists = [pat.findall(t) if t is not None else [] for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    if lens.sum() == 0:
+        return None
+    flat = pd.Series([tok for toks in tok_lists for tok in toks], dtype="object")
+    codes_raw, vocab_raw = pd.factorize(flat, sort=False)
+    code_map, terms = pd.factorize(pd.Series(vocab_raw).str.lower(), sort=False)
+    codes = code_map[codes_raw]
+    doc_idx = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
+    key = (doc_idx << np.int64(32)) | codes.astype(np.int64)
+    ukey, counts = np.unique(key, return_counts=True)
+    u_doc = (ukey >> np.int64(32)).astype(np.int64)
+    u_code = (ukey & np.int64(0xFFFFFFFF)).astype(np.int64)
+    return u_doc, lens, terms.take(u_code), counts.astype(np.int64)
+
+
 def doc_terms(docs: DataFrame) -> DataFrame:
     """Fused tokenize + per-doc term histogram (T1 + A7) in ONE Arrow
     pass. tf per (term, doc) is a per-document quantity — computing it
@@ -176,35 +203,17 @@ def doc_terms(docs: DataFrame) -> DataFrame:
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pat = _compiled_fast()
         for pdf in it:
-            doc_ids = pdf["doc_id"].to_numpy(np.int64)
-            texts = pdf["text"]
-            # tokenize the whole batch, then count (doc, term) pairs with
-            # ONE factorize + ONE np.unique — no per-doc Python dicts.
-            # Tokens are factorized RAW and only the (small, Zipf) vocab
-            # is lowercased, then re-factorized to merge case variants —
-            # semantically identical to lowering every token, ~25% faster
-            # (lowers ~10k vocab strings instead of ~3.5M tokens/batch).
-            tok_lists = [pat.findall(t) if t is not None else [] for t in texts]
-            lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
-            if lens.sum() == 0:
+            out = tf_batch(pdf["text"], pat)
+            if out is None:
                 continue
-            flat = pd.Series(
-                [tok for toks in tok_lists for tok in toks], dtype="object"
-            )
-            codes_raw, vocab_raw = pd.factorize(flat, sort=False)
-            code_map, terms = pd.factorize(pd.Series(vocab_raw).str.lower(), sort=False)
-            codes = code_map[codes_raw]
-            doc_idx = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
-            key = (doc_idx << np.int64(32)) | codes.astype(np.int64)
-            ukey, counts = np.unique(key, return_counts=True)
-            u_doc = (ukey >> np.int64(32)).astype(np.int64)
-            u_code = (ukey & np.int64(0xFFFFFFFF)).astype(np.int64)
+            u_doc, lens, terms, tfs = out
+            doc_ids = pdf["doc_id"].to_numpy(np.int64)
             yield pd.DataFrame(
                 {
                     "doc_id": doc_ids[u_doc],
                     "doclen": lens[u_doc].astype(np.int32),
-                    "term": terms.take(u_code),
-                    "tf": counts.astype(np.int64),
+                    "term": terms,
+                    "tf": tfs,
                 }
             )
 

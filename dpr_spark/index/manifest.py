@@ -131,29 +131,30 @@ class ResumableIndexBuilder:
         return processed
 
     def _shard_doc_terms(self, shard: DataFrame) -> DataFrame:
-        """(url, doclen, term, tf) for one shard — url-keyed doc_terms."""
+        """(url, doclen, term, tf) for one shard — url-keyed doc_terms,
+        same fused/vectorized kernel as the single-pass build
+        (build.py::tf_batch; no per-row Python per input_hint)."""
+        import numpy as np
         import pandas as pd
-        from collections import Counter
         from typing import Iterator
 
-        from dpr_spark.functions.tokenizer import tokenize_fast
+        from dpr_spark.functions.tokenizer import _compiled_fast
+        from dpr_spark.index.build import tf_batch
 
         def run(it: Iterator[pd.DataFrame]):
+            pat = _compiled_fast()
             for pdf in it:
-                urls, dls, ts, tfs = [], [], [], []
-                for url, text in zip(pdf["url"], pdf["text"]):
-                    toks = tokenize_fast(text) if text is not None else []
-                    c = Counter(toks)
-                    urls.extend([url] * len(c))
-                    dls.extend([len(toks)] * len(c))
-                    ts.extend(c.keys())
-                    tfs.extend(c.values())
+                out = tf_batch(pdf["text"], pat)
+                if out is None:
+                    continue
+                u_doc, lens, terms, tfs = out
+                urls = pdf["url"].to_numpy(object)
                 yield pd.DataFrame(
                     {
-                        "url": pd.Series(urls, dtype="object"),
-                        "doclen": pd.Series(dls, dtype="int32"),
-                        "term": pd.Series(ts, dtype="object"),
-                        "tf": pd.Series(tfs, dtype="int64"),
+                        "url": urls[u_doc],
+                        "doclen": lens[u_doc].astype(np.int32),
+                        "term": terms,
+                        "tf": tfs,
                     }
                 )
 
@@ -209,5 +210,13 @@ class ResumableIndexBuilder:
         postings = tf.join(
             F.broadcast(dictionary.select("term", "term_id", "idf")), "term"
         ).select("term_id", "doc_id", "tf", "doclen", "idf")
-        blocks = _encode_blocks(postings, stats.avgdl, k1=k1, b=b) if build_blocks else None
-        return InvertedIndex(docstats, dictionary, postings.drop("idf"), blocks, stats)
+        par = self.spark.sparkContext.defaultParallelism
+        blocks = (
+            _encode_blocks(postings, stats.avgdl, k1=k1, b=b, num_partitions=2 * par)
+            if build_blocks
+            else None
+        )
+        return InvertedIndex(
+            docstats, dictionary, postings.drop("idf"), blocks, stats,
+            cached=[tf, docstats],
+        )

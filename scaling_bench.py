@@ -98,6 +98,11 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=200000)
     ap.add_argument("--levels", type=int, nargs="+", default=[4, 16])
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument(
+        "--quiet-factor", type=float, default=1.2,
+        help="prefer runs whose pre-run CPU calibration shows the host "
+             "slowed an n-proc spin by at most this factor",
+    )
     args = ap.parse_args()
 
     cache = os.path.join(HERE, ".bench_cache", f"pages_{args.docs}.parquet")
@@ -109,13 +114,19 @@ def main() -> None:
 
     levels = sorted(args.levels)
     # interleave reps (A,B,A,B) and keep the best per level: this host is
-    # shared/noisy, min-of-N isolates the job's own cost
-    best: dict[int, dict] = {}
+    # shared/noisy, min-of-N isolates the job's own cost. Runs whose
+    # pre-run calibration shows a quiet host are preferred — a rep taken
+    # while a neighbor VM steals half the CPU measures the neighbor, not
+    # the engine.
+    all_runs: dict[int, list] = {c: [] for c in levels}
     for _ in range(args.reps):
         for c in levels:
-            r = run_level(c, cache)
-            if c not in best or r["wall_sec"] < best[c]["wall_sec"]:
-                best[c] = r
+            all_runs[c].append(run_level(c, cache))
+    best: dict[int, dict] = {}
+    for c in levels:
+        quiet = [r for r in all_runs[c] if r.get("host_factor", 9) <= args.quiet_factor]
+        pool = quiet or all_runs[c]
+        best[c] = min(pool, key=lambda r: r["wall_sec"])
     results = [best[c] for c in levels]
     lo, hi = results[0], results[-1]
     ratio = lo and (levels[-1] / levels[0])
@@ -161,8 +172,12 @@ us n real cores; >1 = neighbors were stealing CPU during the run).
 - throughput speedup: {speedup:.2f}x
 - **scaling efficiency: {efficiency:.3f}** (target >= 0.8 per BASELINE.json)
 
-Job measured in-process (excludes JVM/session startup); input parquet
-pre-cached so IO variance doesn't skew the comparison. The build DAG is
+Methodology: interleaved A/B reps, per-level minimum over runs whose
+pre-run calibration showed a quiet host (identical jobs vary 2-3x here
+when neighbor VMs are active — the calibration column makes each run's
+conditions visible). Job measured in-process (excludes JVM/session
+startup); input parquet pre-cached so IO variance doesn't skew the
+comparison. The build DAG is
 one Arrow tokenize+tf pass (embarrassingly parallel), a term-count
 shuffle, broadcast dictionary join, and a range-partitioned sort +
 vectorized mapInPandas block encode — all stages whose task counts scale
