@@ -726,6 +726,90 @@ def q_deterministic_shuffle() -> Entry:
     return fn, None
 
 
+def q_has_answer_kilt() -> Entry:
+    """V3 KILT containment (`qa_validation.py:288-294`): normalized answer
+    substring-in normalized passage over a deterministic doc slice, with
+    a DuckDB twin of the same P9 normalization chain."""
+    from dpr_spark.functions.normalize import normalize_answer_col, normalize_answer_sql
+
+    def fn(spark, sf_dir):
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500).select("doc_id", "text")
+        ans_rows = [(qid, a) for qid, answers in BENCH_ANSWERS.items() for a in answers]
+        ans = spark.createDataFrame(ans_rows, "qid int, answer string")
+        return (
+            d.crossJoin(F.broadcast(ans))
+            .filter(
+                normalize_answer_col("text").contains(normalize_answer_col("answer"))
+            )
+            .select("qid", "doc_id", "answer")
+        )
+
+    vals = ", ".join(
+        f"({qid}, '{a.replace(chr(39), chr(39) * 2)}')"
+        for qid, answers in BENCH_ANSWERS.items()
+        for a in answers
+    )
+    ntext = normalize_answer_sql("text")
+    nans = normalize_answer_sql("answer")
+    sql = f"""
+      WITH ans AS (SELECT * FROM (VALUES {vals}) AS a(qid, answer)),
+           d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500)
+      SELECT qid, doc_id, answer
+      FROM d CROSS JOIN ans
+      WHERE contains({ntext}, {nans})"""
+    return fn, sql
+
+
+def q_results_nested() -> Entry:
+    """S7 nested output record (`dense_retriever.py:337-379`,
+    `README.md:216-233`): per query {question, ctxs:[{id, text, score,
+    has_answer}]} sorted by rank — the df.write.json surface. Nested
+    struct hashing is not portable across engines -> rows-only check;
+    the flattened values are oracle-checked by topk_join_text and
+    accuracy_at_k."""
+
+    def fn(spark, sf_dir):
+        top = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= 3)
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        ans_rows = [
+            (qid, " ".join(tokenize(a)))
+            for qid, answers in BENCH_ANSWERS.items()
+            for a in answers
+        ]
+        ans = spark.createDataFrame(ans_rows, "qid int, ans_toks string")
+        joined = (
+            top.join(docs, "doc_id")
+            .withColumn(
+                "tstr", F.concat(F.lit(" "), F.concat_ws(" ", _tok_col()), F.lit(" "))
+            )
+            .join(ans, "qid")
+            .groupBy("qid", "rank", "doc_id", "text", "score_r")
+            .agg(
+                F.max(
+                    F.col("tstr").contains(
+                        F.concat(F.lit(" "), F.col("ans_toks"), F.lit(" "))
+                    )
+                ).alias("has_answer")
+            )
+        )
+        ctx = F.struct(
+            F.col("rank"),
+            F.col("doc_id").alias("id"),
+            F.col("text"),
+            F.col("score_r").alias("score"),
+            F.col("has_answer"),
+        )
+        return (
+            joined.groupBy("qid")
+            .agg(F.sort_array(F.collect_list(ctx)).alias("ctxs"))
+            .join(qdf, "qid")
+            .select("qid", "question", "ctxs")
+        )
+
+    return fn, None
+
+
 def q_range_slice_events() -> Entry:
     """P10 range slice over the events table (deterministic ts order)."""
 
@@ -769,5 +853,7 @@ def all_entries() -> Dict[str, Entry]:
         "token_counts": q_token_counts(),
         "chunk_100w": q_chunk_100w(),
         "deterministic_shuffle": q_deterministic_shuffle(),
+        "has_answer_kilt": q_has_answer_kilt(),
+        "results_nested": q_results_nested(),
         "range_slice_events": q_range_slice_events(),
     }

@@ -154,9 +154,13 @@ def main() -> None:
 Generated by `python scaling_bench.py --docs {args.docs} --levels {' '.join(map(str, levels))}`
 — the same job on the same input at two parallelism levels, the sandbox
 stand-in for N vs 4N executor clusters per the driver instruction (no
-real cluster here). Note: this VM exposes 32 vCPUs but sustains ~21x
-parallel compute (measured with independent CPU-bound processes), so the
-N->4N pair is chosen inside the physical budget.
+real cluster here). The N->4N pair is chosen inside the host's linear
+region: this VM exposes 32 vCPUs but sustains ~21x parallel compute, and
+above ~8 busy cores its shared memory bus penalizes allocation-heavy
+work (a pure-CPU spin pair measures 0.88 efficiency at 2->8 vs 0.65-0.79
+at 4->16) — a larger pair would measure the host, not the engine. On a
+real cluster each executor owns its memory bus, which is exactly what
+N->4N *executors* adds.
 
 ## Index build scaling (synthetic Common-Crawl-style pages, seed=42)
 
@@ -177,11 +181,12 @@ pre-run calibration showed a quiet host (identical jobs vary 2-3x here
 when neighbor VMs are active — the calibration column makes each run's
 conditions visible). Job measured in-process (excludes JVM/session
 startup); input parquet pre-cached so IO variance doesn't skew the
-comparison. The build DAG is
-one Arrow tokenize+tf pass (embarrassingly parallel), a term-count
-shuffle, broadcast dictionary join, and a range-partitioned sort +
-vectorized mapInPandas block encode — all stages whose task counts scale
-with partitions, which is what the efficiency number evidences.
+comparison. The build DAG is one fused Arrow tokenize+tf pass
+(embarrassingly parallel, 3 tasks/core), a term-count shuffle with
+map-side partial aggregation, a broadcast dictionary join, and a
+term_id-hash-partitioned vectorized numpy block encode (2 tasks/core) —
+all stages whose task counts scale with partitions, which is what the
+efficiency number evidences.
 
 Reference comparables (BASELINE.md): Lucene BM25 builds 21M passages in
 ~30 min (~11.7k docs/s, server CPU); DPR dense path needs 8.8h GPU
