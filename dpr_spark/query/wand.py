@@ -167,9 +167,12 @@ def _search_partition(
     scores = np.zeros(n_docs, dtype=np.float64)
     touched = np.zeros(n_docs, dtype=bool)
     for qid, q_tids in qterms:
+        # element-wise membership: q_tids[i] is present iff the searchsorted
+        # slot actually holds it (np.isin would double-count a present query
+        # term whenever an ABSENT query term's insertion point lands on it)
         pos = np.searchsorted(uterms, q_tids)
-        pos = pos[(pos < len(uterms))]
-        hit = pos[np.isin(uterms[pos], q_tids)] if len(pos) else pos
+        valid = (pos < len(uterms)) & (uterms[np.minimum(pos, len(uterms) - 1)] == q_tids)
+        hit = pos[valid]
         if len(hit) == 0:
             continue
         scores.fill(0.0)

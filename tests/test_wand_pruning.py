@@ -28,3 +28,35 @@ def test_pruned_path_matches_oracle(spark, index, oracle):
             assert [d for _, d, _ in actual] == [d for d, _ in expect], (k, q)
             for (_, _, s), (_, es) in zip(actual, expect):
                 assert s == es, (k, q, s, es)  # bit-identical floats
+
+
+def test_absent_query_term_not_double_counted():
+    """Regression: when a query term is ABSENT from a partition and its
+    searchsorted insertion slot lands on another (present) query term,
+    that term's impacts must count exactly once (np.isin-based resolution
+    double-counted them)."""
+    import numpy as np
+    import pandas as pd
+
+    from dpr_spark.query.wand import _search_partition
+
+    # partition holds terms {5, 9}; query asks for {3, 5}: term 3 is
+    # absent and its insertion point is term 5's slot.
+    pdf = pd.DataFrame(
+        {
+            "term_id": np.array([5, 5, 9], dtype=np.int64),
+            "doc_id": np.array([100, 200, 200], dtype=np.int64),
+            "impact": np.array([0.875, 0.5, 2.0], dtype=np.float64),
+        }
+    )
+    qterms = [(0, np.array([3, 5], dtype=np.int64))]
+    out = list(_search_partition(iter([pdf]), qterms, k=10, prune=False))
+    assert len(out) == 1
+    got = {int(d): float(s) for d, s in zip(out[0].doc_id, out[0].score)}
+    assert got == {100: 0.875, 200: 0.5}
+
+    # same partition, pruned path, query {3, 5, 9} (3 absent)
+    qterms = [(1, np.array([3, 5, 9], dtype=np.int64))]
+    out = list(_search_partition(iter([pdf]), qterms, k=1, prune=True))
+    got = {int(d): float(s) for d, s in zip(out[0].doc_id, out[0].score)}
+    assert got == {200: 2.5}
