@@ -127,7 +127,9 @@ ranked AS (
 def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared Spark-side BM25 pipeline over the testdata documents table,
     mirroring _BM25_CTES term for term (J6 + M1 + A6/A7)."""
-    tok = _tokenized(spark, sf_dir)
+    # persist: tok feeds three consumers (stats collect, tf, and dic via
+    # tf) — without it the Arrow tokenize pass re-runs per consumer
+    tok = _tokenized(spark, sf_dir).persist()
     ds = tok.select("doc_id", F.size("toks").alias("doclen"))
     srow = ds.agg(F.count("*").cast("double").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
     n, avgdl = float(srow["n"]), float(srow["avgdl"])
@@ -373,13 +375,16 @@ def q_id_prefix_slice() -> Entry:
     ordering (`retriever_data.py:280-283`, `:119-124`)."""
 
     def fn(spark, sf_dir):
-        d = _docs(spark, sf_dir)
-        w = Window.orderBy("doc_id")
+        from dpr_spark.plans.ids import assign_dense_ids
+
+        # two-phase range rank (plans/ids.py) — no single-partition window
+        d = assign_dense_ids(_docs(spark, sf_dir).select("doc_id", "lang"), "doc_id", "rn0")
         return (
-            d.select(F.concat(F.lit("wiki:"), F.col("doc_id")).alias("sample_id"),
-                     F.row_number().over(w).alias("rn"), "lang")
+            d.withColumn("rn", (F.col("rn0") + 1).cast("int"))
             .filter((F.col("rn") > 100) & (F.col("rn") <= 200))
-            .select("sample_id", "rn", "lang")
+            .select(
+                F.concat(F.lit("wiki:"), F.col("doc_id")).alias("sample_id"), "rn", "lang"
+            )
         )
 
     sql = """
@@ -421,11 +426,18 @@ def q_normalize_em() -> Entry:
 
 def q_ngram_jaccard_pairs() -> Entry:
     """Near-dup by n-gram Jaccard: 5-gram shingles, bucket join on shared
-    shingle, |A∩B| / (|A|+|B|-|A∩B|); top-20 pairs by similarity."""
+    shingle, |A∩B| / (|A|+|B|-|A∩B|); top-20 pairs by similarity.
+    Scale guards (same semantics in BOTH engines): docs shorter than N
+    tokens emit no shingles, and shingles hotter than MAX_SDF docs are
+    dropped before the self-join (the extras/dedup.py boilerplate cap —
+    the quadratic-blowup defense). Top-20 via global sort+limit
+    (TakeOrdered: per-partition top-N + driver merge, no one-task window).
+    """
     N = 5
+    MAX_SDF = 1000
 
     def fn(spark, sf_dir):
-        tok = _tokenized(spark, sf_dir)
+        tok = _tokenized(spark, sf_dir).filter(F.size("toks") >= N)
         sh = tok.select(
             "doc_id",
             F.explode(
@@ -435,6 +447,12 @@ def q_ngram_jaccard_pairs() -> Entry:
                 )
             ).alias("shingle"),
         ).distinct()
+        hot = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+        sh = sh.join(
+            F.broadcast(hot.filter(F.col("sdf") > MAX_SDF).select("shingle")),
+            "shingle",
+            "left_anti",
+        )
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
         a = sh.alias("a")
         b = sh.alias("b")
@@ -454,15 +472,17 @@ def q_ngram_jaccard_pairs() -> Entry:
                 ).alias("jaccard"),
             )
         )
-        w = Window.orderBy(F.desc("jaccard"), "doc_a", "doc_b")
-        return jac.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20).drop("rk")
+        return jac.orderBy(F.desc("jaccard"), "doc_a", "doc_b").limit(20)
 
     sql = f"""
       WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
-      sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      sh0 AS (SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
                array_to_string(toks[i + 1 : i + {N}], ' ') AS shingle
-        FROM tok, unnest(range(0, len(toks) - {N} + 1)) AS t(i))),
+        FROM tok, unnest(range(0, len(toks) - {N} + 1)) AS t(i)
+        WHERE len(toks) >= {N})),
+      hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {MAX_SDF}),
+      sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
       common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -564,45 +584,36 @@ def q_langid_quality() -> Entry:
 
 def q_doc_fingerprint() -> Entry:
     """Document fingerprint: polynomial rolling hash over per-term ids
-    (exact integer math — deterministic in both engines)."""
+    (exact integer math — deterministic in both engines). Term id =
+    md5-derived 60-bit hash mod 2^31-1: a pure column function, so the
+    fingerprint is ONE streaming fold over each doc's token array — no
+    vocabulary join, no per-doc token collect, no global window (the
+    shape that survives 10^12 docs)."""
     P = 2147483647  # 2^31-1
     R = 1000003
 
+    def _tid(t):
+        return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % F.lit(P)
+
     def fn(spark, sf_dir):
-        tok = _tokenized(spark, sf_dir)
-        terms = tok.select(F.explode("toks").alias("term")).distinct()
-        tid = terms.withColumn(
-            "term_id", F.row_number().over(Window.orderBy("term")).cast("long")
+        return _tokenized(spark, sf_dir).select(
+            "doc_id",
+            F.aggregate(
+                F.transform("toks", _tid),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * F.lit(R) + x) % F.lit(P),
+            ).alias("fingerprint"),
         )
-        exploded = tok.select(
-            "doc_id", F.posexplode("toks").alias("pos", "term")
-        ).join(F.broadcast(tid), "term")
-        ordered = (
-            exploded.groupBy("doc_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "term_id"))).alias("seq"))
-            .select(
-                "doc_id",
-                F.aggregate(
-                    F.transform("seq", lambda s: s["term_id"]),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: (acc * F.lit(R) + x) % F.lit(P),
-                ).alias("fingerprint"),
-            )
-        )
-        return ordered
 
     sql = f"""
-      WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
-      tid AS (SELECT term, row_number() OVER (ORDER BY term) AS term_id
-              FROM (SELECT DISTINCT unnest(toks) AS term FROM tok)),
-      seq AS (SELECT doc_id, i, toks[i + 1] AS term
-              FROM tok, unnest(range(0, len(toks))) AS u(i)),
-      ids AS (SELECT doc_id, list(term_id ORDER BY i) AS ids
-              FROM seq JOIN tid USING (term) GROUP BY doc_id)
+      WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
       SELECT doc_id,
-             list_reduce(list_prepend(0::BIGINT, ids),
-                         (acc, x) -> (acc * {R} + x) % {P})::BIGINT AS fingerprint
-      FROM ids"""
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(toks,
+                   t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {P})),
+               (acc, x) -> (acc * {R} + x) % {P})::BIGINT AS fingerprint
+      FROM tok"""
     return fn, sql
 
 
@@ -702,6 +713,38 @@ def q_bm25_topk_wand() -> Entry:
     return fn, sql
 
 
+def q_bm25_topk_blockmax() -> Entry:
+    """The north-star serving path on the driver corpus:
+    build_index_from_docs -> doc-bucketed COMPRESSED posting blocks
+    (delta-gap varint + per-block max score) -> block-max searcher
+    (query/blockmax.py), checked against the same DuckDB BM25 oracle as
+    q_bm25_topk. Rank re-derived from the 6-dp-rounded score so float
+    last-ulp noise can't flip it."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.blockmax import build_block_segments, search_blocks
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        blocks, norms = build_block_segments(idx, num_buckets=8)
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search_blocks(spark, qdf, idx, blocks, norms, k=10).select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + "SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"
+    )
+    return fn, sql
+
+
 def q_chunk_100w() -> Entry:
     """T5 100-word chunking over documents (reference corpus prep,
     `download_data.py:31-36`) with a DuckDB twin. 30-word chunks so the
@@ -766,7 +809,9 @@ def q_results_nested() -> Entry:
     has_answer}]} sorted by rank — the df.write.json surface. Nested
     struct hashing is not portable across engines -> rows-only check;
     the flattened values are oracle-checked by topk_join_text and
-    accuracy_at_k."""
+    accuracy_at_k. The ctxs array is emitted as its JSON serialization
+    (the actual df.write.json wire form) so the harness can canonicalize
+    rows — nested arrays are unhashable in its pandas compare."""
 
     def fn(spark, sf_dir):
         top = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= 3)
@@ -804,7 +849,7 @@ def q_results_nested() -> Entry:
             joined.groupBy("qid")
             .agg(F.sort_array(F.collect_list(ctx)).alias("ctxs"))
             .join(qdf, "qid")
-            .select("qid", "question", "ctxs")
+            .select("qid", "question", F.to_json("ctxs").alias("ctxs_json"))
         )
 
     return fn, None
@@ -814,10 +859,13 @@ def q_range_slice_events() -> Entry:
     """P10 range slice over the events table (deterministic ts order)."""
 
     def fn(spark, sf_dir):
-        w = Window.orderBy("event_id")
+        from dpr_spark.plans.ids import assign_dense_ids
+
+        e = assign_dense_ids(
+            _events(spark, sf_dir).select("event_id", "event_type"), "event_id", "rn0"
+        )
         return (
-            _events(spark, sf_dir)
-            .select("event_id", "event_type", F.row_number().over(w).alias("rn"))
+            e.withColumn("rn", (F.col("rn0") + 1).cast("int"))
             .filter((F.col("rn") > 50) & (F.col("rn") <= 150))
             .select("event_id", "event_type", "rn")
         )
@@ -838,6 +886,7 @@ def all_entries() -> Dict[str, Entry]:
         "corpus_stats": q_corpus_stats(),
         "bm25_topk": q_bm25_topk(),
         "bm25_topk_wand": q_bm25_topk_wand(),
+        "bm25_topk_blockmax": q_bm25_topk_blockmax(),
         "topk_join_text": q_topk_join_text(),
         "accuracy_at_k": q_accuracy_at_k(),
         "union_dedup": q_union_dedup(),

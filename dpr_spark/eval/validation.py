@@ -120,11 +120,14 @@ def results_json(
         F.col("score").cast("string").alias("score"),
         F.col("has_answer"),
     )
-    with_title = (
-        annotated.join(docs.select("doc_id", F.col("url").alias("title")), "doc_id")
-        if "title" not in annotated.columns and "url" in docs.columns
-        else annotated.withColumn("title", F.lit(None).cast("string"))
-    )
+    if "title" in annotated.columns:
+        with_title = annotated  # preserve an existing title column
+    elif "url" in docs.columns:
+        with_title = annotated.join(
+            docs.select("doc_id", F.col("url").alias("title")), "doc_id"
+        )
+    else:
+        with_title = annotated.withColumn("title", F.lit(None).cast("string"))
     per_q = (
         with_title.withColumn("ctx", ctx)
         .groupBy("qid")

@@ -251,21 +251,23 @@ def build_index_from_docs(
     b: float = BM25_B,
     salt_df_agg: int = 0,
     cleanup: Optional[list] = None,
+    repartition: bool = True,
 ) -> InvertedIndex:
     """Build from docs that already carry (doc_id, text[, url]) — e.g.
     the driver's `documents` table, or prepare_docs output."""
     cleanup = cleanup if cleanup is not None else []
     if "url" not in docs.columns:
         docs = docs.withColumn("url", F.col("doc_id").cast("string"))
-    # D1: spread the corpus over all cores before the tokenize pass — a
-    # single-file parquet scan (or a broadcast-join output) otherwise
-    # arrives in 1-2 partitions and serializes the expensive Arrow stage.
-    # (unconditional: one row shuffle is cheap next to a serial tokenize;
-    # callers with a pre-partitioned source can pass repartition=False)
     par = spark.sparkContext.defaultParallelism
     n_docs_hint = getattr(docs, "_dense_id_count", None)
-    # 3 tasks/core: straggler smoothing for the expensive Arrow stage
-    docs = docs.repartition(3 * par)
+    if repartition:
+        # D1: spread the corpus over all cores before the tokenize pass —
+        # a single-file parquet scan (or a broadcast-join output) otherwise
+        # arrives in 1-2 partitions and serializes the expensive Arrow
+        # stage. 3 tasks/core smooths stragglers. Callers with an already
+        # well-partitioned source pass repartition=False and skip the
+        # (10^12-row) extra shuffle.
+        docs = docs.repartition(3 * par)
     # one Arrow pass: tokenize + per-doc tf histogram (no explode shuffle)
     tf = doc_terms(docs).persist()
 
@@ -424,11 +426,18 @@ def _encode_pdf(pdf: pd.DataFrame):
 
 
 def _encode_arrays(
-    term_ids: np.ndarray, doc_ids: np.ndarray, tfs: np.ndarray, score: np.ndarray
+    term_ids: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    score: np.ndarray,
+    buckets: Optional[np.ndarray] = None,
 ):
-    """Encode one sorted (term_id, doc_id) run into posting blocks.
-    Fully vectorized: ONE varint pass over the whole chunk, then blocks
-    are byte-range slices of the shared buffer (no per-block encode)."""
+    """Encode one sorted ([bucket,] term_id, doc_id) run into posting
+    blocks. Fully vectorized: ONE varint pass over the whole chunk, then
+    blocks are byte-range slices of the shared buffer (no per-block
+    encode). With `buckets`, runs additionally break on bucket change and
+    the output carries the bucket column (doc-bucketed serving layout,
+    query/blockmax.py)."""
     from dpr_spark.index.codec import varint_encode_with_lengths
 
     n_rows = len(term_ids)
@@ -437,6 +446,8 @@ def _encode_arrays(
 
     # block starts: every term-run start, then every BLOCK_SIZE within a run
     run_start = np.r_[True, term_ids[1:] != term_ids[:-1]]
+    if buckets is not None:
+        run_start |= np.r_[True, buckets[1:] != buckets[:-1]]
     pos_in_run = np.arange(n_rows) - np.maximum.accumulate(
         np.where(run_start, np.arange(n_rows), 0)
     )
@@ -460,6 +471,7 @@ def _encode_arrays(
     tfs_mv = memoryview(tfs_buf)
     return pd.DataFrame(
         {
+            **({"bucket": buckets[starts].astype(np.int32)} if buckets is not None else {}),
             "term_id": term_ids[starts],
             "block_id": doc_ids[starts],
             "n": (ends - starts).astype(np.int32),

@@ -1,0 +1,381 @@
+"""Block-max BM25 search over the COMPRESSED posting blocks — the
+north-star serving path ("delta-gap + varint-compressed postings with
+per-block max-score metadata, and Okapi BM25 top-k scoring via block-max
+WAND intersection").
+
+Index layout (built once, written bucketed to storage at real scale):
+
+- blocks(bucket, term_id, block_id, n, doc_ids binary, tfs binary,
+  block_max_score): delta-gap varint blocks of BLOCK_SIZE postings,
+  bucketed by pmod(xxhash64(doc_id), B) so every document's postings live
+  in exactly ONE bucket — a bucket's local top-k is exact for its docs
+  and the global top-k is the k-best of the union (the Lucene/ES sharded
+  search design, one Spark stage).
+- norms(bucket, doc_id, doclen): the per-bucket doc-length sidecar (the
+  "norms file") needed to reconstruct exact float64 impacts from tf.
+
+Query path: the (tiny) query term_ids + idfs are resolved driver-side and
+broadcast; `blocks.filter(term_id.isin(...))` prunes the scan to query
+terms only (a parquet pushdown at scale — postings for non-query terms
+are never read). Per bucket:
+
+1. ESSENTIAL terms (descending max-impact, MaxScore suffix bound): blocks
+   are decoded and scatter-added — except blocks whose
+   block_max + suffix-bound can't create a viable NEW candidate AND that
+   contain no existing candidate: those are skipped undecoded (the
+   block-max skip).
+2. Remaining terms are PROBED per candidate: candidates whose
+   score + its-block-max + suffix upper bound can't reach the running
+   kth-best are dropped; only blocks still holding a live candidate are
+   decoded.
+3. Survivors are re-folded exactly in ascending term order (the oracle's
+   float-add order), so results stay bit-identical to
+   query/scorer.py::search (asserted in tests/test_blockmax.py).
+
+Upper bounds are conservative: block_max_score is stored float32
+(rounded-to-nearest), so bounds inflate it by (1 + 2^-22) and comparisons
+carry an absolute 1e-9 slack — pruning can only under-prune, never break
+rank identity.
+
+Reference analog: faiss_indexers.py search_knn over in-RAM shards
+(`/root/reference/dpr/indexer/faiss_indexers.py:107-112`); the sparse
+engine replaces the FAISS matrix with compressed blocks it decodes
+selectively.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dpr_spark import BM25_B, BM25_K1, DEFAULT_TOP_K
+from dpr_spark.functions.normalize import normalize_question
+from dpr_spark.functions.tokenizer import tokenize
+from dpr_spark.index.build import InvertedIndex, impact_expr
+from dpr_spark.index.codec import decode_block
+from dpr_spark.query.wand import RESULT_SCHEMA, _at_least_top, _final_topk
+
+BUCKETED_BLOCK_SCHEMA = (
+    "bucket int, term_id long, block_id long, n int, "
+    "doc_ids binary, tfs binary, block_max_score float"
+)
+NORMS_SCHEMA = "bucket int, doc_id long, doclen int"
+
+# float32 block maxes are inflated by this factor (> 2^-23 relative f32
+# rounding) and bound comparisons carry _SLACK absolute margin: bounds
+# stay true upper bounds despite storage rounding + float64 add rounding.
+_F32_INFLATE = 1.0 + 2.0 ** -22
+_SLACK = 1e-9
+
+
+def build_block_segments(
+    index: InvertedIndex,
+    num_buckets: int = 64,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> Tuple[DataFrame, DataFrame]:
+    """(blocks, norms) in the doc-bucketed serving layout. One shuffle on
+    bucket, one vectorized encode pass per partition; at real scale both
+    are written to storage partitioned by bucket and this runs once per
+    index build. num_buckets sizes per-task memory: a bucket holds
+    n_docs/B norms + its share of postings — raise B with corpus size."""
+    from dpr_spark.index.build import _encode_arrays
+
+    avgdl = index.stats.avgdl
+    slim = (
+        index.postings.join(
+            F.broadcast(index.dictionary.select("term_id", "idf")), "term_id"
+        ).select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int").alias("bucket"),
+            "term_id",
+            "doc_id",
+            F.col("tf").cast("int").alias("tf"),
+            impact_expr(avgdl, k1, b).alias("score"),
+        )
+    )
+
+    def encode(it):
+        bks, ts, ds, fs, ss = [], [], [], [], []
+        for p in it:
+            if len(p):
+                bks.append(p["bucket"].to_numpy(np.int64))
+                ts.append(p["term_id"].to_numpy(np.int64))
+                ds.append(p["doc_id"].to_numpy(np.int64))
+                fs.append(p["tf"].to_numpy(np.int64))
+                ss.append(p["score"].to_numpy(np.float64))
+        if not ts:
+            return
+        cat = lambda xs: np.concatenate(xs) if len(xs) > 1 else xs[0]
+        bkt, t, d, f, s = cat(bks), cat(ts), cat(ds), cat(fs), cat(ss)
+        order = np.lexsort((d, t, bkt))
+        out = _encode_arrays(
+            t.take(order), d.take(order), f.take(order), s.take(order),
+            buckets=bkt.take(order),
+        )
+        if out is not None:
+            yield out
+
+    blocks = slim.repartition(num_buckets, "bucket").mapInPandas(
+        encode, BUCKETED_BLOCK_SCHEMA
+    )
+    norms = index.docstats.select(
+        F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int").alias("bucket"),
+        "doc_id",
+        F.col("doclen").cast("int").alias("doclen"),
+    )
+    return blocks, norms
+
+
+def _driver_query_terms_idf(
+    spark: SparkSession, queries: DataFrame, index: InvertedIndex
+) -> List[Tuple[int, np.ndarray, np.ndarray]]:
+    """[(qid, term_ids asc, idfs aligned)] — a semi-join collect over the
+    dictionary rows for query terms only (never the whole dictionary)."""
+    qrows = queries.select("qid", "question").collect()
+    qterms = {int(r.qid): sorted(set(tokenize(normalize_question(r.question)))) for r in qrows}
+    needed = sorted({t for ts in qterms.values() for t in ts})
+    if not needed:
+        return []
+    tmap = {
+        r.term: (int(r.term_id), float(r.idf))
+        for r in index.dictionary.filter(F.col("term").isin(needed))
+        .select("term", "term_id", "idf")
+        .collect()
+    }
+    out = []
+    for qid, ts in qterms.items():
+        pairs = sorted(tmap[t] for t in ts if t in tmap)
+        out.append(
+            (
+                qid,
+                np.array([p[0] for p in pairs], dtype=np.int64),
+                np.array([p[1] for p in pairs], dtype=np.float64),
+            )
+        )
+    return out
+
+
+def _search_bucket(
+    blocks_pdf: pd.DataFrame,
+    norms_pdf: pd.DataFrame,
+    qterms: List[Tuple[int, np.ndarray, np.ndarray]],
+    k: int,
+    avgdl: float,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    stats: Optional[dict] = None,
+) -> pd.DataFrame:
+    """Local block-max top-k for one bucket. Exact float64 impacts are
+    reconstructed on decode (same op order as oracle/bm25.py::score_one);
+    survivors are re-folded in ascending term order for bit-identity."""
+    empty = pd.DataFrame({"qid": [], "doc_id": [], "score": []}).astype(
+        {"qid": np.int64, "doc_id": np.int64, "score": np.float64}
+    )
+    if len(blocks_pdf) == 0 or len(norms_pdf) == 0 or not qterms:
+        return empty
+
+    nd = norms_pdf["doc_id"].to_numpy(np.int64)
+    ndl = norms_pdf["doclen"].to_numpy(np.int64)
+    nsort = np.argsort(nd, kind="stable")
+    nd, ndl = nd[nsort], ndl[nsort]
+    n_docs = len(nd)
+
+    bt = blocks_pdf["term_id"].to_numpy(np.int64)
+    order = np.lexsort((blocks_pdf["block_id"].to_numpy(np.int64), bt))
+    bt = bt[order]
+    bid = blocks_pdf["block_id"].to_numpy(np.int64)[order]
+    bn = blocks_pdf["n"].to_numpy(np.int64)[order]
+    bdi = blocks_pdf["doc_ids"].to_numpy()[order]
+    btf = blocks_pdf["tfs"].to_numpy()[order]
+    bmax = blocks_pdf["block_max_score"].to_numpy(np.float64)[order] * _F32_INFLATE
+
+    uterms, t_starts = np.unique(bt, return_index=True)
+    t_ends = np.r_[t_starts[1:], len(bt)]
+    # per-term upper bound = max of (inflated) block maxes
+    tmax = np.maximum.reduceat(bmax, t_starts)
+
+    if stats is not None:
+        stats.setdefault("blocks_total", 0)
+        stats.setdefault("blocks_decoded", 0)
+        stats.setdefault("postings_decoded", 0)
+
+    cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    idf_by_tid: Dict[int, float] = {}
+    for _, tids, idfs in qterms:
+        for tid, idf in zip(tids, idfs):
+            idf_by_tid[int(tid)] = float(idf)
+
+    def dec(r: int) -> Tuple[np.ndarray, np.ndarray]:
+        got = cache.get(r)
+        if got is not None:
+            return got
+        docs, tfs = decode_block(bdi[r], btf[r], int(bn[r]))
+        lidx = np.searchsorted(nd, docs)
+        dls = ndl[lidx].astype(np.float64)
+        tfsf = tfs.astype(np.float64)
+        idf = idf_by_tid[int(bt[r])]
+        # exact oracle op order: ((idf*tf)*(k1+1)) / (tf + k1*((1-b)+(b*dl)/avgdl))
+        imp = idf * tfsf * (k1 + 1.0) / (tfsf + k1 * ((1.0 - b) + (b * dls) / avgdl))
+        cache[r] = (lidx, imp)
+        if stats is not None:
+            stats["blocks_decoded"] += 1
+            stats["postings_decoded"] += int(bn[r])
+        return cache[r]
+
+    out_q, out_d, out_s = [], [], []
+    scores = np.zeros(n_docs, dtype=np.float64)
+    touched = np.zeros(n_docs, dtype=bool)
+    sentinel = np.int64(nd[-1] + 1) if n_docs else np.int64(0)
+
+    for qid, q_tids, _ in qterms:
+        pos = np.searchsorted(uterms, q_tids)
+        valid = (pos < len(uterms)) & (uterms[np.minimum(pos, len(uterms) - 1)] == q_tids)
+        hit = pos[valid]
+        if len(hit) == 0:
+            continue
+        if stats is not None:
+            stats["blocks_total"] += int((t_ends[hit] - t_starts[hit]).sum())
+        scores.fill(0.0)
+        touched.fill(False)
+
+        desc_order = np.argsort(-tmax[hit], kind="stable")
+        desc = hit[desc_order]
+        suffix = np.concatenate([np.cumsum(tmax[desc][::-1])[::-1], [0.0]])
+        probed_from = len(desc)
+        for i, p in enumerate(desc):
+            kth = -np.inf
+            ncand = int(touched.sum())
+            if i > 0 and ncand >= k:
+                cand_now = np.flatnonzero(touched)
+                kth = np.partition(scores[cand_now], ncand - k)[ncand - k]
+                if suffix[i] < kth - _SLACK:  # no new doc can reach top-k
+                    probed_from = i
+                    break
+            bs, be = int(t_starts[p]), int(t_ends[p])
+            rows = np.arange(bs, be)
+            if np.isfinite(kth):
+                # block-max skip within an essential term: a block whose
+                # max + later-terms bound misses kth can only matter for
+                # docs that are ALREADY candidates — decode only those.
+                viable = bmax[bs:be] + suffix[i + 1] >= kth - _SLACK
+                if not viable.all():
+                    cdocs = nd[np.flatnonzero(touched)]
+                    los = bid[bs:be]
+                    his = np.r_[los[1:], sentinel]
+                    at = np.searchsorted(cdocs, los)
+                    has_cand = (at < len(cdocs)) & (
+                        np.where(at < len(cdocs), cdocs[np.minimum(at, len(cdocs) - 1)], sentinel)
+                        < his
+                    )
+                    rows = rows[viable | has_cand]
+            for r in rows:
+                lidx, imp = dec(int(r))
+                scores[lidx] += imp
+                touched[lidx] = True
+
+        # ---- probe phase: per-candidate block-max pruning
+        for i in range(probed_from, len(desc)):
+            p = desc[i]
+            cand = np.flatnonzero(touched)
+            if len(cand) == 0:
+                break
+            theta = -np.inf
+            if len(cand) >= k:
+                theta = np.partition(scores[cand], len(cand) - k)[len(cand) - k]
+            bs, be = int(t_starts[p]), int(t_ends[p])
+            cdocs = nd[cand]
+            bpos = np.searchsorted(bid[bs:be], cdocs, side="right") - 1
+            inblk = bpos >= 0
+            bound = scores[cand] + suffix[i + 1] + np.where(
+                inblk, bmax[bs + np.maximum(bpos, 0)], 0.0
+            )
+            drop = bound < theta - _SLACK
+            touched[cand[drop]] = False
+            live = ~drop & inblk
+            keep, kbpos = cand[live], bpos[live]
+            for rb in np.unique(kbpos):
+                r = bs + int(rb)
+                lidx, imp = dec(r)
+                sub = keep[kbpos == rb]
+                ppos = np.searchsorted(lidx, sub)
+                ok = (ppos < len(lidx)) & (lidx[np.minimum(ppos, len(lidx) - 1)] == sub)
+                scores[sub[ok]] += imp[ppos[ok]]
+
+        cand = np.flatnonzero(touched)
+        if len(cand) == 0:
+            continue
+        keep = _at_least_top(scores[cand], min(len(cand), k + 16))
+        top = cand[keep]
+        # exact re-fold, ascending term order (bit-identical floats)
+        exact = np.zeros(len(top), dtype=np.float64)
+        srt = np.argsort(top, kind="stable")
+        sdocs_local = top[srt]
+        sdocs = nd[sdocs_local]
+        for p in hit:  # ascending term order
+            bs, be = int(t_starts[p]), int(t_ends[p])
+            bpos = np.searchsorted(bid[bs:be], sdocs, side="right") - 1
+            for rb in np.unique(bpos[bpos >= 0]):
+                r = bs + int(rb)
+                lidx, imp = dec(r)
+                sel = np.flatnonzero(bpos == rb)
+                ppos = np.searchsorted(lidx, sdocs_local[sel])
+                ok = (ppos < len(lidx)) & (
+                    lidx[np.minimum(ppos, len(lidx) - 1)] == sdocs_local[sel]
+                )
+                exact[srt[sel[ok]]] += imp[ppos[ok]]
+        top, top_scores = _final_topk(top, exact, nd, k)
+        out_q.append(np.full(len(top), qid, dtype=np.int64))
+        out_d.append(nd[top])
+        out_s.append(top_scores)
+
+    if not out_q:
+        return empty
+    return pd.DataFrame(
+        {
+            "qid": np.concatenate(out_q),
+            "doc_id": np.concatenate(out_d),
+            "score": np.concatenate(out_s),
+        }
+    )
+
+
+def search_blocks(
+    spark: SparkSession,
+    queries: DataFrame,
+    index: InvertedIndex,
+    blocks: DataFrame,
+    norms: DataFrame,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """results(qid, rank, doc_id, score) from the compressed blocks —
+    bit-identical to query/scorer.py::search. The term_id.isin filter
+    prunes the block scan to query terms (parquet pushdown at scale); the
+    cogroup keys both sides on bucket so norms never shuffle per query
+    when pre-bucketed on storage."""
+    qterms = _driver_query_terms_idf(spark, queries, index)
+    if not qterms:
+        return spark.createDataFrame([], "qid long, rank int, doc_id long, score double")
+    all_tids = sorted({int(t) for _, tids, _ in qterms for t in tids})
+    avgdl = index.stats.avgdl
+    bsel = blocks.filter(F.col("term_id").isin(all_tids))
+
+    def fn(bpdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+        return _search_bucket(bpdf, npdf, qterms, k, avgdl, k1, b)
+
+    local = (
+        bsel.groupby("bucket")
+        .cogroup(norms.groupby("bucket"))
+        .applyInPandas(fn, RESULT_SCHEMA)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )

@@ -138,9 +138,12 @@ def _search_partition(
     qterms: List[Tuple[int, np.ndarray]],
     k: int,
     prune: bool = True,
+    stats: dict = None,
 ) -> Iterator[pd.DataFrame]:
     if not qterms:
         return
+    if stats is not None:
+        stats.setdefault("postings_touched", 0)
     t_chunks, d_chunks, i_chunks = [], [], []
     for p in pdfs:
         if len(p):
@@ -186,6 +189,8 @@ def _search_partition(
                 sl = slice(t_starts[p], t_ends[p])
                 scores[doc_idx[sl]] += impacts[sl]
                 touched[doc_idx[sl]] = True
+            if stats is not None:
+                stats["postings_touched"] += int(list_sizes.sum())
             cand = np.flatnonzero(touched)
             keep = _at_least_top(scores[cand], k)  # tie runs included
             top, top_scores = _final_topk(cand[keep], scores[cand[keep]], udocs, k)
@@ -209,9 +214,13 @@ def _search_partition(
                 sl = slice(t_starts[p], t_ends[p])
                 scores[doc_idx[sl]] += impacts[sl]
                 touched[doc_idx[sl]] = True
+                if stats is not None:
+                    stats["postings_touched"] += int(t_ends[p] - t_starts[p])
             cand = np.flatnonzero(touched)
             # probe remaining lists for candidates only (searchsorted)
             for p in desc[probed_from:]:
+                if stats is not None:
+                    stats["postings_touched"] += len(cand)
                 sl_docs = doc_idx[t_starts[p] : t_ends[p]]
                 sl_imp = impacts[t_starts[p] : t_ends[p]]
                 ppos = np.searchsorted(sl_docs, cand)

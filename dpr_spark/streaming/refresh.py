@@ -44,13 +44,21 @@ class StreamingIndexRefresher:
         )
 
         def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            # foreachBatch is at-least-once: a retried micro-batch must
+            # not re-append. Each epoch OVERWRITES its own partition dir
+            # (epoch=<id>/), making the write idempotent — the exactly-once
+            # recipe for non-transactional sinks.
             docs = batch_df.select(
                 F.xxhash64("url").alias("doc_id"), "url", "text"
             )
             terms = doc_terms(docs)
             urls = docs.select("doc_id", "url")
-            terms.write.mode("append").parquet(os.path.join(self.delta_dir, "doc_terms"))
-            urls.write.mode("append").parquet(os.path.join(self.delta_dir, "docs"))
+            terms.write.mode("overwrite").parquet(
+                os.path.join(self.delta_dir, "doc_terms", f"epoch={epoch_id}")
+            )
+            urls.write.mode("overwrite").parquet(
+                os.path.join(self.delta_dir, "docs", f"epoch={epoch_id}")
+            )
 
         q = (
             stream.writeStream.foreachBatch(per_batch)
@@ -63,17 +71,20 @@ class StreamingIndexRefresher:
         )
         return q
 
-    def delta_doc_terms(self) -> Optional[DataFrame]:
-        p = os.path.join(self.delta_dir, "doc_terms")
-        if not os.path.isdir(p) or not any(f.endswith(".parquet") for f in os.listdir(p)):
+    def _read_epoched(self, name: str) -> Optional[DataFrame]:
+        p = os.path.join(self.delta_dir, name)
+        if not os.path.isdir(p) or not any(
+            d.startswith("epoch=") for d in os.listdir(p)
+        ):
             return None
-        return self.spark.read.parquet(p)
+        # epoch=<id> partition dirs; drop the inferred partition column
+        return self.spark.read.parquet(p).drop("epoch")
+
+    def delta_doc_terms(self) -> Optional[DataFrame]:
+        return self._read_epoched("doc_terms")
 
     def delta_docs(self) -> Optional[DataFrame]:
-        p = os.path.join(self.delta_dir, "docs")
-        if not os.path.isdir(p) or not any(f.endswith(".parquet") for f in os.listdir(p)):
-            return None
-        return self.spark.read.parquet(p)
+        return self._read_epoched("docs")
 
     def compact(self, base_pages: DataFrame, delta_pages: DataFrame):
         """Fold the delta into a fresh full build (periodic compaction):

@@ -1,0 +1,159 @@
+"""Block-max search over compressed posting blocks == exact scorer ==
+oracle, bit-for-bit — and actually skips blocks (north_star "block-max
+WAND intersection")."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def block_segs(spark, index):
+    from dpr_spark.query.blockmax import build_block_segments
+
+    blocks, norms = build_block_segments(index, num_buckets=4)
+    blocks = blocks.persist()
+    norms = norms.persist()
+    blocks.count(), norms.count()
+    return blocks, norms
+
+
+def test_blockmax_equals_exact(spark, index, block_segs, queries_df):
+    from dpr_spark.query.blockmax import search_blocks
+    from dpr_spark.query.scorer import search
+
+    blocks, norms = block_segs
+    exact = {
+        (r.qid, r.rank): (r.doc_id, r.score)
+        for r in search(queries_df, index, k=20).collect()
+    }
+    got = {
+        (r.qid, r.rank): (r.doc_id, r.score)
+        for r in search_blocks(spark, queries_df, index, blocks, norms, k=20).collect()
+    }
+    assert set(exact) == set(got)
+    for key in exact:
+        ed, es = exact[key]
+        gd, gs = got[key]
+        assert ed == gd, f"{key}: doc {gd} != {ed}"
+        assert gs == es, f"{key}: score bit-mismatch {gs} vs {es}"
+
+
+def test_blockmax_matches_oracle_small_k(spark, index, block_segs, oracle):
+    """Small k forces the pruned paths; stopword-heavy queries have the
+    big lists and tie runs."""
+    from dpr_spark.query.blockmax import search_blocks
+
+    blocks, norms = block_segs
+    questions = [
+        (0, "the of and to"),
+        (1, "the café"),
+        (2, "of naïve zürich the a"),
+        (3, "the the the"),
+        (4, "nonexistentterm the"),
+    ]
+    qdf = spark.createDataFrame(questions, "qid long, question string")
+    for k in (3, 10):
+        got = {}
+        for r in search_blocks(spark, qdf, index, blocks, norms, k=k).collect():
+            got.setdefault(r.qid, []).append((r.rank, r.doc_id, r.score))
+        for qid, q in questions:
+            expect = oracle.search(q, k)
+            actual = sorted(got.get(qid, []))
+            assert [d for _, d, _ in actual] == [d for d, _ in expect], (k, q)
+            for (_, _, s), (_, es) in zip(actual, expect):
+                assert s == es, (k, q, s, es)
+
+
+@pytest.fixture(scope="module")
+def big_local(spark):
+    """One-bucket local arrays for counter comparisons: a 2000-doc corpus
+    so stopword lists span many 128-posting blocks."""
+    from dpr_spark.fixtures.corpus import gen_pages_pdf
+    from dpr_spark.index.build import build_index
+    from dpr_spark.query.blockmax import build_block_segments
+    from dpr_spark.query.wand import build_impact_segments
+
+    pages = gen_pages_pdf(2000, seed=11)
+    idx = build_index(spark, spark.createDataFrame(pages), build_blocks=False)
+    idx.postings.persist().count()
+    blocks, norms = build_block_segments(idx, num_buckets=1)
+    seg = build_impact_segments(idx, num_buckets=1)
+    bpdf = blocks.toPandas()
+    npdf = norms.toPandas()
+    spdf = seg.drop("bucket").toPandas()
+    return idx, bpdf, npdf, spdf
+
+
+def test_block_skipping_beats_maxscore(spark, big_local):
+    """The block path must (a) return bit-identical results to the
+    MaxScore segment path and (b) touch fewer postings: whole blocks of
+    essential terms are skipped by block_max + suffix bound, and probes
+    only decode candidate-bearing blocks."""
+    from dpr_spark.query.blockmax import _search_bucket
+    from dpr_spark.query.wand import _driver_query_terms, _search_partition
+    from dpr_spark.query.blockmax import _driver_query_terms_idf
+
+    idx, bpdf, npdf, spdf = big_local
+    qdf = spark.createDataFrame(
+        [(0, "the of and café to a zürich"), (1, "the naïve of señor")],
+        "qid long, question string",
+    )
+    qt_seg = _driver_query_terms(spark, qdf, idx)
+    qt_blk = _driver_query_terms_idf(spark, qdf, idx)
+    k = 10
+
+    seg_stats = {}
+    seg_out = list(_search_partition(iter([spdf]), qt_seg, k, stats=seg_stats))[0]
+    blk_stats = {}
+    blk_out = _search_bucket(
+        bpdf, npdf, qt_blk, k, idx.stats.avgdl, stats=blk_stats
+    )
+
+    def canon(df):
+        return sorted(
+            (int(q), int(d), float(s))
+            for q, d, s in zip(df["qid"], df["doc_id"], df["score"])
+        )
+
+    # local top-k supersets agree on the exact top-k per query
+    for qid in (0, 1):
+        a = sorted(
+            [t for t in canon(seg_out) if t[0] == qid],
+            key=lambda t: (-t[2], t[1]),
+        )[:k]
+        b = sorted(
+            [t for t in canon(blk_out) if t[0] == qid],
+            key=lambda t: (-t[2], t[1]),
+        )[:k]
+        assert a == b
+
+    assert blk_stats["blocks_decoded"] < blk_stats["blocks_total"], blk_stats
+    assert blk_stats["postings_decoded"] < seg_stats["postings_touched"], (
+        blk_stats,
+        seg_stats,
+    )
+
+
+def test_roundtrip_blocks_cover_all_postings(spark, big_local):
+    """Decoding every block reproduces the exact posting rows (doc_id, tf)
+    per term — the blocks are a lossless encoding of postings v1."""
+    from dpr_spark.index.codec import decode_block
+
+    idx, bpdf, npdf, spdf = big_local
+    got = {}
+    for r in bpdf.itertuples():
+        docs, tfs = decode_block(r.doc_ids, r.tfs, r.n)
+        got.setdefault(r.term_id, []).append((r.block_id, docs, tfs))
+    exact = idx.postings.toPandas()
+    by_term = {
+        t: g.sort_values("doc_id")
+        for t, g in exact.groupby("term_id")
+    }
+    assert set(got) == set(by_term)
+    for t, chunks in got.items():
+        chunks.sort(key=lambda c: c[0])
+        docs = np.concatenate([c[1] for c in chunks])
+        tfs = np.concatenate([c[2] for c in chunks])
+        ref = by_term[t]
+        assert np.array_equal(docs, ref["doc_id"].to_numpy(np.int64))
+        assert np.array_equal(tfs, ref["tf"].to_numpy(np.int64))
