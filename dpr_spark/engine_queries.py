@@ -878,6 +878,379 @@ def q_range_slice_events() -> Entry:
     return fn, sql
 
 
+def q_best_spans() -> Entry:
+    """K3 span selection (`reader_data.py:370-416` get_best_spans):
+    deterministic integer logits derived from (doc_id, position), greedy
+    containment-suppressed top-2 spans over the first 12 tokens of each
+    doc. The DuckDB twin ranks spans by (score DESC, i, j) — exactly the
+    reference's stable sort on generation order — and picks span 2 as the
+    best candidate not in a containment relation with span 1."""
+    L, MAXLEN, TOP = 12, 4, 2
+
+    def fn(spark, sf_dir):
+        from dpr_spark.eval.reader import best_spans
+
+        tok = _tokenized(spark, sf_dir).filter(
+            (F.col("doc_id") < 200) & (F.size("toks") >= L)
+        )
+        logits = lambda a, b, m: F.transform(
+            F.sequence(F.lit(0), F.lit(L - 1)),
+            lambda i: ((F.col("doc_id") * a + i * b) % m).cast("double"),
+        )
+        passages = tok.select(
+            F.col("doc_id").alias("qid"),
+            F.lit(0).alias("passage_idx"),
+            F.lit(0.0).alias("relevance_score"),
+            logits(31, 17, 97).alias("start_logits"),
+            logits(13, 23, 89).alias("end_logits"),
+            F.slice("toks", 1, L).alias("tokens"),
+        )
+        return best_spans(passages, max_answer_length=MAXLEN, top_spans=TOP).select(
+            F.col("qid").alias("doc_id"),
+            "span_rank",
+            "start_idx",
+            "end_idx",
+            F.col("score").cast("long").alias("score"),
+            "prediction",
+        )
+
+    sql = f"""
+      WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+      d AS (SELECT doc_id, toks[1:{L}] AS toks FROM tok
+            WHERE doc_id < 200 AND len(toks) >= {L}),
+      spans AS (
+        SELECT doc_id, i, j,
+               ((doc_id * 31 + i * 17) % 97) + ((doc_id * 13 + j * 23) % 89) AS score
+        FROM d, range(0, {L}) r1(i), range(0, {L}) r2(j)
+        WHERE j >= i AND j < i + {MAXLEN}),
+      rk AS (SELECT s.*, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, i, j) AS r FROM spans s),
+      b1 AS (SELECT doc_id, i AS i1, j AS j1, score AS s1 FROM rk WHERE r = 1),
+      c2 AS (SELECT rk.doc_id, rk.i, rk.j, rk.score, rk.r FROM rk JOIN b1 USING (doc_id)
+             WHERE NOT (rk.i <= b1.i1 AND b1.j1 <= rk.j)
+               AND NOT (b1.i1 <= rk.i AND rk.j <= b1.j1)),
+      b2 AS (SELECT doc_id, i AS i2, j AS j2, score AS s2,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY r) AS rr FROM c2),
+      united AS (
+        SELECT doc_id, 1 AS span_rank, i1 AS i, j1 AS j, s1 AS score FROM b1
+        UNION ALL
+        SELECT doc_id, 2, i2, j2, s2 FROM b2 WHERE rr = 1)
+      SELECT u.doc_id, u.span_rank::INT AS span_rank, u.i::INT AS start_idx,
+             u.j::INT AS end_idx, u.score::BIGINT AS score,
+             array_to_string(d.toks[u.i + 1 : u.j + 1], ' ') AS prediction
+      FROM united u JOIN d USING (doc_id)"""
+    return fn, sql
+
+
+def q_em_by_topk() -> Entry:
+    """A4 EM-per-threshold rollup (`train_extractive_reader.py:251-262`):
+    per-question exact match at each top-docs threshold after P9 answer
+    normalization, mean per threshold."""
+    from dpr_spark.functions.normalize import normalize_answer_sql
+
+    def fn(spark, sf_dir):
+        from dpr_spark.eval.reader import em_by_topk
+
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select(
+            "doc_id", F.substring("text", 1, 20).alias("snippet")
+        )
+        preds = d.select(
+            F.col("doc_id").alias("qid"), F.lit(10).alias("top_k"),
+            F.col("snippet").alias("prediction"),
+        ).unionByName(
+            d.select(
+                F.col("doc_id").alias("qid"), F.lit(50).alias("top_k"),
+                F.when(F.col("doc_id") % 2 == 0, F.col("snippet"))
+                .otherwise(F.substring("snippet", 1, 10)).alias("prediction"),
+            )
+        )
+        gold = d.select(F.col("doc_id").alias("qid"), F.col("snippet").alias("answer"))
+        return em_by_topk(preds, gold).select("top_k", F.round("em", 6).alias("em"))
+
+    npred = normalize_answer_sql("prediction")
+    ngold = normalize_answer_sql("answer")
+    sql = f"""
+      WITH d AS (SELECT doc_id, substr(text, 1, 20) AS snippet FROM documents
+                 WHERE doc_id < 100),
+      preds AS (
+        SELECT doc_id AS qid, 10 AS top_k, snippet AS prediction FROM d
+        UNION ALL
+        SELECT doc_id, 50, CASE WHEN doc_id % 2 = 0 THEN snippet
+                                ELSE substr(snippet, 1, 10) END FROM d),
+      gold AS (SELECT doc_id AS qid, snippet AS answer FROM d),
+      em AS (SELECT p.qid, p.top_k,
+                    max(CASE WHEN {npred} = {ngold} THEN 1 ELSE 0 END) AS em
+             FROM preds p JOIN gold USING (qid) GROUP BY 1, 2)
+      SELECT top_k, round(avg(em), 6) AS em FROM em GROUP BY top_k"""
+    return fn, sql
+
+
+def q_chunked_accuracy() -> Entry:
+    """V6 two-level table-chunk accuracy (`qa_validation.py:239-282` +
+    `dense_retriever.py:439-458`): 30-word chunks of each document,
+    retrieval = count of distinct query terms in the chunk (integer —
+    portable), top-10 chunks per query; chunk-level and parent-doc-level
+    cumulative hit histograms."""
+    MW, K = 30, 10
+    n_q = len(BENCH_QUERIES)
+
+    def fn(spark, sf_dir):
+        from dpr_spark.eval.validation import chunked_accuracy
+        from dpr_spark.functions.chunking import chunk_text
+        from dpr_spark.functions.tokenizer import tokenize_col
+
+        ch = chunk_text(_docs(spark, sf_dir), id_col="doc_id", max_words=MW).select(
+            (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_id"),
+            F.col("doc_id").alias("table_id"),
+            F.col("chunk").alias("text"),
+        )
+        cht = ch.select(
+            "chunk_id", tokenize_col("text", lowercase_first=True).alias("toks")
+        ).select("chunk_id", F.explode("toks").alias("term")).distinct()
+        qt = _qterms_df(spark)
+        scored = (
+            cht.join(F.broadcast(qt), "term")
+            .groupBy("qid", "chunk_id")
+            .agg(F.count("*").alias("score"))
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("chunk_id"))
+        results = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= K)
+            .select("qid", "rank", "chunk_id")
+        )
+        ans_rows = [
+            (qid, answers) for qid, answers in BENCH_ANSWERS.items()
+        ]
+        answers = spark.createDataFrame(ans_rows, "qid int, answers array<string>")
+        out = chunked_accuracy(results, ch, answers, n_questions=n_q, max_k=K)
+        return out.select(
+            "k", "chunk_hits", F.round("chunk_accuracy", 6).alias("chunk_accuracy"),
+            "table_hits", F.round("table_accuracy", 6).alias("table_accuracy"),
+        )
+
+    ans_vals = ", ".join(
+        f"({qid}, '{' '.join(tokenize(a))}')"
+        for qid, answers in BENCH_ANSWERS.items()
+        for a in answers
+    )
+    sql = f"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      ch AS (SELECT doc_id * 1000 + i AS chunk_id, doc_id AS table_id,
+                    array_to_string(words[i * {MW} + 1 : (i + 1) * {MW}], ' ') AS text
+             FROM w, unnest(range(0, greatest(ceil(len(words) / {MW}.0)::INT, 1))) AS u(i)),
+      cht AS (SELECT chunk_id, {_DUCK_TOKS} AS toks FROM ch),
+      cterm AS (SELECT DISTINCT chunk_id, unnest(toks) AS term FROM cht),
+      qt AS (SELECT * FROM (VALUES {{QTERMS}}) AS q(qid, term)),
+      scored AS (SELECT qt.qid, cterm.chunk_id, count(*) AS score
+                 FROM qt JOIN cterm USING (term) GROUP BY 1, 2),
+      res AS (SELECT qid, chunk_id,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY score DESC, chunk_id) AS rank
+              FROM scored QUALIFY rank <= {K}),
+      tstr AS (SELECT chunk_id, table_id,
+                      ' ' || array_to_string(toks, ' ') || ' ' AS tstr
+               FROM cht JOIN ch USING (chunk_id)),
+      ans AS (SELECT * FROM (VALUES {ans_vals}) AS a(qid, ans_toks)),
+      chit AS (SELECT r.qid, r.rank, t.table_id,
+                      max(CASE WHEN contains(t.tstr, ' ' || a.ans_toks || ' ')
+                          THEN 1 ELSE 0 END) AS chunk_hit
+               FROM res r JOIN tstr t USING (chunk_id) JOIN ans a ON a.qid = r.qid
+               GROUP BY 1, 2, 3),
+      tv AS (SELECT q.qid, t.table_id,
+                    max(CASE WHEN contains(t.tstr, ' ' || a.ans_toks || ' ')
+                        THEN 1 ELSE 0 END) AS table_hit
+             FROM (SELECT DISTINCT qid, table_id FROM chit) q
+             JOIN tstr t USING (table_id) JOIN ans a ON a.qid = q.qid
+             GROUP BY 1, 2),
+      firsts AS (SELECT c.qid,
+                        min(CASE WHEN c.chunk_hit = 1 THEN c.rank END) AS first_chunk,
+                        min(CASE WHEN v.table_hit = 1 THEN c.rank END) AS first_table
+                 FROM chit c JOIN tv v ON v.qid = c.qid AND v.table_id = c.table_id
+                 GROUP BY 1),
+      ks AS (SELECT range::INT AS k FROM range(1, {K + 1}))
+      SELECT k,
+             coalesce(sum(CASE WHEN f.first_chunk <= ks.k THEN 1 END), 0)::BIGINT AS chunk_hits,
+             round(coalesce(sum(CASE WHEN f.first_chunk <= ks.k THEN 1 END), 0) / {float(n_q)}, 6) AS chunk_accuracy,
+             coalesce(sum(CASE WHEN f.first_table <= ks.k THEN 1 END), 0)::BIGINT AS table_hits,
+             round(coalesce(sum(CASE WHEN f.first_table <= ks.k THEN 1 END), 0) / {float(n_q)}, 6) AS table_accuracy
+      FROM ks LEFT JOIN firsts f ON TRUE
+      GROUP BY k""".replace("{QTERMS}", _qterm_values_sql())
+    return fn, sql
+
+
+def q_gold_passage_join() -> Entry:
+    """J4 gold-passage map join (`reader_data.py:536-569`): samples left
+    join the gold (question -> title/context) map, falling back to the
+    tokenized-question key — even qids match on question, odd qids only
+    via question_tokens."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.eval.reader import gold_passage_join
+
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        samples = qdf.select(
+            "qid", "question", F.concat("question", F.lit(" ?")).alias("question_tokens")
+        )
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 8).select("doc_id", "text")
+        gold = d.join(qdf, d["doc_id"] == qdf["qid"]).select(
+            F.when(F.col("qid") % 2 == 0, F.col("question"))
+            .otherwise(F.concat("question", F.lit(" ?"))).alias("question"),
+            F.concat(F.lit("title_"), F.col("qid")).alias("title"),
+            F.substring("text", 1, 40).alias("context"),
+        )
+        return gold_passage_join(samples, gold).select(
+            "qid", "question", "gold_title", "gold_context"
+        )
+
+    q_vals = ", ".join(
+        f"({qid}, '{q}')" for qid, q in BENCH_QUERIES
+    )
+    sql = f"""
+      WITH qs AS (SELECT * FROM (VALUES {q_vals}) AS q(qid, question)),
+      samples AS (SELECT qid, question, question || ' ?' AS question_tokens FROM qs),
+      gold AS (SELECT CASE WHEN qid % 2 = 0 THEN question
+                           ELSE question || ' ?' END AS question,
+                      'title_' || qid AS title,
+                      substr(d.text, 1, 40) AS context
+               FROM qs JOIN documents d ON d.doc_id = qs.qid AND d.doc_id < 8)
+      SELECT s.qid, s.question,
+             coalesce(g1.title, g2.title) AS gold_title,
+             coalesce(g1.context, g2.context) AS gold_context
+      FROM samples s
+      LEFT JOIN gold g1 ON g1.question = s.question
+      LEFT JOIN gold g2 ON g2.question = s.question_tokens"""
+    return fn, sql
+
+
+def q_positive_ctx_filter() -> Entry:
+    """P6 positive-ctx filter (`biencoder_data.py:77-79`): per-question
+    positive passages from the KILT containment slice; questions with no
+    positives (a planted qid 99) are dropped by the size()>0 filter."""
+    from dpr_spark.functions.normalize import normalize_answer_col, normalize_answer_sql
+
+    def fn(spark, sf_dir):
+        from dpr_spark.eval.reader import positive_ctx_filter
+
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500).select("doc_id", "text")
+        ans_rows = [(qid, a) for qid, answers in BENCH_ANSWERS.items() for a in answers]
+        ans = spark.createDataFrame(ans_rows + [(99, "zqxwvy unfindable")], "qid int, answer string")
+        hits = (
+            d.crossJoin(F.broadcast(ans))
+            .filter(normalize_answer_col("text").contains(normalize_answer_col("answer")))
+            .select("qid", "doc_id")
+            .distinct()
+        )
+        qids = spark.createDataFrame(
+            [(qid,) for qid, _ in BENCH_QUERIES] + [(99,)], "qid int"
+        )
+        pos = qids.join(hits, "qid", "left").groupBy("qid").agg(
+            F.sort_array(
+                F.filter(F.collect_list("doc_id"), lambda x: x.isNotNull())
+            ).alias("positive_ctxs")
+        )
+        return positive_ctx_filter(pos).select(
+            "qid", F.size("positive_ctxs").cast("long").alias("n_pos")
+        )
+
+    vals = ", ".join(
+        f"({qid}, '{a.replace(chr(39), chr(39) * 2)}')"
+        for qid, answers in BENCH_ANSWERS.items()
+        for a in answers
+    )
+    ntext = normalize_answer_sql("text")
+    nans = normalize_answer_sql("answer")
+    sql = f"""
+      WITH ans AS (SELECT * FROM (VALUES {vals}, (99, 'zqxwvy unfindable')) AS a(qid, answer)),
+      d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+      hits AS (SELECT DISTINCT qid, doc_id FROM d CROSS JOIN ans
+               WHERE contains({ntext}, {nans}))
+      SELECT qid, count(*)::BIGINT AS n_pos FROM hits GROUP BY qid
+      HAVING count(*) > 0"""
+    return fn, sql
+
+
+def q_ngrams_view() -> Entry:
+    """T2 n-grams view (`tokenizers.py:96-118`): all 1..2-grams per doc
+    (first 50 docs) with counts — pure Catalyst, no UDF."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.functions.tokenizer import ngrams_col
+
+        tok = _tokenized(spark, sf_dir).filter(F.col("doc_id") < 50)
+        return (
+            tok.select("doc_id", F.explode(ngrams_col(F.col("toks"), n=2)).alias("ngram"))
+            .groupBy("doc_id", "ngram")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+
+    sql = f"""
+      WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+                   WHERE doc_id < 50),
+      uni AS (SELECT doc_id, unnest(toks) AS ngram FROM tok),
+      bi AS (SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS ngram
+             FROM tok, unnest(range(0, len(toks) - 1)) AS t(i)
+             WHERE len(toks) >= 2)
+      SELECT doc_id, ngram, count(*)::BIGINT AS cnt
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+      GROUP BY doc_id, ngram"""
+    return fn, sql
+
+
+def q_simhash_neardup() -> Entry:
+    """SimHash hamming<=3 near-dup (banded pigeonhole join + popcount
+    verify, extras/dedup.py). xxhash64 signatures -> rows-only check;
+    the join semantics are pytest-gated on planted signatures."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.dedup import simhash64, simhash_near_duplicates
+
+        sig = simhash64(_docs(spark, sf_dir))
+        return simhash_near_duplicates(sig, max_hamming=3)
+
+    return fn, None
+
+
+def q_table_chunks() -> Entry:
+    """T6 HTML-token table parse + linearize (NQTableParser analog,
+    `biencoder_data.py:252-337` + `:563-580`): deterministic table token
+    streams built from the first 10 documents' tokens, parsed by the
+    stack machine and split into header-prefixed chunks. The parser has
+    no SQL spelling -> rows-only; semantics are pytest-gated
+    (tests/test_tables.py)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.functions.tables import tables_to_chunks
+
+        rows = (
+            _tokenized(spark, sf_dir)
+            .filter((F.col("doc_id") < 10) & (F.size("toks") >= 12))
+            .select("doc_id", F.slice("toks", 1, 12).alias("ts"))
+            .collect()
+        )
+        data = []
+        for r in rows:
+            ts = list(r.ts)
+            toks, mask = [], []
+            toks.append("<Table>"); mask.append(True)
+            for row_start in range(0, 12, 4):
+                toks.append("<Tr>"); mask.append(True)
+                for c in range(2):
+                    toks.append("<Td>"); mask.append(True)
+                    for t in ts[row_start + 2 * c : row_start + 2 * c + 2]:
+                        toks.append(t); mask.append(False)
+                    toks.append("</Td>"); mask.append(True)
+                toks.append("</Tr>"); mask.append(True)
+            toks.append("</Table>"); mask.append(True)
+            data.append((r.doc_id, toks, mask, f"doc{r.doc_id}"))
+        df = spark.createDataFrame(
+            data, "doc_id long, tokens array<string>, html_mask array<boolean>, title string"
+        )
+        return tables_to_chunks(df, max_table_len=8)
+
+    return fn, None
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -903,6 +1276,14 @@ def all_entries() -> Dict[str, Entry]:
         "chunk_100w": q_chunk_100w(),
         "deterministic_shuffle": q_deterministic_shuffle(),
         "has_answer_kilt": q_has_answer_kilt(),
+        "best_spans": q_best_spans(),
+        "em_by_topk": q_em_by_topk(),
+        "chunked_accuracy": q_chunked_accuracy(),
+        "gold_passage_join": q_gold_passage_join(),
+        "positive_ctx_filter": q_positive_ctx_filter(),
+        "ngrams_view": q_ngrams_view(),
+        "simhash_neardup": q_simhash_neardup(),
+        "table_chunks": q_table_chunks(),
         "results_nested": q_results_nested(),
         "range_slice_events": q_range_slice_events(),
     }

@@ -104,6 +104,66 @@ def accuracy_at_k(hits: DataFrame, n_questions: int, max_k: int) -> DataFrame:
     )
 
 
+def chunked_accuracy(
+    results: DataFrame,
+    chunks: DataFrame,
+    answers: DataFrame,
+    n_questions: int,
+    max_k: int,
+    match_type: str = "string",
+) -> DataFrame:
+    """V6 two-level table-chunk hit accounting
+    (`qa_validation.py:239-282` calculate_chunked_matches +
+    `dense_retriever.py:439-458` validate_tables): per retrieved CHUNK,
+    (a) chunk_hit = answer in the chunk text, (b) table_hit = answer in
+    ANY chunk of the chunk's parent table; both rolled into cumulative
+    first-hit histograms. results(qid, rank, chunk_id), chunks(chunk_id,
+    table_id, text), answers(qid, answers).
+
+    Scale shape: chunk hits evaluate only retrieved chunks; table hits
+    evaluate only chunks of RETRIEVED tables (a semi-join fan-out, never
+    the whole corpus)."""
+    spark = results.sparkSession
+    udf = has_answer_udf() if match_type == "string" else regex_match_udf()
+    r = results.join(chunks.select("chunk_id", "table_id", "text"), "chunk_id").join(
+        F.broadcast(answers.select("qid", "answers")), "qid"
+    )
+    r = r.withColumn("chunk_hit", udf(F.col("text"), F.col("answers"))).select(
+        "qid", "rank", "table_id", "chunk_hit"
+    )
+    # parent-table verdict per (qid, table_id): any chunk of the table hits
+    qt = r.select("qid", "table_id").distinct()
+    tv = (
+        qt.join(chunks.select("table_id", "text"), "table_id")
+        .join(F.broadcast(answers.select("qid", "answers")), "qid")
+        .withColumn("h", udf(F.col("text"), F.col("answers")))
+        .groupBy("qid", "table_id")
+        .agg(F.max("h").alias("table_hit"))
+    )
+    hits = r.join(tv, ["qid", "table_id"])
+    first = hits.groupBy("qid").agg(
+        F.min(F.when(F.col("chunk_hit"), F.col("rank"))).alias("first_chunk"),
+        F.min(F.when(F.col("table_hit"), F.col("rank"))).alias("first_table"),
+    )
+    ks = spark.range(1, max_k + 1).select(F.col("id").cast("int").alias("k"))
+    agg = (
+        ks.join(F.broadcast(first), F.lit(True), "left")
+        .groupBy("k")
+        .agg(
+            F.sum((F.col("first_chunk") <= F.col("k")).cast("long")).alias("chunk_hits"),
+            F.sum((F.col("first_table") <= F.col("k")).cast("long")).alias("table_hits"),
+        )
+    )
+    nq = float(n_questions)
+    return agg.select(
+        "k",
+        F.coalesce("chunk_hits", F.lit(0)).alias("chunk_hits"),
+        (F.coalesce("chunk_hits", F.lit(0)) / F.lit(nq)).alias("chunk_accuracy"),
+        F.coalesce("table_hits", F.lit(0)).alias("table_hits"),
+        (F.coalesce("table_hits", F.lit(0)) / F.lit(nq)).alias("table_accuracy"),
+    ).orderBy("k")
+
+
 def results_json(
     results: DataFrame,
     docs: DataFrame,

@@ -185,12 +185,61 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return votes.select("doc", sim.alias("simhash"))
 
 
+def simhash_near_duplicates(
+    signatures: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with hamming(simhash) <= max_hamming.
+    signatures(doc, simhash). Pigeonhole banding: split the 64 bits into
+    max_hamming+1 chunks — any pair within hamming k must agree EXACTLY on
+    at least one chunk, so candidates come from k+1 equi-joins on chunk
+    values (never an all-pairs product), then exact popcount verifies.
+    The same join shape as MinHash LSH; shuffles (doc, 8B key) rows."""
+    bands = max_hamming + 1
+    width = 64 // bands
+    chunks = []
+    for i in range(bands):
+        shift = i * width
+        w = width if i < bands - 1 else 64 - shift  # last band takes the slack
+        if w >= 64:
+            key = F.col("simhash")
+        else:
+            mask = F.lit((1 << w) - 1).cast("long")
+            key = F.shiftrightunsigned("simhash", shift).bitwiseAND(mask)
+        chunks.append(F.struct(F.lit(i).alias("band"), key.alias("key")))
+    banded = signatures.select(
+        "doc", "simhash", F.explode(F.array(*chunks)).alias("bk")
+    ).select("doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    x, y = banded.alias("x"), banded.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(keep_id, dup_id): docs with IDENTICAL simhash (hamming 0). For
-    hamming<=k, band the 64 bits into k+1 chunks and equi-join per chunk
-    (same LSH trick as minhash) — same join shape, omitted here.
+    hamming<=k use simhash_near_duplicates (banded k+1-chunk equi-join +
+    exact popcount verify).
 
     CAUTION (observed on short Zipfian corpora): simhash bits are
     majority votes dominated by head terms, so short docs with similar

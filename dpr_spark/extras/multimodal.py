@@ -43,6 +43,89 @@ MEDIA_SCHEMA = T.StructType(
 FEATURES_SCHEMA = "media_id long, kind string, n_bytes long, feature array<float>"
 
 
+def decode_ppm(payload: bytes):
+    """Real image decode for binary PPM (P6) — pure stdlib. Returns
+    (width, height, pixels uint8[h, w, 3]). PPM is the no-dependency
+    format; PIL/libjpeg backends plug into the same slot."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    fields = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    n = width * height * 3
+    px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return width, height, px.reshape(height, width, 3)
+
+
+def decode_wav(payload: bytes):
+    """Real audio header decode for RIFF/WAVE PCM — pure stdlib struct
+    parsing (no audioop). Returns (n_channels, sample_rate,
+    bits_per_sample, n_frames)."""
+    import struct
+
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data_size = None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", payload[pos + 8 : pos + 24])
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("missing fmt/data chunk")
+    _, n_channels, sample_rate, _, block_align, bits = fmt
+    n_frames = data_size // block_align if block_align else 0
+    return n_channels, sample_rate, bits, n_frames
+
+
+def _stdlib_decode(payload: bytes, kind: str, dim: int = 16) -> np.ndarray:
+    """Real decode for the stdlib-parsable formats: PPM pixels / WAV PCM
+    samples -> fixed-dim chunked-mean feature (same output contract as
+    _fake_decode). Video has no stdlib codec — explicitly unsupported."""
+    if kind == "image":
+        _, _, px = decode_ppm(payload)
+        arr = px.reshape(-1).astype(np.float32)
+    elif kind == "audio":
+        import struct
+
+        n_ch, _, bits, n_frames = decode_wav(payload)
+        if bits != 16:
+            raise ValueError("only 16-bit PCM supported")
+        # data chunk bytes: re-scan for the payload (header parse above)
+        idx = payload.find(b"data")
+        size = struct.unpack("<I", payload[idx + 4 : idx + 8])[0]
+        arr = np.frombuffer(payload, dtype="<i2", count=size // 2, offset=idx + 8).astype(
+            np.float32
+        )
+    else:
+        raise NotImplementedError(
+            f"no stdlib codec for kind={kind!r}; use decode_backend='fake' "
+            "or plug a real library backend"
+        )
+    if arr.size == 0:
+        return np.zeros(dim, dtype=np.float32)
+    chunks = np.array_split(arr, dim)
+    return np.array([c.mean() if c.size else 0.0 for c in chunks], dtype=np.float32)
+
+
 def _fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
     """Deterministic stand-in for a real decode+embed: bytes -> fixed-dim
     float feature via chunked byte statistics. REPLACE with a real codec
@@ -57,21 +140,31 @@ def _fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
 def extract_features(
     media: DataFrame, decode_backend: str = "fake", batch_dim: int = 16
 ) -> DataFrame:
-    """binary payload -> feature vector, Arrow-batched. The UDF signature
-    and batch shape are what a real decoder plugs into."""
-    if decode_backend != "fake":
+    """binary payload -> feature vector, Arrow-batched. Backends:
+    'fake' (deterministic byte statistics, any kind) and 'stdlib' (REAL
+    decode: PPM pixels for images, 16-bit PCM WAV samples for audio;
+    video raises NotImplementedError — no stdlib codec exists). A
+    PIL/torchaudio backend plugs into the same (payload, kind) -> feature
+    slot."""
+    if decode_backend not in ("fake", "stdlib"):
         raise NotImplementedError(
             f"decode backend {decode_backend!r}: media codec libraries are "
             "not available in this environment; use 'fake' (deterministic) "
-            "or plug a backend in _fake_decode's place"
+            "or 'stdlib' (PPM/WAV)"
         )
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [
-                _fake_decode(bytes(p), batch_dim) if p is not None else None
-                for p in pdf["payload"]
-            ]
+            if decode_backend == "fake":
+                feats = [
+                    _fake_decode(bytes(p), batch_dim) if p is not None else None
+                    for p in pdf["payload"]
+                ]
+            else:
+                feats = [
+                    _stdlib_decode(bytes(p), k, batch_dim) if p is not None else None
+                    for p, k in zip(pdf["payload"], pdf["kind"])
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -101,6 +194,39 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+def make_ppm(width: int, height: int, seed: int = 0) -> bytes:
+    """A valid binary-PPM payload with deterministic pixels."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    return b"P6\n%d %d\n255\n" % (width, height) + px.tobytes()
+
+
+def make_wav(n_frames: int, sample_rate: int = 16000, seed: int = 0) -> bytes:
+    """A valid 16-bit mono PCM WAV payload with deterministic samples."""
+    import struct
+
+    rng = np.random.default_rng(seed)
+    data = rng.integers(-32768, 32767, size=n_frames, dtype=np.int16).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def gen_real_media(spark, n: int = 20, seed: int = 42) -> DataFrame:
+    """Deterministic media table with REAL decodable payloads (PPM images
+    and WAV audio) for the stdlib backend tests."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = 4 + i % 8, 3 + i % 5
+            rows.append((i, "image", make_ppm(w, h, seed + i), {"width": w, "height": h, "sample_rate": None, "n_frames": None}))
+        else:
+            nf = 100 + 7 * i
+            rows.append((i, "audio", make_wav(nf, seed=seed + i), {"width": None, "height": None, "sample_rate": 16000, "n_frames": nf}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def gen_fake_media(spark, n: int = 100, seed: int = 42) -> DataFrame:

@@ -136,3 +136,24 @@ def duckdb_tokenize_sql(expr: str, lowercase_first: bool = False) -> str:
     if lowercase_first:
         return f"regexp_extract_all(lower({expr}), '{pat}')"
     return f"list_transform(regexp_extract_all({expr}, '{pat}'), t -> lower(t))"
+
+
+def ngrams_col(toks, n: int = 2):
+    """Catalyst-native ``Tokens.ngrams`` view (T2, `tokenizers.py:96-118`):
+    all n-grams of length 1..n as space-joined strings, in the reference's
+    (start asc, length asc) order. Pure column math — no UDF, no shuffle."""
+    from pyspark.sql import functions as F
+
+    if isinstance(toks, str):
+        toks = F.col(toks)
+    starts = F.sequence(F.lit(0), F.size(toks) - 1)
+    grams = F.transform(
+        starts,
+        lambda s: F.transform(
+            F.sequence(s, F.least(s + F.lit(n - 1), F.size(toks) - 1)),
+            lambda e: F.concat_ws(" ", F.slice(toks, s + 1, e - s + 1)),
+        ),
+    )
+    return F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.flatten(grams)
+    )
