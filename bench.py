@@ -143,6 +143,22 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
+    def _build_block_segments():
+        from dpr_spark.query.blockmax import build_block_segments
+
+        blocks, norms = build_block_segments(state["idx"], num_buckets=int(CPUS))
+        blocks = blocks.persist()
+        norms = norms.persist()
+        blocks.count(), norms.count()
+        state["blocks"], state["norms"] = blocks, norms
+
+    def _query_blocks():
+        from dpr_spark.query.blockmax import search_blocks
+
+        search_blocks(
+            spark, _qdf(), state["idx"], state["blocks"], state["norms"], k=100
+        ).write.format("noop").mode("overwrite").save()
+
     if "idx" in state:
         timed("bm25_search_exact_200q_k100", _query_exact)
         timed("impact_segments_build", _build_segments)
@@ -150,6 +166,13 @@ def main() -> None:
         if timings["bm25_search_segments_200q_k100"] > 0:
             extra["queries_per_sec"] = round(
                 200 / timings["bm25_search_segments_200q_k100"], 1
+            )
+        # the north-star serving path: compressed blocks + block-max skip
+        timed("block_segments_build", _build_block_segments)
+        timed("bm25_search_blockmax_200q_k100", _query_blocks)
+        if timings["bm25_search_blockmax_200q_k100"] > 0:
+            extra["blockmax_queries_per_sec"] = round(
+                200 / timings["bm25_search_blockmax_200q_k100"], 1
             )
 
     total = round(sum(v for v in timings.values() if v > 0), 3)

@@ -80,7 +80,10 @@ class InvertedIndex:
     def unpersist(self) -> None:
         for df in self.cached or []:
             try:
-                df.unpersist()
+                # blocking: async unpersist lets stale cache blocks race
+                # the next build's allocations (measured: repeated builds
+                # degrade 2-4x when eviction overlaps fresh cache writes)
+                df.unpersist(True)
             except Exception:
                 pass
 
@@ -119,6 +122,7 @@ def prepare_docs(
     verify_extract: bool = False,
     id_strategy: str = "dense_rank",
     cleanup: Optional[list] = None,
+    range_partitions: Optional[int] = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> docs(doc_id, url, text).
 
@@ -128,6 +132,13 @@ def prepare_docs(
     two-phase range rank (plans/ids.py — no single-partition window);
     `hash` strategy = xxhash64(url), no sort at all (collision-check it
     at >10^9 docs before trusting).
+
+    range_partitions: rank the FULL rows through one url-range shuffle of
+    that partition count instead of the narrow rank-then-join — the
+    output is then already spread for the tokenize stage, so the build
+    skips its own repartition. One shuffle + one counts pass replaces
+    rank-shuffle + map broadcast + join + repartition: fewer driver
+    barriers, same ids.
     """
     if lang is not None:
         pages = pages.filter(F.col("lang") == lang)  # pushed to the scan
@@ -142,8 +153,13 @@ def prepare_docs(
     if id_strategy == "dense_rank":
         from dpr_spark.plans.ids import assign_dense_ids
 
-        # narrow: rank urls alone (12 bytes/row shuffles, not page text)
-        docs = assign_dense_ids(docs, "url", "doc_id", narrow=True, cleanup=cleanup)
+        if range_partitions:
+            docs = assign_dense_ids(
+                docs, "url", "doc_id", num_partitions=range_partitions, cleanup=cleanup
+            )
+        else:
+            # narrow: rank urls alone (12 bytes/row shuffles, not page text)
+            docs = assign_dense_ids(docs, "url", "doc_id", narrow=True, cleanup=cleanup)
     elif id_strategy == "hash":
         docs = docs.withColumn("doc_id", F.xxhash64("url"))
     else:
@@ -220,6 +236,40 @@ def doc_terms(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(run, DOC_TERMS_SCHEMA)
 
 
+def doc_terms_from_parts(parts: DataFrame, offsets_bc) -> DataFrame:
+    """The FUSED hot path: dense doc_id assignment (positional, from the
+    ranged_parts prefix sums) + tokenize + per-doc tf histogram in ONE
+    Python stage. Chaining a separate id-assign mapInPandas in front of
+    the tokenizer round-trips the full page text through Arrow twice and
+    doubles the Python-stage count — fusing removes both."""
+    from pyspark import TaskContext
+
+    from dpr_spark.functions.tokenizer import _compiled_fast
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pat = _compiled_fast()
+        pid = TaskContext.get().partitionId()
+        base = offsets_bc.value.get(pid, 0)
+        seen = 0
+        for pdf in it:
+            ids = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            out = tf_batch(pdf["text"], pat)
+            if out is None:
+                continue
+            u_doc, lens, terms, tfs = out
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids[u_doc],
+                    "doclen": lens[u_doc].astype(np.int32),
+                    "term": terms,
+                    "tf": tfs,
+                }
+            )
+
+    return parts.select("text").mapInPandas(run, DOC_TERMS_SCHEMA)
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -231,15 +281,44 @@ def build_index(
     salt_df_agg: int = 0,
 ) -> InvertedIndex:
     cleanup: list = []
-    docs = prepare_docs(pages, lang=lang, verify_extract=verify_extract, cleanup=cleanup)
+    par = spark.sparkContext.defaultParallelism
     if verify_extract:
+        # verification path: ids ride the distribution shuffle, extract
+        # byte-identity checked row-wise before tokenization
+        docs = prepare_docs(
+            pages, lang=lang, verify_extract=True, cleanup=cleanup,
+            range_partitions=3 * par,
+        )
         n_bad = docs.filter(~F.col("_extract_ok")).count()
         if n_bad:
             raise ValueError(f"extract_text(html) != text for {n_bad} rows")
+        hint = getattr(docs, "_dense_id_count", None)
         docs = docs.drop("_extract_ok")
-    return build_index_from_docs(
-        spark, docs, build_blocks=build_blocks, k1=k1, b=b, salt_df_agg=salt_df_agg,
-        cleanup=cleanup,
+        docs._dense_id_count = hint  # .drop() loses the attribute
+        return build_index_from_docs(
+            spark, docs, build_blocks=build_blocks, k1=k1, b=b,
+            salt_df_agg=salt_df_agg, cleanup=cleanup, repartition=False,
+        )
+
+    # hot path: ONE url-range shuffle doubles as id assignment and the
+    # tokenize distribution, and ids are computed INSIDE the tokenize
+    # kernel (one Python stage total on the critical path)
+    from dpr_spark.plans.ids import attach_ids, ranged_parts
+
+    src = pages
+    if lang is not None:
+        src = src.filter(F.col("lang") == lang)  # pushed to the scan
+    parts, bc, n_docs_cnt = ranged_parts(
+        src.select("url", "text"), "url", 3 * par, cleanup
+    )
+    tf = doc_terms_from_parts(parts, bc).persist()
+    tf.count()  # materialize before the term-ranking sampler (see below)
+    # docstats' (doc_id, url) view reuses the same offsets — off the
+    # critical path, no text column
+    docs = attach_ids(parts, bc, "doc_id", columns=["url"])
+    return _finish_index(
+        spark, tf, docs, n_docs_cnt, build_blocks=build_blocks, k1=k1, b=b,
+        salt_df_agg=salt_df_agg, cleanup=cleanup,
     )
 
 
@@ -252,9 +331,20 @@ def build_index_from_docs(
     salt_df_agg: int = 0,
     cleanup: Optional[list] = None,
     repartition: bool = True,
+    doc_split_bits: Optional[int] = None,
+    doc_split_threshold: int = 8_000_000,
 ) -> InvertedIndex:
     """Build from docs that already carry (doc_id, text[, url]) — e.g.
-    the driver's `documents` table, or prepare_docs output."""
+    the driver's `documents` table, or prepare_docs output.
+
+    Head-term skew: the block encode hash-partitions on term_id, so a
+    head term's whole posting list lands in ONE task. When max(df)
+    exceeds doc_split_threshold postings, the shuffle key automatically
+    gains doc_id>>doc_split_bits — each head term splits into doc-ranges
+    sized to ~threshold/2 postings, bounding every encode task. Pass
+    doc_split_bits explicitly to override the auto choice. Blocks stay
+    globally ordered because block_id is the block's first doc_id and the
+    ranges are doc_id-disjoint."""
     cleanup = cleanup if cleanup is not None else []
     if "url" not in docs.columns:
         docs = docs.withColumn("url", F.col("doc_id").cast("string"))
@@ -270,13 +360,43 @@ def build_index_from_docs(
         docs = docs.repartition(3 * par)
     # one Arrow pass: tokenize + per-doc tf histogram (no explode shuffle)
     tf = doc_terms(docs).persist()
+    # materialize the cache NOW with a plain count: leaving it to the term
+    # ranking's range-bounds sampling job pipelines the expensive double
+    # Python stage under the sampler and was measured 3-10x slower than
+    # count-then-sample on this box (and the count is the posting-row
+    # metric the build manifest wants anyway)
+    tf.count()
 
-    # N is a free byproduct of the dense-id prefix sum when available;
-    # sum(doclen) == sum(tf) rides on the df aggregation below (one fewer
-    # full pass over the tf cache). Zero-token docs contribute 0 to the
-    # sum while still counting in N — exactly the oracle's arithmetic
-    # (integer-exact).
+    # N is a free byproduct of the dense-id prefix sum when available
     n_docs_cnt = int(n_docs_hint) if n_docs_hint is not None else docs.count()
+    return _finish_index(
+        spark, tf, docs.select("doc_id", "url"), n_docs_cnt,
+        build_blocks=build_blocks, k1=k1, b=b, salt_df_agg=salt_df_agg,
+        cleanup=cleanup, doc_split_bits=doc_split_bits,
+        doc_split_threshold=doc_split_threshold,
+    )
+
+
+def _finish_index(
+    spark: SparkSession,
+    tf: DataFrame,
+    docs: DataFrame,
+    n_docs_cnt: int,
+    build_blocks: bool = True,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    salt_df_agg: int = 0,
+    cleanup: Optional[list] = None,
+    doc_split_bits: Optional[int] = None,
+    doc_split_threshold: int = 8_000_000,
+) -> InvertedIndex:
+    """Shared back half of the build: a materialized tf cache + a
+    (doc_id, url) view -> dictionary/stats/postings/blocks.
+    sum(doclen) == sum(tf) rides on the df aggregation (one fewer full
+    pass over the tf cache); zero-token docs contribute 0 to the sum
+    while still counting in N — exactly the oracle's arithmetic."""
+    cleanup = cleanup if cleanup is not None else []
+    par = spark.sparkContext.defaultParallelism
 
     # docstats TABLE stays lazy (used by eval joins / save, not by the
     # build critical path); zero-token docs kept via left join.
@@ -306,9 +426,19 @@ def build_index_from_docs(
 
     ranked = assign_dense_ids(df_by_term, "term", "term_id", cleanup=cleanup)
     # scalar corpus stats off the (persisted) ranked dictionary — a
-    # vocab-sized job, not another 10^10-row tf pass
-    sum_dl = ranked.agg(F.sum("ttf")).collect()[0][0] or 0
+    # vocab-sized job, not another 10^10-row tf pass; max(df) rides along
+    # to drive the head-term split decision for the encode shuffle
+    srow = ranked.agg(F.sum("ttf"), F.max("df")).collect()[0]
+    sum_dl, max_df = srow[0] or 0, srow[1] or 0
     stats = IndexStats(n_docs_cnt, float(sum_dl) / n_docs_cnt if n_docs_cnt else 0.0)
+
+    if doc_split_bits is None and max_df > doc_split_threshold:
+        import math
+
+        # doc-ranges of 2^s docs so the densest term contributes about
+        # threshold/2 postings per range: 2^s ~= n_docs * (thr/2) / max_df
+        target = max(1.0, n_docs_cnt * (doc_split_threshold / 2.0) / max_df)
+        doc_split_bits = max(1, int(math.floor(math.log2(target))))
 
     n_docs = float(stats.n_docs)
     dictionary = (
@@ -328,7 +458,10 @@ def build_index_from_docs(
         # explicit partition count: without it AQE coalesces the encode
         # shuffle to ~64MB partitions, idling most cores in the stage;
         # 2 tasks/core smooths head-term skew
-        _encode_blocks(postings, stats.avgdl, k1=k1, b=b, num_partitions=2 * par)
+        _encode_blocks(
+            postings, stats.avgdl, k1=k1, b=b, num_partitions=2 * par,
+            doc_split_bits=doc_split_bits,
+        )
         if build_blocks
         else None
     )
@@ -402,7 +535,15 @@ def _encode_blocks(
         f = np.concatenate(fs) if len(fs) > 1 else fs[0]
         s = np.concatenate(ss) if len(ss) > 1 else ss[0]
         order = np.lexsort((d, t))
-        out = _encode_arrays(t.take(order), d.take(order), f.take(order), s.take(order))
+        # with head-term splitting, one partition can hold several
+        # NON-contiguous doc-ranges of the same term (hash collisions):
+        # break block runs at range boundaries so every block stays inside
+        # one 2^s doc-range and blocks remain doc-disjoint term-wide
+        splits = (d.take(order) >> np.int64(doc_split_bits)) if doc_split_bits else None
+        out = _encode_arrays(
+            t.take(order), d.take(order), f.take(order), s.take(order),
+            run_breaks=splits,
+        )
         if out is not None:
             yield out
 
@@ -431,13 +572,15 @@ def _encode_arrays(
     tfs: np.ndarray,
     score: np.ndarray,
     buckets: Optional[np.ndarray] = None,
+    run_breaks: Optional[np.ndarray] = None,
 ):
     """Encode one sorted ([bucket,] term_id, doc_id) run into posting
     blocks. Fully vectorized: ONE varint pass over the whole chunk, then
     blocks are byte-range slices of the shared buffer (no per-block
     encode). With `buckets`, runs additionally break on bucket change and
     the output carries the bucket column (doc-bucketed serving layout,
-    query/blockmax.py)."""
+    query/blockmax.py). `run_breaks` breaks runs on value change without
+    emitting a column (head-term doc-range splits)."""
     from dpr_spark.index.codec import varint_encode_with_lengths
 
     n_rows = len(term_ids)
@@ -448,6 +591,8 @@ def _encode_arrays(
     run_start = np.r_[True, term_ids[1:] != term_ids[:-1]]
     if buckets is not None:
         run_start |= np.r_[True, buckets[1:] != buckets[:-1]]
+    if run_breaks is not None:
+        run_start |= np.r_[True, run_breaks[1:] != run_breaks[:-1]]
     pos_in_run = np.arange(n_rows) - np.maximum.accumulate(
         np.where(run_start, np.arange(n_rows), 0)
     )

@@ -26,6 +26,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def ranged_parts(
+    df: DataFrame,
+    order_col: str,
+    num_partitions: Optional[int] = None,
+    cleanup: Optional[list] = None,
+):
+    """The two-phase rank's shared machinery: globally range-sorted
+    persisted partitions + broadcast per-partition id offsets + total row
+    count. Callers either attach ids row-by-row (assign_dense_ids) or
+    FUSE the id arithmetic into their own mapInPandas kernel (the index
+    build fuses it into tokenize — one Python stage instead of two)."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    # range partitioning SAMPLES its child (one full execution) before the
+    # real shuffle (a second): cache the slim input so upstream (e.g. a
+    # groupBy over 10^10 tf rows) computes once
+    src = df.persist()
+    parts = src.repartitionByRange(n, order_col).sortWithinPartitions(order_col).persist()
+    counts = (
+        parts.select(F.spark_partition_id().alias("_pid"))
+        .groupBy("_pid")
+        .count()
+        .collect()
+    )
+    src.unpersist(True)  # the counts job materialized the `parts` cache
+    if cleanup is not None:
+        cleanup.append(parts)
+    cmap = {int(r["_pid"]): int(r["count"]) for r in counts}
+    offsets = {}
+    acc = 0
+    for pid in sorted(cmap):
+        offsets[pid] = acc
+        acc += cmap[pid]
+    bc = spark.sparkContext.broadcast(offsets)
+    return parts, bc, acc
+
+
 def assign_dense_ids(
     df: DataFrame,
     order_col: str,
@@ -55,31 +92,22 @@ def assign_dense_ids(
         out = df.join(F.broadcast(ids) if broadcast_map else ids, order_col)
         out._dense_id_count = ids._dense_id_count  # row count, free byproduct
         return out
-    spark = df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
-    # range partitioning SAMPLES its child (one full execution) before the
-    # real shuffle (a second): cache the slim input so upstream (e.g. a
-    # groupBy over 10^10 tf rows) computes once
-    src = df.persist()
-    parts = src.repartitionByRange(n, order_col).sortWithinPartitions(order_col).persist()
-    counts = (
-        parts.select(F.spark_partition_id().alias("_pid"))
-        .groupBy("_pid")
-        .count()
-        .collect()
-    )
-    src.unpersist()  # the counts job materialized the `parts` cache
-    if cleanup is not None:
-        cleanup.append(parts)
-    cmap = {int(r["_pid"]): int(r["count"]) for r in counts}
-    offsets = {}
-    acc = 0
-    for pid in sorted(cmap):
-        offsets[pid] = acc
-        acc += cmap[pid]
-    bc = spark.sparkContext.broadcast(offsets)
+    parts, bc, acc = ranged_parts(df, order_col, num_partitions, cleanup)
+    out = attach_ids(parts, bc, id_col)
+    # the prefix-sum already counted every row: callers (e.g. corpus N for
+    # BM25 idf) can reuse it instead of running a count() job
+    out._dense_id_count = acc
+    return out
+
+
+def attach_ids(parts: DataFrame, offsets_bc, id_col: str, columns=None) -> DataFrame:
+    """Positional id attach over ranged_parts output: id = partition
+    offset + local running index. `columns` optionally projects first
+    (row order is preserved by select — ids stay the global rank)."""
     from pyspark.sql import types as T
 
+    if columns is not None:
+        parts = parts.select(*columns)
     # copy, don't .add(): StructType.add mutates the df's cached schema
     out_schema = T.StructType(
         list(parts.schema.fields) + [T.StructField(id_col, T.LongType())]
@@ -87,15 +115,11 @@ def assign_dense_ids(
 
     def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId()
-        base = bc.value.get(pid, 0)
+        base = offsets_bc.value.get(pid, 0)
         seen = 0
         for pdf in it:
             ids = range(base + seen, base + seen + len(pdf))
             seen += len(pdf)
             yield pdf.assign(**{id_col: list(ids)})
 
-    out = parts.mapInPandas(assign, out_schema)
-    # the prefix-sum already counted every row: callers (e.g. corpus N for
-    # BM25 idf) can reuse it instead of running a count() job
-    out._dense_id_count = acc
-    return out
+    return parts.mapInPandas(assign, out_schema)

@@ -57,3 +57,43 @@ def test_doc_ids_match_url_rank(index, pages_pdf):
     expect = dict(zip(pw.url, pw.doc_id))
     got = {r.url: r.doc_id for r in index.docstats.collect()}
     assert got == expect
+
+
+def test_doc_split_bits_identical_blocks(spark, pages_df):
+    """Head-term splitting (doc_id>>s in the encode shuffle key) must not
+    change the decoded postings — blocks stay doc_id-disjoint ranges. A
+    tiny threshold forces the auto split on the fixture corpus."""
+    import numpy as np
+
+    from dpr_spark.index.build import build_index
+    from dpr_spark.index.codec import decode_block
+
+    plain = build_index(spark, pages_df, build_blocks=True)
+    # force the auto-split decision via a tiny threshold
+    from dpr_spark.index.build import build_index_from_docs, prepare_docs
+
+    cleanup = []
+    docs = prepare_docs(pages_df, cleanup=cleanup)
+    forced = build_index_from_docs(
+        spark, docs, build_blocks=True, cleanup=cleanup, doc_split_threshold=50
+    )
+
+    def decoded(idx):
+        out = {}
+        for r in idx.blocks.collect():
+            docs_, tfs = decode_block(r.doc_ids, r.tfs, r.n)
+            out.setdefault(r.term_id, []).append((r.block_id, docs_, tfs))
+        return {
+            t: (
+                np.concatenate([c[1] for c in sorted(cs, key=lambda c: c[0])]),
+                np.concatenate([c[2] for c in sorted(cs, key=lambda c: c[0])]),
+            )
+            for t, cs in out.items()
+        }
+
+    a, b = decoded(plain), decoded(forced)
+    assert set(a) == set(b)
+    for t in a:
+        assert np.array_equal(a[t][0], b[t][0]), t
+        assert np.array_equal(a[t][1], b[t][1]), t
+    plain.unpersist(); forced.unpersist()
