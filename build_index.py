@@ -30,6 +30,9 @@ def main(argv=None) -> None:
     ap.add_argument("--no-blocks", action="store_true", help="skip compressed blocks")
     ap.add_argument("--segments-buckets", type=int, default=0,
                     help="also materialize doc-bucketed impact segments (0=off)")
+    ap.add_argument("--block-buckets", type=int, default=0,
+                    help="also materialize doc-bucketed COMPRESSED block segments "
+                         "+ norms for the blockmax engine (0=off)")
     ap.add_argument("--resumable", default=None, help="workdir for manifest-checkpointed build")
     ap.add_argument("--shards", type=int, default=16)
     ap.add_argument("--master", default=None)
@@ -64,6 +67,12 @@ def main(argv=None) -> None:
 
         seg = build_impact_segments(idx, num_buckets=args.segments_buckets)
         seg.write.mode("overwrite").parquet(os.path.join(args.out, "segments"))
+    if args.block_buckets:
+        from dpr_spark.query.blockmax import build_block_segments
+
+        blocks, norms = build_block_segments(idx, num_buckets=args.block_buckets)
+        blocks.write.mode("overwrite").parquet(os.path.join(args.out, "block_segments"))
+        norms.write.mode("overwrite").parquet(os.path.join(args.out, "block_norms"))
     wall = time.perf_counter() - t0
     n = idx.stats.n_docs
     print(

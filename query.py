@@ -3,7 +3,7 @@
 
     spark-submit --py-files dpr_spark.zip query.py \\
         --index /data/index --queries qa.tsv --k 100 \\
-        --out /data/results [--engine segments|exact] [--eval]
+        --out /data/results [--engine segments|blockmax|exact] [--eval]
 
 --queries accepts DPR QA TSV (question \\t python-literal answers) or a
 parquet with (qid, question[, answers]). --eval adds has_answer +
@@ -27,7 +27,7 @@ def main(argv=None) -> None:
     ap.add_argument("--queries", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--k", type=int, default=100)
-    ap.add_argument("--engine", choices=["exact", "segments"], default="segments")
+    ap.add_argument("--engine", choices=["exact", "segments", "blockmax"], default="segments")
     ap.add_argument("--eval", action="store_true")
     ap.add_argument("--pages", default=None, help="pages parquet (doc text for --eval)")
     ap.add_argument("--master", default=None)
@@ -58,6 +58,18 @@ def main(argv=None) -> None:
             seg = build_impact_segments(idx).persist()
             seg.count()
         results = search_segments(spark, queries, idx, seg, k=args.k)
+    elif args.engine == "blockmax":
+        from dpr_spark.query.blockmax import build_block_segments, search_blocks
+
+        bp = os.path.join(args.index, "block_segments")
+        np_ = os.path.join(args.index, "block_norms")
+        if os.path.isdir(bp) and os.path.isdir(np_):
+            blocks, norms = spark.read.parquet(bp), spark.read.parquet(np_)
+        else:
+            blocks, norms = build_block_segments(idx)
+            blocks = blocks.persist(); norms = norms.persist()
+            blocks.count(), norms.count()
+        results = search_blocks(spark, queries, idx, blocks, norms, k=args.k)
     else:
         from dpr_spark.query.scorer import search
 

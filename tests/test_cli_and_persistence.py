@@ -64,3 +64,51 @@ def test_cli_build_and_query(tmp_path, pages_pdf, queries_pdf):
     assert os.path.isdir(tmp_path / "run" / "results")
     assert os.path.isdir(tmp_path / "run" / "results_json")
     assert "accuracy@" in out2.stdout
+
+
+@pytest.mark.slow
+def test_cli_blockmax_storage_roundtrip(tmp_path, pages_pdf, queries_pdf):
+    """Build writes block segments + norms to storage; query.py serves
+    from the stored parquet with --engine blockmax and agrees with the
+    exact engine."""
+    from dpr_spark.fixtures.corpus import write_queries_tsv
+
+    pages_path = str(tmp_path / "pages.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(pages_pdf[["url", "text"]].head(120), preserve_index=False),
+        pages_path,
+    )
+    write_queries_tsv(str(tmp_path / "qa.tsv"), queries_pdf.head(6))
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    out1 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "build_index.py"),
+         "--pages", pages_path, "--out", str(tmp_path / "idx"),
+         "--block-buckets", "4"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out1.returncode == 0, out1.stderr[-2000:]
+    assert os.path.isdir(tmp_path / "idx" / "block_segments")
+    assert os.path.isdir(tmp_path / "idx" / "block_norms")
+
+    results = {}
+    for engine in ("blockmax", "exact"):
+        out2 = subprocess.run(
+            [sys.executable, os.path.join(REPO, "query.py"),
+             "--index", str(tmp_path / "idx"), "--queries", str(tmp_path / "qa.tsv"),
+             "--k", "5", "--out", str(tmp_path / f"run_{engine}"),
+             "--engine", engine],
+            capture_output=True, text=True, timeout=420, env=env,
+        )
+        assert out2.returncode == 0, out2.stderr[-2000:]
+        import pyarrow.parquet as pq2
+
+        t = pq2.read_table(str(tmp_path / f"run_{engine}" / "results")).to_pandas()
+        results[engine] = sorted(
+            (int(r.qid), int(r["rank"]), int(r.doc_id), float(r.score))
+            for _, r in t.iterrows()
+        )
+    assert results["blockmax"] == results["exact"]
