@@ -1251,6 +1251,85 @@ def q_table_chunks() -> Entry:
     return fn, None
 
 
+def q_average_rank() -> Entry:
+    """A5 average-rank validation (`train_dense_encoder.py:408-428`):
+    0-based rank of a designated gold doc (the rank-3 result) in the
+    score-descending order, averaged over questions. Count-join form —
+    no per-query sort."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.eval.validation import average_rank
+
+        ranked = _bm25_ranked(spark, sf_dir)
+        scored = ranked.select("qid", "doc_id", F.col("score_r").alias("score"))
+        gold = ranked.filter(F.col("rank") == 3).select(
+            "qid", F.col("doc_id").alias("gold_doc_id")
+        )
+        return average_rank(scored, gold).select(
+            F.round("av_rank", 6).alias("av_rank"), "n_questions"
+        )
+
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + """,
+        gold AS (SELECT qid, doc_id AS gdoc, score_r AS gscore FROM ranked WHERE rank = 3),
+        rk AS (SELECT r.qid,
+                      sum(CASE WHEN r.score_r > g.gscore
+                               OR (r.score_r = g.gscore AND r.doc_id < g.gdoc)
+                          THEN 1 ELSE 0 END) AS rank
+               FROM ranked r JOIN gold g USING (qid) GROUP BY r.qid)
+        SELECT round(avg(rank), 6) AS av_rank, count(*)::BIGINT AS n_questions FROM rk"""
+    )
+    return fn, sql
+
+
+def q_kilt_format() -> Entry:
+    """S11 KILT output conversion (`retriever_data.py:304-334`): top-3
+    results -> {id, input, output:[{provenance}]} with a broadcast
+    doc->wikipedia mapping join; emitted as JSON (nested arrays are not
+    hashable in the harness -> rows-only; shape pytest-gated)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.eval.validation import to_kilt_format
+
+        results = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= 3).select(
+            "qid", "rank", "doc_id"
+        )
+        mapping = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(F.lit("wiki_"), (F.col("doc_id") % 100)).alias("wikipedia_id"),
+            (F.col("doc_id") % 7).cast("int").alias("end_paragraph_id"),
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        gold = qdf.select(
+            "qid",
+            F.concat(F.lit("kilt_"), F.col("qid")).alias("kilt_id"),
+            F.col("question").alias("input"),
+        )
+        out = to_kilt_format(results, mapping, gold)
+        return out.select("id", "input", F.to_json("output").alias("output_json"))
+
+    return fn, None
+
+
+def q_weighted_interleave() -> Entry:
+    """D3 weighted multi-set interleave (`data_utils.py:342-451`): two
+    deterministic samples of the documents table union-interleaved.
+    Bernoulli sampling is not portable to DuckDB -> rows-only;
+    determinism is pytest-gated."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.functions.chunking import weighted_interleave
+
+        d = _docs(spark, sf_dir).select("doc_id", "lang")
+        a = d.filter(F.col("doc_id") % 2 == 0)
+        b = d.filter(F.col("doc_id") % 2 == 1)
+        return weighted_interleave([a, b], [1.0, 0.5], seed=7)
+
+    return fn, None
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -1284,6 +1363,9 @@ def all_entries() -> Dict[str, Entry]:
         "ngrams_view": q_ngrams_view(),
         "simhash_neardup": q_simhash_neardup(),
         "table_chunks": q_table_chunks(),
+        "average_rank": q_average_rank(),
+        "kilt_format": q_kilt_format(),
+        "weighted_interleave": q_weighted_interleave(),
         "results_nested": q_results_nested(),
         "range_slice_events": q_range_slice_events(),
     }

@@ -164,6 +164,76 @@ def chunked_accuracy(
     ).orderBy("k")
 
 
+def average_rank(scored: DataFrame, gold: DataFrame) -> DataFrame:
+    """A5 average-rank validation (`train_dense_encoder.py:294-429`, esp.
+    408-428): per question, the 0-based position of the gold passage in
+    the score-descending order; output = 1 row (av_rank, n_questions).
+
+    Computed as a COUNT join, not a sort: rank(gold) = #docs scoring
+    strictly above gold (ties by doc_id asc) — no per-query window, no
+    global sort; scales as one broadcast join + aggregation."""
+    gscore = scored.join(
+        F.broadcast(gold.select("qid", F.col("gold_doc_id").alias("doc_id"))),
+        ["qid", "doc_id"],
+    ).select("qid", F.col("score").alias("gscore"), F.col("doc_id").alias("gdoc"))
+    ranks = (
+        scored.join(F.broadcast(gscore), "qid")
+        .withColumn(
+            "above",
+            (
+                (F.col("score") > F.col("gscore"))
+                | ((F.col("score") == F.col("gscore")) & (F.col("doc_id") < F.col("gdoc")))
+            ).cast("long"),
+        )
+        .groupBy("qid")
+        .agg(F.sum("above").alias("rank"))
+    )
+    return ranks.agg(
+        F.avg("rank").alias("av_rank"), F.count("*").cast("long").alias("n_questions")
+    )
+
+
+def to_kilt_format(results: DataFrame, mapping: DataFrame, gold: DataFrame) -> DataFrame:
+    """S11 KILT output conversion (`retriever_data.py:304-334`
+    convert_to_kilt): per question {id, input, output:[{provenance:
+    [{wikipedia_id, end_paragraph_id}]}]} with provenance in rank order
+    via the broadcast doc mapping join. results(qid, rank, doc_id),
+    mapping(doc_id, wikipedia_id, end_paragraph_id), gold(qid, kilt_id,
+    input)."""
+    prov = (
+        results.join(
+            F.broadcast(mapping.select("doc_id", "wikipedia_id", "end_paragraph_id")),
+            "doc_id",
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("rank", "wikipedia_id", "end_paragraph_id")
+                )
+            ).alias("rp")
+        )
+        .select(
+            "qid",
+            F.transform(
+                "rp",
+                lambda x: F.struct(
+                    x["wikipedia_id"].alias("wikipedia_id"),
+                    x["end_paragraph_id"].alias("end_paragraph_id"),
+                ),
+            ).alias("provenance"),
+        )
+    )
+    return gold.join(prov, "qid", "left").select(
+        F.col("kilt_id").alias("id"),
+        F.col("input"),
+        F.array(
+            F.struct(F.coalesce("provenance", F.array()).alias("provenance"))
+        ).alias("output"),
+    )
+
+
 def results_json(
     results: DataFrame,
     docs: DataFrame,

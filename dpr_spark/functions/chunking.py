@@ -57,6 +57,20 @@ def deterministic_shuffle(df: DataFrame, id_col: str, seed: int) -> DataFrame:
     return df.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
 
 
+def weighted_interleave(dfs, rates, seed: int = 42) -> DataFrame:
+    """D3 weighted multi-set interleave (`data_utils.py:342-451`
+    MultiSetDataIterator with sampling_rates): per-epoch each source
+    contributes ~rate fraction of its rows, union-interleaved. Spark
+    form: seeded Bernoulli sample per source + unionByName — sampling is
+    partition-local (no shuffle) and deterministic for a fixed seed and
+    input layout."""
+    out = None
+    for i, (df, rate) in enumerate(zip(dfs, rates)):
+        part = df if rate >= 1.0 else df.sample(fraction=rate, seed=seed + i)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def kilt_provenance_join(results: DataFrame, mapping: DataFrame) -> DataFrame:
     """J5: KILT provenance (`dpr/data/retriever_data.py:313-325`):
     doc_id -> (wikipedia_id, end_paragraph_id) broadcast map join."""

@@ -66,3 +66,22 @@ def test_kilt_join_and_contains(spark):
     rows = d.withColumn("got", kilt_contains(F.col("text"), F.col("ans"))).collect()
     for r in rows:
         assert r.got == r.expect, r.text
+
+
+def test_weighted_interleave_deterministic(spark, pages_df):
+    from pyspark.sql import functions as F
+
+    from dpr_spark.functions.chunking import weighted_interleave
+
+    d = pages_df.select("url")
+    a = d.limit(100)
+    b = d.limit(200)
+    r1 = sorted(r.url for r in weighted_interleave([a, b], [1.0, 0.4], seed=5).collect())
+    r2 = sorted(r.url for r in weighted_interleave([a, b], [1.0, 0.4], seed=5).collect())
+    assert r1 == r2  # same seed -> same sample
+    # rate 1.0 source fully present
+    full = {r.url for r in a.collect()}
+    assert full.issubset(set(r1))
+    # sampled source contributes roughly its rate
+    n_b = len(r1) - len(full & set(r1)) + (len([u for u in r1 if u in full]) - len(full))
+    assert len(r1) > len(full)

@@ -84,3 +84,48 @@ def test_regex_match_udf(spark):
     rows = df.withColumn("got", regex_match_udf()(F.col("text"), F.col("answers"))).collect()
     for r in rows:
         assert r.got == r.expect, r.text
+
+
+def test_average_rank(spark):
+    from dpr_spark.eval.validation import average_rank
+
+    scored = spark.createDataFrame(
+        [
+            (0, 10, 3.0), (0, 11, 2.0), (0, 12, 1.0),       # gold 11 -> rank 1
+            (1, 20, 5.0), (1, 21, 5.0), (1, 22, 4.0),       # gold 21: tie, 20 < 21 -> rank 1
+            (2, 30, 9.0), (2, 31, 1.0),                     # gold 30 -> rank 0
+        ],
+        "qid long, doc_id long, score double",
+    )
+    gold = spark.createDataFrame(
+        [(0, 11), (1, 21), (2, 30)], "qid long, gold_doc_id long"
+    )
+    row = average_rank(scored, gold).collect()[0]
+    assert row.n_questions == 3
+    assert row.av_rank == (1 + 1 + 0) / 3
+
+
+def test_to_kilt_format(spark):
+    import json
+
+    from dpr_spark.eval.validation import to_kilt_format
+    from pyspark.sql import functions as F
+
+    results = spark.createDataFrame(
+        [(0, 1, 100), (0, 2, 200), (1, 1, 300)],
+        "qid long, rank int, doc_id long",
+    )
+    mapping = spark.createDataFrame(
+        [(100, "w100", 5), (200, "w200", 6), (300, "w300", 7)],
+        "doc_id long, wikipedia_id string, end_paragraph_id int",
+    )
+    gold = spark.createDataFrame(
+        [(0, "k0", "q zero"), (1, "k1", "q one"), (2, "k2", "no results")],
+        "qid long, kilt_id string, input string",
+    )
+    rows = {r.id: r for r in to_kilt_format(results, mapping, gold).collect()}
+    assert rows["k0"].input == "q zero"
+    prov = rows["k0"].output[0].provenance
+    assert [p.wikipedia_id for p in prov] == ["w100", "w200"]  # rank order
+    assert prov[1].end_paragraph_id == 6
+    assert list(rows["k2"].output[0].provenance) == []  # no results -> empty
