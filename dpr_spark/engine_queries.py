@@ -1222,29 +1222,46 @@ def q_table_chunks() -> Entry:
     def fn(spark, sf_dir):
         from dpr_spark.functions.tables import tables_to_chunks
 
-        rows = (
+        # synthesize the 3-row × 2-cell token streams with pure column
+        # functions (sequence/transform/flatten/slice — codegen, no
+        # .collect() in a driver-contract entry)
+        lit_arr = lambda *vs: F.array(*[F.lit(v) for v in vs])
+        tokens = F.concat(
+            lit_arr("<Table>"),
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(2)),
+                    lambda r: F.concat(
+                        lit_arr("<Tr>"),
+                        F.flatten(
+                            F.transform(
+                                F.sequence(F.lit(0), F.lit(1)),
+                                lambda c: F.concat(
+                                    lit_arr("<Td>"),
+                                    F.slice(F.col("ts"), r * 4 + c * 2 + 1, 2),
+                                    lit_arr("</Td>"),
+                                ),
+                            )
+                        ),
+                        lit_arr("</Tr>"),
+                    ),
+                )
+            ),
+            lit_arr("</Table>"),
+        )
+        cell_mask = [True, False, False, True]
+        row_mask = [True] + cell_mask * 2 + [True]
+        mask = lit_arr(True, *(row_mask * 3), True)
+        df = (
             _tokenized(spark, sf_dir)
             .filter((F.col("doc_id") < 10) & (F.size("toks") >= 12))
             .select("doc_id", F.slice("toks", 1, 12).alias("ts"))
-            .collect()
-        )
-        data = []
-        for r in rows:
-            ts = list(r.ts)
-            toks, mask = [], []
-            toks.append("<Table>"); mask.append(True)
-            for row_start in range(0, 12, 4):
-                toks.append("<Tr>"); mask.append(True)
-                for c in range(2):
-                    toks.append("<Td>"); mask.append(True)
-                    for t in ts[row_start + 2 * c : row_start + 2 * c + 2]:
-                        toks.append(t); mask.append(False)
-                    toks.append("</Td>"); mask.append(True)
-                toks.append("</Tr>"); mask.append(True)
-            toks.append("</Table>"); mask.append(True)
-            data.append((r.doc_id, toks, mask, f"doc{r.doc_id}"))
-        df = spark.createDataFrame(
-            data, "doc_id long, tokens array<string>, html_mask array<boolean>, title string"
+            .select(
+                "doc_id",
+                tokens.alias("tokens"),
+                mask.alias("html_mask"),
+                F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("title"),
+            )
         )
         return tables_to_chunks(df, max_table_len=8)
 
@@ -1316,8 +1333,8 @@ def q_kilt_format() -> Entry:
 def q_weighted_interleave() -> Entry:
     """D3 weighted multi-set interleave (`data_utils.py:342-451`): two
     deterministic samples of the documents table union-interleaved.
-    Bernoulli sampling is not portable to DuckDB -> rows-only;
-    determinism is pytest-gated."""
+    Selection = md5(id:seed) mod 10^6 < rate·10^6 — a pure function of
+    (id, seed), portable to DuckDB, so the entry is oracle-checked."""
 
     def fn(spark, sf_dir):
         from dpr_spark.functions.chunking import weighted_interleave
@@ -1325,9 +1342,16 @@ def q_weighted_interleave() -> Entry:
         d = _docs(spark, sf_dir).select("doc_id", "lang")
         a = d.filter(F.col("doc_id") % 2 == 0)
         b = d.filter(F.col("doc_id") % 2 == 1)
-        return weighted_interleave([a, b], [1.0, 0.5], seed=7)
+        return weighted_interleave([a, b], [1.0, 0.5], "doc_id", seed=7)
 
-    return fn, None
+    sql = """
+      SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1
+        AND ('0x' || substr(md5(doc_id::VARCHAR || ':8'), 1, 15))::BIGINT
+            % 1000000 < 500000
+    """
+    return fn, sql
 
 
 def all_entries() -> Dict[str, Entry]:

@@ -71,10 +71,13 @@ def decode_ppm(payload: bytes):
     return width, height, px.reshape(height, width, 3)
 
 
-def decode_wav(payload: bytes):
+def decode_wav(payload: bytes, with_data: bool = False):
     """Real audio header decode for RIFF/WAVE PCM — pure stdlib struct
     parsing (no audioop). Returns (n_channels, sample_rate,
-    bits_per_sample, n_frames)."""
+    bits_per_sample, n_frames); with_data=True appends
+    (data_offset, data_size) — the chunk walk's own offsets, so sample
+    reads can't be fooled by a b"data" byte string inside an earlier
+    LIST/INFO metadata chunk."""
     import struct
 
     if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -82,18 +85,21 @@ def decode_wav(payload: bytes):
     pos = 12
     fmt = None
     data_size = None
+    data_off = None
     while pos + 8 <= len(payload):
         cid, size = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", payload[pos + 8 : pos + 24])
-        elif cid == b"data":
+        elif cid == b"data" and data_size is None:
             data_size = size
+            data_off = pos + 8
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data_size is None:
         raise ValueError("missing fmt/data chunk")
     _, n_channels, sample_rate, _, block_align, bits = fmt
     n_frames = data_size // block_align if block_align else 0
-    return n_channels, sample_rate, bits, n_frames
+    base = (n_channels, sample_rate, bits, n_frames)
+    return base + (data_off, data_size) if with_data else base
 
 
 def _stdlib_decode(payload: bytes, kind: str, dim: int = 16) -> np.ndarray:
@@ -104,17 +110,12 @@ def _stdlib_decode(payload: bytes, kind: str, dim: int = 16) -> np.ndarray:
         _, _, px = decode_ppm(payload)
         arr = px.reshape(-1).astype(np.float32)
     elif kind == "audio":
-        import struct
-
-        n_ch, _, bits, n_frames = decode_wav(payload)
+        n_ch, _, bits, n_frames, data_off, data_size = decode_wav(payload, with_data=True)
         if bits != 16:
             raise ValueError("only 16-bit PCM supported")
-        # data chunk bytes: re-scan for the payload (header parse above)
-        idx = payload.find(b"data")
-        size = struct.unpack("<I", payload[idx + 4 : idx + 8])[0]
-        arr = np.frombuffer(payload, dtype="<i2", count=size // 2, offset=idx + 8).astype(
-            np.float32
-        )
+        arr = np.frombuffer(
+            payload, dtype="<i2", count=data_size // 2, offset=data_off
+        ).astype(np.float32)
     else:
         raise NotImplementedError(
             f"no stdlib codec for kind={kind!r}; use decode_backend='fake' "

@@ -57,16 +57,34 @@ def deterministic_shuffle(df: DataFrame, id_col: str, seed: int) -> DataFrame:
     return df.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
 
 
-def weighted_interleave(dfs, rates, seed: int = 42) -> DataFrame:
+def weighted_interleave(dfs, rates, id_col: str, seed: int = 42) -> DataFrame:
     """D3 weighted multi-set interleave (`data_utils.py:342-451`
     MultiSetDataIterator with sampling_rates): per-epoch each source
-    contributes ~rate fraction of its rows, union-interleaved. Spark
-    form: seeded Bernoulli sample per source + unionByName — sampling is
-    partition-local (no shuffle) and deterministic for a fixed seed and
-    input layout."""
+    contributes ~rate fraction of its rows, union-interleaved. Selection
+    is a pure function of (id, seed) — md5(id:seed) mod 10^6 under the
+    rate threshold — so the same seed picks the same rows on any cluster,
+    any partitioning, any row order (df.sample is partition-deterministic
+    only: a repartition changes the picks; the K4 bar forbids that).
+    No shuffle: the hash filter is partition-local."""
     out = None
     for i, (df, rate) in enumerate(zip(dfs, rates)):
-        part = df if rate >= 1.0 else df.sample(fraction=rate, seed=seed + i)
+        if rate >= 1.0:
+            part = df
+        else:
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col(id_col).cast("string"), F.lit(str(seed + i))
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            part = df.filter(h % F.lit(1_000_000) < F.lit(int(rate * 1_000_000)))
         out = part if out is None else out.unionByName(part)
     return out
 

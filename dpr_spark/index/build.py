@@ -123,6 +123,7 @@ def prepare_docs(
     id_strategy: str = "dense_rank",
     cleanup: Optional[list] = None,
     range_partitions: Optional[int] = None,
+    collision_check: bool = True,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> docs(doc_id, url, text).
 
@@ -130,8 +131,9 @@ def prepare_docs(
     when verify_extract=True — the byte-identity gate of
     BASELINE.json:input_hint). doc_id = dense rank of url via the
     two-phase range rank (plans/ids.py — no single-partition window);
-    `hash` strategy = xxhash64(url), no sort at all (collision-check it
-    at >10^9 docs before trusting).
+    `hash` strategy = xxhash64(url), no sort at all; a one-agg
+    distinct-count gate fails loudly on a hash collision
+    (collision_check=False skips it).
 
     range_partitions: rank the FULL rows through one url-range shuffle of
     that partition count instead of the narrow rank-then-join — the
@@ -162,6 +164,21 @@ def prepare_docs(
             docs = assign_dense_ids(docs, "url", "doc_id", narrow=True, cleanup=cleanup)
     elif id_strategy == "hash":
         docs = docs.withColumn("doc_id", F.xxhash64("url"))
+        if collision_check:
+            # one cheap agg over two hashed-distinct sketch-free counts: a
+            # silent xxhash64 collision would merge two documents' postings,
+            # so fail loudly instead (the build is rerunnable with
+            # id_strategy="dense_rank" or a salted url)
+            row = docs.agg(
+                F.countDistinct("url").alias("u"),
+                F.countDistinct("doc_id").alias("d"),
+            ).collect()[0]
+            if int(row["u"]) != int(row["d"]):
+                raise ValueError(
+                    f"xxhash64 doc_id collision: {int(row['u'])} distinct urls "
+                    f"-> {int(row['d'])} distinct ids; use id_strategy="
+                    "'dense_rank' or salt the url"
+                )
     else:
         raise ValueError(id_strategy)
     out = docs.select(
@@ -511,6 +528,11 @@ def _encode_blocks(
     stay globally ordered without coordination because block_id is the
     block's first doc_id and the ranges are doc_id-disjoint.
     """
+    # doc_split_bits=0 would diverge between the shuffle key (shiftright
+    # by 0 == per-doc scatter) and the encoder (falsy -> no run breaks):
+    # normalize it to "no split" so both sites agree
+    if doc_split_bits is not None and doc_split_bits < 1:
+        doc_split_bits = None
     slim = postings.select(
         "term_id",
         "doc_id",

@@ -36,7 +36,14 @@ def ranged_parts(
     persisted partitions + broadcast per-partition id offsets + total row
     count. Callers either attach ids row-by-row (assign_dense_ids) or
     FUSE the id arithmetic into their own mapInPandas kernel (the index
-    build fuses it into tokenize — one Python stage instead of two)."""
+    build fuses it into tokenize — one Python stage instead of two).
+
+    order_col values MUST be unique (same requirement as the narrow
+    path): ids are positional over the persisted partitions, and callers
+    routinely run MULTIPLE jobs over them (tf kernel, then the docstats
+    attach). sortWithinPartitions is not stable across a cache-eviction
+    recompute, so duplicate keys could silently receive different ids in
+    different jobs."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     # range partitioning SAMPLES its child (one full execution) before the
@@ -103,7 +110,10 @@ def assign_dense_ids(
 def attach_ids(parts: DataFrame, offsets_bc, id_col: str, columns=None) -> DataFrame:
     """Positional id attach over ranged_parts output: id = partition
     offset + local running index. `columns` optionally projects first
-    (row order is preserved by select — ids stay the global rank)."""
+    (row order is preserved by select — ids stay the global rank).
+    Requires the ranged_parts order_col to be unique — see ranged_parts:
+    with duplicates, a recompute after cache eviction may reorder the tie
+    run between this job and a sibling kernel's job, mismatching ids."""
     from pyspark.sql import types as T
 
     if columns is not None:

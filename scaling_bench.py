@@ -168,7 +168,13 @@ def main() -> None:
         pairs.append({"rep": i, "efficiency": round(eff, 3),
                       "kernel_ceiling": round(kern, 3), "noise": noise,
                       "lo": lo_r, "hi": hi_r})
-    headline = max(pairs, key=lambda p: p["efficiency"])
+    # Headline = the QUIETEST pair (lowest same-moment host_factor), not
+    # the best efficiency — max-over-reps on a noisy host is an upward
+    # selection bias; the quietest window is the most trustworthy single
+    # measurement. --quiet-factor marks whether even that pair met the
+    # quiet bar (reported alongside, so a noisy round is visibly noisy).
+    headline = min(pairs, key=lambda p: (p["noise"], -p["efficiency"]))
+    host_quiet = headline["noise"] <= args.quiet_factor
     lo, hi = headline["lo"], headline["hi"]
     results = [lo, hi]
     speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
@@ -185,6 +191,8 @@ def main() -> None:
                 "scaling_efficiency": round(efficiency, 3),
                 "kernel_ceiling_efficiency": round(kernel_eff, 3),
                 "efficiency_vs_ceiling": round(efficiency / kernel_eff, 3),
+                "headline_pair_noise": headline["noise"],
+                "host_quiet": host_quiet,
                 "all_pairs": [
                     {k: p[k] for k in ("rep", "efficiency", "kernel_ceiling", "noise")}
                     for p in pairs
@@ -225,6 +233,8 @@ memory profile; no Spark job can beat its own kernel on this box.
 - **scaling efficiency: {efficiency:.3f}** (target >= 0.8 per BASELINE.json)
 - **host kernel ceiling (same pair, same moment): {kernel_eff:.3f}**
 - efficiency relative to the host ceiling: {efficiency / kernel_eff:.3f}
+- headline pair host noise factor: {headline['noise']:.3f} (quiet bar \
+{args.quiet_factor:g} — {'met' if host_quiet else 'NOT met; retry in a quieter window'})
 
 This VM exposes 32 vCPUs but sustains ~21x parallel compute, serializes
 first-touch page faults in the hypervisor, and shares its memory bus
@@ -235,9 +245,11 @@ exactly what N->4N *executors* (vs N->4N threads in one box) adds.
 
 Methodology: interleaved A/B/A/B reps across subprocesses, min-of-reps
 inside each process (warm JVM); efficiency computed per back-to-back
-A/B pair (same host window) and the best pair reported — mixing each
+A/B pair (same host window) and the QUIETEST pair (lowest same-moment
+host calibration factor) reported as the headline — picking the
+best-efficiency pair would be an upward selection bias, and mixing each
 level's fastest run across different windows randomly biases the ratio
-on a shared host. Job measured in-process
+on a shared host. All pairs are printed in the JSON for transparency. Job measured in-process
 (excludes JVM/session startup); input parquet pre-cached so IO variance
 doesn't skew the comparison. The build DAG: ids ride one url-range
 shuffle that doubles as the tokenize distribution (no separate rank

@@ -76,12 +76,18 @@ def test_weighted_interleave_deterministic(spark, pages_df):
     d = pages_df.select("url")
     a = d.limit(100)
     b = d.limit(200)
-    r1 = sorted(r.url for r in weighted_interleave([a, b], [1.0, 0.4], seed=5).collect())
-    r2 = sorted(r.url for r in weighted_interleave([a, b], [1.0, 0.4], seed=5).collect())
+    r1 = sorted(r.url for r in weighted_interleave([a, b], [1.0, 0.4], "url", seed=5).collect())
+    r2 = sorted(r.url for r in weighted_interleave([a, b], [1.0, 0.4], "url", seed=5).collect())
     assert r1 == r2  # same seed -> same sample
+    # layout-INDEPENDENT: selection is a pure function of (id, seed), so a
+    # repartition must not change the picks (df.sample would fail this)
+    b7 = d.limit(200).repartition(7)
+    r3 = sorted(
+        r.url for r in weighted_interleave([a, b7], [1.0, 0.4], "url", seed=5).collect()
+    )
+    assert r1 == r3
     # rate 1.0 source fully present
     full = {r.url for r in a.collect()}
     assert full.issubset(set(r1))
     # sampled source contributes roughly its rate
-    n_b = len(r1) - len(full & set(r1)) + (len([u for u in r1 if u in full]) - len(full))
     assert len(r1) > len(full)

@@ -289,6 +289,15 @@ def test_multimodal_stdlib_backend(spark):
     ch, sr, bits, nf = decode_wav(wav)
     assert (ch, sr, bits, nf) == (1, 8000, 16, 250)
 
+    # a LIST/INFO metadata chunk whose PAYLOAD contains the bytes "data"
+    # before the real data chunk: sample decode must use the chunk walk's
+    # offset, not a byte scan (payload.find would land in the metadata)
+    import struct as _struct
+
+    tricky = wav[:12] + b"LIST" + _struct.pack("<I", 8) + b"INFOdata" + wav[12:]
+    assert decode_wav(tricky) == (1, 8000, 16, 250)
+    assert np.array_equal(_stdlib_decode(tricky, "audio"), _stdlib_decode(wav, "audio"))
+
     with _pytest.raises(NotImplementedError):
         _stdlib_decode(b"xx", "video")
 

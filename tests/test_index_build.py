@@ -97,3 +97,56 @@ def test_doc_split_bits_identical_blocks(spark, pages_df):
         assert np.array_equal(a[t][0], b[t][0]), t
         assert np.array_equal(a[t][1], b[t][1]), t
     plain.unpersist(); forced.unpersist()
+
+
+def test_hash_id_collision_check(spark, pages_df, monkeypatch):
+    """id_strategy='hash' must fail loudly when distinct urls collide into
+    fewer distinct ids (a silent collision would merge two documents'
+    postings). Force one by patching the hash to a constant."""
+    import pyspark.sql.functions as SF
+
+    from dpr_spark.index import build as B
+
+    # sanity: the real hash passes the gate on the fixture corpus
+    ok = B.prepare_docs(pages_df.limit(50), id_strategy="hash")
+    assert ok.select("doc_id").distinct().count() == 50
+
+    monkeypatch.setattr(B.F, "xxhash64", lambda *cols: SF.lit(7))
+    with pytest.raises(ValueError, match="collision"):
+        B.prepare_docs(pages_df.limit(50), id_strategy="hash")
+
+
+def test_doc_split_bits_zero_normalized(spark, pages_df):
+    """doc_split_bits=0 must behave exactly like None (no per-doc scatter
+    in the shuffle key, no run-break divergence in the encoder)."""
+    import numpy as np
+
+    from dpr_spark.index.build import build_index_from_docs, prepare_docs
+    from dpr_spark.index.codec import decode_block
+
+    def decoded(idx):
+        out = {}
+        for r in idx.blocks.collect():
+            d, t = decode_block(r.doc_ids, r.tfs, r.n)
+            out.setdefault(r.term_id, []).append((r.block_id, d, t))
+        return {
+            k: np.concatenate([c[1] for c in sorted(v, key=lambda c: c[0])])
+            for k, v in out.items()
+        }
+
+    cleanup = []
+    docs = prepare_docs(pages_df.limit(60), cleanup=cleanup)
+    zero = build_index_from_docs(spark, docs, build_blocks=True, cleanup=cleanup,
+                                 doc_split_bits=0)
+    n_blocks_zero = zero.blocks.count()
+    dz = decoded(zero)
+    zero.unpersist()
+    cleanup2 = []
+    docs2 = prepare_docs(pages_df.limit(60), cleanup=cleanup2)
+    none = build_index_from_docs(spark, docs2, build_blocks=True, cleanup=cleanup2)
+    assert none.blocks.count() == n_blocks_zero  # no overlapping-run blowup
+    dn = decoded(none)
+    none.unpersist()
+    assert set(dz) == set(dn)
+    for k in dz:
+        assert np.array_equal(dz[k], dn[k]), k
