@@ -68,11 +68,12 @@ def main(argv=None) -> None:
         seg = build_impact_segments(idx, num_buckets=args.segments_buckets)
         seg.write.mode("overwrite").parquet(os.path.join(args.out, "segments"))
     if args.block_buckets:
-        from dpr_spark.query.blockmax import build_block_segments
+        from dpr_spark.query.blockmax import build_block_segments, save_serving_layout
 
         blocks, norms = build_block_segments(idx, num_buckets=args.block_buckets)
-        blocks.write.mode("overwrite").parquet(os.path.join(args.out, "block_segments"))
-        norms.write.mode("overwrite").parquet(os.path.join(args.out, "block_norms"))
+        # bucketed+sorted at-rest layout: a from-storage query cogroups on
+        # bucket with no exchange and prunes row groups by term_id
+        save_serving_layout(spark, blocks, norms, args.out, args.block_buckets)
     wall = time.perf_counter() - t0
     n = idx.stats.n_docs
     print(

@@ -57,7 +57,12 @@ from dpr_spark.functions.normalize import normalize_question
 from dpr_spark.functions.tokenizer import tokenize
 from dpr_spark.index.build import InvertedIndex, impact_expr
 from dpr_spark.index.codec import decode_block
-from dpr_spark.query.wand import RESULT_SCHEMA, _at_least_top, _final_topk
+from dpr_spark.query.wand import (
+    RESULT_SCHEMA,
+    _at_least_top,
+    _final_topk,
+    _values_filter,
+)
 
 BUCKETED_BLOCK_SCHEMA = (
     "bucket int, term_id long, block_id long, n int, "
@@ -130,6 +135,81 @@ def build_block_segments(
     return blocks, norms
 
 
+def save_serving_layout(
+    spark: SparkSession,
+    blocks: DataFrame,
+    norms: DataFrame,
+    path: str,
+    num_buckets: int,
+    write_options: Optional[dict] = None,
+) -> Tuple[str, str]:
+    """Write blocks+norms as Spark BUCKETED tables (CLUSTERED BY bucket),
+    blocks sorted by (term_id, block_id) inside each bucket file. This is
+    the at-rest form the docstring above promises: a from-storage query
+    cogroups on bucket with NO exchange (both scans report the matching
+    hash partitioning), and the per-file term_id sort gives parquet row
+    groups tight min/max stats so the query-term filter actually skips
+    row groups (asserted in tests/test_plans.py). Metadata needed to
+    re-register the tables in a fresh session (bucket count) goes to
+    serving_meta.json next to the data."""
+    import json
+    import os
+
+    bt, nt = _layout_tables(path)
+    spark.sql(f"DROP TABLE IF EXISTS {bt}")
+    spark.sql(f"DROP TABLE IF EXISTS {nt}")
+    os.makedirs(path, exist_ok=True)
+    bw = blocks.write.bucketBy(num_buckets, "bucket").sortBy("term_id", "block_id")
+    nw = norms.write.bucketBy(num_buckets, "bucket").sortBy("doc_id")
+    for k, v in (write_options or {}).items():
+        bw = bw.option(k, v)
+        nw = nw.option(k, v)
+    bw.option("path", os.path.join(path, "block_segments")).mode(
+        "overwrite"
+    ).saveAsTable(bt)
+    nw.option("path", os.path.join(path, "block_norms")).mode("overwrite").saveAsTable(nt)
+    with open(os.path.join(path, "serving_meta.json"), "w") as f:
+        json.dump({"num_buckets": num_buckets}, f)
+    return bt, nt
+
+
+def load_serving_layout(spark: SparkSession, path: str) -> Tuple[DataFrame, DataFrame]:
+    """(blocks, norms) from a save_serving_layout directory. In a fresh
+    session the bucketed-table metadata is re-registered as EXTERNAL
+    tables over the existing files (bucketBy wrote bucket ids into the
+    file names, so Spark can trust the declared clustering) — the query
+    plan then shows bucketed scans and no exchange on bucket."""
+    import json
+    import os
+
+    with open(os.path.join(path, "serving_meta.json")) as f:
+        n = json.load(f)["num_buckets"]
+    bt, nt = _layout_tables(path)
+    specs = [
+        (bt, "block_segments", BUCKETED_BLOCK_SCHEMA, "term_id, block_id"),
+        (nt, "block_norms", NORMS_SCHEMA, "doc_id"),
+    ]
+    for name, sub, schema, sort in specs:
+        if not spark.catalog.tableExists(name):
+            loc = os.path.abspath(os.path.join(path, sub))
+            spark.sql(
+                f"CREATE TABLE {name} ({schema}) USING PARQUET "
+                f"CLUSTERED BY (bucket) SORTED BY ({sort}) INTO {n} BUCKETS "
+                f"LOCATION '{loc}'"
+            )
+    return spark.table(bt), spark.table(nt)
+
+
+def _layout_tables(path: str) -> Tuple[str, str]:
+    """Deterministic per-path table names, so any session pointed at the
+    same directory resolves the same catalog entries."""
+    import hashlib
+    import os
+
+    h = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+    return f"dpr_block_segments_{h}", f"dpr_block_norms_{h}"
+
+
 def _driver_query_terms_idf(
     spark: SparkSession, queries: DataFrame, index: InvertedIndex
 ) -> List[Tuple[int, np.ndarray, np.ndarray]]:
@@ -142,7 +222,7 @@ def _driver_query_terms_idf(
         return []
     tmap = {
         r.term: (int(r.term_id), float(r.idf))
-        for r in index.dictionary.filter(F.col("term").isin(needed))
+        for r in _values_filter(index.dictionary, "term", needed)
         .select("term", "term_id", "idf")
         .collect()
     }
@@ -202,6 +282,8 @@ def _search_bucket(
         stats.setdefault("blocks_total", 0)
         stats.setdefault("blocks_decoded", 0)
         stats.setdefault("postings_decoded", 0)
+        stats.setdefault("score_writes", 0)
+        stats.setdefault("cand_peak", 0)
 
     cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
     idf_by_tid: Dict[int, float] = {}
@@ -227,11 +309,17 @@ def _search_bucket(
         return cache[r]
 
     out_q, out_d, out_s = [], [], []
+    # SPARSE per-query accumulation via generation stamping: `scores` and
+    # `gen` are allocated ONCE per bucket; a slot is live for query qi iff
+    # gen[slot] == qi, so there is no O(bucket_docs) zero-fill per query —
+    # per-query work scales with postings DECODED (+ candidates), which is
+    # what block-max skipping is for (asserted via the score_writes /
+    # cand_peak counters in tests/test_blockmax.py).
     scores = np.zeros(n_docs, dtype=np.float64)
-    touched = np.zeros(n_docs, dtype=bool)
+    gen = np.full(n_docs, -1, dtype=np.int64)
     sentinel = np.int64(nd[-1] + 1) if n_docs else np.int64(0)
 
-    for qid, q_tids, _ in qterms:
+    for qi, (qid, q_tids, _) in enumerate(qterms):
         pos = np.searchsorted(uterms, q_tids)
         valid = (pos < len(uterms)) & (uterms[np.minimum(pos, len(uterms) - 1)] == q_tids)
         hit = pos[valid]
@@ -239,8 +327,21 @@ def _search_bucket(
             continue
         if stats is not None:
             stats["blocks_total"] += int((t_ends[hit] - t_starts[hit]).sum())
-        scores.fill(0.0)
-        touched.fill(False)
+
+        cand_chunks: List[np.ndarray] = []  # first-touch slots — disjoint
+        ncand = 0
+
+        def add(lidx: np.ndarray, imp: np.ndarray) -> None:
+            nonlocal ncand
+            new = gen[lidx] != qi
+            scores[lidx] = np.where(new, imp, scores[lidx] + imp)
+            gen[lidx] = qi
+            if new.any():
+                fresh = lidx[new]
+                cand_chunks.append(fresh)
+                ncand += len(fresh)
+            if stats is not None:
+                stats["score_writes"] += len(lidx)
 
         desc_order = np.argsort(-tmax[hit], kind="stable")
         desc = hit[desc_order]
@@ -248,9 +349,8 @@ def _search_bucket(
         probed_from = len(desc)
         for i, p in enumerate(desc):
             kth = -np.inf
-            ncand = int(touched.sum())
             if i > 0 and ncand >= k:
-                cand_now = np.flatnonzero(touched)
+                cand_now = np.concatenate(cand_chunks)
                 kth = np.partition(scores[cand_now], ncand - k)[ncand - k]
                 if suffix[i] < kth - _SLACK:  # no new doc can reach top-k
                     probed_from = i
@@ -263,7 +363,7 @@ def _search_bucket(
                 # docs that are ALREADY candidates — decode only those.
                 viable = bmax[bs:be] + suffix[i + 1] >= kth - _SLACK
                 if not viable.all():
-                    cdocs = nd[np.flatnonzero(touched)]
+                    cdocs = nd[np.sort(cand_now)]
                     los = bid[bs:be]
                     his = np.r_[los[1:], sentinel]
                     at = np.searchsorted(cdocs, los)
@@ -274,13 +374,15 @@ def _search_bucket(
                     rows = rows[viable | has_cand]
             for r in rows:
                 lidx, imp = dec(int(r))
-                scores[lidx] += imp
-                touched[lidx] = True
+                add(lidx, imp)
+
+        if stats is not None:
+            stats["cand_peak"] = max(stats["cand_peak"], ncand)
+        cand = np.sort(np.concatenate(cand_chunks)) if cand_chunks else np.empty(0, np.int64)
 
         # ---- probe phase: per-candidate block-max pruning
         for i in range(probed_from, len(desc)):
             p = desc[i]
-            cand = np.flatnonzero(touched)
             if len(cand) == 0:
                 break
             theta = -np.inf
@@ -294,7 +396,6 @@ def _search_bucket(
                 inblk, bmax[bs + np.maximum(bpos, 0)], 0.0
             )
             drop = bound < theta - _SLACK
-            touched[cand[drop]] = False
             live = ~drop & inblk
             keep, kbpos = cand[live], bpos[live]
             for rb in np.unique(kbpos):
@@ -304,8 +405,10 @@ def _search_bucket(
                 ppos = np.searchsorted(lidx, sub)
                 ok = (ppos < len(lidx)) & (lidx[np.minimum(ppos, len(lidx) - 1)] == sub)
                 scores[sub[ok]] += imp[ppos[ok]]
+                if stats is not None:
+                    stats["score_writes"] += int(ok.sum())
+            cand = cand[~drop]
 
-        cand = np.flatnonzero(touched)
         if len(cand) == 0:
             continue
         keep = _at_least_top(scores[cand], min(len(cand), k + 16))
@@ -352,27 +455,44 @@ def search_blocks(
     k: int = DEFAULT_TOP_K,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    batch_size: int = None,
 ) -> DataFrame:
     """results(qid, rank, doc_id, score) from the compressed blocks —
-    bit-identical to query/scorer.py::search. The term_id.isin filter
-    prunes the block scan to query terms (parquet pushdown at scale); the
-    cogroup keys both sides on bucket so norms never shuffle per query
-    when pre-bucketed on storage."""
+    bit-identical to query/scorer.py::search. Queries ship in BROADCAST
+    waves of batch_size (task size stays O(1) in query count; queries are
+    independent so wave splits cannot change any result — asserted in
+    tests/test_blockmax.py). Each wave's term_id filter prunes the block
+    scan to that wave's query terms (parquet pushdown for small term
+    sets, broadcast semi-join beyond _values_filter's pushdown_limit);
+    the cogroup keys both sides on bucket so norms never shuffle per
+    query when pre-bucketed on storage."""
+    from dpr_spark.query.wand import DEFAULT_QUERY_BATCH, _values_filter
+
+    if batch_size is None:
+        batch_size = DEFAULT_QUERY_BATCH
     qterms = _driver_query_terms_idf(spark, queries, index)
     if not qterms:
         return spark.createDataFrame([], "qid long, rank int, doc_id long, score double")
-    all_tids = sorted({int(t) for _, tids, _ in qterms for t in tids})
     avgdl = index.stats.avgdl
-    bsel = blocks.filter(F.col("term_id").isin(all_tids))
 
-    def fn(bpdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
-        return _search_bucket(bpdf, npdf, qterms, k, avgdl, k1, b)
+    def make_fn(bc):
+        def fn(bpdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+            return _search_bucket(bpdf, npdf, bc.value, k, avgdl, k1, b)
 
-    local = (
-        bsel.groupby("bucket")
-        .cogroup(norms.groupby("bucket"))
-        .applyInPandas(fn, RESULT_SCHEMA)
-    )
+        return fn
+
+    local = None
+    for w0 in range(0, len(qterms), batch_size):
+        wave = qterms[w0 : w0 + batch_size]
+        wave_tids = sorted({int(t) for _, tids, _ in wave for t in tids})
+        bsel = _values_filter(blocks, "term_id", wave_tids)
+        bc = spark.sparkContext.broadcast(wave)
+        part = (
+            bsel.groupby("bucket")
+            .cogroup(norms.groupby("bucket"))
+            .applyInPandas(make_fn(bc), RESULT_SCHEMA)
+        )
+        local = part if local is None else local.unionByName(part)
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         local.withColumn("rank", F.row_number().over(w))

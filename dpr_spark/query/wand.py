@@ -44,6 +44,28 @@ from dpr_spark.index.build import InvertedIndex
 
 RESULT_SCHEMA = "qid long, doc_id long, score double"
 
+# queries are processed in waves of this many per Spark job: the wave's
+# (qid, term_ids) go out as a BROADCAST (torrent-distributed, not a task
+# closure), so task size stays O(1) in query count and the per-partition
+# Python loop is bounded per job. 512 is the reference's own RPC batch
+# size (dense_retriever.py:258-287); we default higher because a Spark
+# job has more fixed cost than an RPC call.
+DEFAULT_QUERY_BATCH = 4096
+
+
+def _values_filter(df: DataFrame, col: str, values, pushdown_limit: int = 1024):
+    """col IN values — as an isin literal list for small sets (reaches
+    the parquet scan as a pushed filter) or a broadcast semi-join above
+    pushdown_limit (an isin of 10^5 literals is a giant expression tree:
+    slow to analyze, and useless to the scan anyway at that size)."""
+    vals = sorted(values)
+    if len(vals) <= pushdown_limit:
+        return df.filter(F.col(col).isin(vals))
+    spark = df.sparkSession
+    dtype = df.schema[col].dataType.simpleString()
+    vdf = spark.createDataFrame([(v,) for v in vals], f"{col} {dtype}")
+    return df.join(F.broadcast(vdf), col, "left_semi")
+
 
 def build_impact_segments(
     index: InvertedIndex, num_buckets: int = 64, k1: float = BM25_K1, b: float = BM25_B
@@ -72,7 +94,11 @@ def _driver_query_terms(
 ) -> List[Tuple[int, np.ndarray]]:
     """Tokenize the (small) query set driver-side and resolve term ->
     term_id using only the dictionary rows for terms that occur in
-    queries (a semi-join collect, never the whole dictionary)."""
+    queries (a semi-join collect, never the whole dictionary). Driver
+    boundary: the query table is collected once — (qid, question) rows
+    plus the tokenized term ids, ~100 B/query, so ~10^7 queries/GB of
+    driver heap; the per-job shipping is a broadcast wave, never a task
+    closure (search_segments/search_blocks batch_size)."""
     qrows = queries.select("qid", "question").collect()
     qterms = {int(r.qid): sorted(set(tokenize(normalize_question(r.question)))) for r in qrows}
     needed = sorted({t for ts in qterms.values() for t in ts})
@@ -80,7 +106,7 @@ def _driver_query_terms(
         return []
     tmap = {
         r.term: r.term_id
-        for r in index.dictionary.filter(F.col("term").isin(needed))
+        for r in _values_filter(index.dictionary, "term", needed)
         .select("term", "term_id")
         .collect()
     }
@@ -255,15 +281,28 @@ def search_segments(
     index: InvertedIndex,
     segments: DataFrame,
     k: int = DEFAULT_TOP_K,
+    batch_size: int = DEFAULT_QUERY_BATCH,
 ) -> DataFrame:
     """results(qid, rank, doc_id, score) — bit-identical to the exact
-    scorer, one postings pass, no postings shuffle."""
+    scorer, one postings pass per wave, no postings shuffle. Queries ship
+    in broadcast waves of batch_size (queries are independent, so wave
+    splitting cannot change any query's result — asserted in
+    tests/test_wand_pruning.py)."""
     qterms = _driver_query_terms(spark, queries, index)
+    if not qterms:
+        return spark.createDataFrame([], "qid long, rank int, doc_id long, score double")
 
-    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _search_partition(it, qterms, k)
+    def make_run(bc):
+        def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            return _search_partition(it, bc.value, k)
 
-    local = segments.mapInPandas(run, RESULT_SCHEMA)
+        return run
+
+    local = None
+    for w0 in range(0, len(qterms), batch_size):
+        bc = spark.sparkContext.broadcast(qterms[w0 : w0 + batch_size])
+        part = segments.mapInPandas(make_run(bc), RESULT_SCHEMA)
+        local = part if local is None else local.unionByName(part)
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         local.withColumn("rank", F.row_number().over(w))

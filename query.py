@@ -59,11 +59,18 @@ def main(argv=None) -> None:
             seg.count()
         results = search_segments(spark, queries, idx, seg, k=args.k)
     elif args.engine == "blockmax":
-        from dpr_spark.query.blockmax import build_block_segments, search_blocks
+        from dpr_spark.query.blockmax import (
+            build_block_segments,
+            load_serving_layout,
+            search_blocks,
+        )
 
         bp = os.path.join(args.index, "block_segments")
         np_ = os.path.join(args.index, "block_norms")
-        if os.path.isdir(bp) and os.path.isdir(np_):
+        if os.path.isfile(os.path.join(args.index, "serving_meta.json")):
+            # bucketed tables: cogroup runs with no exchange on bucket
+            blocks, norms = load_serving_layout(spark, args.index)
+        elif os.path.isdir(bp) and os.path.isdir(np_):
             blocks, norms = spark.read.parquet(bp), spark.read.parquet(np_)
         else:
             blocks, norms = build_block_segments(idx)

@@ -4,6 +4,7 @@ WAND intersection")."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 
 @pytest.fixture(scope="module")
@@ -157,3 +158,92 @@ def test_roundtrip_blocks_cover_all_postings(spark, big_local):
         ref = by_term[t]
         assert np.array_equal(docs, ref["doc_id"].to_numpy(np.int64))
         assert np.array_equal(tfs, ref["tf"].to_numpy(np.int64))
+
+
+def test_sparse_accumulator_work_scales_with_postings(spark, big_local):
+    """The per-query work must scale with postings decoded, not bucket
+    size: a selective query over a 2000-doc bucket may only write scores
+    for slots its own postings touch (the old dense zero-fill did
+    O(n_docs) per query regardless)."""
+    from dpr_spark.query.blockmax import _driver_query_terms_idf, _search_bucket
+
+    idx, bpdf, npdf, spdf = big_local
+    n_docs = len(npdf)
+    # pick three genuinely rare terms from the dictionary
+    rare = (
+        idx.dictionary.filter("df between 2 and 15")
+        .orderBy("df")
+        .limit(3)
+        .toPandas()
+    )
+    assert len(rare) == 3, "fixture corpus lost its rare terms"
+    budget = int(rare["df"].sum())
+    q = " ".join(rare["term"])
+    qdf = spark.createDataFrame([(0, q)], "qid long, question string")
+    qt = _driver_query_terms_idf(spark, qdf, idx)
+
+    stats = {}
+    out = _search_bucket(bpdf, npdf, qt, 10, idx.stats.avgdl, stats=stats)
+    assert len(out) > 0
+    # every score write maps to a posting of a query term (no dense fill)
+    assert stats["score_writes"] <= budget, (stats, budget)
+    assert stats["cand_peak"] <= budget
+    assert stats["score_writes"] < n_docs // 4, (stats, n_docs)
+
+    # work is per-query linear: 20 copies of the query -> ~20x the writes
+    qt20 = [(i, qt[0][1], qt[0][2]) for i in range(20)]
+    stats20 = {}
+    _search_bucket(bpdf, npdf, qt20, 10, idx.stats.avgdl, stats=stats20)
+    assert stats20["score_writes"] <= 20 * stats["score_writes"]
+
+
+def test_query_wave_batching_identical(spark, index, block_segs, queries_df):
+    """Wave-split queries (broadcast batches) must return bit-identical
+    results to a single wave — queries are independent."""
+    from dpr_spark.query.blockmax import search_blocks
+
+    blocks, norms = block_segs
+
+    def canon(df):
+        return sorted(
+            (r.qid, r.rank, r.doc_id, r.score) for r in df.collect()
+        )
+
+    one = canon(search_blocks(spark, queries_df, index, blocks, norms, k=10,
+                              batch_size=10**6))
+    waved = canon(search_blocks(spark, queries_df, index, blocks, norms, k=10,
+                                batch_size=7))
+    assert one == waved
+
+
+def test_ten_thousand_queries_wave_batched(spark, index, block_segs):
+    """Serving-path scale gate: 10k queries flow through search_blocks in
+    broadcast waves (3 jobs at batch 4096) — no query list in any task
+    closure — and every query gets a full result set; a spot-checked
+    subset is bit-identical to the exact scorer."""
+    from dpr_spark.fixtures.corpus import gen_pages_pdf, gen_queries_pdf
+    from dpr_spark.query.blockmax import search_blocks
+    from dpr_spark.query.scorer import search
+
+    blocks, norms = block_segs
+    pages = gen_pages_pdf(300, seed=42)  # the index fixture's corpus
+    qpdf = gen_queries_pdf(pages, n_queries=10000, seed=99)
+    qdf = spark.createDataFrame(qpdf[["qid", "question"]])
+    res = search_blocks(spark, qdf, index, blocks, norms, k=3, batch_size=4096).persist()
+    per_q = res.groupBy("qid").count()
+    assert per_q.count() == 10000
+    assert per_q.filter("count != 3").count() == 0
+
+    sub_ids = list(range(0, 10000, 997))
+    sub = spark.createDataFrame(
+        qpdf[qpdf.qid.isin(sub_ids)][["qid", "question"]]
+    )
+    exact = {
+        (r.qid, r.rank): (r.doc_id, r.score) for r in search(sub, index, k=3).collect()
+    }
+    got = {
+        (r.qid, r.rank): (r.doc_id, r.score)
+        for r in res.filter(F.col("qid").isin(sub_ids)).collect()
+    }
+    assert got == exact
+    res.unpersist(True)

@@ -94,3 +94,77 @@ def test_impact_segments_partitioned_by_bucket(spark, index):
     seg = build_impact_segments(index, num_buckets=8)
     plan = _explain(seg)
     assert "hashpartitioning(bucket" in plan
+
+
+@pytest.fixture(scope="module")
+def serving_layout(spark, index, tmp_path_factory):
+    """Bucketed+sorted at-rest layout (small parquet row groups so the
+    pruning claim is testable at fixture scale)."""
+    path = str(tmp_path_factory.mktemp("serve"))
+    from dpr_spark.query.blockmax import build_block_segments, save_serving_layout
+
+    blocks, norms = build_block_segments(index, num_buckets=4)
+    save_serving_layout(
+        spark, blocks, norms, path, 4,
+        write_options={"parquet.block.size": str(16 * 1024)},
+    )
+    return path
+
+
+def test_serving_layout_no_bucket_exchange(spark, index, queries_df, serving_layout):
+    """From-storage query: both bucketed scans feed the cogroup directly —
+    the ONLY exchange in the plan is the final tiny result-row window on
+    qid; blocks and norms are never reshuffled on bucket. Results stay
+    bit-identical to the exact scorer. Registration survives a fresh
+    session (tables dropped + re-registered from serving_meta.json)."""
+    from dpr_spark.query.blockmax import _layout_tables, load_serving_layout, search_blocks
+    from dpr_spark.query.scorer import search
+
+    # simulate a fresh session: drop the catalog entries (external tables
+    # keep their files), forcing load to re-register from the metadata
+    for t in _layout_tables(serving_layout):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    blocks, norms = load_serving_layout(spark, serving_layout)
+    res = search_blocks(spark, queries_df, index, blocks, norms, k=10)
+    plan = _explain(res)
+    assert "hashpartitioning(bucket" not in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+
+    exact = sorted(
+        (r.qid, r.rank, r.doc_id, r.score) for r in search(queries_df, index, k=10).collect()
+    )
+    got = sorted((r.qid, r.rank, r.doc_id, r.score) for r in res.collect())
+    assert got == exact
+
+
+def test_serving_layout_rowgroup_pruning_skips(spark, index, queries_df, serving_layout):
+    """The term_id sort inside bucket files must make row-group pruning
+    REAL: for an actual query's term set, most row groups' [min,max]
+    term_id ranges exclude every query term — the same statistics parquet
+    readers (Spark included) use to skip row groups, asserted on the
+    storage artifact rather than plan text."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dpr_spark.query.blockmax import _driver_query_terms_idf
+
+    qterms = _driver_query_terms_idf(spark, queries_df.limit(5), index)
+    tids = sorted({int(t) for _, ts, _ in qterms for t in ts})
+    assert tids
+
+    total = matched = 0
+    for f in glob.glob(serving_layout + "/block_segments/part-*"):
+        md = pq.ParquetFile(f).metadata
+        names = [md.row_group(0).column(i).path_in_schema
+                 for i in range(md.row_group(0).num_columns)]
+        ti = names.index("term_id")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ti).statistics
+            total += 1
+            if any(st.min <= t <= st.max for t in tids):
+                matched += 1
+    assert total >= 8, f"too few row groups ({total}) to evidence pruning"
+    assert matched < total, (matched, total)
+    # the point of the sort: most row groups are skippable for a real query
+    assert matched <= total * 0.7, (matched, total)

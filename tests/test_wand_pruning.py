@@ -60,3 +60,34 @@ def test_absent_query_term_not_double_counted():
     out = list(_search_partition(iter([pdf]), qterms, k=1, prune=True))
     got = {int(d): float(s) for d, s in zip(out[0].doc_id, out[0].score)}
     assert got == {200: 2.5}
+
+
+def test_segments_wave_batching_identical(spark, index, queries_df):
+    """search_segments wave splitting (broadcast batches) is a pure
+    partition of the query set — results must be bit-identical."""
+    from dpr_spark.query.wand import build_impact_segments, search_segments
+
+    seg = build_impact_segments(index, num_buckets=4).persist()
+    seg.count()
+
+    def canon(df):
+        return sorted((r.qid, r.rank, r.doc_id, r.score) for r in df.collect())
+
+    one = canon(search_segments(spark, queries_df, index, seg, k=10, batch_size=10**6))
+    waved = canon(search_segments(spark, queries_df, index, seg, k=10, batch_size=7))
+    assert one == waved
+    seg.unpersist(True)
+
+
+def test_values_filter_join_path_matches_isin(spark, index):
+    """_values_filter above pushdown_limit switches to a broadcast
+    semi-join; both paths must select the same rows."""
+    from dpr_spark.query.wand import _values_filter
+
+    terms = [r.term for r in index.dictionary.limit(40).collect()]
+    a = sorted(r.term for r in _values_filter(index.dictionary, "term", terms).collect())
+    b = sorted(
+        r.term
+        for r in _values_filter(index.dictionary, "term", terms, pushdown_limit=5).collect()
+    )
+    assert a == b and len(a) == len(terms)
