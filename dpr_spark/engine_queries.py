@@ -1354,6 +1354,134 @@ def q_weighted_interleave() -> Entry:
     return fn, sql
 
 
+def q_reader_samples() -> Entry:
+    """Reader TRAINING-sample construction (`reader_data.py:234-521`
+    `preprocess_retriever_data` + `_select_reader_passages`): synthetic
+    retriever results (documents ranked by doc_id) per BENCH query ->
+    span-verified positives (gold-page preferred, uncapped; fallback
+    capped), rank-ordered negatives under the 10·n_pos cap, questions
+    with no surviving positives dropped. Fully integer-deterministic ->
+    DuckDB-checked, including first-span offsets."""
+    from dpr_spark.functions.tokenizer import TOKEN_PATTERN_SQL, duckdb_tokenize_sql
+
+    MP, MAXN, MINN = 5, 10, 20
+
+    def fn(spark, sf_dir):
+        from dpr_spark.eval.reader import select_reader_passages
+        from dpr_spark.functions.tokenizer import tokenize_col
+
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") < 120).select(
+            "doc_id",
+            (F.col("doc_id") + 1).cast("int").alias("rank"),
+            F.concat(F.lit("page_"), (F.col("doc_id") % 6).cast("string")).alias("title"),
+            tokenize_col("text", lowercase_first=True).alias("tokens"),
+            F.lower("text").alias("_lt"),
+        )
+        ans = spark.createDataFrame(
+            [(q, BENCH_ANSWERS[q]) for q, _ in BENCH_QUERIES],
+            "qid int, answers array<string>",
+        )
+        results = (
+            d.crossJoin(F.broadcast(ans))
+            .withColumn(
+                "has_answer",
+                F.exists("answers", lambda a: F.col("_lt").contains(F.lower(a))),
+            )
+            .select("qid", "rank", "doc_id", "title", "tokens", "has_answer")
+        )
+        gold = spark.createDataFrame(
+            [(q, f"page_{q % 6}") for q, _ in BENCH_QUERIES if q % 2 == 0],
+            "qid int, gold_title string",
+        )
+        out = select_reader_passages(
+            results, ans, gold,
+            max_positives=MP, max_negatives=MAXN, min_negatives=MINN,
+        )
+        return out.select(
+            "qid",
+            "role",
+            F.col("sel_rank").cast("int").alias("sel_rank"),
+            "rank",
+            "doc_id",
+            F.size("spans").alias("n_spans"),
+            F.try_element_at("spans", F.lit(1)).getField("start").alias("s1_start"),
+            F.try_element_at("spans", F.lit(1)).getField("end").alias("s1_end"),
+        )
+
+    ans_vals = ", ".join(
+        "({}, [{}])".format(
+            qid, ", ".join("'" + a.replace("'", "''") + "'" for a in BENCH_ANSWERS[qid])
+        )
+        for qid, _ in BENCH_QUERIES
+    )
+    gold_vals = ", ".join(
+        f"({q}, 'page_{q % 6}')" for q, _ in BENCH_QUERIES if q % 2 == 0
+    )
+    pat = TOKEN_PATTERN_SQL.replace("'", "''")
+    toks = duckdb_tokenize_sql("text", lowercase_first=True)
+    sql = f"""
+      WITH ansl AS (
+        SELECT qid, answers,
+               list_transform(answers, a ->
+                 list_transform(regexp_extract_all(a, '{pat}'), t -> lower(t))) AS ans_toks
+        FROM (VALUES {ans_vals}) AS a(qid, answers)),
+      gold AS (SELECT * FROM (VALUES {gold_vals}) AS g(qid, gold_title)),
+      d AS (SELECT doc_id, (doc_id + 1)::INT AS rank,
+                   'page_' || (doc_id % 6) AS title,
+                   {toks} AS toks, lower(text) AS lt
+            FROM documents WHERE doc_id < 120),
+      pairs AS (
+        SELECT a.qid, d.rank, d.doc_id, d.title, d.toks, a.ans_toks,
+               len(list_filter(a.answers, x -> contains(d.lt, lower(x)))) > 0 AS has_answer
+        FROM d CROSS JOIN ansl a),
+      sp AS (
+        SELECT qid, rank, doc_id, title, has_answer,
+          CASE WHEN has_answer THEN
+            flatten(list_transform(ans_toks, at ->
+              CASE WHEN len(at) = 0 THEN [] ELSE
+                list_transform(
+                  list_filter(range(0, len(toks) - len(at) + 1),
+                              i -> toks[i + 1 : i + len(at)] = at),
+                  i -> [i, i + len(at) - 1])
+              END))
+          ELSE [] END AS spans
+        FROM pairs),
+      sel AS (
+        SELECT sp.*,
+          has_answer AND len(spans) > 0 AS is_pos_cand,
+          has_answer AND len(spans) > 0 AND gold_title IS NOT NULL
+            AND lower(title) = lower(gold_title) AS is_gold_pos
+        FROM sp LEFT JOIN gold USING (qid)),
+      w1 AS (
+        SELECT *,
+          sum(is_gold_pos::INT) OVER (PARTITION BY qid) AS n_gold,
+          sum(is_pos_cand::INT) OVER (PARTITION BY qid ORDER BY rank) AS cand_rank
+        FROM sel),
+      w2 AS (
+        SELECT *,
+          CASE WHEN n_gold > 0 THEN is_gold_pos
+               ELSE is_pos_cand AND cand_rank <= {MP} END AS is_positive
+        FROM w1),
+      w3 AS (
+        SELECT *,
+          sum(is_positive::INT) OVER (PARTITION BY qid) AS n_pos,
+          sum(is_positive::INT) OVER (PARTITION BY qid ORDER BY rank) AS pos_rank,
+          sum((NOT has_answer)::INT) OVER (PARTITION BY qid ORDER BY rank) AS neg_rank
+        FROM w2)
+      SELECT qid::INT AS qid,
+             CASE WHEN is_positive THEN 'positive' ELSE 'negative' END AS role,
+             (CASE WHEN is_positive THEN pos_rank ELSE neg_rank END)::INT AS sel_rank,
+             rank::INT AS rank, doc_id::BIGINT AS doc_id,
+             len(spans)::INT AS n_spans,
+             spans[1][1]::INT AS s1_start, spans[1][2]::INT AS s1_end
+      FROM w3
+      WHERE n_pos > 0
+        AND (is_positive
+             OR (NOT has_answer
+                 AND neg_rank <= least(greatest({MAXN}, n_pos * 10), {MINN})))"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -1389,6 +1517,7 @@ def all_entries() -> Dict[str, Entry]:
         "table_chunks": q_table_chunks(),
         "average_rank": q_average_rank(),
         "kilt_format": q_kilt_format(),
+        "reader_samples": q_reader_samples(),
         "weighted_interleave": q_weighted_interleave(),
         "results_nested": q_results_nested(),
         "range_slice_events": q_range_slice_events(),

@@ -192,3 +192,216 @@ def positive_ctx_filter(samples: DataFrame, positives_col: str = "positive_ctxs"
     """P6: drop samples with no positive contexts
     (`biencoder_data.py:77-79`)."""
     return samples.filter(F.size(F.col(positives_col)) > 0)
+
+
+SPANS_TYPE = "array<struct<start:int,end:int>>"
+
+
+def find_answer_spans_col(toks, ans_toks):
+    """All (start, end) token spans where ans_toks occurs contiguously in
+    toks — `_find_answer_positions` (`reader_data.py:519-527`) on word
+    tokens instead of BERT ids (the repo-wide tokenizer-analog choice,
+    same as best_spans). Pure Catalyst: a slice-compare at every start
+    position; starts ascending, 0-based, end inclusive."""
+    la, n = F.size(ans_toks), F.size(toks)
+    starts = F.sequence(F.lit(0), n - la)
+    hits = F.filter(starts, lambda i: F.slice(toks, i + 1, la) == ans_toks)
+    spans = F.transform(
+        hits,
+        lambda i: F.struct(
+            i.cast("int").alias("start"), (i + la - 1).cast("int").alias("end")
+        ),
+    )
+    # the when() guards the descending-sequence case (la > n) and empty
+    # answers; CaseWhen branches evaluate lazily, so no invalid slice runs
+    return F.when((la > 0) & (la <= n), spans).otherwise(
+        F.array().cast(SPANS_TYPE)
+    )
+
+
+def select_reader_passages(
+    results: DataFrame,
+    questions: DataFrame,
+    gold: DataFrame = None,
+    is_train: bool = True,
+    max_positives: int = 20,
+    max_negatives: int = 50,
+    min_negatives: int = 150,
+    max_retriever_passages: int = 200,
+    eval_passages: int = 100,
+    skip_no_positives: bool = True,
+) -> DataFrame:
+    """Reader TRAINING-sample construction — `_select_reader_passages` +
+    the selection half of `preprocess_retriever_data`
+    (`/root/reference/dpr/data/reader_data.py:234-521`), as one Catalyst
+    plan (windows over qid; no Python in the path):
+
+    - results(qid, rank, doc_id, title, tokens array<string>,
+      has_answer boolean): the retriever output joined with passage
+      tokens, rank ascending = retriever order.
+    - questions(qid, answers array<string>); gold(qid, gold_title)
+      optional — the reference keys its gold map by question string;
+      here the key is qid, i.e. apply gold_passage_join (J4) first.
+
+    Train semantics (defaults = DEFAULT_PREPROCESSING_CFG_TRAIN,
+    `reader_data.py:220-229`): truncate to max_retriever_passages;
+    positives = ctxs whose has_answer flag survives ANSWER-SPAN
+    verification (some answer's token sequence occurs in the passage);
+    prefer positives from the gold wiki page (title match, case-folded
+    — `_is_from_gold_wiki_page`, `reader_data.py:572-576`), UNCAPPED,
+    falling back to the first max_positives span-verified positives in
+    retriever order; negatives = ctxs with has_answer false (the
+    retriever flag — span-check failures do NOT become negatives),
+    capped at min(max(10·n_pos, max_negatives), min_negatives);
+    questions with no positives are dropped (skip_no_positves). Eval
+    (`is_train=False`): no positives, first eval_passages ctxs as
+    role='passage' (`DEFAULT_EVAL_PASSAGES`, `reader_data.py:232`).
+    include_gold_passage (speech-QA only, default off upstream) is not
+    implemented.
+
+    -> (qid, role, sel_rank, rank, doc_id, title, spans) where spans are
+    the verified answer spans in (answer index, start) order — the
+    reference's flattened `answers_spans` before the question+title
+    offset shift (that shift is tensorizer arithmetic, out of scope with
+    T4)."""
+    from pyspark.sql import Window
+
+    r = results.filter(F.col("rank") <= max_retriever_passages)
+    w = Window.partitionBy("qid").orderBy("rank")
+
+    if not is_train:
+        return (
+            r.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= eval_passages)
+            .select(
+                "qid",
+                F.lit("passage").alias("role"),
+                F.col("_rn").alias("sel_rank"),
+                "rank",
+                "doc_id",
+                "title",
+                F.array().cast(SPANS_TYPE).alias("spans"),
+            )
+        )
+
+    q = questions.select("qid", F.col("answers").alias("_answers"))
+    r = r.join(F.broadcast(q), "qid")
+    if gold is not None:
+        r = r.join(F.broadcast(gold.select("qid", "gold_title")), "qid", "left")
+    else:
+        r = r.withColumn("gold_title", F.lit(None).cast("string"))
+
+    from dpr_spark.functions.tokenizer import tokenize_col
+
+    toks = F.col("tokens")
+    spans = F.flatten(
+        F.transform(
+            F.col("_answers"), lambda a: find_answer_spans_col(toks, tokenize_col(a))
+        )
+    )
+    wq = Window.partitionBy("qid")
+    r2 = (
+        r.withColumn(
+            "spans",
+            F.when(F.col("has_answer"), spans).otherwise(F.array().cast(SPANS_TYPE)),
+        )
+        .withColumn("is_pos_cand", F.col("has_answer") & (F.size("spans") > 0))
+        .withColumn(
+            "is_gold_pos",
+            F.col("is_pos_cand")
+            & F.col("gold_title").isNotNull()
+            & (F.lower("title") == F.lower("gold_title")),
+        )
+        .withColumn("n_gold", F.sum(F.col("is_gold_pos").cast("int")).over(wq))
+        .withColumn("cand_rank", F.sum(F.col("is_pos_cand").cast("int")).over(w))
+        .withColumn(
+            "is_positive",
+            F.when(F.col("n_gold") > 0, F.col("is_gold_pos")).otherwise(
+                F.col("is_pos_cand") & (F.col("cand_rank") <= max_positives)
+            ),
+        )
+        .withColumn("n_pos", F.sum(F.col("is_positive").cast("int")).over(wq))
+        .withColumn(
+            "_neg_cap",
+            F.least(
+                F.greatest(F.lit(max_negatives), F.col("n_pos") * 10),
+                F.lit(min_negatives),
+            ),
+        )
+        .withColumn("neg_rank", F.sum((~F.col("has_answer")).cast("int")).over(w))
+        .withColumn(
+            "is_negative",
+            ~F.col("has_answer") & (F.col("neg_rank") <= F.col("_neg_cap")),
+        )
+    )
+    if skip_no_positives:
+        r2 = r2.filter(F.col("n_pos") > 0)
+    return (
+        r2.withColumn(
+            "role",
+            F.when(F.col("is_positive"), F.lit("positive")).when(
+                F.col("is_negative"), F.lit("negative")
+            ),
+        )
+        .filter(F.col("role").isNotNull())
+        .withColumn(
+            "sel_rank",
+            F.when(
+                F.col("role") == "positive",
+                F.sum(F.col("is_positive").cast("int")).over(w),
+            ).otherwise(F.col("neg_rank")),
+        )
+        .select("qid", "role", "sel_rank", "rank", "doc_id", "title", "spans")
+    )
+
+
+def select_reader_passages_py(
+    ctxs,
+    answers,
+    gold_title=None,
+    is_train: bool = True,
+    max_positives: int = 20,
+    max_negatives: int = 50,
+    min_negatives: int = 150,
+    max_retriever_passages: int = 200,
+    eval_passages: int = 100,
+):
+    """Pure-Python twin of select_reader_passages for ONE question — a
+    direct transcription of `_select_reader_passages`
+    (`reader_data.py:419-521`) used as the pytest oracle. ctxs are
+    rank-ordered dicts {doc_id, title, tokens, has_answer}. Returns
+    (positives, negatives) as [(doc_id, spans)] lists in selection
+    order."""
+    from dpr_spark.functions.tokenizer import tokenize
+
+    ctxs = ctxs[:max_retriever_passages]
+    ans_toks = [tokenize(a) for a in answers]
+    if not is_train:
+        return [], [(c["doc_id"], []) for c in ctxs[:eval_passages]]
+
+    def spans(c):
+        out = []
+        for at in ans_toks:
+            la = len(at)
+            if la == 0:
+                continue
+            t = list(c["tokens"])
+            for i in range(len(t) - la + 1):
+                if t[i : i + la] == at:
+                    out.append((i, i + la - 1))
+        return out
+
+    pos = [c for c in ctxs if c["has_answer"]]
+    neg = [c for c in ctxs if not c["has_answer"]]
+    gold_pos = (
+        [c for c in pos if c["title"].lower() == gold_title.lower()]
+        if gold_title
+        else []
+    )
+    sel = [(c, spans(c)) for c in gold_pos]
+    sel = [(c, s) for c, s in sel if s]
+    if not sel:
+        sel = [(c, spans(c)) for c in pos]
+        sel = [(c, s) for c, s in sel if s][:max_positives]
+    cap = min(max(10 * len(sel), max_negatives), min_negatives)
+    return [(c["doc_id"], s) for c, s in sel], [(c["doc_id"], []) for c in neg[:cap]]

@@ -140,3 +140,118 @@ def test_chunked_accuracy(spark):
     assert rows[1].chunk_hits == 0 and rows[2].chunk_hits == 1
     assert rows[1].table_hits == 1 and rows[2].table_hits == 2
     assert rows[2].table_accuracy == 1.0
+
+
+def _mk_ctxs(spec):
+    """spec: list of (doc_id, title, text, has_answer)."""
+    from dpr_spark.functions.tokenizer import tokenize
+
+    return [
+        {"doc_id": d, "title": t, "tokens": tokenize(x), "has_answer": h}
+        for d, t, x, h in spec
+    ]
+
+
+def test_select_reader_passages_matches_python_twin(spark):
+    """Spark selection == the reference-transcribed python twin on a
+    fixture covering: gold-page branch, fallback branch with
+    max_positives cap, span-verify failure (has_answer flag true but no
+    token match -> neither positive nor negative), negative cap
+    arithmetic, and the skip-no-positives drop."""
+    from dpr_spark.eval.reader import (
+        select_reader_passages,
+        select_reader_passages_py,
+    )
+    from dpr_spark.functions.tokenizer import tokenize
+
+    answers = {
+        0: ["alpha beta", "gamma"],
+        1: ["delta One"],
+        2: ["zz unfindable"],
+    }
+    gold_titles = {0: "Gold Page", 1: None, 2: None}
+    per_q = {
+        0: _mk_ctxs(
+            [
+                (10, "gold page", "xx alpha beta yy", True),   # gold positive
+                (11, "other", "alpha beta gamma", True),        # non-gold positive
+                (12, "gold page", "nothing here", False),       # negative
+                (13, "gold page", "claims answer but empty", True),  # span-verify fail
+                (14, "misc", "plain negative", False),
+            ]
+        ),
+        # no gold map entry -> fallback branch; max_positives=2 caps it
+        1: _mk_ctxs(
+            [
+                (20, "a", "delta one here", True),
+                (21, "b", "nope", False),
+                (22, "c", "delta one twice delta one", True),
+                (23, "d", "delta one third", True),   # beyond max_positives=2
+                (24, "e", "negative two", False),
+                (25, "f", "negative three", False),
+                (26, "g", "negative four", False),
+            ]
+        ),
+        # all positives fail span verification -> question dropped
+        2: _mk_ctxs(
+            [
+                (30, "x", "claims answer", True),
+                (31, "y", "negative", False),
+            ]
+        ),
+    }
+
+    rows = []
+    for qid, ctxs in per_q.items():
+        for rank, c in enumerate(ctxs, start=1):
+            rows.append((qid, rank, c["doc_id"], c["title"], c["tokens"], c["has_answer"]))
+    results = spark.createDataFrame(
+        rows, "qid long, rank int, doc_id long, title string, tokens array<string>, has_answer boolean"
+    )
+    questions = spark.createDataFrame(
+        [(q, a) for q, a in answers.items()], "qid long, answers array<string>"
+    )
+    gold = spark.createDataFrame(
+        [(q, t) for q, t in gold_titles.items() if t], "qid long, gold_title string"
+    )
+
+    got = {}
+    out = select_reader_passages(
+        results, questions, gold, max_positives=2, max_negatives=2, min_negatives=3
+    )
+    for r in out.collect():
+        got.setdefault(r.qid, {"positive": [], "negative": []})[r.role].append(
+            (r.sel_rank, r.doc_id, [(s.start, s.end) for s in r.spans])
+        )
+
+    for qid, ctxs in per_q.items():
+        pos, neg = select_reader_passages_py(
+            ctxs, answers[qid], gold_titles[qid],
+            max_positives=2, max_negatives=2, min_negatives=3,
+        )
+        if not pos:
+            assert qid not in got, (qid, got.get(qid))
+            continue
+        g = got[qid]
+        assert sorted(g["positive"]) == [
+            (i + 1, d, list(s)) for i, (d, s) in enumerate(pos)
+        ], (qid, g["positive"], pos)
+        assert sorted(g["negative"]) == [
+            (i + 1, d, []) for i, (d, _) in enumerate(neg)
+        ], (qid, g["negative"], neg)
+
+    # negative-cap arithmetic: qid 1 has 1 positive in python twin? no — 2
+    # positives (cap) -> neg cap = min(max(20, 2), 3) = 3 negatives of 4
+    assert len(got[1]["negative"]) == 3
+
+    # eval mode: first eval_passages ctxs as role=passage, no span work
+    ev = select_reader_passages(results, questions, gold, is_train=False, eval_passages=3)
+    per = {}
+    for r in ev.collect():
+        assert r.role == "passage" and list(r.spans) == []
+        per.setdefault(r.qid, []).append((r.sel_rank, r.doc_id))
+    for qid, ctxs in per_q.items():
+        _, passages = select_reader_passages_py(
+            ctxs, answers[qid], is_train=False, eval_passages=3
+        )
+        assert sorted(per[qid]) == [(i + 1, d) for i, (d, _) in enumerate(passages)]
