@@ -25,7 +25,37 @@ BENCH_DOCS = int(os.environ.get("DPR_SPARK_BENCH_DOCS", "50000"))
 # throughput headline uses a larger corpus so per-job fixed costs (~3-5s
 # on this VM) don't dominate the docs/sec number
 BUILD_DOCS = int(os.environ.get("DPR_SPARK_BUILD_DOCS", "200000"))
+# min-of-N for the repeatable entries: this shared host varies 2-3x
+# between identical runs (BENCH.md), so a single sample can record pure
+# neighbor noise as a regression (it did in round 2)
+REPS = int(os.environ.get("DPR_SPARK_BENCH_REPS", "2"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def _spin(n):
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def _host_factor(nproc: int = 16, work: int = 20_000_000) -> float:
+    """Same-moment host-noise calibration (scaling_bench.py's spin): the
+    wall of an n-process pure-CPU loop over a 1-process loop — ~1.0 = the
+    host gave us n real cores; >>1 = neighbors were stealing CPU while
+    this bench ran. Recorded in the output so a noisy round is visibly
+    noisy."""
+    import multiprocessing as mp
+
+    with mp.get_context("fork").Pool(nproc) as p:
+        p.map(_spin, [work] * nproc)  # warm
+        t0 = time.perf_counter()
+        p.map(_spin, [work] * nproc)
+        tn = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _spin(work)
+    t1 = time.perf_counter() - t0
+    return round(tn / t1, 3)
 
 
 def _pages_parquet(n_docs: int = None) -> str:
@@ -42,16 +72,32 @@ def _pages_parquet(n_docs: int = None) -> str:
 def main() -> None:
     from dpr_spark.session import get_spark
 
+    # same-moment noise calibration BEFORE the suite; recorded in the
+    # output. >1.3 means neighbors are stealing CPU — the run still
+    # completes (the driver needs a record), but the number is flagged.
+    host_factor = _host_factor()
+    if host_factor > 1.3:
+        print(
+            f"WARNING: host calibration {host_factor} > 1.3 — this bench run "
+            "is measuring a noisy shared host; prefer a quieter rerun",
+            file=sys.stderr,
+        )
+
     spark = get_spark("dpr_spark_bench", master=f"local[{CPUS}]",
                       shuffle_partitions=max(8, int(CPUS)))
     timings: dict[str, float] = {}
-    extra: dict[str, float] = {}
+    extra: dict[str, float] = {"host_factor": host_factor, "reps": REPS}
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
+    def timed(name, fn, reps=REPS):
+        """min-of-reps (state-mutating entries pass reps=1)."""
+        best = None
         try:
-            fn()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(max(1, reps)):
+                t0 = time.perf_counter()
+                fn()
+                w = time.perf_counter() - t0
+                best = w if best is None else min(best, w)
+            timings[name] = round(best, 3)
         except Exception as e:  # never break the driver's bench record
             print(f"bench {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
@@ -95,7 +141,7 @@ def main() -> None:
         idx.blocks.write.format("noop").mode("overwrite").save()
         state["idx"] = idx
 
-    timed("index_build_50k", _build)
+    timed("index_build_50k", _build, reps=1)
     if "idx" in state:
         # exact v1 postings (query-path input) materialized outside the
         # build timing — it is the oracle/debug surface, not the index
@@ -119,7 +165,7 @@ def main() -> None:
             BUILD_DOCS / (time.perf_counter() - t0), 1
         )
 
-    timed(f"index_build_{BUILD_DOCS // 1000}k_warm_x2", _build_big)
+    timed(f"index_build_{BUILD_DOCS // 1000}k_warm_x2", _build_big, reps=1)
     if timings["index_build_50k"] > 0:
         extra["index_build_50k_docs_per_sec"] = round(
             BENCH_DOCS / timings["index_build_50k"], 1
@@ -168,19 +214,63 @@ def main() -> None:
 
     if "idx" in state:
         timed("bm25_search_exact_200q_k100", _query_exact)
-        timed("impact_segments_build", _build_segments)
+        timed("impact_segments_build", _build_segments, reps=1)
         timed("bm25_search_segments_200q_k100", _query_segments)
         if timings["bm25_search_segments_200q_k100"] > 0:
             extra["queries_per_sec"] = round(
                 200 / timings["bm25_search_segments_200q_k100"], 1
             )
         # the north-star serving path: compressed blocks + block-max skip
-        timed("block_segments_build", _build_block_segments)
+        timed("block_segments_build", _build_block_segments, reps=1)
         timed("bm25_search_blockmax_200q_k100", _query_blocks)
         if timings["bm25_search_blockmax_200q_k100"] > 0:
             extra["blockmax_queries_per_sec"] = round(
                 200 / timings["bm25_search_blockmax_200q_k100"], 1
             )
+
+        # --- serving-mode measurements (extra-only: the `queries` set
+        # stays identical to rounds 1-2 for like-for-like comparison)
+        try:
+            # steady-state q/s with resident segments (3 batches of 200
+            # after one warm batch — the resident-retriever number)
+            if "seg" in state:
+                from dpr_spark.query.wand import search_segments
+
+                q = _qdf()
+
+                def _one_batch():
+                    search_segments(spark, q, state["idx"], state["seg"], k=100).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+
+                _one_batch()  # warm
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    _one_batch()
+                w = time.perf_counter() - t0
+                extra["bm25_serve_steady_qps"] = round(600 / w, 1)
+                extra["bm25_serve_batch_sec"] = round(w / 3, 3)
+
+            # 2000-query single wave through the segment engine (the
+            # broadcast-wave fan-in path at a serving-sized batch)
+            from dpr_spark.fixtures.corpus import gen_pages_pdf, gen_queries_pdf
+
+            q2 = spark.createDataFrame(
+                gen_queries_pdf(gen_pages_pdf(100, seed=42), n_queries=2000, seed=44)[
+                    ["qid", "question"]
+                ]
+            )
+            from dpr_spark.query.wand import search_segments
+
+            t0 = time.perf_counter()
+            search_segments(spark, q2, state["idx"], state["seg"], k=100).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            w = time.perf_counter() - t0
+            extra["bm25_search_segments_2000q_sec"] = round(w, 3)
+            extra["queries_per_sec_2000q"] = round(2000 / w, 1)
+        except Exception as e:
+            print(f"bench serving extras failed: {e}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -9,6 +9,13 @@
 parquet with (qid, question[, answers]). --eval adds has_answer +
 accuracy@k (requires answers). Output: results parquet + nested
 results.json (the reference's output format, dense_retriever.py:337-379).
+
+--serve turns --queries into a DIRECTORY watched for query-batch files
+(*.tsv / *.parquet): the index loads once and batches are answered until
+a STOP file appears — the resident-retriever mode
+(dense_retriever.py:183-298 DenseRPCRetriever analog); steady-state q/s
+(excluding the warm-up batch) is reported and written to
+out/serve_stats.json.
 """
 
 from __future__ import annotations
@@ -30,6 +37,11 @@ def main(argv=None) -> None:
     ap.add_argument("--engine", choices=["exact", "segments", "blockmax"], default="segments")
     ap.add_argument("--eval", action="store_true")
     ap.add_argument("--pages", default=None, help="pages parquet (doc text for --eval)")
+    ap.add_argument("--serve", action="store_true",
+                    help="resident mode: --queries is a directory polled for "
+                         "query-batch files until <dir>/STOP appears")
+    ap.add_argument("--poll-sec", type=float, default=0.5)
+    ap.add_argument("--max-batches", type=int, default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -39,6 +51,20 @@ def main(argv=None) -> None:
     from dpr_spark.index.build import InvertedIndex
 
     idx = InvertedIndex.load(spark, args.index)
+
+    if args.serve:
+        from dpr_spark.serve import make_searcher, serve_loop
+
+        searcher, close = make_searcher(
+            spark, idx, engine=args.engine, index_dir=args.index, k=args.k
+        )
+        serve_loop(
+            spark, searcher, args.queries, args.out,
+            poll_sec=args.poll_sec, max_batches=args.max_batches,
+        )
+        close()
+        spark.stop()
+        return
 
     if args.queries.endswith(".tsv"):
         from dpr_spark.sources.readers import read_qa_tsv

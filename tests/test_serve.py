@@ -1,0 +1,65 @@
+"""Resident serving mode (dense_retriever.py:183-298 DenseRPCRetriever
+analog): index loads once, query batches drain from a directory, results
+match the one-shot engine, steady-state q/s reported."""
+
+import json
+import os
+
+
+def test_serve_loop_drains_batches(spark, index, queries_pdf, tmp_path):
+    from dpr_spark.query.scorer import search
+    from dpr_spark.serve import make_searcher, serve_loop
+
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    os.makedirs(in_dir)
+
+    b1 = queries_pdf.head(10)[["qid", "question"]]
+    b2 = queries_pdf.tail(10)[["qid", "question"]]
+    b1.to_parquet(in_dir / "batch_a.parquet", index=False)
+    b2.to_parquet(in_dir / "batch_b.parquet", index=False)
+    (in_dir / "STOP").touch()  # pre-staged: loop drains then exits
+
+    searcher, close = make_searcher(spark, index, engine="segments", k=5)
+    stats = serve_loop(spark, searcher, str(in_dir), str(out_dir), poll_sec=0.05)
+    close()
+
+    assert [b["name"] for b in stats["batches"]] == ["batch_a.parquet", "batch_b.parquet"]
+    assert stats["steady_qps"] is not None and stats["steady_qps"] > 0
+    on_disk = json.load(open(out_dir / "serve_stats.json"))
+    assert on_disk["batches"] == stats["batches"]
+
+    # served results == one-shot engine results, per batch
+    for name, pdf in (("batch_a", b1), ("batch_b", b2)):
+        got = sorted(
+            (r.qid, r.rank, r.doc_id, r.score)
+            for r in spark.read.parquet(str(out_dir / name)).collect()
+        )
+        exp = sorted(
+            (r.qid, r.rank, r.doc_id, r.score)
+            for r in search(spark.createDataFrame(pdf), index, k=5).collect()
+        )
+        assert got == exp
+
+
+def test_make_searcher_blockmax_from_storage(spark, index, queries_df, tmp_path):
+    """The blockmax searcher serves straight off the bucketed at-rest
+    layout when the index dir carries one (nothing re-persisted)."""
+    from dpr_spark.query.blockmax import build_block_segments, save_serving_layout
+    from dpr_spark.query.scorer import search
+    from dpr_spark.serve import make_searcher
+
+    path = str(tmp_path / "idx")
+    blocks, norms = build_block_segments(index, num_buckets=4)
+    save_serving_layout(spark, blocks, norms, path, 4)
+
+    searcher, close = make_searcher(spark, index, engine="blockmax", index_dir=path, k=5)
+    got = sorted(
+        (r.qid, r.rank, r.doc_id, r.score) for r in searcher(queries_df).collect()
+    )
+    close()
+    exp = sorted(
+        (r.qid, r.rank, r.doc_id, r.score)
+        for r in search(queries_df, index, k=5).collect()
+    )
+    assert got == exp
