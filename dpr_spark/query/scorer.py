@@ -69,10 +69,13 @@ def score_exact(
             * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen").cast("double") / F.lit(avgdl))
         )
     )
+    # ordered float fold keyed by term_id: term_id is the DENSE RANK of
+    # term, so ascending term_id == ascending term — the oracle's fold
+    # order bit-for-bit — while the shuffled struct carries an 8-byte long
+    # instead of the term string and sort_array compares longs
     parts = joined.select(
-        "qid", "doc_id", F.struct(F.col("term"), component.alias("component")).alias("tc")
+        "qid", "doc_id", F.struct(F.col("term_id"), component.alias("component")).alias("tc")
     )
-    # ordered float fold: ascending term, exactly like the oracle
     return (
         parts.groupBy("qid", "doc_id")
         .agg(F.sort_array(F.collect_list("tc")).alias("tcs"))
