@@ -161,6 +161,13 @@ def main() -> None:
         help="prefer runs whose pre-run CPU calibration shows the host "
              "slowed an n-proc spin by at most this factor",
     )
+    ap.add_argument(
+        "--stable-spread", type=float, default=1.25,
+        help="a pair is STABLE when both levels' identical warm reps agree "
+             "within this ratio; the headline median is taken over stable "
+             "pairs when >=2 exist (an efficiency-agnostic quality gate, "
+             "not a selection on the result)",
+    )
     args = ap.parse_args()
 
     cache = os.path.join(HERE, ".bench_cache", f"pages_{args.docs}.parquet")
@@ -212,9 +219,12 @@ def main() -> None:
     # single-window outliers in either direction; all pairs, their noise
     # factors, and their in-run spreads are published alongside.
     # --quiet-factor marks whether the median pair met the quiet bar.
-    by_eff = sorted(pairs, key=lambda p: p["efficiency"])
+    stable = [p for p in pairs if p["spread"] <= args.stable_spread]
+    pool = stable if len(stable) >= 2 else pairs
+    by_eff = sorted(pool, key=lambda p: p["efficiency"])
     headline = by_eff[len(by_eff) // 2]
     host_quiet = headline["noise"] <= args.quiet_factor
+    run_stable = len(stable) >= 2
     lo, hi = headline["lo"], headline["hi"]
     results = [lo, hi]
     speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
@@ -238,6 +248,8 @@ def main() -> None:
                 ),
                 "headline_pair_noise": headline["noise"],
                 "host_quiet": host_quiet,
+                "run_stable": run_stable,
+                "n_stable_pairs": len(stable),
                 "all_pairs": [
                     {k: p[k] for k in ("rep", "efficiency", "kernel_ceiling",
                                        "bw_ceiling", "noise", "spread")}
@@ -289,6 +301,8 @@ Arrow IPC, so inside ONE box its scaling cannot beat the bus.
 - **efficiency relative to the memory-bus ceiling: {(round(efficiency / bw_eff, 3)) if bw_eff else 'n/a'}**
 - headline pair host noise factor: {headline['noise']:.3f} (quiet bar \
 {args.quiet_factor:g} — {'met' if host_quiet else 'NOT met; retry in a quieter window'})
+- run stability: {len(stable)}/{len(pairs)} pairs had in-run warm-rep \
+spread <= {args.stable_spread:g}{'' if run_stable else ' — UNSTABLE RUN: identical warm builds varied >25% inside single processes; the headline is the all-pair median and should be re-measured in a quieter window'}
 
 This VM exposes 32 vCPUs but sustains ~21x parallel compute, serializes
 first-touch page faults in the hypervisor, shares its memory bus with
