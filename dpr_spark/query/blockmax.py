@@ -56,7 +56,7 @@ from dpr_spark import BM25_B, BM25_K1, DEFAULT_TOP_K
 from dpr_spark.functions.normalize import normalize_question
 from dpr_spark.functions.tokenizer import tokenize
 from dpr_spark.index.build import InvertedIndex, impact_expr
-from dpr_spark.index.codec import decode_block
+from dpr_spark.index.codec import decode_blocks_batch
 from dpr_spark.query.wand import (
     RESULT_SCHEMA,
     _at_least_top,
@@ -291,22 +291,42 @@ def _search_bucket(
         for tid, idf in zip(tids, idfs):
             idf_by_tid[int(tid)] = float(idf)
 
+    def dec_many(rs) -> None:
+        """Batch-decode every uncached block in rs with ONE varint/cumsum/
+        searchsorted/impact pipeline (decode_blocks_batch) — elementwise
+        float64 arithmetic, so per-entry results are bit-identical to the
+        per-block path while numpy call overhead is paid once per batch
+        instead of once per 128-posting block."""
+        need = [int(r) for r in rs if int(r) not in cache]
+        if not need:
+            return
+        narr = np.asarray(need, dtype=np.int64)
+        counts = bn[narr]
+        docs, tfs, starts = decode_blocks_batch(
+            [bdi[r] for r in need], [btf[r] for r in need], counts
+        )
+        lidx_all = np.searchsorted(nd, docs)
+        dls = ndl[lidx_all].astype(np.float64)
+        tfsf = tfs.astype(np.float64)
+        idfs = np.repeat(
+            np.array([idf_by_tid[int(bt[r])] for r in need], dtype=np.float64),
+            counts,
+        )
+        # exact oracle op order: ((idf*tf)*(k1+1)) / (tf + k1*((1-b)+(b*dl)/avgdl))
+        imp_all = idfs * tfsf * (k1 + 1.0) / (tfsf + k1 * ((1.0 - b) + (b * dls) / avgdl))
+        ends = np.concatenate([starts[1:], [len(docs)]])
+        for i, r in enumerate(need):
+            cache[r] = (lidx_all[starts[i] : ends[i]], imp_all[starts[i] : ends[i]])
+        if stats is not None:
+            stats["blocks_decoded"] += len(need)
+            stats["postings_decoded"] += int(counts.sum())
+
     def dec(r: int) -> Tuple[np.ndarray, np.ndarray]:
         got = cache.get(r)
-        if got is not None:
-            return got
-        docs, tfs = decode_block(bdi[r], btf[r], int(bn[r]))
-        lidx = np.searchsorted(nd, docs)
-        dls = ndl[lidx].astype(np.float64)
-        tfsf = tfs.astype(np.float64)
-        idf = idf_by_tid[int(bt[r])]
-        # exact oracle op order: ((idf*tf)*(k1+1)) / (tf + k1*((1-b)+(b*dl)/avgdl))
-        imp = idf * tfsf * (k1 + 1.0) / (tfsf + k1 * ((1.0 - b) + (b * dls) / avgdl))
-        cache[r] = (lidx, imp)
-        if stats is not None:
-            stats["blocks_decoded"] += 1
-            stats["postings_decoded"] += int(bn[r])
-        return cache[r]
+        if got is None:
+            dec_many([r])
+            got = cache[r]
+        return got
 
     out_q, out_d, out_s = [], [], []
     # SPARSE per-query accumulation via generation stamping: `scores` and
@@ -372,6 +392,7 @@ def _search_bucket(
                         < his
                     )
                     rows = rows[viable | has_cand]
+            dec_many(rows)
             for r in rows:
                 lidx, imp = dec(int(r))
                 add(lidx, imp)
@@ -398,6 +419,7 @@ def _search_bucket(
             drop = bound < theta - _SLACK
             live = ~drop & inblk
             keep, kbpos = cand[live], bpos[live]
+            dec_many(bs + np.unique(kbpos))
             for rb in np.unique(kbpos):
                 r = bs + int(rb)
                 lidx, imp = dec(r)
@@ -421,6 +443,7 @@ def _search_bucket(
         for p in hit:  # ascending term order
             bs, be = int(t_starts[p]), int(t_ends[p])
             bpos = np.searchsorted(bid[bs:be], sdocs, side="right") - 1
+            dec_many(bs + np.unique(bpos[bpos >= 0]))
             for rb in np.unique(bpos[bpos >= 0]):
                 r = bs + int(rb)
                 lidx, imp = dec(r)

@@ -47,3 +47,31 @@ def test_empty_block():
     assert ids_buf == b"" and tfs_buf == b""
     d, t = decode_block(ids_buf, tfs_buf, 0)
     assert len(d) == 0 and len(t) == 0
+
+
+def test_decode_blocks_batch_matches_per_block():
+    """Batched multi-block decode == per-block decode, including blocks
+    whose first gap is a large absolute doc id (the segmented-cumsum
+    base subtraction)."""
+    import numpy as np
+
+    from dpr_spark.index.codec import decode_block, decode_blocks_batch, encode_block
+
+    rng = np.random.default_rng(7)
+    blocks = []
+    for _ in range(40):
+        n = int(rng.integers(1, 200))
+        docs = np.cumsum(rng.integers(1, 10_000, size=n)).astype(np.int64)
+        tfs = rng.integers(1, 300, size=n).astype(np.int64)
+        db, tb = encode_block(docs, tfs)
+        blocks.append((db, tb, n, docs, tfs))
+
+    d_all, t_all, starts = decode_blocks_batch(
+        [b[0] for b in blocks], [b[1] for b in blocks], [b[2] for b in blocks]
+    )
+    ends = np.concatenate([starts[1:], [len(d_all)]])
+    for i, (db, tb, n, docs, tfs) in enumerate(blocks):
+        pd_docs, pd_tfs = decode_block(db, tb, n)
+        assert np.array_equal(pd_docs, docs) and np.array_equal(pd_tfs, tfs)
+        assert np.array_equal(d_all[starts[i]:ends[i]], docs), i
+        assert np.array_equal(t_all[starts[i]:ends[i]], tfs), i
