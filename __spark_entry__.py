@@ -4,7 +4,8 @@ entry(spark)    -> flagship BM25 top-k query over sf0.001 documents.
 queries()       -> one entry per implemented operator (SURVEY.md §2),
                    implemented in dpr_spark.engine_queries.
 oracle_sql()    -> DuckDB twins; entries without a portable SQL oracle
-                   (hash-based MinHash/LSH) are omitted -> rows-only check.
+                   (nested-JSON sinks, the table-parser stack machine)
+                   are omitted -> rows-only check.
 """
 
 from __future__ import annotations

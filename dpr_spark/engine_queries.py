@@ -619,35 +619,96 @@ def q_doc_fingerprint() -> Entry:
 
 def q_minhash_lsh() -> Entry:
     """MinHash + LSH banding over 3-gram shingles (extras/dedup.py):
-    candidate pairs colliding in >=1 band with estimated Jaccard.
-    xxhash64 shingle ids are not portable to DuckDB -> rows-only check."""
+    candidate pairs colliding in >=1 band with estimated Jaccard. The
+    entry runs the SAME pipeline with hash_fn=portable_hash60 (md5-based
+    shingle ids) and collision-free band keys, which DuckDB can replay
+    exactly — exact integer affine-permutation math in both engines."""
+    P = 2147483647
+    NUM_PERM, BANDS, RPB = 16, 4, 4
+    # the same affine coefficients minhash_signatures derives
+    a = [((i * 2 + 1) * 40503) % P for i in range(1, NUM_PERM + 1)]
+    b = [((i * 7 + 3) * 69069) % P for i in range(1, NUM_PERM + 1)]
 
     def fn(spark, sf_dir):
-        from dpr_spark.extras.dedup import lsh_candidate_pairs, minhash_signatures
-
-        sig = minhash_signatures(_docs(spark, sf_dir), num_perm=16)
-        return lsh_candidate_pairs(sig, bands=4, rows_per_band=4).select(
-            "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
+        from dpr_spark.extras.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+            portable_hash60,
         )
 
-    return fn, None
+        sig = minhash_signatures(
+            _docs(spark, sf_dir), num_perm=NUM_PERM, hash_fn=portable_hash60
+        )
+        return lsh_candidate_pairs(
+            sig, bands=BANDS, rows_per_band=RPB, hash_keys=False
+        ).select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+    from dpr_spark.functions.tokenizer import duckdb_tokenize_sql
+
+    perm_vals = ", ".join(f"({j}, {a[j]}, {b[j]})" for j in range(NUM_PERM))
+    match_terms = " + ".join(
+        f"(CASE WHEN siga[{j + 1}] = sigb[{j + 1}] THEN 1 ELSE 0 END)"
+        for j in range(NUM_PERM)
+    )
+    sql = f"""
+      WITH tok AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
+      sh0 AS (SELECT DISTINCT doc_id AS doc,
+                     array_to_string(toks[i + 1 : i + 3], ' ') AS shingle
+              FROM tok, unnest(range(0, greatest(len(toks) - 3, 0) + 1)) AS t(i)),
+      sh AS (SELECT doc, shingle FROM sh0 WHERE shingle != ''),
+      sid AS (SELECT doc,
+                     ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {P} AS sid
+              FROM sh),
+      perm AS (SELECT * FROM (VALUES {perm_vals}) AS p(j, a, b)),
+      mins AS (SELECT doc, j, min((sid * a + b) % {P}) AS mv
+               FROM sid CROSS JOIN perm GROUP BY 1, 2),
+      sig AS (SELECT doc, list(mv ORDER BY j) AS sig FROM mins GROUP BY doc),
+      banded AS (SELECT doc, sig, band,
+                        array_to_string(sig[band * {RPB} + 1 : band * {RPB} + {RPB}], '_') AS key
+                 FROM sig, unnest(range(0, {BANDS})) AS t(band)),
+      pairs AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b,
+                       x.sig AS siga, y.sig AS sigb
+                FROM banded x JOIN banded y
+                  ON x.band = y.band AND x.key = y.key AND x.doc < y.doc)
+      SELECT doc_a, doc_b,
+             round(({match_terms}) / {NUM_PERM}.0, 6) AS est_jaccard
+      FROM pairs"""
+    return fn, sql
 
 
 def q_simhash_dedup() -> Entry:
-    """SimHash-64 signatures (extras/dedup.py): exact-duplicate groups by
-    identical signature. xxhash64 -> rows-only check."""
+    """SimHash signatures (extras/dedup.py): tf-weighted per-bit majority
+    vote over term hashes. The entry uses the 60-bit md5-derived hash
+    family (portable_hash60) so DuckDB replays bit-identical signatures;
+    the engine default stays 64-bit xxhash64."""
 
     def fn(spark, sf_dir):
-        from dpr_spark.extras.dedup import simhash64
+        from dpr_spark.extras.dedup import portable_hash60, simhash64
 
-        return simhash64(_docs(spark, sf_dir))
+        return simhash64(_docs(spark, sf_dir), bits=60, hash_fn=portable_hash60)
 
-    return fn, None
+    from dpr_spark.functions.tokenizer import duckdb_tokenize_sql
+
+    sql = f"""
+      WITH tok AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
+      tf AS (SELECT doc_id AS doc, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2),
+      h AS (SELECT doc, tf, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tf),
+      votes AS (SELECT doc, b,
+                       sum(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS v
+                FROM h, unnest(range(0, 60)) AS t(b) GROUP BY 1, 2)
+      SELECT doc, sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
+      FROM votes GROUP BY doc"""
+    return fn, sql
 
 
 def q_ann_lsh_topk() -> Entry:
     """Hyperplane-LSH approximate cosine top-k (extras/ann.py) — the ANN
-    scale path. Literal plane arrays not portable -> rows-only check."""
+    scale path: bucket = sign bits of 8 seeded hyperplane dots, candidates
+    = corpus vectors within hamming<=2 of the query bucket (multi-probe),
+    exact cosine re-rank. The oracle embeds the SAME plane literals
+    (np seed 42, dim 64) and replays bucket + probe + rank in DuckDB."""
+    NUM_PLANES, PROBE_H, K, DIM = 8, 2, 10, 64
 
     def fn(spark, sf_dir):
         from dpr_spark.extras.ann import lsh_cosine_topk
@@ -656,11 +717,34 @@ def q_ann_lsh_topk() -> Entry:
         q = e.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
         )
-        return lsh_cosine_topk(e, q, k=10, num_planes=8, probe_hamming=2).select(
-            "qid", "rank", "vec_id", F.round("cosine", 6).alias("cos_r")
-        )
+        return lsh_cosine_topk(
+            e, q, k=K, num_planes=NUM_PLANES, probe_hamming=PROBE_H, rank_round=6
+        ).select("qid", "rank", "vec_id", F.round("cosine", 6).alias("cos_r"))
 
-    return fn, None
+    from dpr_spark.extras.ann import _hyperplanes
+
+    planes = _hyperplanes(DIM, NUM_PLANES, seed=42)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in planes[i])}]"
+        f"::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(NUM_PLANES)
+    )
+    sql = f"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      bkt AS (SELECT vec_id, v, ({bucket_terms})::BIGINT AS bucket FROM e),
+      q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM bkt WHERE vec_id < 5),
+      cand AS (
+        SELECT q.qid, b.vec_id,
+               round(list_dot_product(q.qv, b.v)
+                     / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))),
+                     6) AS cos_r
+        FROM q JOIN bkt b ON bit_count(xor(q.qb, b.bucket)) <= {PROBE_H}),
+      ranked AS (SELECT qid, vec_id, cos_r,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY cos_r DESC, vec_id) AS rank
+                 FROM cand)
+      SELECT qid, rank, vec_id, cos_r FROM ranked WHERE rank <= {K}"""
+    return fn, sql
 
 
 def q_token_counts() -> Entry:
@@ -758,15 +842,28 @@ def q_chunk_100w() -> Entry:
 
 
 def q_deterministic_shuffle() -> Entry:
-    """K4 seeded shuffle: same seed -> same permutation (xxhash64 not in
-    DuckDB -> rows-only; determinism is pytest-gated instead)."""
-    from dpr_spark.functions.chunking import deterministic_shuffle
+    """K4 seeded shuffle: permutation position = dense rank of the
+    portable (md5-derived) shuffle key — a pure function of (id, seed),
+    so the same seed yields the same permutation on any cluster and in
+    any SQL engine. Rank via the two-phase ranged-id kernel (plans/ids),
+    not a single-task global window."""
 
     def fn(spark, sf_dir):
-        d = deterministic_shuffle(_docs(spark, sf_dir).select("doc_id"), "doc_id", seed=7)
-        return d.withColumn("pos", F.monotonically_increasing_id())
+        from dpr_spark.functions.chunking import shuffle_key
+        from dpr_spark.plans.ids import assign_dense_ids
 
-    return fn, None
+        d = _docs(spark, sf_dir).select(
+            "doc_id", shuffle_key("doc_id", seed=7, portable=True).alias("skey")
+        )
+        return assign_dense_ids(d, "skey", "pos").select("doc_id", "pos")
+
+    sql = """
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 15))::BIGINT
+             ) - 1 AS pos
+      FROM documents"""
+    return fn, sql
 
 
 def q_has_answer_kilt() -> Entry:
@@ -1199,16 +1296,40 @@ def q_ngrams_view() -> Entry:
 
 def q_simhash_neardup() -> Entry:
     """SimHash hamming<=3 near-dup (banded pigeonhole join + popcount
-    verify, extras/dedup.py). xxhash64 signatures -> rows-only check;
-    the join semantics are pytest-gated on planted signatures."""
+    verify, extras/dedup.py) over the portable 60-bit signatures. The
+    oracle is deliberately STRONGER than a mirror: it brute-forces ALL
+    pairs with popcount <= 3, so a match proves the banding loses no
+    pair (pigeonhole completeness), not just that both engines ran the
+    same join."""
 
     def fn(spark, sf_dir):
-        from dpr_spark.extras.dedup import simhash64, simhash_near_duplicates
+        from dpr_spark.extras.dedup import (
+            portable_hash60,
+            simhash64,
+            simhash_near_duplicates,
+        )
 
-        sig = simhash64(_docs(spark, sf_dir))
-        return simhash_near_duplicates(sig, max_hamming=3)
+        sig = simhash64(_docs(spark, sf_dir), bits=60, hash_fn=portable_hash60)
+        return simhash_near_duplicates(sig, max_hamming=3, bits=60)
 
-    return fn, None
+    from dpr_spark.functions.tokenizer import duckdb_tokenize_sql
+
+    sql = f"""
+      WITH tok AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
+      tf AS (SELECT doc_id AS doc, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2),
+      h AS (SELECT doc, tf, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tf),
+      votes AS (SELECT doc, b,
+                       sum(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS v
+                FROM h, unnest(range(0, 60)) AS t(b) GROUP BY 1, 2),
+      sim AS (SELECT doc,
+                     sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
+              FROM votes GROUP BY doc)
+      SELECT a.doc AS doc_a, b.doc AS doc_b,
+             bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+      FROM sim a JOIN sim b ON a.doc < b.doc
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    return fn, sql
 
 
 def q_table_chunks() -> Entry:

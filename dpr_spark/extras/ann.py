@@ -90,12 +90,16 @@ def lsh_cosine_topk(
     qid_col: str = "qid",
     qvec_col: str = "qv",
     seed: int = 42,
+    rank_round: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors whose hyperplane bucket is
     within `probe_hamming` bits of the query's bucket (multi-probe),
     exact cosine re-rank inside. Recall/cost dial = num_planes x probes.
     This is the IVF/LSH scale path: the corpus is scanned once to bucket
-    (or pre-bucketed at write time), queries touch only nearby buckets."""
+    (or pre-bucketed at write time), queries touch only nearby buckets.
+    `rank_round` ranks by the cosine ROUNDED to that many decimals (ties
+    by vec_id) so rank order is replayable across engines that differ in
+    the last ulp."""
     dim = len(emb.select(vec_col).first()[0])
     e = emb.select(
         F.col(id_col).alias("vec_id"),
@@ -125,7 +129,10 @@ def lsh_cosine_topk(
     cand = F.broadcast(q).join(e, "bucket").select(
         "qid", "vec_id", cosine_expr(F.col("qv"), F.col("v")).alias("cosine")
     ).dropDuplicates(["qid", "vec_id"])
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    sort_score = (
+        F.round("cosine", rank_round) if rank_round is not None else F.col("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(sort_score), F.asc("vec_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

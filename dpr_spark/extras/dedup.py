@@ -25,6 +25,16 @@ from dpr_spark.functions.tokenizer import tokenize_col
 _P = 2147483647  # 2^31-1
 
 
+def portable_hash60(col):
+    """md5-derived 60-bit non-negative int with an identical spelling in
+    ANSI-ish SQL engines (DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT).
+    Slower than xxhash64 (md5 + string slice per value) — the default
+    hash for the dedup family stays xxhash64; pass this as `hash_fn`
+    when the pipeline must be replayable outside Spark (the driver's
+    DuckDB oracle twins do)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     toks = tokenize_col(text_col)
     return df.select(
@@ -63,14 +73,17 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_perm: int = 32,
     shingle_n: int = 3,
+    hash_fn=None,
 ) -> DataFrame:
     """(doc, sig array<long>) — affine permutations over dense shingle
-    ids (hash-based, no global dictionary: xxhash64 & (2^31-1) keeps the
-    arithmetic exact and portable)."""
+    ids (hash-based, no global dictionary: hash & (2^31-1) keeps the
+    arithmetic exact). `hash_fn` maps a string column to int64; default
+    xxhash64 (fast, JVM); portable_hash60 for cross-engine replay."""
     a = [((i * 2 + 1) * 40503) % _P for i in range(1, num_perm + 1)]
     b = [((i * 7 + 3) * 69069) % _P for i in range(1, num_perm + 1)]
+    hf = hash_fn or F.xxhash64
     sh = _shingles(df, text_col, id_col, shingle_n).withColumn(
-        "sid", F.pmod(F.xxhash64("shingle"), F.lit(_P))
+        "sid", F.pmod(hf(F.col("shingle")), F.lit(_P))
     )
     return sh.groupBy("doc").agg(
         F.array(
@@ -83,30 +96,31 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4, hash_keys: bool = True
 ) -> DataFrame:
     """(doc_a, doc_b, est_jaccard): docs colliding in >=1 LSH band;
     est_jaccard = matching signature fraction. Band join is the only
-    shuffle; signatures stay narrow."""
+    shuffle; signatures stay narrow. `hash_keys=True` (default) joins on
+    an 8-byte xxhash64 of the band values (narrowest shuffle; the rare
+    hash collision only ADDS a candidate, which est_jaccard then scores
+    honestly); False joins on the concatenated values themselves —
+    collision-free and portable to SQL oracles."""
     num_perm = bands * rows_per_band
+
+    def _band_key(bb):
+        concat = F.concat_ws(
+            "_",
+            *[F.element_at("sig", bb * rows_per_band + r + 1) for r in range(rows_per_band)],
+        )
+        return F.xxhash64(concat) if hash_keys else concat
+
     banded = signatures.select(
         "doc",
         "sig",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bb).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                "_",
-                                *[
-                                    F.element_at("sig", bb * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("key"),
-                    )
+                    F.struct(F.lit(bb).alias("band"), _band_key(bb).alias("key"))
                     for bb in range(bands)
                 ]
             )
@@ -154,16 +168,25 @@ def minhash_dedup(
     )
 
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc, simhash long): tf-weighted 64-bit SimHash over terms. Pure
-    column math: per (doc, term) the term's xxhash64 bits vote +tf/-tf
-    per position; sign of the per-position sum sets the bit."""
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_fn=None,
+) -> DataFrame:
+    """(doc, simhash long): tf-weighted SimHash over terms. Pure column
+    math: per (doc, term) the term's hash bits vote +tf/-tf per
+    position; sign of the per-position sum sets the bit. Default 64-bit
+    xxhash64; pass bits=60, hash_fn=portable_hash60 for a signature
+    replayable in SQL engines (md5-derived hashes carry 60 bits)."""
     toks = tokenize_col(text_col)
+    hf = hash_fn or F.xxhash64
     tf = (
         df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("term"))
         .groupBy("doc", "term")
         .agg(F.count("*").alias("tf"))
-        .withColumn("h", F.xxhash64("term"))
+        .withColumn("h", hf(F.col("term")))
     )
     def _mask(i):  # JVM-side shift: bit 63 overflows a Python->py4j long lit
         return F.shiftleft(F.lit(1).cast("long"), i)
@@ -175,31 +198,32 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
                     -F.col("tf")
                 )
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(bits)
         ]
     )
     sim = None
-    for i in range(64):
+    for i in range(bits):
         bit = F.when(F.col(f"b{i}") > 0, _mask(i)).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim.bitwiseOR(bit)
     return votes.select("doc", sim.alias("simhash"))
 
 
 def simhash_near_duplicates(
-    signatures: DataFrame, max_hamming: int = 3
+    signatures: DataFrame, max_hamming: int = 3, bits: int = 64
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with hamming(simhash) <= max_hamming.
-    signatures(doc, simhash). Pigeonhole banding: split the 64 bits into
-    max_hamming+1 chunks — any pair within hamming k must agree EXACTLY on
-    at least one chunk, so candidates come from k+1 equi-joins on chunk
-    values (never an all-pairs product), then exact popcount verifies.
-    The same join shape as MinHash LSH; shuffles (doc, 8B key) rows."""
+    signatures(doc, simhash). Pigeonhole banding: split the `bits` bits
+    into max_hamming+1 chunks — any pair within hamming k must agree
+    EXACTLY on at least one chunk, so candidates come from k+1 equi-joins
+    on chunk values (never an all-pairs product), then exact popcount
+    verifies. The same join shape as MinHash LSH; shuffles (doc, 8B key)
+    rows."""
     bands = max_hamming + 1
-    width = 64 // bands
+    width = bits // bands
     chunks = []
     for i in range(bands):
         shift = i * width
-        w = width if i < bands - 1 else 64 - shift  # last band takes the slack
+        w = width if i < bands - 1 else bits - shift  # last band takes the slack
         if w >= 64:
             key = F.col("simhash")
         else:

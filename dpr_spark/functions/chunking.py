@@ -50,11 +50,32 @@ def chunk_sql(table: str, text_col: str = "text", id_col: str = "url", max_words
       FROM c"""
 
 
-def deterministic_shuffle(df: DataFrame, id_col: str, seed: int) -> DataFrame:
+def shuffle_key(id_col, seed: int, portable: bool = False):
+    """The K4 permutation key: a pure function of (id, seed). Default
+    xxhash64 (fast, JVM-side); portable=True derives it from md5 so SQL
+    engines can replay the identical permutation (the DuckDB oracle
+    does)."""
+    if isinstance(id_col, str):
+        id_col = F.col(id_col)
+    if not portable:
+        return F.xxhash64(id_col, F.lit(seed))
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", id_col.cast("string"), F.lit(str(seed)))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, seed: int, portable: bool = False
+) -> DataFrame:
     """K4: seeded resumable shuffle (`dpr/utils/data_utils.py:271-278`
     uses random.Random(seed+epoch).shuffle) — Spark form: stable order by
-    xxhash64(id, seed); same seed -> same permutation on any cluster."""
-    return df.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+    shuffle_key(id, seed); same seed -> same permutation on any cluster,
+    any partitioning."""
+    return df.orderBy(shuffle_key(id_col, seed, portable), F.col(id_col))
 
 
 def weighted_interleave(dfs, rates, id_col: str, seed: int = 42) -> DataFrame:
