@@ -34,6 +34,9 @@ def main(argv=None) -> None:
                     help="also materialize doc-bucketed COMPRESSED block segments "
                          "+ norms for the blockmax engine (0=off)")
     ap.add_argument("--resumable", default=None, help="workdir for manifest-checkpointed build")
+    ap.add_argument("--snapshot-dir", default=None,
+                    help="also commit the index tables to an Iceberg-style "
+                         "snapshot catalog (versioned; query.py can time-travel)")
     ap.add_argument("--shards", type=int, default=16)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -62,6 +65,11 @@ def main(argv=None) -> None:
             verify_extract=args.verify_extract,
         )
     idx.save(args.out)
+    if args.snapshot_dir:
+        from dpr_spark.index.snapshots import SnapshotCatalog, snapshot_index
+
+        sid = snapshot_index(SnapshotCatalog(spark, args.snapshot_dir), idx)
+        print(f"committed snapshot {sid} -> {args.snapshot_dir}")
     if args.segments_buckets:
         from dpr_spark.query.wand import build_impact_segments
 

@@ -30,7 +30,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--index", required=True)
+    ap.add_argument("--index", required=True,
+                    help="index dir from build_index.py --out, OR a snapshot "
+                         "catalog dir (contains snapshots.json)")
+    ap.add_argument("--snapshot-id", type=int, default=None,
+                    help="time travel: load the index VERSION AS OF this snapshot")
+    ap.add_argument("--as-of-ms", type=int, default=None,
+                    help="time travel: load the index TIMESTAMP AS OF this epoch-ms")
     ap.add_argument("--queries", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--k", type=int, default=100)
@@ -50,7 +56,16 @@ def main(argv=None) -> None:
     spark = get_spark("dpr_spark_query", master=args.master)
     from dpr_spark.index.build import InvertedIndex
 
-    idx = InvertedIndex.load(spark, args.index)
+    if os.path.isfile(os.path.join(args.index, "snapshots.json")):
+        from dpr_spark.index.snapshots import SnapshotCatalog, load_index_at
+
+        idx = load_index_at(
+            SnapshotCatalog(spark, args.index),
+            snapshot_id=args.snapshot_id,
+            as_of_ms=args.as_of_ms,
+        )
+    else:
+        idx = InvertedIndex.load(spark, args.index)
 
     if args.serve:
         from dpr_spark.serve import make_searcher, serve_loop

@@ -112,3 +112,43 @@ def test_cli_blockmax_storage_roundtrip(tmp_path, pages_pdf, queries_pdf):
             for _, r in t.iterrows()
         )
     assert results["blockmax"] == results["exact"]
+
+
+@pytest.mark.slow
+def test_cli_snapshot_build_and_time_travel_query(tmp_path, pages_pdf, queries_pdf):
+    """build_index.py --snapshot-dir commits a catalog snapshot; query.py
+    pointed at the catalog serves the index, including VERSION AS OF an
+    older snapshot after the corpus grows."""
+    from dpr_spark.fixtures.corpus import write_queries_tsv
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    write_queries_tsv(str(tmp_path / "qa.tsv"), queries_pdf.head(5))
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    for n, tag in ((100, "v1"), (150, "v2")):
+        pages_path = str(tmp_path / f"pages_{tag}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pages_pdf[["url", "text"]].head(n), preserve_index=False),
+            pages_path,
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "build_index.py"),
+             "--pages", pages_path, "--out", str(tmp_path / f"idx_{tag}"),
+             "--no-blocks", "--snapshot-dir", str(tmp_path / "catalog")],
+            capture_output=True, text=True, timeout=420, env=env,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+    assert "committed snapshot 2" in out.stdout
+
+    for sid, n_docs in ((1, 100), (2, 150)):
+        out2 = subprocess.run(
+            [sys.executable, os.path.join(REPO, "query.py"),
+             "--index", str(tmp_path / "catalog"), "--snapshot-id", str(sid),
+             "--queries", str(tmp_path / "qa.tsv"),
+             "--k", "5", "--out", str(tmp_path / f"run_s{sid}"),
+             "--engine", "exact"],
+            capture_output=True, text=True, timeout=420, env=env,
+        )
+        assert out2.returncode == 0, out2.stderr[-2000:]
+        assert "searched 5 queries" in out2.stdout

@@ -1,0 +1,105 @@
+"""Snapshot catalog: commits, time travel, rollback, snapshot isolation,
+append manifests, expiry GC, and index round-trip (north_rule "resumable
+from Iceberg snapshot checkpoints"; the parquet+JSON emulation is the
+documented sandbox fallback, SURVEY.md §7)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dpr_spark.index.snapshots import SnapshotCatalog, load_index_at, snapshot_index
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("doc_id"))
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return SnapshotCatalog(spark, str(tmp_path / "catalog"))
+
+
+def test_commit_read_and_time_travel(spark, cat):
+    s1 = cat.commit({"t": _df(spark, 0, 10)}, timestamp_ms=1000)
+    s2 = cat.commit({"t": _df(spark, 0, 25)}, timestamp_ms=2000)
+    assert cat.read("t").count() == 25  # current
+    assert cat.read("t", snapshot_id=s1).count() == 10  # VERSION AS OF
+    assert cat.read("t", as_of_ms=1500).count() == 10  # TIMESTAMP AS OF
+    assert cat.read("t", as_of_ms=2000).count() == 25
+    assert [s["snapshot_id"] for s in cat.history()] == [s1, s2]
+    with pytest.raises(ValueError):
+        cat.read("t", as_of_ms=500)
+
+
+def test_append_merges_manifest_without_rewrite(spark, cat):
+    s1 = cat.commit({"t": _df(spark, 0, 10)})
+    files_v1 = set(cat._resolve(snapshot_id=s1)["manifest"]["t"])
+    s2 = cat.append({"t": _df(spark, 10, 15)})
+    man2 = cat._resolve(snapshot_id=s2)["manifest"]["t"]
+    assert files_v1 < set(man2)  # parent files reused, not rewritten
+    assert cat.read("t").count() == 15
+    assert cat.read("t", snapshot_id=s1).count() == 10
+
+
+def test_snapshot_isolation_reader_unaffected_by_later_commit(spark, cat):
+    cat.commit({"t": _df(spark, 0, 10)})
+    reader = cat.read("t")  # planned against snapshot 1's file list
+    cat.commit({"t": _df(spark, 0, 99)})
+    assert reader.count() == 10  # still sees its snapshot
+    assert cat.read("t").count() == 99
+
+
+def test_rollback_preserves_history(spark, cat):
+    s1 = cat.commit({"t": _df(spark, 0, 10)})
+    s2 = cat.commit({"t": _df(spark, 0, 20)})
+    s3 = cat.rollback(s1)
+    assert cat.read("t").count() == 10
+    # rollback is a NEW snapshot sharing s1's files — s2 stays readable,
+    # and the rollback itself can be rolled back
+    assert cat.read("t", snapshot_id=s2).count() == 20
+    s4 = cat.rollback(s2)
+    assert cat.read("t").count() == 20
+    assert [s["snapshot_id"] for s in cat.history()] == [s1, s2, s3, s4]
+
+
+def test_expire_gc_keeps_shared_files(spark, cat):
+    s1 = cat.commit({"t": _df(spark, 0, 10)})
+    cat.commit({"t": _df(spark, 0, 20)})
+    s3 = cat.rollback(s1)  # shares s1's data files
+    dead = cat.expire(keep_last=2)  # drops s1; its files live on via s3
+    assert dead == []
+    assert cat.read("t", snapshot_id=s3).count() == 10
+    cat.commit({"t": _df(spark, 0, 5)})
+    dead = cat.expire(keep_last=1)  # drops s2 and s3 -> their files go
+    assert dead and all(f.endswith(".parquet") for f in dead)
+    assert all(not os.path.exists(f) for f in dead)
+    assert cat.read("t").count() == 5
+
+
+def test_crashed_writer_files_invisible_to_manifest_readers(spark, cat):
+    cat.commit({"t": _df(spark, 0, 10)})
+    # simulate a crashed/concurrent writer dumping files into the table
+    # data area WITHOUT a metadata commit
+    stray = os.path.join(cat.workdir, "data", "t", "snap=999")
+    _df(spark, 0, 50).write.parquet(stray)
+    assert cat.read("t").count() == 10  # manifest plan ignores strays
+
+
+def test_index_snapshot_round_trip_rank_identical(spark, tmp_path):
+    from dpr_spark.fixtures.corpus import gen_pages_pdf
+    from dpr_spark.index.build import build_index
+    from dpr_spark.query.scorer import search
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "idxcat"))
+    pages = spark.createDataFrame(gen_pages_pdf(300, seed=11))
+    idx = build_index(spark, pages, build_blocks=False)
+    sid = snapshot_index(cat, idx, timestamp_ms=42_000)
+    assert cat.properties(snapshot_id=sid)["n_docs"] == idx.stats.n_docs
+
+    qdf = spark.createDataFrame([(0, "the big table scan")], ["qid", "question"])
+    want = [(r.doc_id, round(r.score, 6)) for r in search(qdf, idx, k=5).orderBy("rank").collect()]
+    idx2 = load_index_at(cat, as_of_ms=42_000)
+    got = [(r.doc_id, round(r.score, 6)) for r in search(qdf, idx2, k=5).orderBy("rank").collect()]
+    assert got == want
+    idx.unpersist()
