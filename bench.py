@@ -158,12 +158,14 @@ def main() -> None:
         idx.unpersist()
 
     def _build_big():
-        _build_big_once()
-        t0 = time.perf_counter()
-        _build_big_once()
-        extra["index_build_docs_per_sec"] = round(
-            BUILD_DOCS / (time.perf_counter() - t0), 1
-        )
+        _build_big_once()  # warm (JVM codegen + page cache)
+        best = None
+        for _ in range(max(1, REPS)):
+            t0 = time.perf_counter()
+            _build_big_once()
+            w = time.perf_counter() - t0
+            best = w if best is None else min(best, w)
+        extra["index_build_docs_per_sec"] = round(BUILD_DOCS / best, 1)
 
     timed(f"index_build_{BUILD_DOCS // 1000}k_warm_x2", _build_big, reps=1)
     if timings["index_build_50k"] > 0:

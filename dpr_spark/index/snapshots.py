@@ -106,8 +106,14 @@ class SnapshotCatalog:
 
     def _write_table(self, name: str, df: DataFrame, sid: int) -> List[str]:
         """Write df into a fresh snap dir; return its part-file list.
-        Existing snapshots' files are never touched (immutability)."""
-        path = os.path.join(self.workdir, "data", name, f"snap={sid}")
+        Existing snapshots' files are never touched (immutability). The
+        uuid suffix keeps a crashed earlier attempt's unpublished dir
+        from colliding with the retry — the orphan dir is invisible to
+        readers (they plan from manifests), Iceberg's orphan-file
+        story."""
+        path = os.path.join(
+            self.workdir, "data", name, f"snap-{sid}-{uuid.uuid4().hex[:8]}"
+        )
         df.write.mode("errorifexists").parquet(path)
         return sorted(
             os.path.join(path, f)

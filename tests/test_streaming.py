@@ -62,3 +62,39 @@ def test_streaming_refresh(spark, tmp_path):
 
     hits = search(qdf, idx, k=10).count()
     assert hits == 3  # u1, u2, u3 contain beta
+
+
+def test_streaming_refresh_into_snapshot_catalog(spark, tmp_path):
+    """Catalog mode: each micro-batch is an append snapshot (time travel
+    over freshness states); redelivered epochs are skipped, so the
+    at-least-once foreachBatch contract yields exactly-once appends."""
+    import shutil
+
+    from dpr_spark.index.snapshots import SnapshotCatalog
+    from dpr_spark.streaming.refresh import StreamingIndexRefresher
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    _write_batch(str(src / "b1.parquet"), [("u1", "alpha beta"), ("u2", "beta")])
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    r = StreamingIndexRefresher(spark, str(tmp_path / "delta"), catalog=cat)
+    r.start(str(src), PAGES_SCHEMA).awaitTermination(120)
+    assert len(cat.history()) == 1
+    n1 = r.delta_doc_terms().count()
+    assert n1 == 3  # alpha+beta for u1, beta for u2
+
+    _write_batch(str(src / "b2.parquet"), [("u3", "gamma beta")])
+    r.start(str(src), PAGES_SCHEMA).awaitTermination(120)
+    hist = cat.history()
+    assert len(hist) == 2 and hist[-1]["operation"] == "append"
+    assert r.delta_doc_terms().count() == n1 + 2
+    # time travel: the delta state BEFORE b2 arrived
+    assert cat.read("doc_terms", snapshot_id=hist[0]["snapshot_id"]).count() == n1
+
+    # at-least-once redelivery: wiping the checkpoint replays every file
+    # under an epoch id that is already committed -> skipped, no double
+    # append
+    shutil.rmtree(str(tmp_path / "delta" / "_checkpoint"))
+    r.start(str(src), PAGES_SCHEMA).awaitTermination(120)
+    assert len(cat.history()) == 2
+    assert r.delta_doc_terms().count() == n1 + 2
