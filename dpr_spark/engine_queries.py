@@ -1475,6 +1475,33 @@ def q_weighted_interleave() -> Entry:
     return fn, sql
 
 
+def q_sharded_epoch() -> Entry:
+    """D2 ShardedDataIterator equalization (`data_utils.py:193-305`):
+    epoch-shuffled contiguous shards with equalized iteration counts —
+    short shards re-yield their first batch, strict mode pads a short
+    final batch from the shard head. 6 shards x batch 16 over the 500
+    driver docs exercises both padding paths; portable permutation key
+    -> exact DuckDB twin."""
+    from dpr_spark.functions.sharding import sharded_epoch_batches, sharded_epoch_sql
+
+    def fn(spark, sf_dir):
+        return sharded_epoch_batches(
+            _docs(spark, sf_dir).select("doc_id"),
+            "doc_id",
+            num_shards=6,
+            batch_size=16,
+            epoch=1,
+            seed=3,
+            strict_batch_size=True,
+            portable_key=True,
+        )
+
+    return fn, sharded_epoch_sql(
+        "documents", "doc_id", num_shards=6, batch_size=16, epoch=1, seed=3,
+        strict_batch_size=True,
+    )
+
+
 def q_reader_samples() -> Entry:
     """Reader TRAINING-sample construction (`reader_data.py:234-521`
     `preprocess_retriever_data` + `_select_reader_passages`): synthetic
@@ -1639,6 +1666,7 @@ def all_entries() -> Dict[str, Entry]:
         "average_rank": q_average_rank(),
         "kilt_format": q_kilt_format(),
         "reader_samples": q_reader_samples(),
+        "sharded_epoch": q_sharded_epoch(),
         "weighted_interleave": q_weighted_interleave(),
         "results_nested": q_results_nested(),
         "range_slice_events": q_range_slice_events(),
