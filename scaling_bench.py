@@ -150,52 +150,28 @@ def run_level(cores: int, pages: str, inner_reps: int = 2) -> dict:
     raise RuntimeError(f"no RESULT from local[{cores}]:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=200000)
-    ap.add_argument("--levels", type=int, nargs="+", default=[4, 16])
-    ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--inner-reps", type=int, default=2)
-    ap.add_argument(
-        "--quiet-factor", type=float, default=1.2,
-        help="prefer runs whose pre-run CPU calibration shows the host "
-             "slowed an n-proc spin by at most this factor",
-    )
-    ap.add_argument(
-        "--stable-spread", type=float, default=1.25,
-        help="a pair is STABLE when both levels' identical warm reps agree "
-             "within this ratio; the headline median is taken over stable "
-             "pairs when >=2 exist (an efficiency-agnostic quality gate, "
-             "not a selection on the result)",
-    )
-    args = ap.parse_args()
 
-    cache = os.path.join(HERE, ".bench_cache", f"pages_{args.docs}.parquet")
-    if not os.path.exists(cache):
-        os.makedirs(os.path.dirname(cache), exist_ok=True)
-        sys.path.insert(0, HERE)
-        from dpr_spark.fixtures.corpus import write_pages_parquet
+def measure_pair(levels, cache, reps, inner_reps, stable_spread):
+    """Run the build at two parallelism levels, interleaved A/B/A/B, and
+    return the per-pair efficiencies plus the median-pair headline.
 
-        write_pages_parquet(cache, args.docs, seed=42)
-
-    levels = sorted(args.levels)
-    # interleave reps (A,B,A,B) and keep the best per level: this host is
-    # shared/noisy, min-of-N isolates the job's own cost. Runs whose
-    # pre-run calibration shows a quiet host are preferred — a rep taken
-    # while a neighbor VM steals half the CPU measures the neighbor, not
-    # the engine.
+    Efficiency is computed per ADJACENT PAIR (the lo and hi runs of the
+    same rep ran back-to-back in the same host window); mixing each
+    level's minimum across different windows randomly biases the ratio
+    on this shared host. Headline = the MEDIAN-efficiency pair over the
+    in-run-stable pairs: max-over-reps is an upward selection bias, and
+    the pre-run-quietest pair proved just as wrong in the other
+    direction (pre-run calibration cannot see a noise burst DURING the
+    run). All pairs, their noise factors, and their in-run spreads are
+    published alongside."""
+    levels = sorted(levels)
     all_runs: dict[int, list] = {c: [] for c in levels}
-    for _ in range(args.reps):
+    for _ in range(reps):
         for c in levels:
-            all_runs[c].append(run_level(c, cache, args.inner_reps))
-    # Efficiency is computed per ADJACENT PAIR (the lo and hi runs of the
-    # same rep ran back-to-back in the same host window); mixing each
-    # level's minimum across different windows randomly biases the ratio
-    # on this shared host. Headline = the pair with the quietest combined
-    # calibration; its same-pair kernel ratio is the host ceiling then.
+            all_runs[c].append(run_level(c, cache, inner_reps))
     ratio = levels[-1] / levels[0]
     pairs = []
-    for i in range(args.reps):
+    for i in range(reps):
         lo_r, hi_r = all_runs[levels[0]][i], all_runs[levels[-1]][i]
         eff = (hi_r["docs_per_sec"] / lo_r["docs_per_sec"]) / ratio
         kern = (lo_r["kernel_wall"] / hi_r["kernel_wall"]) / ratio
@@ -211,63 +187,153 @@ def main() -> None:
                       "bw_ceiling": round(bw, 3) if bw else None,
                       "noise": noise, "spread": spread,
                       "lo": lo_r, "hi": hi_r})
-    # Headline = the MEDIAN-efficiency pair: max-over-reps is an upward
-    # selection bias, and the pre-run-quietest pair proved just as wrong
-    # in the other direction (pre-run calibration cannot see a noise
-    # burst DURING the run — observed: the "quietest" pair measuring
-    # 0.345 while its in-run rep spread was 2x). The median is robust to
-    # single-window outliers in either direction; all pairs, their noise
-    # factors, and their in-run spreads are published alongside.
-    # --quiet-factor marks whether the median pair met the quiet bar.
-    stable = [p for p in pairs if p["spread"] <= args.stable_spread]
+    stable = [p for p in pairs if p["spread"] <= stable_spread]
     pool = stable if len(stable) >= 2 else pairs
     by_eff = sorted(pool, key=lambda p: p["efficiency"])
     headline = by_eff[len(by_eff) // 2]
-    host_quiet = headline["noise"] <= args.quiet_factor
-    run_stable = len(stable) >= 2
-    lo, hi = headline["lo"], headline["hi"]
-    results = [lo, hi]
-    speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
-    efficiency = headline["efficiency"]
-    kernel_eff = headline["kernel_ceiling"]
-    bw_eff = headline.get("bw_ceiling")
-    print(
-        json.dumps(
-            {
-                "job": "index_build(tokenize+tf+dictionary+postings+blocks)",
-                "docs": args.docs,
-                "levels": results,
-                "speedup": round(speedup, 3),
-                "cores_ratio": ratio,
-                "scaling_efficiency": round(efficiency, 3),
-                "kernel_ceiling_efficiency": round(kernel_eff, 3),
-                "efficiency_vs_ceiling": round(efficiency / kernel_eff, 3),
-                "bw_ceiling_efficiency": bw_eff,
-                "efficiency_vs_bw_ceiling": (
-                    round(efficiency / bw_eff, 3) if bw_eff else None
-                ),
-                "headline_pair_noise": headline["noise"],
-                "host_quiet": host_quiet,
-                "run_stable": run_stable,
-                "n_stable_pairs": len(stable),
-                "all_pairs": [
-                    {k: p[k] for k in ("rep", "efficiency", "kernel_ceiling",
-                                       "bw_ceiling", "noise", "spread")}
-                    for p in pairs
-                ],
-            }
-        )
-    )
+    return {
+        "levels": levels,
+        "cores_ratio": ratio,
+        "headline": headline,
+        "pairs": pairs,
+        "n_stable": len(stable),
+    }
 
-    rows = "\n".join(
+
+def _pair_summary(m, quiet_factor, stable_spread):
+    h = m["headline"]
+    lo, hi = h["lo"], h["hi"]
+    eff, kern, bw = h["efficiency"], h["kernel_ceiling"], h.get("bw_ceiling")
+    return {
+        "levels": [lo, hi],
+        "speedup": round(hi["docs_per_sec"] / lo["docs_per_sec"], 3),
+        "cores_ratio": m["cores_ratio"],
+        "scaling_efficiency": eff,
+        "kernel_ceiling_efficiency": kern,
+        "efficiency_vs_ceiling": round(eff / kern, 3),
+        "bw_ceiling_efficiency": bw,
+        "efficiency_vs_bw_ceiling": round(eff / bw, 3) if bw else None,
+        "headline_pair_noise": h["noise"],
+        "host_quiet": h["noise"] <= quiet_factor,
+        "run_stable": m["n_stable"] >= 2,
+        "n_stable_pairs": m["n_stable"],
+        "all_pairs": [
+            {k: p[k] for k in ("rep", "efficiency", "kernel_ceiling",
+                               "bw_ceiling", "noise", "spread")}
+            for p in m["pairs"]
+        ],
+    }
+
+
+def _pair_table(levels, results):
+    return "\n".join(
         f"| local[{c}] | {r['docs']} | {r['wall_sec']} | {r['docs_per_sec']} | "
         f"{r.get('host_factor', '')} | {r.get('kernel_wall', '')} | "
         f"{r.get('bw_gbps', '')} |"
         for c, r in zip(levels, results)
     )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=200000)
+    ap.add_argument("--levels", type=int, nargs="+", default=[2, 8])
+    ap.add_argument(
+        "--also-levels", type=int, nargs=2, default=None,
+        help="optional second pair measured in the same session (e.g. "
+             "'--also-levels 1 4': a range where one box can still scale "
+             "its memory bus, reported beside the primary pair)",
+    )
+    ap.add_argument("--also-docs", type=int, default=None,
+                    help="doc count for the second pair (default --docs)")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--inner-reps", type=int, default=2)
+    ap.add_argument(
+        "--quiet-factor", type=float, default=1.2,
+        help="noise bar: the headline pair's pre-run CPU calibration "
+             "factor must stay under this for the run to count as quiet",
+    )
+    ap.add_argument(
+        "--stable-spread", type=float, default=1.25,
+        help="a pair is STABLE when both levels' identical warm reps agree "
+             "within this ratio; the headline median is taken over stable "
+             "pairs when >=2 exist (an efficiency-agnostic quality gate, "
+             "not a selection on the result)",
+    )
+    args = ap.parse_args()
+
+    def _cache_for(docs):
+        cache = os.path.join(HERE, ".bench_cache", f"pages_{docs}.parquet")
+        if not os.path.exists(cache):
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            sys.path.insert(0, HERE)
+            from dpr_spark.fixtures.corpus import write_pages_parquet
+
+            write_pages_parquet(cache, docs, seed=42)
+        return cache
+
+    primary = measure_pair(sorted(args.levels), _cache_for(args.docs),
+                           args.reps, args.inner_reps, args.stable_spread)
+    psum = _pair_summary(primary, args.quiet_factor, args.stable_spread)
+    out = {
+        "job": "index_build(tokenize+tf+dictionary+postings+blocks)",
+        "docs": args.docs,
+        **psum,
+    }
+    secondary = None
+    if args.also_levels:
+        also_docs = args.also_docs or args.docs
+        secondary = measure_pair(sorted(args.also_levels), _cache_for(also_docs),
+                                 args.reps, args.inner_reps, args.stable_spread)
+        out["secondary"] = {"docs": also_docs,
+                            **_pair_summary(secondary, args.quiet_factor,
+                                            args.stable_spread)}
+    print(json.dumps(out))
+
+    levels = primary["levels"]
+    h = primary["headline"]
+    lo, hi = h["lo"], h["hi"]
+    speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
+    efficiency, kernel_eff, bw_eff = (
+        h["efficiency"], h["kernel_ceiling"], h.get("bw_ceiling"))
+    host_quiet = h["noise"] <= args.quiet_factor
+    run_stable = primary["n_stable"] >= 2
+    ratio = primary["cores_ratio"]
+    rows = _pair_table(levels, [lo, hi])
+
+    secondary_md = ""
+    if secondary:
+        sh = secondary["headline"]
+        slo, shi = sh["lo"], sh["hi"]
+        s_eff, s_kern, s_bw = (
+            sh["efficiency"], sh["kernel_ceiling"], sh.get("bw_ceiling"))
+        secondary_md = f"""
+## Second pair: local[{secondary['levels'][0]}] → local[{secondary['levels'][1]}] (same session, same protocol)
+
+The primary pair above is measured where this box's shared memory bus is
+already saturated (n processes get ~2.3x the bandwidth of n/4 — see the
+BW column). This second pair sits in the range where ONE box can still
+scale its bus, so it shows the DAG's own scaling with the host
+bottleneck relaxed — the closer stand-in for adding executors (which
+adds buses with the cores).
+
+| parallelism | docs | wall (s) | docs/sec | host slowdown* | kernel wall (s)** | mem BW (GB/s)*** |
+|---|---|---|---|---|---|---|
+{_pair_table(secondary['levels'], [slo, shi])}
+
+- cores ratio: {secondary['cores_ratio']:g}x
+- throughput speedup: {shi['docs_per_sec'] / slo['docs_per_sec']:.2f}x
+- **scaling efficiency: {s_eff:.3f}**
+- host compute ceiling (same pair, same moment): {s_kern:.3f}
+- host memory-bus ceiling (same pair, same moment): {s_bw if s_bw else 'n/a'}
+- efficiency relative to the compute ceiling: {s_eff / s_kern:.3f}
+- headline pair host noise factor: {sh['noise']:.3f}
+- run stability: {secondary['n_stable']}/{len(secondary['pairs'])} stable pairs
+"""
+
     md = f"""# BENCH — measured throughput & scaling (this machine)
 
-Generated by `python scaling_bench.py --docs {args.docs} --levels {' '.join(map(str, levels))}`
+Generated by `python scaling_bench.py --docs {args.docs} --levels {' '.join(map(str, levels))}{' --also-levels ' + ' '.join(map(str, secondary['levels'])) if secondary else ''}`
 — the same job on the same input at two parallelism levels, the sandbox
 stand-in for N vs 4N executor clusters per the driver instruction (no
 real cluster here).
@@ -299,11 +365,11 @@ Arrow IPC, so inside ONE box its scaling cannot beat the bus.
 - **host memory-bus ceiling (same pair, same moment): {bw_eff if bw_eff else 'n/a'}**
 - efficiency relative to the compute ceiling: {efficiency / kernel_eff:.3f}
 - **efficiency relative to the memory-bus ceiling: {(round(efficiency / bw_eff, 3)) if bw_eff else 'n/a'}**
-- headline pair host noise factor: {headline['noise']:.3f} (quiet bar \
+- headline pair host noise factor: {h['noise']:.3f} (quiet bar \
 {args.quiet_factor:g} — {'met' if host_quiet else 'NOT met; retry in a quieter window'})
-- run stability: {len(stable)}/{len(pairs)} pairs had in-run warm-rep \
+- run stability: {primary['n_stable']}/{len(primary['pairs'])} pairs had in-run warm-rep \
 spread <= {args.stable_spread:g}{'' if run_stable else ' — UNSTABLE RUN: identical warm builds varied >25% inside single processes; the headline is the all-pair median and should be re-measured in a quieter window'}
-
+{secondary_md}
 This VM exposes 32 vCPUs but sustains ~21x parallel compute, serializes
 first-touch page faults in the hypervisor, shares its memory bus with
 neighbor VMs (identical runs vary 2-3x), and — the binding constraint
