@@ -27,6 +27,9 @@ def main(argv=None) -> None:
     ap.add_argument("--out", required=True, help="output index directory")
     ap.add_argument("--lang", default=None)
     ap.add_argument("--verify-extract", action="store_true")
+    ap.add_argument("--dedup-latest", action="store_true",
+                    help="re-crawl upsert: keep only the newest warc_ts row "
+                         "per url before indexing")
     ap.add_argument("--no-blocks", action="store_true", help="skip compressed blocks")
     ap.add_argument("--segments-buckets", type=int, default=0,
                     help="also materialize doc-bucketed impact segments (0=off)")
@@ -48,6 +51,9 @@ def main(argv=None) -> None:
     pages = spark.read.parquet(args.pages)
 
     if args.resumable:
+        if args.dedup_latest:
+            ap.error("--dedup-latest is not supported with --resumable yet: "
+                     "dedup the pages table first (plans/latest.py latest_by_key)")
         from dpr_spark.index.manifest import ResumableIndexBuilder
 
         b = ResumableIndexBuilder(spark, args.resumable, n_shards=args.shards, lang=args.lang)
@@ -63,6 +69,7 @@ def main(argv=None) -> None:
             lang=args.lang,
             build_blocks=not args.no_blocks,
             verify_extract=args.verify_extract,
+            dedup_latest=args.dedup_latest,
         )
     idx.save(args.out)
     if args.snapshot_dir:

@@ -975,6 +975,39 @@ def q_range_slice_events() -> Entry:
     return fn, sql
 
 
+def q_latest_events() -> Entry:
+    """Re-crawl upsert primitive (plans/latest.py latest_by_key) on the
+    driver's events table: the newest event per user (max (ts, event_id)
+    version tuple — exactly the newest-warc_ts-per-url build/compaction
+    path, SURVEY.md §1 input_hint re-crawl semantics; reference parity:
+    last-write-wins dict insert at `dpr/data/retriever_data.py:253-287`).
+    Spark side is ONE max_by aggregation (map-side combined); the oracle
+    states the same thing as a row_number window."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.plans.latest import latest_by_key
+
+        ev = _events(spark, sf_dir).select(
+            "user_id", "ts", "event_id", "event_type", F.round("value", 6).alias("value")
+        )
+        out = latest_by_key(ev, "user_id", ["ts", "event_id"])
+        return out.select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("event_type").alias("latest_type"),
+            F.col("value").alias("latest_value"),
+        )
+
+    sql = """
+      SELECT user_id, event_id AS latest_event_id,
+             event_type AS latest_type, round(value, 6) AS latest_value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1"""
+    return fn, sql
+
+
 def q_best_spans() -> Entry:
     """K3 span selection (`reader_data.py:370-416` get_best_spans):
     deterministic integer logits derived from (doc_id, position), greedy
@@ -1670,4 +1703,5 @@ def all_entries() -> Dict[str, Entry]:
         "weighted_interleave": q_weighted_interleave(),
         "results_nested": q_results_nested(),
         "range_slice_events": q_range_slice_events(),
+        "latest_events": q_latest_events(),
     }

@@ -124,6 +124,7 @@ def prepare_docs(
     cleanup: Optional[list] = None,
     range_partitions: Optional[int] = None,
     collision_check: bool = True,
+    dedup_latest: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> docs(doc_id, url, text).
 
@@ -141,10 +142,24 @@ def prepare_docs(
     skips its own repartition. One shuffle + one counts pass replaces
     rank-shuffle + map broadcast + join + repartition: fewer driver
     barriers, same ids.
+
+    dedup_latest: re-crawl upsert — when the table holds several crawls
+    of the same url (distinct warc_ts), keep only the newest row per url
+    (plans/latest.py max_by hash-agg: winners collapse map-side, no
+    sort). Applied AFTER the lang filter (the filter prunes at the scan;
+    dedup therefore picks the newest row among the requested language's
+    crawls). Without it, duplicate urls violate the id-assignment
+    uniqueness contract (dense_rank) or trip the collision gate (hash).
     """
     if lang is not None:
         pages = pages.filter(F.col("lang") == lang)  # pushed to the scan
     cols = ["url", "text"] + (["html"] if verify_extract else [])
+    if dedup_latest:
+        if "warc_ts" not in pages.columns:
+            raise ValueError("dedup_latest=True requires a warc_ts version column")
+        from dpr_spark.plans.latest import latest_by_key
+
+        pages = latest_by_key(pages.select("warc_ts", *cols), "url", "warc_ts")
     docs = pages.select(*cols)
     if verify_extract:
         docs = docs.withColumn("_extracted", extract_text_udf()(F.col("html")))
@@ -259,16 +274,19 @@ def doc_terms_from_parts(parts: DataFrame, offsets_bc) -> DataFrame:
     Python stage. Chaining a separate id-assign mapInPandas in front of
     the tokenizer round-trips the full page text through Arrow twice and
     doubles the Python-stage count — fusing removes both."""
-    from pyspark import TaskContext
-
     from dpr_spark.functions.tokenizer import _compiled_fast
+    from dpr_spark.plans.ids import _offset_for
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pat = _compiled_fast()
-        pid = TaskContext.get().partitionId()
-        base = offsets_bc.value.get(pid, 0)
         seen = 0
         for pdf in it:
+            if not len(pdf):
+                continue
+            # partition resolved via the stamped column, not TaskContext
+            # (a union/coalesce in the consumer plan offsets task ids —
+            # see plans/ids.py ranged_parts)
+            base = _offset_for(offsets_bc, int(pdf["_range_pid"].iloc[0]))
             ids = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
             seen += len(pdf)
             out = tf_batch(pdf["text"], pat)
@@ -284,7 +302,7 @@ def doc_terms_from_parts(parts: DataFrame, offsets_bc) -> DataFrame:
                 }
             )
 
-    return parts.select("text").mapInPandas(run, DOC_TERMS_SCHEMA)
+    return parts.select("text", "_range_pid").mapInPandas(run, DOC_TERMS_SCHEMA)
 
 
 def build_index(
@@ -296,6 +314,7 @@ def build_index(
     k1: float = BM25_K1,
     b: float = BM25_B,
     salt_df_agg: int = 0,
+    dedup_latest: bool = False,
 ) -> InvertedIndex:
     cleanup: list = []
     par = spark.sparkContext.defaultParallelism
@@ -304,7 +323,7 @@ def build_index(
         # byte-identity checked row-wise before tokenization
         docs = prepare_docs(
             pages, lang=lang, verify_extract=True, cleanup=cleanup,
-            range_partitions=3 * par,
+            range_partitions=3 * par, dedup_latest=dedup_latest,
         )
         n_bad = docs.filter(~F.col("_extract_ok")).count()
         if n_bad:
@@ -325,6 +344,17 @@ def build_index(
     src = pages
     if lang is not None:
         src = src.filter(F.col("lang") == lang)  # pushed to the scan
+    if dedup_latest:
+        # re-crawl upsert (newest warc_ts per url) BEFORE the range
+        # shuffle: winners collapse map-side in the latest_by_key hash
+        # agg, so only one row per url rides the id-assignment exchange
+        if "warc_ts" not in src.columns:
+            raise ValueError("dedup_latest=True requires a warc_ts version column")
+        from dpr_spark.plans.latest import latest_by_key
+
+        src = latest_by_key(
+            src.select("url", "warc_ts", "text"), "url", "warc_ts"
+        )
     parts, bc, n_docs_cnt = ranged_parts(
         src.select("url", "text"), "url", 3 * par, cleanup
     )

@@ -43,24 +43,37 @@ def ranged_parts(
     routinely run MULTIPLE jobs over them (tf kernel, then the docstats
     attach). sortWithinPartitions is not stable across a cache-eviction
     recompute, so duplicate keys could silently receive different ids in
-    different jobs."""
+    different jobs.
+
+    The partition id is STAMPED INTO THE DATA (`_range_pid`) during the
+    counts job — the first action, run on `parts` directly, so the stamp
+    equals the cache partition index. Downstream kernels key the offset
+    map by the column, never by TaskContext.partitionId(): when the
+    attach stage runs inside a UNION (or after a coalesce), task
+    partition ids are offset by the sibling child's partition count and
+    a TaskContext lookup would silently resolve to the wrong offset
+    (observed: every partition missing from the map defaulting to 0 —
+    duplicate ids). Consumers raise loudly on a pid the map doesn't
+    know. persist() is MEMORY_AND_DISK, so stamped partitions spill
+    rather than recompute; only executor loss (job failure on one box)
+    could re-stamp under a consumer's context."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     # range partitioning SAMPLES its child (one full execution) before the
     # real shuffle (a second): cache the slim input so upstream (e.g. a
     # groupBy over 10^10 tf rows) computes once
     src = df.persist()
-    parts = src.repartitionByRange(n, order_col).sortWithinPartitions(order_col).persist()
-    counts = (
-        parts.select(F.spark_partition_id().alias("_pid"))
-        .groupBy("_pid")
-        .count()
-        .collect()
+    parts = (
+        src.repartitionByRange(n, order_col)
+        .sortWithinPartitions(order_col)
+        .withColumn("_range_pid", F.spark_partition_id())
+        .persist()
     )
+    counts = parts.groupBy("_range_pid").count().collect()
     src.unpersist(True)  # the counts job materialized the `parts` cache
     if cleanup is not None:
         cleanup.append(parts)
-    cmap = {int(r["_pid"]): int(r["count"]) for r in counts}
+    cmap = {int(r["_range_pid"]): int(r["count"]) for r in counts}
     offsets = {}
     acc = 0
     for pid in sorted(cmap):
@@ -107,29 +120,49 @@ def assign_dense_ids(
     return out
 
 
+def _offset_for(offsets_bc, pid: int) -> int:
+    """Offset lookup keyed by the stamped `_range_pid` column. A pid the
+    counts job never saw means the cached layout changed under us (e.g. a
+    re-stamp after executor loss inside a unioned consumer stage) — ids
+    would silently collide, so fail the task instead."""
+    offs = offsets_bc.value
+    if pid not in offs:
+        raise RuntimeError(
+            f"ranged_parts partition {pid} is not in the offsets map "
+            f"({sorted(offs)}): the cached partition layout changed after "
+            "the counts job; rerun the id assignment"
+        )
+    return offs[pid]
+
+
 def attach_ids(parts: DataFrame, offsets_bc, id_col: str, columns=None) -> DataFrame:
     """Positional id attach over ranged_parts output: id = partition
-    offset + local running index. `columns` optionally projects first
-    (row order is preserved by select — ids stay the global rank).
-    Requires the ranged_parts order_col to be unique — see ranged_parts:
-    with duplicates, a recompute after cache eviction may reorder the tie
-    run between this job and a sibling kernel's job, mismatching ids."""
+    offset + local running index, partition resolved via the stamped
+    `_range_pid` column (NOT TaskContext — see ranged_parts: a union or
+    coalesce in the consumer plan offsets task partition ids). `columns`
+    optionally projects first (row order is preserved by select — ids
+    stay the global rank). Requires the ranged_parts order_col to be
+    unique — with duplicates, a recompute after cache eviction may
+    reorder the tie run between this job and a sibling kernel's job,
+    mismatching ids."""
     from pyspark.sql import types as T
 
     if columns is not None:
-        parts = parts.select(*columns)
+        parts = parts.select(*columns, "_range_pid")
     # copy, don't .add(): StructType.add mutates the df's cached schema
     out_schema = T.StructType(
-        list(parts.schema.fields) + [T.StructField(id_col, T.LongType())]
+        [f for f in parts.schema.fields if f.name != "_range_pid"]
+        + [T.StructField(id_col, T.LongType())]
     )
 
     def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
-        base = offsets_bc.value.get(pid, 0)
         seen = 0
         for pdf in it:
+            if not len(pdf):
+                continue
+            base = _offset_for(offsets_bc, int(pdf["_range_pid"].iloc[0]))
             ids = range(base + seen, base + seen + len(pdf))
             seen += len(pdf)
-            yield pdf.assign(**{id_col: list(ids)})
+            yield pdf.drop(columns=["_range_pid"]).assign(**{id_col: list(ids)})
 
     return parts.mapInPandas(assign, out_schema)

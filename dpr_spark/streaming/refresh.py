@@ -11,13 +11,26 @@ rebuild. Design:
   epoch-partition dirs, or (pass a SnapshotCatalog) versioned append
   snapshots with manifest-planned reads and time travel over index
   freshness states;
-- queries see base + delta via DataFrame union (delta doclen/df slightly
-  stale global stats is the standard trade; `compact()` folds the delta
-  into a fresh full build when it grows past a threshold).
+- queries see base + delta via `searchable_doc_terms` (delta doclen/df
+  slightly stale global stats is the standard trade; `compact()` folds
+  the delta into a fresh full build when it grows past a threshold).
 
 doc ids for delta docs use the hash strategy (dense rank would need a
 global resort — exactly what incrementality avoids); base ids stay
 stable, so results remain reproducible between compactions.
+
+Re-crawl upsert semantics (a crawl stream re-fetches known urls): every
+delta row carries a `version` (warc_ts when the stream has one, else the
+micro-batch epoch id), and "newest version wins" is enforced at every
+seam with plans/latest.py:
+- within a micro-batch (two fetches of one url in the same files),
+- across micro-batches (`searchable_doc_terms` keeps each doc's newest
+  delta version only),
+- against the base index (a doc_id present in the delta overrides its
+  base postings via an anti-join),
+- at compaction (base ∪ delta collapses to the newest row per url
+  before the rebuild — without this, a re-crawled url's base and delta
+  rows share an xxhash64 doc_id and their postings would double-count).
 """
 
 from __future__ import annotations
@@ -29,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dpr_spark.index.build import build_index_from_docs, doc_terms
+from dpr_spark.plans.latest import latest_by_key
 
 
 class StreamingIndexRefresher:
@@ -60,11 +74,25 @@ class StreamingIndexRefresher:
             # stream's checkpoint — the standard foreachBatch exactly-once
             # recipe); a half-written crashed attempt is invisible anyway
             # because readers plan from published manifests.
-            docs = batch_df.select(
-                F.xxhash64("url").alias("doc_id"), "url", "text"
+            version = (
+                F.col("warc_ts").cast("long")
+                if "warc_ts" in batch_df.columns
+                else F.lit(int(epoch_id)).cast("long")
             )
-            terms = doc_terms(docs)
-            urls = docs.select("doc_id", "url")
+            docs = batch_df.select(
+                F.xxhash64("url").alias("doc_id"),
+                "url",
+                "text",
+                version.alias("version"),
+            )
+            # within-batch re-crawl: the newest fetch of a url wins
+            docs = latest_by_key(docs, "doc_id", "version")
+            # batch-local broadcast join attaches each doc's version to
+            # its term rows (AQE sees the tiny build side)
+            terms = doc_terms(docs).join(
+                docs.select("doc_id", "version"), "doc_id"
+            )
+            urls = docs.select("doc_id", "url", "version")
             if self.catalog is not None:
                 done = {
                     s["properties"].get("epoch") for s in self.catalog.history()
@@ -114,11 +142,161 @@ class StreamingIndexRefresher:
     def delta_docs(self) -> Optional[DataFrame]:
         return self._read_epoched("docs")
 
+    def searchable_doc_terms(
+        self, base_terms: Optional[DataFrame] = None
+    ) -> Optional[DataFrame]:
+        """The queryable tf view: base ∪ delta with re-crawl upsert.
+
+        Within the delta, only each doc's NEWEST version's term rows
+        survive (semi-join against the per-doc max version — one small
+        agg over (doc_id, version) pairs, never over term rows). A doc_id
+        present in the delta overrides its base postings (anti-join on
+        doc_id: the base side streams through, only delta doc ids are
+        broadcast/shuffled — the delta is small relative to base by
+        construction, compact() folds it in before that stops holding).
+        The same version written by two epochs (at-least-once redelivery
+        of one crawl record outside the checkpoint's dedup window)
+        collapses by exact-row dropDuplicates.
+        """
+        delta = self.delta_doc_terms()
+        if delta is None:
+            return base_terms
+        docs = self.delta_docs()
+        winners = docs.groupBy("doc_id").agg(F.max("version").alias("version"))
+        latest = (
+            delta.join(winners, ["doc_id", "version"], "left_semi")
+            .dropDuplicates(["doc_id", "term"])
+            .drop("version")
+        )
+        if base_terms is None:
+            return latest
+        survivors = base_terms.join(
+            winners.select("doc_id"), "doc_id", "left_anti"
+        )
+        return survivors.unionByName(latest.select(*base_terms.columns))
+
+    def fresh_index(self, base):
+        """Near-real-time search: a queryable index over base ∪ delta
+        WITHOUT a rebuild — the Lucene NRT-segment analog (open a new
+        searcher over committed segments + the in-memory segment).
+
+        Contract: the base index must use hash doc ids (xxhash64(url) —
+        what compact() and the streaming path produce), so a re-crawled
+        url's delta rows carry the SAME doc_id as its base rows and the
+        override anti-join lines up.
+
+        Semantics (the standard NRT staleness trade, resolved by the
+        next compact()):
+        - re-crawled docs: base postings are overridden (anti-join on the
+          delta's doc ids); only the newest delta version's postings
+          serve;
+        - brand-new vocabulary: terms unseen in the base get term_ids
+          above the base max and EXACT idf (they occur only in the
+          delta, so their df is complete);
+        - terms the base knows keep the base df/idf (stale: delta
+          occurrences aren't folded in until compaction — Lucene serves
+          merged-segment stats the same way);
+        - n_docs is updated exactly (cheap counts); avgdl stays the
+          base's (a full docstats pass per refresh would defeat
+          incrementality);
+        - blocks=None: block-max serving resumes after compaction; the
+          exact scorer and the impact-segment engine work unchanged.
+        - score folds order by term_id; appended term_ids break the
+          "term_id order == term order" invariant for delta vocabulary,
+          so scores of docs touching NEW terms may differ from the
+          post-compaction index in the last float ulp (deterministic
+          either way; base-vocabulary scoring is bit-identical).
+        """
+        from dpr_spark.index.build import IndexStats, InvertedIndex
+
+        delta = self.delta_doc_terms()
+        if delta is None:
+            return base
+        docs = self.delta_docs()
+        winners = docs.groupBy("doc_id").agg(F.max("version").alias("version"))
+        latest = (
+            delta.join(winners, ["doc_id", "version"], "left_semi")
+            .dropDuplicates(["doc_id", "term"])
+            .drop("version")
+        ).persist()
+
+        # exact doc-count bookkeeping: overridden base docs + fresh docs
+        winner_ids = winners.select("doc_id")
+        n_delta = winner_ids.count()
+        n_overridden = base.docstats.join(winner_ids, "doc_id", "left_semi").count()
+        n_total = base.stats.n_docs - n_overridden + n_delta
+
+        # dictionary: base rows unchanged; new vocabulary appended above
+        # the base max with exact (delta-complete) df
+        from dpr_spark.plans.ids import assign_dense_ids
+
+        base_dict = base.dictionary.select("term", "term_id", "df", "idf")
+        new_df = (
+            latest.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .join(base_dict.select("term"), "term", "left_anti")
+        )
+        base_max = base_dict.agg(F.max("term_id")).first()[0] or 0
+        new_terms = assign_dense_ids(new_df, "term", "_nid").select(
+            "term",
+            (F.col("_nid") + F.lit(base_max + 1)).alias("term_id"),
+            "df",
+            F.log(
+                (F.lit(float(n_total)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ).alias("idf"),
+        )
+        dictionary = base_dict.unionByName(new_terms)
+
+        delta_postings = (
+            latest.join(dictionary.select("term", "term_id"), "term")
+            .select("term_id", "doc_id", "tf", "doclen")
+        )
+        postings = base.postings.join(
+            winner_ids, "doc_id", "left_anti"
+        ).unionByName(delta_postings)
+
+        delta_docstats = (
+            docs.join(winners, ["doc_id", "version"], "left_semi")
+            .select("doc_id", "url")
+            .dropDuplicates(["doc_id"])
+            .join(latest.select("doc_id", "doclen").distinct(), "doc_id", "left")
+            .withColumn("doclen", F.coalesce("doclen", F.lit(0)))
+        )
+        docstats = base.docstats.join(
+            winner_ids, "doc_id", "left_anti"
+        ).unionByName(delta_docstats.select(*base.docstats.columns))
+
+        return InvertedIndex(
+            docstats=docstats,
+            dictionary=dictionary,
+            postings=postings,
+            blocks=None,
+            stats=IndexStats(n_total, base.stats.avgdl),
+            cached=[latest],
+        )
+
     def compact(self, base_pages: DataFrame, delta_pages: DataFrame):
         """Fold the delta into a fresh full build (periodic compaction):
-        base ∪ delta pages -> build_index. Returns the new index."""
-        all_pages = base_pages.select("url", "text").unionByName(
-            delta_pages.select("url", "text")
+        base ∪ delta pages -> newest row per url -> build_index. Without
+        the latest_by_key collapse a re-crawled url would enter the build
+        twice under ONE xxhash64 doc_id and its postings would
+        double-count (tf doubled, doclen doubled — silently wrong BM25).
+        Base rows default to version -1 so any delta re-crawl of the same
+        url wins even when the stream had no warc_ts."""
+
+        def _versioned(df: DataFrame, default: int) -> DataFrame:
+            version = (
+                F.col("warc_ts").cast("long")
+                if "warc_ts" in df.columns
+                else F.lit(default).cast("long")
+            )
+            return df.select("url", "text", version.alias("version"))
+
+        all_pages = _versioned(base_pages, -1).unionByName(
+            _versioned(delta_pages, 0)
         )
-        docs = all_pages.withColumn("doc_id", F.xxhash64("url"))
+        latest = latest_by_key(all_pages, "url", "version").drop("version")
+        docs = latest.withColumn("doc_id", F.xxhash64("url"))
         return build_index_from_docs(self.spark, docs, build_blocks=False)

@@ -43,6 +43,12 @@ def main(argv=None) -> None:
     ap.add_argument("--engine", choices=["exact", "segments", "blockmax"], default="segments")
     ap.add_argument("--eval", action="store_true")
     ap.add_argument("--pages", default=None, help="pages parquet (doc text for --eval)")
+    ap.add_argument("--delta-dir", default=None,
+                    help="streaming delta dir (streaming/refresh.py): serve "
+                         "base+delta near-real-time (re-crawls override, new "
+                         "vocabulary searchable; base must use hash doc ids). "
+                         "Pre-built segments/blocks on disk are ignored — the "
+                         "NRT index rebuilds impact segments in-session")
     ap.add_argument("--serve", action="store_true",
                     help="resident mode: --queries is a directory polled for "
                          "query-batch files until <dir>/STOP appears")
@@ -67,11 +73,21 @@ def main(argv=None) -> None:
     else:
         idx = InvertedIndex.load(spark, args.index)
 
+    if args.delta_dir:
+        from dpr_spark.streaming.refresh import StreamingIndexRefresher
+
+        if args.engine == "blockmax":
+            raise SystemExit("--delta-dir serves exact/segments only; "
+                             "compact() the delta to restore block-max serving")
+        idx = StreamingIndexRefresher(spark, args.delta_dir).fresh_index(idx)
+
     if args.serve:
         from dpr_spark.serve import make_searcher, serve_loop
 
         searcher, close = make_searcher(
-            spark, idx, engine=args.engine, index_dir=args.index, k=args.k
+            spark, idx, engine=args.engine,
+            # a live delta invalidates on-disk segment/block layouts
+            index_dir=None if args.delta_dir else args.index, k=args.k,
         )
         serve_loop(
             spark, searcher, args.queries, args.out,
@@ -93,7 +109,7 @@ def main(argv=None) -> None:
         from dpr_spark.query.wand import build_impact_segments, search_segments
 
         seg_path = os.path.join(args.index, "segments")
-        if os.path.isdir(seg_path):
+        if os.path.isdir(seg_path) and not args.delta_dir:
             seg = spark.read.parquet(seg_path)
         else:
             seg = build_impact_segments(idx).persist()

@@ -1,0 +1,304 @@
+"""Re-crawl upsert semantics (plans/latest.py): newest-version-wins at
+build, in the streaming delta view, and at compaction.
+
+Reference parity: DPR's corpus loaders keep the last inserted row per id
+(`/root/reference/dpr/data/retriever_data.py:253-287` dict insert) —
+last-write-wins by file order; here the winner is picked by an explicit
+version column instead."""
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _ts(day):
+    return datetime.datetime(2024, 1, day)
+
+
+PAGES_T = "url string, warc_ts timestamp, text string, lang string"
+
+
+def test_latest_by_key_picks_max_version_tuple(spark):
+    from dpr_spark.plans.latest import latest_by_key
+
+    df = spark.createDataFrame(
+        [
+            ("a", _ts(1), "old a", "en"),
+            ("a", _ts(3), "new a", "en"),
+            ("a", _ts(2), "mid a", "en"),
+            ("b", _ts(1), "only b", "en"),
+        ],
+        PAGES_T,
+    )
+    got = {
+        r.url: r.text for r in latest_by_key(df, "url", "warc_ts").collect()
+    }
+    assert got == {"a": "new a", "b": "only b"}
+    # column order preserved
+    assert latest_by_key(df, "url", "warc_ts").columns == df.columns
+
+
+def test_latest_by_key_tiebreak_column(spark):
+    from dpr_spark.plans.latest import latest_by_key
+
+    df = spark.createDataFrame(
+        [("k", _ts(1), "x", "en"), ("k", _ts(1), "y", "en")], PAGES_T
+    )
+    # same timestamp: the text column itself breaks the tie deterministically
+    got = latest_by_key(df, "url", ["warc_ts", "text"]).collect()
+    assert len(got) == 1 and got[0].text == "y"
+
+
+def test_latest_by_key_missing_column_raises(spark):
+    from dpr_spark.plans.latest import latest_by_key
+
+    df = spark.createDataFrame([("a", "t")], "url string, text string")
+    with pytest.raises(ValueError, match="missing columns"):
+        latest_by_key(df, "url", "warc_ts")
+
+
+def test_latest_by_key_plan_is_partial_aggregate_not_window(spark):
+    """Plan shape: an aggregate pair around ONE exchange (partial combine
+    collapses re-crawls map-side); never a Window (which would shuffle
+    every version of every key)."""
+    from dpr_spark.plans.latest import latest_by_key
+
+    df = spark.createDataFrame([("a", _ts(1), "t", "en")], PAGES_T)
+    plan = latest_by_key(df, "url", "warc_ts")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1
+    assert "Aggregate" in plan
+
+
+def test_prepare_docs_dedup_latest(spark):
+    from dpr_spark.index.build import prepare_docs
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", _ts(1), "january crawl", "en"),
+            ("u1", _ts(2), "february crawl", "en"),
+            ("u2", _ts(1), "stable page", "en"),
+        ],
+        PAGES_T,
+    )
+    docs = prepare_docs(pages, dedup_latest=True).collect()
+    got = {r.url: r.text for r in docs}
+    assert got == {"u1": "february crawl", "u2": "stable page"}
+    ids = {r.url: r.doc_id for r in docs}
+    assert len(set(ids.values())) == 2
+
+    # without the flag the duplicate url comes through twice (the
+    # documented uniqueness contract the caller must then satisfy)
+    assert prepare_docs(pages, id_strategy="hash").count() == 3
+
+
+def test_prepare_docs_dedup_latest_requires_warc_ts(spark):
+    from dpr_spark.index.build import prepare_docs
+
+    pages = spark.createDataFrame([("u", "t")], "url string, text string")
+    with pytest.raises(ValueError, match="warc_ts"):
+        prepare_docs(pages, dedup_latest=True)
+
+
+def test_build_index_dedup_latest_matches_manual_dedup(spark):
+    """build_index(dedup_latest=True) over a re-crawled table ==
+    build_index over the manually deduped table (same postings)."""
+    from dpr_spark.index.build import build_index
+
+    rows, dedup_rows = [], []
+    for i in range(40):
+        u = f"https://site-{i:03d}.test/"
+        rows.append((u, _ts(1), f"old text {i} alpha", "en"))
+        newest = (u, _ts(2), f"new text {i} beta gamma", "en")
+        rows.append(newest)
+        dedup_rows.append(newest)
+    full = build_index(spark, spark.createDataFrame(rows, PAGES_T), dedup_latest=True)
+    manual = build_index(spark, spark.createDataFrame(dedup_rows, PAGES_T))
+    a = {(r.term, r.doc_id, r.tf) for r in full.postings.join(
+        full.dictionary.select("term_id", "term"), "term_id").select(
+        "term", "doc_id", "tf").collect()}
+    b = {(r.term, r.doc_id, r.tf) for r in manual.postings.join(
+        manual.dictionary.select("term_id", "term"), "term_id").select(
+        "term", "doc_id", "tf").collect()}
+    assert a == b
+    assert full.stats.n_docs == 40
+    full.unpersist()
+    manual.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# streaming re-crawl upsert
+# ---------------------------------------------------------------------------
+
+STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _write_batch(path, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "url": [r[0] for r in rows],
+                "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "text": [r[2] for r in rows],
+            }
+        ),
+        path,
+    )
+
+
+def test_streaming_recrawl_upsert(spark, tmp_path):
+    """A re-crawled url: within-batch, cross-batch, and base-override
+    resolution all pick the newest version."""
+    from dpr_spark.streaming.refresh import StreamingIndexRefresher
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # batch 1 contains TWO fetches of u1 (within-batch re-crawl)
+    _write_batch(
+        str(src / "b1.parquet"),
+        [
+            ("u1", _ts(1), "alpha beta"),
+            ("u1", _ts(2), "gamma delta"),
+            ("u2", _ts(1), "epsilon"),
+        ],
+    )
+    r = StreamingIndexRefresher(spark, str(tmp_path / "delta"))
+    r.start(str(src), STREAM_SCHEMA).awaitTermination(120)
+
+    view = r.searchable_doc_terms()
+    u1 = F.xxhash64(F.lit("u1"))
+    terms1 = {t.term for t in view.filter(F.col("doc_id") == u1).collect()}
+    assert terms1 == {"gamma", "delta"}  # within-batch: newest fetch only
+
+    # batch 2 re-crawls u1 again (cross-batch re-crawl)
+    _write_batch(str(src / "b2.parquet"), [("u1", _ts(3), "zeta")])
+    r.start(str(src), STREAM_SCHEMA).awaitTermination(120)
+    terms2 = {
+        t.term
+        for t in r.searchable_doc_terms().filter(F.col("doc_id") == u1).collect()
+    }
+    assert terms2 == {"zeta"}
+
+    # base override: u1's base postings are replaced, u0's survive
+    base = spark.createDataFrame(
+        [
+            (-999, "u0", 2, "eta", 1),
+            (int(spark.range(1).select(u1).first()[0]), "u1", 2, "theta", 2),
+        ],
+        "doc_id long, url string, doclen int, term string, tf long",
+    ).select("doc_id", "doclen", "term", "tf")
+    merged = r.searchable_doc_terms(base)
+    by_doc = {}
+    for row in merged.collect():
+        by_doc.setdefault(row.doc_id, set()).add(row.term)
+    assert by_doc[-999] == {"eta"}
+    assert by_doc[int(spark.range(1).select(u1).first()[0])] == {"zeta"}
+
+
+def test_fresh_index_nrt_search(spark, tmp_path):
+    """fresh_index: base + delta searchable WITHOUT rebuild — overrides,
+    new docs, and new vocabulary all served; base-only scoring
+    bit-identical to the base index (stale stats reused)."""
+    from dpr_spark.index.build import build_index_from_docs
+    from dpr_spark.query.scorer import search
+    from dpr_spark.streaming.refresh import StreamingIndexRefresher
+
+    base_pages = spark.createDataFrame(
+        [("u0", "alpha beta"), ("u1", "gamma delta")], "url string, text string"
+    )
+    base_idx = build_index_from_docs(
+        spark,
+        base_pages.withColumn("doc_id", F.xxhash64("url")),
+        build_blocks=False,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # u1 re-crawled with new text; u2 brand new with new vocabulary
+    _write_batch(
+        str(src / "b1.parquet"),
+        [("u1", _ts(2), "epsilon beta"), ("u2", _ts(2), "zeta beta")],
+    )
+    r = StreamingIndexRefresher(spark, str(tmp_path / "delta"))
+    r.start(str(src), STREAM_SCHEMA).awaitTermination(120)
+
+    fresh = r.fresh_index(base_idx)
+    assert fresh.stats.n_docs == 3
+
+    def hits(question):
+        qdf = spark.createDataFrame([(0, question)], "qid long, question string")
+        return {r_.doc_id for r_ in search(qdf, fresh, k=10).collect()}
+
+    h = lambda u: int(spark.range(1).select(F.xxhash64(F.lit(u))).first()[0])
+    assert hits("beta") == {h("u0"), h("u1"), h("u2")}  # old + updated + new
+    assert hits("gamma") == set() and hits("delta") == set()  # overridden text gone
+    assert hits("epsilon") == {h("u1")}  # updated content serves
+    assert hits("zeta") == {h("u2")}  # NEW vocabulary serves pre-compaction
+
+    # base-vocabulary scoring over an untouched doc is bit-identical
+    qdf = spark.createDataFrame([(0, "alpha")], "qid long, question string")
+    s_fresh = {r_.doc_id: r_.score for r_ in search(qdf, fresh, k=10).collect()}
+    s_base = {r_.doc_id: r_.score for r_ in search(qdf, base_idx, k=10).collect()}
+    assert s_fresh == s_base
+    fresh.unpersist()
+    base_idx.unpersist()
+
+
+def test_compact_recrawl_does_not_double_count(spark):
+    """base and delta share a url: compaction must NOT merge both
+    versions' postings under the shared xxhash64 doc_id."""
+    from dpr_spark.query.scorer import search
+    from dpr_spark.streaming.refresh import StreamingIndexRefresher
+
+    r = StreamingIndexRefresher(spark, "/tmp/_unused_delta_dir")
+    base = spark.createDataFrame(
+        [("u1", _ts(1), "alpha beta", "en"), ("u2", _ts(1), "alpha", "en")],
+        PAGES_T,
+    )
+    delta = spark.createDataFrame([("u1", _ts(2), "gamma", "en")], PAGES_T)
+    idx = r.compact(base, delta)
+    assert idx.stats.n_docs == 2
+    terms = {
+        (row.term, row.tf)
+        for row in idx.postings.join(
+            idx.dictionary.select("term_id", "term"), "term_id"
+        )
+        .filter(F.col("doc_id") == F.xxhash64(F.lit("u1")))
+        .select("term", "tf")
+        .collect()
+    }
+    assert terms == {("gamma", 1)}  # not alpha/beta, no doubled tf
+    # and the new content is searchable
+    qdf = spark.createDataFrame([(0, "gamma")], "qid long, question string")
+    hits = search(qdf, idx, k=10).collect()
+    assert len(hits) == 1
+    idx.unpersist()
+
+
+def test_compact_without_warc_ts_delta_wins(spark):
+    """No version column anywhere: delta rows default above base rows."""
+    from dpr_spark.streaming.refresh import StreamingIndexRefresher
+
+    r = StreamingIndexRefresher(spark, "/tmp/_unused_delta_dir2")
+    schema = "url string, text string"
+    base = spark.createDataFrame([("u1", "old words")], schema)
+    delta = spark.createDataFrame([("u1", "fresh words")], schema)
+    idx = r.compact(base, delta)
+    terms = {
+        row.term
+        for row in idx.postings.join(
+            idx.dictionary.select("term_id", "term"), "term_id"
+        ).collect()
+    }
+    assert terms == {"fresh", "words"}
+    idx.unpersist()
