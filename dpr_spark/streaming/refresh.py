@@ -277,14 +277,52 @@ class StreamingIndexRefresher:
             cached=[latest],
         )
 
-    def compact(self, base_pages: DataFrame, delta_pages: DataFrame):
+    def reset_delta(self) -> None:
+        """Clear the delta AFTER compaction folded it into a new base —
+        without this, the next fresh_index()/searchable_doc_terms() call
+        would re-apply the already-compacted overrides to the NEW base.
+
+        The stream's checkpoint is deliberately KEPT: already-ingested
+        files are never replayed; future files land in a fresh delta
+        under later epoch ids. Catalog mode commits an empty OVERWRITE
+        snapshot (operation='compact-reset') so the pre-compaction delta
+        states remain time-travelable."""
+        if self.catalog is not None:
+            delta = self.delta_doc_terms()
+            if delta is None:
+                return
+            self.catalog.commit(
+                {"doc_terms": delta.limit(0), "docs": self.delta_docs().limit(0)},
+                operation="compact-reset",
+            )
+            return
+        import shutil
+
+        for name in ("doc_terms", "docs"):
+            p = os.path.join(self.delta_dir, name)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+
+    def compact(
+        self,
+        base_pages: DataFrame,
+        delta_pages: DataFrame,
+        index_catalog=None,
+        reset: bool = False,
+    ):
         """Fold the delta into a fresh full build (periodic compaction):
         base ∪ delta pages -> newest row per url -> build_index. Without
         the latest_by_key collapse a re-crawled url would enter the build
         twice under ONE xxhash64 doc_id and its postings would
         double-count (tf doubled, doclen doubled — silently wrong BM25).
         Base rows default to version -1 so any delta re-crawl of the same
-        url wins even when the stream had no warc_ts."""
+        url wins even when the stream had no warc_ts.
+
+        index_catalog (optional SnapshotCatalog): commit the rebuilt
+        index as an operation='compact' snapshot — the full freshness
+        lifecycle (full-build -> delta appends -> compact) becomes one
+        time-travelable history. reset=True clears the delta afterwards
+        (reset_delta) so the new base is not re-overridden."""
 
         def _versioned(df: DataFrame, default: int) -> DataFrame:
             version = (
@@ -299,4 +337,11 @@ class StreamingIndexRefresher:
         )
         latest = latest_by_key(all_pages, "url", "version").drop("version")
         docs = latest.withColumn("doc_id", F.xxhash64("url"))
-        return build_index_from_docs(self.spark, docs, build_blocks=False)
+        idx = build_index_from_docs(self.spark, docs, build_blocks=False)
+        if index_catalog is not None:
+            from dpr_spark.index.snapshots import snapshot_index
+
+            snapshot_index(index_catalog, idx, operation="compact")
+        if reset:
+            self.reset_delta()
+        return idx

@@ -285,6 +285,68 @@ def test_compact_recrawl_does_not_double_count(spark):
     idx.unpersist()
 
 
+def test_compact_snapshot_and_reset_lifecycle(spark, tmp_path):
+    """full-build -> delta -> compact(commit + reset): the index catalog
+    records the lifecycle, and the cleared delta no longer re-overrides
+    the new base."""
+    from dpr_spark.index.build import build_index_from_docs
+    from dpr_spark.index.snapshots import SnapshotCatalog, snapshot_index
+    from dpr_spark.streaming.refresh import StreamingIndexRefresher
+
+    base_pages = spark.createDataFrame(
+        [("u0", "alpha beta"), ("u1", "gamma delta")], "url string, text string"
+    )
+    base = build_index_from_docs(
+        spark, base_pages.withColumn("doc_id", F.xxhash64("url")), build_blocks=False
+    )
+    cat = SnapshotCatalog(spark, str(tmp_path / "idx_cat"))
+    snapshot_index(cat, base, operation="full-build")
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    _write_batch(str(src / "b1.parquet"), [("u1", _ts(2), "epsilon")])
+    r = StreamingIndexRefresher(spark, str(tmp_path / "delta"))
+    r.start(str(src), STREAM_SCHEMA).awaitTermination(120)
+    assert r.delta_doc_terms() is not None
+
+    delta_pages = spark.createDataFrame(
+        [("u1", _ts(2), "epsilon", "en")], PAGES_T
+    )
+    idx2 = r.compact(base_pages, delta_pages, index_catalog=cat, reset=True)
+    ops = [s["operation"] for s in cat.history()]
+    assert ops == ["full-build", "compact"]
+    # the delta is gone: the new base is served as-is
+    assert r.delta_doc_terms() is None
+    assert r.fresh_index(idx2) is idx2
+    # and the pre-compaction index is still time-travelable
+    old = cat.read("postings", snapshot_id=cat.history()[0]["snapshot_id"])
+    assert old.count() == 4  # alpha+beta+gamma+delta postings of the old base
+    idx2.unpersist()
+    base.unpersist()
+
+
+def test_reset_delta_catalog_mode_preserves_history(spark, tmp_path):
+    """Catalog-mode reset commits an empty overwrite snapshot: current
+    reads are empty, earlier freshness states remain time-travelable."""
+    from dpr_spark.index.snapshots import SnapshotCatalog
+    from dpr_spark.streaming.refresh import StreamingIndexRefresher
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    _write_batch(str(src / "b1.parquet"), [("u1", _ts(1), "alpha beta")])
+    cat = SnapshotCatalog(spark, str(tmp_path / "delta_cat"))
+    r = StreamingIndexRefresher(spark, str(tmp_path / "delta"), catalog=cat)
+    r.start(str(src), STREAM_SCHEMA).awaitTermination(120)
+    n1 = r.delta_doc_terms().count()
+    assert n1 == 2
+    first_sid = cat.history()[0]["snapshot_id"]
+
+    r.reset_delta()
+    assert r.delta_doc_terms().count() == 0
+    assert [s["operation"] for s in cat.history()][-1] == "compact-reset"
+    assert cat.read("doc_terms", snapshot_id=first_sid).count() == n1
+
+
 def test_compact_without_warc_ts_delta_wins(spark):
     """No version column anywhere: delta rows default above base rows."""
     from dpr_spark.streaming.refresh import StreamingIndexRefresher
