@@ -21,7 +21,6 @@ from __future__ import annotations
 from typing import Iterator, Optional
 
 import pandas as pd
-from pyspark import TaskContext
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
