@@ -1008,6 +1008,38 @@ def q_latest_events() -> Entry:
     return fn, sql
 
 
+def q_cap_per_source() -> Entry:
+    """Per-domain document cap (extras/domains.py cap_per_key) on the
+    driver's documents table: keep the 5 largest docs per source —
+    C4/RefinedWeb-style host rationing for a 100 TB crawl. The Spark side
+    runs the TWO-LEVEL salted form (exact top-N of per-salt top-Ns, so a
+    mega-domain never funnels through one task); the oracle states the
+    same thing as a plain row_number window — identical rows because
+    (n_chars desc, doc_id asc) is a total order."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.domains import cap_per_key
+
+        d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+        out = cap_per_key(
+            d,
+            ["source"],
+            [F.col("n_chars").desc(), F.col("doc_id").asc()],
+            5,
+            salt_buckets=8,
+        )
+        return out.select("source", "doc_id", "n_chars")
+
+    sql = """
+      SELECT source, doc_id, n_chars
+      FROM (SELECT source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM documents)
+      WHERE rn <= 5"""
+    return fn, sql
+
+
 def q_best_spans() -> Entry:
     """K3 span selection (`reader_data.py:370-416` get_best_spans):
     deterministic integer logits derived from (doc_id, position), greedy
@@ -1704,4 +1736,5 @@ def all_entries() -> Dict[str, Entry]:
         "results_nested": q_results_nested(),
         "range_slice_events": q_range_slice_events(),
         "latest_events": q_latest_events(),
+        "cap_per_source": q_cap_per_source(),
     }
