@@ -1040,6 +1040,41 @@ def q_cap_per_source() -> Entry:
     return fn, sql
 
 
+def q_domain_stats() -> Entry:
+    """Per-domain crawl stats (extras/domains.py domain_of +
+    per_domain_stats) over synthetic URLs derived from the documents
+    table: `https://WWW.<source>:8443/page/<doc_id>` exercises host
+    lowercasing, `www.` aliasing, and port stripping. domain_of uses only
+    RE2-safe regexes, so the oracle applies the identical extraction
+    chain in DuckDB — the first look any webtext pipeline takes at a
+    crawl's host distribution."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.domains import per_domain_stats
+
+        pages = _docs(spark, sf_dir).select(
+            F.concat(
+                F.lit("https://WWW."), F.col("source"), F.lit(":8443/page/"),
+                F.col("doc_id"),
+            ).alias("url"),
+            "text",
+        )
+        return per_domain_stats(pages)
+
+    sql = r"""
+      SELECT regexp_replace(regexp_replace(regexp_replace(
+               lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+               '^[^@]*@', ''), ':\d+$', ''), '^www\.', '') AS domain,
+             count(*) AS n_pages,
+             CAST(sum(length(text)) AS BIGINT) AS total_chars,
+             round(avg(length(text)), 4) AS avg_chars
+      FROM (SELECT concat('https://WWW.', source, ':8443/page/', doc_id) AS url,
+                   text
+            FROM documents)
+      GROUP BY 1"""
+    return fn, sql
+
+
 def q_best_spans() -> Entry:
     """K3 span selection (`reader_data.py:370-416` get_best_spans):
     deterministic integer logits derived from (doc_id, position), greedy
@@ -1737,4 +1772,5 @@ def all_entries() -> Dict[str, Entry]:
         "range_slice_events": q_range_slice_events(),
         "latest_events": q_latest_events(),
         "cap_per_source": q_cap_per_source(),
+        "domain_stats": q_domain_stats(),
     }
