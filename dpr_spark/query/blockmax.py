@@ -489,13 +489,14 @@ def search_blocks(
     sets, broadcast semi-join beyond _values_filter's pushdown_limit);
     the cogroup keys both sides on bucket so norms never shuffle per
     query when pre-bucketed on storage."""
-    from dpr_spark.query.wand import DEFAULT_QUERY_BATCH, _values_filter
+    from dpr_spark.query.wand import (
+        DEFAULT_QUERY_BATCH,
+        _values_filter,
+        iter_query_term_waves,
+    )
 
     if batch_size is None:
         batch_size = DEFAULT_QUERY_BATCH
-    qterms = _driver_query_terms_idf(spark, queries, index)
-    if not qterms:
-        return spark.createDataFrame([], "qid long, rank int, doc_id long, score double")
     avgdl = index.stats.avgdl
 
     def make_fn(bc):
@@ -505,8 +506,10 @@ def search_blocks(
         return fn
 
     local = None
-    for w0 in range(0, len(qterms), batch_size):
-        wave = qterms[w0 : w0 + batch_size]
+    # tokenization + dictionary resolution run as a Spark job (see
+    # wand.py::_resolve_query_terms); the driver only streams resolved
+    # (qid, term_ids, idfs) rows one wave at a time — O(wave) memory.
+    for wave in iter_query_term_waves(spark, queries, index, batch_size, with_idf=True):
         wave_tids = sorted({int(t) for _, tids, _ in wave for t in tids})
         bsel = _values_filter(blocks, "term_id", wave_tids)
         bc = spark.sparkContext.broadcast(wave)
@@ -516,6 +519,8 @@ def search_blocks(
             .applyInPandas(make_fn(bc), RESULT_SCHEMA)
         )
         local = part if local is None else local.unionByName(part)
+    if local is None:
+        return spark.createDataFrame([], "qid long, rank int, doc_id long, score double")
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         local.withColumn("rank", F.row_number().over(w))

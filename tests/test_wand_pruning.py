@@ -91,3 +91,56 @@ def test_values_filter_join_path_matches_isin(spark, index):
         for r in _values_filter(index.dictionary, "term", terms, pushdown_limit=5).collect()
     )
     assert a == b and len(a) == len(terms)
+
+
+def test_sparse_accumulator_work_scales_with_postings():
+    """Per-query work must scale with postings touched, NOT partition
+    size: gen-stamped sparse accumulators (ported from blockmax) replace
+    the per-query O(partition_docs) scores.fill/touched.fill. 10k docs in
+    the partition, 50 queries each touching a 5-posting term => exactly
+    250 score writes, not 500k memset slots."""
+    import numpy as np
+    import pandas as pd
+
+    from dpr_spark.query.wand import _search_partition
+
+    n_big = 10_000
+    big_docs = np.arange(n_big, dtype=np.int64)
+    rare_docs = np.array([3, 11, 42, 77, 99], dtype=np.int64)
+    pdf = pd.DataFrame(
+        {
+            "term_id": np.concatenate(
+                [np.full(n_big, 1, dtype=np.int64), np.full(5, 7, dtype=np.int64)]
+            ),
+            "doc_id": np.concatenate([big_docs, rare_docs]),
+            "impact": np.concatenate(
+                [np.full(n_big, 0.25), np.array([5.0, 4.0, 3.0, 2.0, 1.0])]
+            ),
+        }
+    )
+    qterms = [(q, np.array([7], dtype=np.int64)) for q in range(50)]
+    stats = {}
+    out = list(_search_partition(iter([pdf]), qterms, k=3, stats=stats))
+    assert stats["score_writes"] == 5 * 50
+    assert stats["postings_touched"] == 5 * 50
+    # top-3 of the rare term for every query
+    res = sorted(
+        (int(q), int(r_d), float(r_s))
+        for q, r_d, r_s in zip(out[0].qid, out[0].doc_id, out[0].score)
+    )
+    for q in range(50):
+        rows = [(d, s) for qq, d, s in res if qq == q]
+        assert rows == [(3, 5.0), (11, 4.0), (42, 3.0)]
+
+    # MaxScore path on the same partition: query {1, 7}, k=3 trips
+    # pruning; gen reuse across queries must not leak scores between them.
+    stats2 = {}
+    qterms2 = [(q, np.array([1, 7], dtype=np.int64)) for q in range(3)]
+    out2 = list(_search_partition(iter([pdf]), qterms2, k=3, stats=stats2))
+    res2 = sorted(
+        (int(q), int(d), float(s))
+        for q, d, s in zip(out2[0].qid, out2[0].doc_id, out2[0].score)
+    )
+    for q in range(3):
+        rows = [(d, s) for qq, d, s in res2 if qq == q]
+        assert rows == [(3, 5.25), (11, 4.25), (42, 3.25)]
