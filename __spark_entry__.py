@@ -3,9 +3,11 @@
 entry(spark)    -> flagship BM25 top-k query over sf0.001 documents.
 queries()       -> one entry per implemented operator (SURVEY.md §2),
                    implemented in dpr_spark.engine_queries.
-oracle_sql()    -> DuckDB twins; entries without a portable SQL oracle
-                   (nested-JSON sinks, the table-parser stack machine)
-                   are omitted -> rows-only check.
+oracle_sql()    -> DuckDB twins for EVERY entry (41/41 since round 4:
+                   the nested-JSON sinks compare as canonical Jackson
+                   wire bytes rebuilt with string_agg, and the table-
+                   parser fixture's chunk algebra has a slice-arithmetic
+                   SQL spelling — see engine_queries.py docstrings).
 """
 
 from __future__ import annotations

@@ -903,12 +903,17 @@ def q_has_answer_kilt() -> Entry:
 def q_results_nested() -> Entry:
     """S7 nested output record (`dense_retriever.py:337-379`,
     `README.md:216-233`): per query {question, ctxs:[{id, text, score,
-    has_answer}]} sorted by rank — the df.write.json surface. Nested
-    struct hashing is not portable across engines -> rows-only check;
-    the flattened values are oracle-checked by topk_join_text and
-    accuracy_at_k. The ctxs array is emitted as its JSON serialization
-    (the actual df.write.json wire form) so the harness can canonicalize
-    rows — nested arrays are unhashable in its pandas compare."""
+    has_answer}]} sorted by rank — the df.write.json surface, emitted as
+    its JSON serialization (nested arrays are unhashable in the
+    harness's pandas compare; the JSON string IS the wire form).
+
+    Oracle-checked byte-for-byte (r3 VERDICT next-round #3): the DuckDB
+    twin builds the identical Jackson wire bytes by construction —
+    string_agg over '{"rank":..}' fragments in rank order. Portability
+    holds because (a) the testdata corpus is printable ASCII with no
+    '"'/'\\'/control chars, so JSON string escaping is the identity, and
+    (b) the score is cast to decimal(18,6), which Spark's to_json prints
+    at fixed scale ("12.345600"), bit-matching printf('%.6f', ..)."""
 
     def fn(spark, sf_dir):
         top = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= 3)
@@ -939,7 +944,7 @@ def q_results_nested() -> Entry:
             F.col("rank"),
             F.col("doc_id").alias("id"),
             F.col("text"),
-            F.col("score_r").alias("score"),
+            F.col("score_r").cast("decimal(18,6)").alias("score"),
             F.col("has_answer"),
         )
         return (
@@ -949,7 +954,37 @@ def q_results_nested() -> Entry:
             .select("qid", "question", F.to_json("ctxs").alias("ctxs_json"))
         )
 
-    return fn, None
+    avals = ", ".join(
+        f"({qid}, '{' '.join(tokenize(a))}')"
+        for qid, answers in BENCH_ANSWERS.items()
+        for a in answers
+    )
+    qvals = ", ".join(f"({qid}, '{q}')" for qid, q in BENCH_QUERIES)
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + f""",
+        top3 AS (SELECT qid, doc_id, rank, score_r FROM ranked WHERE rank <= 3),
+        d AS (SELECT doc_id, text,
+                     ' ' || array_to_string({_DUCK_TOKS}, ' ') || ' ' AS tstr
+              FROM documents),
+        ans AS (SELECT * FROM (VALUES {avals}) AS a(qid, ans_toks)),
+        q AS (SELECT * FROM (VALUES {qvals}) AS q(qid, question)),
+        j AS (SELECT t.qid, t.rank, t.doc_id, d.text, t.score_r,
+                     bool_or(contains(d.tstr, ' ' || a.ans_toks || ' ')) AS has_answer
+              FROM top3 t JOIN d USING (doc_id) JOIN ans a ON a.qid = t.qid
+              GROUP BY 1, 2, 3, 4, 5)
+        SELECT j.qid, q.question,
+               '[' || string_agg(
+                 '{{"rank":' || j.rank::VARCHAR
+                 || ',"id":' || j.doc_id::VARCHAR
+                 || ',"text":"' || j.text
+                 || '","score":' || printf('%.6f', j.score_r)
+                 || ',"has_answer":' || CASE WHEN j.has_answer THEN 'true' ELSE 'false' END
+                 || '}}', ',' ORDER BY j.rank) || ']' AS ctxs_json
+        FROM j JOIN q USING (qid) GROUP BY j.qid, q.question"""
+    )
+    return fn, sql
 
 
 def q_range_slice_events() -> Entry:
@@ -1436,9 +1471,19 @@ def q_table_chunks() -> Entry:
     """T6 HTML-token table parse + linearize (NQTableParser analog,
     `biencoder_data.py:252-337` + `:563-580`): deterministic table token
     streams built from the first 10 documents' tokens, parsed by the
-    stack machine and split into header-prefixed chunks. The parser has
-    no SQL spelling -> rows-only; semantics are pytest-gated
-    (tests/test_tables.py)."""
+    stack machine and split into header-prefixed chunks.
+
+    Oracle-checked (r3 VERDICT next-round #3): the stack machine itself
+    has no SQL spelling, but for this fixture's input family the chunk
+    algebra does — each table is 3 rows x 2 cells x 2 tokens, so every
+    linearized row is "a b, c d" (4 words); with max_table_len=8 the
+    greedy splitter (header_len 4 + row_len 4 >= 8) closes a chunk after
+    EVERY body row and never leaves a trailing partial, so chunk i =
+    header_row + '\\n' + row_{i+1} + '\\n'. The DuckDB twin recomputes
+    that from the raw document tokens by 1-based slice arithmetic —
+    an independent spelling, not a mirror of the parser. Full stack-
+    machine semantics (nesting, captions, th/td, stray content) stay
+    pytest-gated in tests/test_tables.py."""
 
     def fn(spark, sf_dir):
         from dpr_spark.functions.tables import tables_to_chunks
@@ -1486,7 +1531,21 @@ def q_table_chunks() -> Entry:
         )
         return tables_to_chunks(df, max_table_len=8)
 
-    return fn, None
+    sql = f"""
+      WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+      base AS (SELECT doc_id, toks FROM tok WHERE doc_id < 10 AND len(toks) >= 12),
+      rows_ AS (
+        SELECT doc_id, rn,
+               toks[rn*4+1] || ' ' || toks[rn*4+2] || ', '
+               || toks[rn*4+3] || ' ' || toks[rn*4+4] AS row_lin
+        FROM base CROSS JOIN (SELECT unnest([0, 1, 2]) AS rn)
+      )
+      SELECT h.doc_id, 0::INT AS table_idx, (b.rn - 1)::INT AS chunk_idx,
+             h.row_lin || chr(10) || b.row_lin || chr(10) AS text,
+             'doc' || h.doc_id::VARCHAR AS title
+      FROM rows_ h JOIN rows_ b USING (doc_id)
+      WHERE h.rn = 0 AND b.rn >= 1"""
+    return fn, sql
 
 
 def q_average_rank() -> Entry:
@@ -1526,7 +1585,10 @@ def q_kilt_format() -> Entry:
     """S11 KILT output conversion (`retriever_data.py:304-334`): top-3
     results -> {id, input, output:[{provenance}]} with a broadcast
     doc->wikipedia mapping join; emitted as JSON (nested arrays are not
-    hashable in the harness -> rows-only; shape pytest-gated)."""
+    hashable in the harness's pandas compare — the JSON string is the
+    wire form). Oracle-checked byte-for-byte (r3 VERDICT next-round #3):
+    all provenance fields are strings/ints, so the DuckDB twin rebuilds
+    the exact Jackson bytes with string_agg in rank order."""
 
     def fn(spark, sf_dir):
         from dpr_spark.eval.validation import to_kilt_format
@@ -1548,7 +1610,23 @@ def q_kilt_format() -> Entry:
         out = to_kilt_format(results, mapping, gold)
         return out.select("id", "input", F.to_json("output").alias("output_json"))
 
-    return fn, None
+    qvals = ", ".join(f"({qid}, '{q}')" for qid, q in BENCH_QUERIES)
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + f""",
+        top3 AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= 3),
+        q AS (SELECT * FROM (VALUES {qvals}) AS q(qid, question)),
+        prov AS (SELECT qid,
+                   '[{{"provenance":[' || string_agg(
+                     '{{"wikipedia_id":"wiki_' || (doc_id % 100)::VARCHAR
+                     || '","end_paragraph_id":' || (doc_id % 7)::VARCHAR
+                     || '}}', ',' ORDER BY rank) || ']}}]' AS output_json
+                 FROM top3 GROUP BY qid)
+        SELECT 'kilt_' || q.qid::VARCHAR AS id, q.question AS input, prov.output_json
+        FROM q JOIN prov USING (qid)"""
+    )
+    return fn, sql
 
 
 def q_weighted_interleave() -> Entry:
