@@ -26,10 +26,15 @@ What is real Iceberg-shaped about it:
   destroyed (Iceberg's rollback semantics), so the rollback itself can
   be rolled back.
 
-What is NOT emulated: optimistic-concurrency retries between two
-WRITERS racing one commit (single-writer assumption, like the build
-manifest), and format-level features (row deletes, schema evolution,
-hidden partitioning). The API is kept thin so real `writeTo().append()`
+Two racing WRITERS are FENCED, not merged: publish re-reads the pointer
+and fails with ConcurrentCommitError if `current` moved since the
+operation started (compare-parent-and-fail — the loser's files are
+orphans, the winner's snapshot is intact). What is NOT emulated:
+automatic retry of the losing writer (Iceberg's optimistic-concurrency
+loop; callers retry from a fresh read), a true store-level CAS for the
+re-read→rename window (real catalogs use the store's conditional put),
+and format-level features (row deletes, schema evolution, hidden
+partitioning). The API is kept thin so real `writeTo().append()`
 / `VERSION AS OF` calls drop in unchanged on a cluster with the
 Iceberg runtime.
 """
@@ -43,6 +48,14 @@ import uuid
 from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published a snapshot after this commit started —
+    the losing writer's data files are orphans (invisible to readers,
+    reclaimable like any crashed attempt); retry the operation from a
+    fresh read. The Iceberg analog is the optimistic-concurrency
+    CommitFailedException."""
 
 
 class SnapshotCatalog:
@@ -182,6 +195,21 @@ class SnapshotCatalog:
         properties: Optional[dict],
         timestamp_ms: Optional[int],
     ) -> int:
+        # writer fencing (compare-parent-and-fail): `meta` was read when
+        # the operation started; if another writer moved `current` since,
+        # publishing would silently clobber its snapshot AND re-parent
+        # this one onto a stale id. Fail instead — the caller retries
+        # from a fresh read; this commit's data files are orphans. (The
+        # re-read→rename window is not a lock — true multi-writer CAS
+        # needs the store's conditional-put, which is exactly what the
+        # real Iceberg catalog provides; this turns silent corruption
+        # into an error, per the single-writer assumption above.)
+        fresh = self._read_meta()
+        if fresh["current"] != meta["current"]:
+            raise ConcurrentCommitError(
+                f"snapshot {fresh['current']} was published after this "
+                f"operation started from parent {meta['current']}"
+            )
         meta["snapshots"].append(
             {
                 "snapshot_id": sid,

@@ -48,6 +48,14 @@ def latest_by_key(df: DataFrame, keys: Cols, version_cols: Cols) -> DataFrame:
     which is only acceptable when tied rows are identical (the re-crawl
     case: same url fetched twice in one crawl yields the same record).
 
+    Null semantics (explicit, not engine-dependent): each version column
+    is compared through an (is-not-null, value) pair, so a NULL version
+    always loses to any non-null one, and a key whose versions are ALL
+    null falls back to the arbitrary-tie rule above — the row itself is
+    kept (never a null payload). Without the flag this rides on how the
+    engine orders null struct fields inside max_by, which is exactly the
+    kind of undocumented behavior a version upgrade breaks.
+
     Column order of the result matches the input. One shuffle, map-side
     combined.
     """
@@ -57,7 +65,16 @@ def latest_by_key(df: DataFrame, keys: Cols, version_cols: Cols) -> DataFrame:
     if missing:
         raise ValueError(f"latest_by_key: missing columns {missing} in {df.columns}")
     payload = [c for c in df.columns if c not in keys]
-    ver = F.struct(*[F.col(c) for c in version_cols])
+    ver = F.struct(
+        *[
+            x
+            for c in version_cols
+            for x in (
+                F.col(c).isNotNull().alias(f"_{c}_nn"),
+                F.col(c).alias(c),
+            )
+        ]
+    )
     row = F.max_by(F.struct(*[F.col(c) for c in payload]), ver).alias("_latest")
     out = df.groupBy(*[F.col(k) for k in keys]).agg(row)
     return out.select(

@@ -364,3 +364,134 @@ def test_compact_without_warc_ts_delta_wins(spark):
     }
     assert terms == {"fresh", "words"}
     idx.unpersist()
+
+
+def test_latest_by_key_null_versions_lose_never_null_payload(spark):
+    """Explicit null semantics: a null version loses to any non-null one,
+    and an all-null key keeps a real row (never a null payload)."""
+    from dpr_spark.plans.latest import latest_by_key
+
+    df = spark.createDataFrame(
+        [
+            ("a", None, "a-null", "en"),
+            ("a", _ts(1), "a-v1", "en"),
+            ("b", None, "b-null", "en"),
+            ("b", None, "b-null", "en"),
+        ],
+        PAGES_T,
+    )
+    got = {r.url: r.text for r in latest_by_key(df, "url", "warc_ts").collect()}
+    assert got == {"a": "a-v1", "b": "b-null"}
+    assert all(v is not None for v in got.values())
+
+
+def test_compact_mixed_warc_ts_presence_delta_still_wins(spark):
+    """ADVICE r3: base has warc_ts (epoch-seconds, large positive), delta
+    lacks it — the delta re-crawl must STILL win (old behavior dropped it
+    silently because base warc_ts > the delta's 0 default). Warns on the
+    mixed schema."""
+    import warnings
+
+    from dpr_spark.streaming.refresh import StreamingIndexRefresher
+
+    r = StreamingIndexRefresher(spark, "/tmp/_unused_delta_dir3")
+    base = spark.createDataFrame(
+        [("u1", _ts(5), "stale words", "en")], PAGES_T
+    )
+    delta = spark.createDataFrame(
+        [("u1", "fresh words")], "url string, text string"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        idx = r.compact(base, delta)
+        assert any("warc_ts present on only one" in str(x.message) for x in w)
+    terms = {
+        row.term
+        for row in idx.postings.join(
+            idx.dictionary.select("term_id", "term"), "term_id"
+        ).collect()
+    }
+    assert terms == {"fresh", "words"}
+    idx.unpersist()
+
+
+def test_compact_same_warc_ts_tie_goes_to_delta(spark):
+    """Both sides carry warc_ts and they tie: the delta (re-fetch) wins
+    via the origin tiebreak."""
+    from dpr_spark.streaming.refresh import StreamingIndexRefresher
+
+    r = StreamingIndexRefresher(spark, "/tmp/_unused_delta_dir4")
+    base = spark.createDataFrame([("u1", _ts(2), "base words", "en")], PAGES_T)
+    delta = spark.createDataFrame([("u1", _ts(2), "delta words", "en")], PAGES_T)
+    idx = r.compact(base, delta)
+    terms = {
+        row.term
+        for row in idx.postings.join(
+            idx.dictionary.select("term_id", "term"), "term_id"
+        ).collect()
+    }
+    assert terms == {"delta", "words"}
+    idx.unpersist()
+
+
+def test_auto_compaction_policy_fires_and_preserves_results(spark, tmp_path):
+    """r3 VERDICT next-round #5: stream micro-batches across the policy
+    threshold -> compaction fires automatically, the delta resets, the
+    rebuilt index serves the SAME doc set as the pre-compact fresh_index
+    view, and the snapshot catalog records the compact commit."""
+    from dpr_spark.index.build import build_index_from_docs
+    from dpr_spark.index.snapshots import SnapshotCatalog
+    from dpr_spark.query.scorer import search
+    from dpr_spark.streaming.refresh import CompactionPolicy, StreamingIndexRefresher
+
+    base_pages = spark.createDataFrame(
+        [("u0", "alpha beta"), ("u1", "gamma delta")], "url string, text string"
+    )
+    base_idx = build_index_from_docs(
+        spark, base_pages.withColumn("doc_id", F.xxhash64("url")), build_blocks=False
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # batch 1: below threshold (1 doc < min_delta_docs=2)
+    _write_batch(str(src / "b1.parquet"), [("u1", _ts(2), "epsilon beta")])
+    icat = SnapshotCatalog(spark, str(tmp_path / "idx_cat"))
+    pol = CompactionPolicy(
+        base_pages, max_delta_fraction=0.5, min_delta_docs=2, index_catalog=icat
+    )
+    r = StreamingIndexRefresher(spark, str(tmp_path / "delta"), policy=pol)
+    r.start(str(src), STREAM_SCHEMA).awaitTermination(120)
+    assert r.compactions == 0  # 1 delta doc < max(2, 0.5*2)
+
+    # pre-compact NRT view, captured as doc-id hit sets
+    fresh = r.fresh_index(base_idx)
+
+    def hits(idx, question):
+        qdf = spark.createDataFrame([(0, question)], "qid long, question string")
+        return {row.doc_id for row in search(qdf, idx, k=10).collect()}
+
+    pre = {q: hits(fresh, q) for q in ("beta", "epsilon", "zeta", "alpha")}
+
+    # batch 2 crosses the threshold (2 distinct delta docs >= 2)
+    _write_batch(str(src / "b2.parquet"), [("u2", _ts(3), "zeta beta")])
+    r.start(str(src), STREAM_SCHEMA).awaitTermination(120)
+    assert r.compactions == 1
+    assert r.current_index is not None
+    # delta cleared; fresh_index over the NEW base is the identity
+    assert r.delta_doc_terms() is None
+    assert r.fresh_index(r.current_index) is r.current_index
+    # catalog recorded the compact commit
+    assert [s["operation"] for s in icat.history()][-1] == "compact"
+
+    # the same queries hit the same docs post-compact — plus u2, which
+    # streamed in WITH the compacting batch
+    h = lambda u: int(spark.range(1).select(F.xxhash64(F.lit(u))).first()[0])
+    post = {q: hits(r.current_index, q) for q in ("beta", "epsilon", "zeta", "alpha")}
+    assert post["alpha"] == pre["alpha"] == {h("u0")}
+    assert post["epsilon"] == pre["epsilon"] == {h("u1")}
+    assert pre["beta"] == {h("u0"), h("u1")}
+    assert post["beta"] == {h("u0"), h("u1"), h("u2")}
+    assert post["zeta"] == {h("u2")}
+    # policy rolled base_pages to the collapsed union
+    assert pol.base_pages.count() == 3
+    base_idx.unpersist()

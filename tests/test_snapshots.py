@@ -103,3 +103,30 @@ def test_index_snapshot_round_trip_rank_identical(spark, tmp_path):
     got = [(r.doc_id, round(r.score, 6)) for r in search(qdf, idx2, k=5).orderBy("rank").collect()]
     assert got == want
     idx.unpersist()
+
+
+def test_concurrent_commit_fenced(spark, tmp_path):
+    """r3 VERDICT next-round #6: two writers interleave — the second
+    publish (started from a now-stale parent) raises instead of silently
+    clobbering current, and the manifest is uncorrupted."""
+    import pytest
+
+    from dpr_spark.index.snapshots import ConcurrentCommitError, SnapshotCatalog
+
+    wd = str(tmp_path / "cat")
+    w1 = SnapshotCatalog(spark, wd)
+    w2 = SnapshotCatalog(spark, wd)
+    df = spark.range(3).toDF("v")
+    s1 = w1.commit({"t": df})
+
+    # writer 1 starts a commit (reads meta), writer 2 lands one first
+    stale = w1._read_meta()
+    s2 = w2.commit({"t": df.withColumn("v", df.v + 1)})
+    with pytest.raises(ConcurrentCommitError):
+        w1._publish(stale, s2 + 1, "overwrite", {"t": []}, None, None)
+
+    # no corruption: writer 2's snapshot is current, history is intact
+    meta = w1._read_meta()
+    assert meta["current"] == s2
+    assert [s["snapshot_id"] for s in meta["snapshots"]] == [s1, s2]
+    assert w1.read("t").count() == 3
