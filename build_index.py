@@ -30,6 +30,12 @@ def main(argv=None) -> None:
     ap.add_argument("--dedup-latest", action="store_true",
                     help="re-crawl upsert: keep only the newest warc_ts row "
                          "per url before indexing")
+    ap.add_argument("--id-strategy", choices=["dense_rank", "hash"],
+                    default="dense_rank",
+                    help="doc id derivation; 'hash' (xxhash64(url)) is REQUIRED "
+                         "for a base index that will serve with a streaming "
+                         "delta (query.py --delta-dir) — recorded in stats.json "
+                         "and enforced at serve time")
     ap.add_argument("--no-blocks", action="store_true", help="skip compressed blocks")
     ap.add_argument("--segments-buckets", type=int, default=0,
                     help="also materialize doc-bucketed impact segments (0=off)")
@@ -54,6 +60,10 @@ def main(argv=None) -> None:
         if args.dedup_latest:
             ap.error("--dedup-latest is not supported with --resumable yet: "
                      "dedup the pages table first (plans/latest.py latest_by_key)")
+        if args.id_strategy != "dense_rank":
+            ap.error("--id-strategy hash is not supported with --resumable "
+                     "(shard manifests assume dense ids); build without "
+                     "--resumable for an NRT-capable base")
         from dpr_spark.index.manifest import ResumableIndexBuilder
 
         b = ResumableIndexBuilder(spark, args.resumable, n_shards=args.shards, lang=args.lang)
@@ -70,6 +80,7 @@ def main(argv=None) -> None:
             build_blocks=not args.no_blocks,
             verify_extract=args.verify_extract,
             dedup_latest=args.dedup_latest,
+            id_strategy=args.id_strategy,
         )
     idx.save(args.out)
     if args.snapshot_dir:

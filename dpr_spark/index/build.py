@@ -76,6 +76,12 @@ class InvertedIndex:
     blocks: Optional[DataFrame]  # POSTINGS_BLOCK_SCHEMA          (compressed v2)
     stats: IndexStats
     cached: Optional[list] = None  # persisted parents (tf, docstats, ...)
+    # how doc_id was derived: "dense_rank" | "hash" (= xxhash64(url)) |
+    # None (unknown — caller-supplied ids or a pre-round-4 save). The NRT
+    # delta override joins on xxhash64(url), so fresh_index requires
+    # "hash" and fails fast otherwise (ADVICE r3: with a dense-id base
+    # the override silently no-ops and re-crawled urls serve twice).
+    id_strategy: Optional[str] = None
 
     def unpersist(self) -> None:
         for df in self.cached or []:
@@ -97,7 +103,14 @@ class InvertedIndex:
         if self.blocks is not None:
             self.blocks.write.mode("overwrite").parquet(os.path.join(path, "blocks"))
         with open(os.path.join(path, "stats.json"), "w") as f:
-            json.dump({"n_docs": self.stats.n_docs, "avgdl": self.stats.avgdl}, f)
+            json.dump(
+                {
+                    "n_docs": self.stats.n_docs,
+                    "avgdl": self.stats.avgdl,
+                    "id_strategy": self.id_strategy,
+                },
+                f,
+            )
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "InvertedIndex":
@@ -113,6 +126,7 @@ class InvertedIndex:
             postings=spark.read.parquet(os.path.join(path, "postings")),
             blocks=spark.read.parquet(blocks_path) if os.path.isdir(blocks_path) else None,
             stats=IndexStats(s["n_docs"], s["avgdl"]),
+            id_strategy=s.get("id_strategy"),
         )
 
 
@@ -315,9 +329,29 @@ def build_index(
     b: float = BM25_B,
     salt_df_agg: int = 0,
     dedup_latest: bool = False,
+    id_strategy: str = "dense_rank",
 ) -> InvertedIndex:
     cleanup: list = []
     par = spark.sparkContext.defaultParallelism
+    if id_strategy not in ("dense_rank", "hash"):
+        raise ValueError(id_strategy)
+    if id_strategy == "hash":
+        # xxhash64(url) ids — REQUIRED for a base index that will serve
+        # with a streaming delta (fresh_index's override anti-join keys
+        # on the same hash); no rank shuffle at all
+        docs = prepare_docs(
+            pages, lang=lang, verify_extract=verify_extract,
+            id_strategy="hash", cleanup=cleanup, dedup_latest=dedup_latest,
+        )
+        if verify_extract:
+            n_bad = docs.filter(~F.col("_extract_ok")).count()
+            if n_bad:
+                raise ValueError(f"extract_text(html) != text for {n_bad} rows")
+            docs = docs.drop("_extract_ok")
+        return build_index_from_docs(
+            spark, docs, build_blocks=build_blocks, k1=k1, b=b,
+            salt_df_agg=salt_df_agg, cleanup=cleanup, id_strategy="hash",
+        )
     if verify_extract:
         # verification path: ids ride the distribution shuffle, extract
         # byte-identity checked row-wise before tokenization
@@ -334,6 +368,7 @@ def build_index(
         return build_index_from_docs(
             spark, docs, build_blocks=build_blocks, k1=k1, b=b,
             salt_df_agg=salt_df_agg, cleanup=cleanup, repartition=False,
+            id_strategy="dense_rank",
         )
 
     # hot path: ONE url-range shuffle doubles as id assignment and the
@@ -365,7 +400,7 @@ def build_index(
     docs = attach_ids(parts, bc, "doc_id", columns=["url"])
     return _finish_index(
         spark, tf, docs, n_docs_cnt, build_blocks=build_blocks, k1=k1, b=b,
-        salt_df_agg=salt_df_agg, cleanup=cleanup,
+        salt_df_agg=salt_df_agg, cleanup=cleanup, id_strategy="dense_rank",
     )
 
 
@@ -380,9 +415,13 @@ def build_index_from_docs(
     repartition: bool = True,
     doc_split_bits: Optional[int] = None,
     doc_split_threshold: int = 8_000_000,
+    id_strategy: Optional[str] = None,
 ) -> InvertedIndex:
     """Build from docs that already carry (doc_id, text[, url]) — e.g.
-    the driver's `documents` table, or prepare_docs output.
+    the driver's `documents` table, or prepare_docs output. Pass
+    `id_strategy` ("hash" when doc_id = xxhash64(url)) so the saved
+    index records how its ids were derived — fresh_index/--delta-dir
+    enforce the hash contract from that record.
 
     Head-term skew: the block encode hash-partitions on term_id, so a
     head term's whole posting list lands in ONE task. When max(df)
@@ -420,7 +459,7 @@ def build_index_from_docs(
         spark, tf, docs.select("doc_id", "url"), n_docs_cnt,
         build_blocks=build_blocks, k1=k1, b=b, salt_df_agg=salt_df_agg,
         cleanup=cleanup, doc_split_bits=doc_split_bits,
-        doc_split_threshold=doc_split_threshold,
+        doc_split_threshold=doc_split_threshold, id_strategy=id_strategy,
     )
 
 
@@ -436,6 +475,7 @@ def _finish_index(
     cleanup: Optional[list] = None,
     doc_split_bits: Optional[int] = None,
     doc_split_threshold: int = 8_000_000,
+    id_strategy: Optional[str] = None,
 ) -> InvertedIndex:
     """Shared back half of the build: a materialized tf cache + a
     (doc_id, url) view -> dictionary/stats/postings/blocks.
@@ -515,6 +555,7 @@ def _finish_index(
     return InvertedIndex(
         docstats, dictionary, postings.drop("idf"), blocks, stats,
         cached=[tf, docstats] + cleanup,
+        id_strategy=id_strategy,
     )
 
 

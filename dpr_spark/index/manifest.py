@@ -219,4 +219,5 @@ class ResumableIndexBuilder:
         return InvertedIndex(
             docstats, dictionary, postings.drop("idf"), blocks, stats,
             cached=[tf, docstats],
+            id_strategy="dense_rank",
         )

@@ -248,6 +248,7 @@ class StreamingIndexRefresher:
             self.spark,
             rolled.withColumn("doc_id", F.xxhash64("url")),
             build_blocks=False,
+            id_strategy="hash",
         )
         if self.policy.index_catalog is not None:
             from dpr_spark.index.snapshots import snapshot_index
@@ -301,7 +302,13 @@ class StreamingIndexRefresher:
         Contract: the base index must use hash doc ids (xxhash64(url) —
         what compact() and the streaming path produce), so a re-crawled
         url's delta rows carry the SAME doc_id as its base rows and the
-        override anti-join lines up.
+        override anti-join lines up. ENFORCED from the index's recorded
+        id_strategy (persisted in stats.json since round 4): a
+        'dense_rank' base raises here — its delta overrides would
+        silently no-op and a re-crawled url would serve twice (stale
+        base postings plus fresh delta postings). An index with no
+        recorded strategy (caller-supplied ids / pre-round-4 save)
+        warns; the caller must guarantee doc_id == xxhash64(url).
 
         Semantics (the standard NRT staleness trade, resolved by the
         next compact()):
@@ -327,6 +334,23 @@ class StreamingIndexRefresher:
         """
         from dpr_spark.index.build import IndexStats, InvertedIndex
 
+        strategy = getattr(base, "id_strategy", None)
+        if strategy is not None and strategy != "hash":
+            raise ValueError(
+                f"fresh_index requires a hash-id base (doc_id = xxhash64(url)); "
+                f"this base records id_strategy={strategy!r}. Rebuild with "
+                "build_index(..., id_strategy='hash') / build_index.py "
+                "--id-strategy hash, or produce the base via compact()."
+            )
+        if strategy is None:
+            import warnings
+
+            warnings.warn(
+                "fresh_index: base index has no recorded id_strategy — "
+                "delta overrides require doc_id == xxhash64(url); pass "
+                "id_strategy='hash' to build_index_from_docs to record it",
+                stacklevel=2,
+            )
         delta = self.delta_doc_terms()
         if delta is None:
             return base
@@ -495,7 +519,9 @@ class StreamingIndexRefresher:
             "version", "origin"
         )
         docs = latest.withColumn("doc_id", F.xxhash64("url"))
-        idx = build_index_from_docs(self.spark, docs, build_blocks=False)
+        idx = build_index_from_docs(
+            self.spark, docs, build_blocks=False, id_strategy="hash"
+        )
         if index_catalog is not None:
             from dpr_spark.index.snapshots import snapshot_index
 

@@ -220,6 +220,7 @@ def test_fresh_index_nrt_search(spark, tmp_path):
         spark,
         base_pages.withColumn("doc_id", F.xxhash64("url")),
         build_blocks=False,
+        id_strategy="hash",
     )
 
     src = tmp_path / "incoming"
@@ -297,7 +298,10 @@ def test_compact_snapshot_and_reset_lifecycle(spark, tmp_path):
         [("u0", "alpha beta"), ("u1", "gamma delta")], "url string, text string"
     )
     base = build_index_from_docs(
-        spark, base_pages.withColumn("doc_id", F.xxhash64("url")), build_blocks=False
+        spark,
+        base_pages.withColumn("doc_id", F.xxhash64("url")),
+        build_blocks=False,
+        id_strategy="hash",
     )
     cat = SnapshotCatalog(spark, str(tmp_path / "idx_cat"))
     snapshot_index(cat, base, operation="full-build")
@@ -448,7 +452,10 @@ def test_auto_compaction_policy_fires_and_preserves_results(spark, tmp_path):
         [("u0", "alpha beta"), ("u1", "gamma delta")], "url string, text string"
     )
     base_idx = build_index_from_docs(
-        spark, base_pages.withColumn("doc_id", F.xxhash64("url")), build_blocks=False
+        spark,
+        base_pages.withColumn("doc_id", F.xxhash64("url")),
+        build_blocks=False,
+        id_strategy="hash",
     )
 
     src = tmp_path / "incoming"
@@ -495,3 +502,39 @@ def test_auto_compaction_policy_fires_and_preserves_results(spark, tmp_path):
     # policy rolled base_pages to the collapsed union
     assert pol.base_pages.count() == 3
     base_idx.unpersist()
+
+
+def test_fresh_index_rejects_dense_id_base(spark, tmp_path):
+    """ADVICE r3: a dense-rank base makes the delta override a silent
+    no-op (doc ids never match) — the contract is now recorded in the
+    saved index and enforced at fresh_index time."""
+    from dpr_spark.index.build import InvertedIndex, build_index
+    from dpr_spark.streaming.refresh import StreamingIndexRefresher
+
+    pages = spark.createDataFrame(
+        [("u0", _ts(1), "alpha beta", "en")], PAGES_T
+    )
+    dense = build_index(spark, pages, build_blocks=False)
+    assert dense.id_strategy == "dense_rank"
+
+    # id_strategy round-trips through save/load
+    out = str(tmp_path / "idx")
+    dense.save(out)
+    loaded = InvertedIndex.load(spark, out)
+    assert loaded.id_strategy == "dense_rank"
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    _write_batch(str(src / "b1.parquet"), [("u0", _ts(2), "gamma")])
+    r = StreamingIndexRefresher(spark, str(tmp_path / "delta"))
+    r.start(str(src), STREAM_SCHEMA).awaitTermination(120)
+    with pytest.raises(ValueError, match="hash-id base"):
+        r.fresh_index(loaded)
+
+    # a hash-id build of the same pages is accepted
+    hashed = build_index(spark, pages, build_blocks=False, id_strategy="hash")
+    assert hashed.id_strategy == "hash"
+    fresh = hashed and r.fresh_index(hashed)
+    assert fresh.stats.n_docs == 1  # u0 overridden, still one doc
+    dense.unpersist()
+    hashed.unpersist()
