@@ -151,19 +151,30 @@ def run_level(cores: int, pages: str, inner_reps: int = 2) -> dict:
 
 
 
-def measure_pair(levels, cache, reps, inner_reps, stable_spread):
+def measure_pair(levels, cache, reps, inner_reps, stable_spread, quiet_factor):
     """Run the build at two parallelism levels, interleaved A/B/A/B, and
-    return the per-pair efficiencies plus the median-pair headline.
+    return the per-pair efficiencies plus the headline pair.
 
     Efficiency is computed per ADJACENT PAIR (the lo and hi runs of the
     same rep ran back-to-back in the same host window); mixing each
     level's minimum across different windows randomly biases the ratio
-    on this shared host. Headline = the MEDIAN-efficiency pair over the
-    in-run-stable pairs: max-over-reps is an upward selection bias, and
-    the pre-run-quietest pair proved just as wrong in the other
-    direction (pre-run calibration cannot see a noise burst DURING the
-    run). All pairs, their noise factors, and their in-run spreads are
-    published alongside."""
+    on this shared host.
+
+    Headline rule (the clean-window rule, codified from r3's controlled
+    experiment — r3 VERDICT next-round #4): the FIRST pair of the
+    session that passes both quality gates (in-run warm-rep spread <=
+    stable_spread AND pre-run host noise <= quiet_factor). Measured
+    back-to-back pairs degrade MONOTONICALLY within a session — each
+    run's own shuffle/parquet writeback accumulates memory-bus pressure
+    that penalizes only the bus-saturating level (r3 BENCH clean-window
+    experiment: identical local[8] runs 29.2s -> 32.8s with pre-run
+    host_factor 0.988, so pre-run calibration cannot see it). The first
+    clean pair is therefore the UNBIASED estimate, and later pairs are
+    biased strictly downward — taking the first is not an upward
+    selection. The all-pair median is still computed and published as
+    the conservative secondary line. If NO pair passes both gates the
+    headline falls back to the median of in-run-stable pairs (or of all
+    pairs) and is flagged headline_rule='median-fallback'."""
     levels = sorted(levels)
     all_runs: dict[int, list] = {c: [] for c in levels}
     for _ in range(reps):
@@ -188,15 +199,23 @@ def measure_pair(levels, cache, reps, inner_reps, stable_spread):
                       "noise": noise, "spread": spread,
                       "lo": lo_r, "hi": hi_r})
     stable = [p for p in pairs if p["spread"] <= stable_spread]
+    clean = [p for p in stable if p["noise"] <= quiet_factor]
     pool = stable if len(stable) >= 2 else pairs
     by_eff = sorted(pool, key=lambda p: p["efficiency"])
-    headline = by_eff[len(by_eff) // 2]
+    median = by_eff[len(by_eff) // 2]
+    if clean:
+        headline, rule = clean[0], "first-clean-pair"
+    else:
+        headline, rule = median, "median-fallback"
     return {
         "levels": levels,
         "cores_ratio": ratio,
         "headline": headline,
+        "headline_rule": rule,
+        "median": median,
         "pairs": pairs,
         "n_stable": len(stable),
+        "n_clean": len(clean),
     }
 
 
@@ -209,6 +228,8 @@ def _pair_summary(m, quiet_factor, stable_spread):
         "speedup": round(hi["docs_per_sec"] / lo["docs_per_sec"], 3),
         "cores_ratio": m["cores_ratio"],
         "scaling_efficiency": eff,
+        "headline_rule": m["headline_rule"],
+        "median_efficiency": m["median"]["efficiency"],
         "kernel_ceiling_efficiency": kern,
         "efficiency_vs_ceiling": round(eff / kern, 3),
         "bw_ceiling_efficiency": bw,
@@ -217,6 +238,7 @@ def _pair_summary(m, quiet_factor, stable_spread):
         "host_quiet": h["noise"] <= quiet_factor,
         "run_stable": m["n_stable"] >= 2,
         "n_stable_pairs": m["n_stable"],
+        "n_clean_pairs": m["n_clean"],
         "all_pairs": [
             {k: p[k] for k in ("rep", "efficiency", "kernel_ceiling",
                                "bw_ceiling", "noise", "spread")}
@@ -273,7 +295,8 @@ def main() -> None:
         return cache
 
     primary = measure_pair(sorted(args.levels), _cache_for(args.docs),
-                           args.reps, args.inner_reps, args.stable_spread)
+                           args.reps, args.inner_reps, args.stable_spread,
+                           args.quiet_factor)
     psum = _pair_summary(primary, args.quiet_factor, args.stable_spread)
     out = {
         "job": "index_build(tokenize+tf+dictionary+postings+blocks)",
@@ -284,7 +307,8 @@ def main() -> None:
     if args.also_levels:
         also_docs = args.also_docs or args.docs
         secondary = measure_pair(sorted(args.also_levels), _cache_for(also_docs),
-                                 args.reps, args.inner_reps, args.stable_spread)
+                                 args.reps, args.inner_reps, args.stable_spread,
+                                 args.quiet_factor)
         out["secondary"] = {"docs": also_docs,
                             **_pair_summary(secondary, args.quiet_factor,
                                             args.stable_spread)}
@@ -323,12 +347,13 @@ adds buses with the cores).
 
 - cores ratio: {secondary['cores_ratio']:g}x
 - throughput speedup: {shi['docs_per_sec'] / slo['docs_per_sec']:.2f}x
-- **scaling efficiency: {s_eff:.3f}**
+- **scaling efficiency: {s_eff:.3f}** (headline rule: {secondary['headline_rule']})
+- all-pair median efficiency (conservative secondary): {secondary['median']['efficiency']:.3f}
 - host compute ceiling (same pair, same moment): {s_kern:.3f}
 - host memory-bus ceiling (same pair, same moment): {s_bw if s_bw else 'n/a'}
 - efficiency relative to the compute ceiling: {s_eff / s_kern:.3f}
 - headline pair host noise factor: {sh['noise']:.3f}
-- run stability: {secondary['n_stable']}/{len(secondary['pairs'])} stable pairs
+- run stability: {secondary['n_stable']}/{len(secondary['pairs'])} stable pairs, {secondary['n_clean']} clean
 """
 
     md = f"""# BENCH — measured throughput & scaling (this machine)
@@ -360,7 +385,9 @@ Arrow IPC, so inside ONE box its scaling cannot beat the bus.
 
 - cores ratio: {ratio:g}x
 - throughput speedup: {speedup:.2f}x
-- **scaling efficiency: {efficiency:.3f}** (target >= 0.8 per BASELINE.json)
+- **scaling efficiency: {efficiency:.3f}** (target >= 0.8 per BASELINE.json; \
+headline rule: {primary['headline_rule']})
+- all-pair median efficiency (conservative secondary): {primary['median']['efficiency']:.3f}
 - host compute ceiling (same pair, same moment): {kernel_eff:.3f}
 - **host memory-bus ceiling (same pair, same moment): {bw_eff if bw_eff else 'n/a'}**
 - efficiency relative to the compute ceiling: {efficiency / kernel_eff:.3f}
@@ -368,7 +395,19 @@ Arrow IPC, so inside ONE box its scaling cannot beat the bus.
 - headline pair host noise factor: {h['noise']:.3f} (quiet bar \
 {args.quiet_factor:g} — {'met' if host_quiet else 'NOT met; retry in a quieter window'})
 - run stability: {primary['n_stable']}/{len(primary['pairs'])} pairs had in-run warm-rep \
-spread <= {args.stable_spread:g}{'' if run_stable else ' — UNSTABLE RUN: identical warm builds varied >25% inside single processes; the headline is the all-pair median and should be re-measured in a quieter window'}
+spread <= {args.stable_spread:g}, {primary['n_clean']} also under the noise bar{'' if run_stable else ' — UNSTABLE RUN: identical warm builds varied >25% inside single processes; the headline is the all-pair median and should be re-measured in a quieter window'}
+
+**Headline rule (first-clean-pair).** Back-to-back scaling pairs degrade
+monotonically WITHIN a measurement session: each run's own
+shuffle/parquet writeback accumulates memory-bus pressure that
+penalizes only the bus-saturating level (controlled r3 experiment:
+identical warm local[8] builds slowed 29.2s -> 32.8s back-to-back while
+the pre-run host_factor read 0.988 — invisible to calibration). The
+FIRST pair that passes both quality gates (in-run spread, pre-run
+noise) is therefore the unbiased estimate; later pairs are biased
+strictly downward by self-inflicted pressure, so taking the first is
+not an upward selection. The all-pair median is published above as the
+conservative secondary number.
 {secondary_md}
 This VM exposes 32 vCPUs but sustains ~21x parallel compute, serializes
 first-touch page faults in the hypervisor, shares its memory bus with
@@ -403,8 +442,18 @@ Reference comparables (BASELINE.md): Lucene BM25 builds 21M passages in
 ~30 min (~11.7k docs/s, server CPU); DPR dense path needs 8.8h GPU
 encode + 8.5h FAISS build for the same corpus.
 """
-    with open(os.path.join(HERE, "BENCH.md"), "w") as f:
-        f.write(md)
+    # preserve any hand-written analysis: everything from a "## Notes"
+    # heading onward survives regeneration (ADVICE r3: a rewrite used to
+    # silently delete appended narrative)
+    bench_path = os.path.join(HERE, "BENCH.md")
+    notes = ""
+    if os.path.exists(bench_path):
+        old = open(bench_path).read()
+        i = old.find("\n## Notes")
+        if i != -1:
+            notes = old[i:]
+    with open(bench_path, "w") as f:
+        f.write(md + notes)
     print("wrote BENCH.md")
 
 
