@@ -271,11 +271,18 @@ class SnapshotCatalog:
         meta["snapshots"] = kept
         self._commit_meta(meta)
         for f in dead:
-            try:
-                os.remove(f)
-            except FileNotFoundError:
-                pass
+            self._delete_file(f)
         return dead
+
+    def _delete_file(self, path: str) -> None:
+        """The object-store seam: expire's only mutation of data files.
+        Local-fs here; on S3/GCS/HDFS subclass and route through the
+        store's delete (real Iceberg delegates to its FileIO). Missing
+        files are fine — a crashed earlier expire may have half-deleted."""
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
 
 
 # ---------------------------------------------------------------------------

@@ -213,8 +213,10 @@ def _layout_tables(path: str) -> Tuple[str, str]:
 def _driver_query_terms_idf(
     spark: SparkSession, queries: DataFrame, index: InvertedIndex
 ) -> List[Tuple[int, np.ndarray, np.ndarray]]:
-    """[(qid, term_ids asc, idfs aligned)] — a semi-join collect over the
-    dictionary rows for query terms only (never the whole dictionary)."""
+    """TEST TWIN (not on the production path since round 4): collect-
+    based [(qid, term_ids asc, idfs aligned)] resolution; the production
+    `search_blocks` streams waves from wand.py::iter_query_term_waves,
+    asserted identical in tests/test_query_resolution.py."""
     qrows = queries.select("qid", "question").collect()
     qterms = {int(r.qid): sorted(set(tokenize(normalize_question(r.question)))) for r in qrows}
     needed = sorted({t for ts in qterms.values() for t in ts})

@@ -165,13 +165,11 @@ def build_impact_segments(
 def _driver_query_terms(
     spark: SparkSession, queries: DataFrame, index: InvertedIndex
 ) -> List[Tuple[int, np.ndarray]]:
-    """Tokenize the (small) query set driver-side and resolve term ->
-    term_id using only the dictionary rows for terms that occur in
-    queries (a semi-join collect, never the whole dictionary). Driver
-    boundary: the query table is collected once — (qid, question) rows
-    plus the tokenized term ids, ~100 B/query, so ~10^7 queries/GB of
-    driver heap; the per-job shipping is a broadcast wave, never a task
-    closure (search_segments/search_blocks batch_size)."""
+    """TEST TWIN (not on the production path since round 4): collect-
+    based query resolution, kept as the pure reference implementation
+    the distributed `_resolve_query_terms`/`iter_query_term_waves` path
+    is asserted identical to (tests/test_query_resolution.py). The
+    production searchers never collect the query table."""
     qrows = queries.select("qid", "question").collect()
     qterms = {int(r.qid): sorted(set(tokenize(normalize_question(r.question)))) for r in qrows}
     needed = sorted({t for ts in qterms.values() for t in ts})
