@@ -1075,6 +1075,212 @@ def q_cap_per_source() -> Entry:
     return fn, sql
 
 
+# ---------------------------------------------------------------------------
+# Lucene-parity query surface: phrase / boolean / prefix (round 4)
+# ---------------------------------------------------------------------------
+
+# verbatim corpus bigrams (the BENCH_ANSWERS spans) + one OOV phrase
+PHRASE_QUERIES = [
+    (0, "spark window"),
+    (1, "customer join"),
+    (2, "fast scan"),
+    (3, "sort key"),
+    (4, "window data"),
+    (5, "value column"),
+    (6, "spark zzznope"),  # OOV term -> no rows for qid 6
+]
+
+# (qid, must, should, must_not)
+BOOL_QUERIES = [
+    (0, ["spark"], ["window"], []),
+    (1, ["customer", "join"], [], []),
+    (2, [], ["fast", "scan"], ["join"]),
+    (3, ["table"], [], ["spark"]),
+    (4, ["spark", "zzznope"], ["window"], []),  # OOV must -> empty
+    (5, ["key"], ["sort", "key"], ["batch"]),   # dup term across clauses
+]
+
+PREFIX_QUERIES = [(0, "sp"), (1, "jo"), (2, "wi"), (3, "ta"), (4, "zz")]
+PREFIX_EXPANSIONS = 4
+
+
+def _phrase_values_sql() -> str:
+    from dpr_spark.functions.normalize import normalize_question
+
+    rows = []
+    for qid, p in PHRASE_QUERIES:
+        for off, t in enumerate(tokenize(normalize_question(p))):
+            rows.append(f"({qid}, {off}, '{t}')")
+    return ", ".join(rows)
+
+
+def _bool_values_sql() -> str:
+    from dpr_spark.query.boolquery import _clause_rows
+
+    return ", ".join(
+        f"({qid}, '{t}', '{c}')" for qid, t, c in _clause_rows(BOOL_QUERIES)
+    )
+
+
+_BM25_COMPONENT = (
+    f"ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)"
+    f" * tf.tf * {BM25_K1 + 1.0}"
+    f" / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl))"
+)
+
+_POS_CTES = f"""
+tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+ds AS (SELECT doc_id, len(toks) AS doclen FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM ds),
+pos AS (SELECT doc_id, unnest(toks) AS term,
+               generate_subscripts(toks, 1) AS p FROM tok),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM pos GROUP BY 1, 2),
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+"""
+
+
+def q_phrase_topk() -> Entry:
+    """Exact-phrase top-10 (Lucene PhraseQuery twin, query/phrase.py):
+    tf = adjacent-occurrence count, idf = per-position idf sum; the
+    DuckDB twin verifies adjacency by grouping start positions
+    (p - off) and requiring every offset to hit."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.query.phrase import phrase_search_docs
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        res = phrase_search_docs(spark, docs, PHRASE_QUERIES, k=10).select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = f"""
+    WITH {_POS_CTES},
+    q AS (SELECT * FROM (VALUES {_phrase_values_sql()}) AS q(qid, off, term)),
+    qn AS (SELECT qid, count(*) AS n_off FROM q GROUP BY 1),
+    idf AS (
+      SELECT q.qid,
+             sum(ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)) AS idf_sum,
+             count(*) AS n_res
+      FROM q JOIN dict USING (term) CROSS JOIN stats GROUP BY 1),
+    idf_ok AS (SELECT idf.qid, idf.idf_sum FROM idf JOIN qn USING (qid)
+               WHERE idf.n_res = qn.n_off),
+    cand AS (
+      SELECT q.qid, pos.doc_id, pos.p - q.off AS start, count(*) AS n_hit
+      FROM q JOIN pos USING (term) GROUP BY 1, 2, 3),
+    pf AS (
+      SELECT cand.qid, cand.doc_id, count(*) AS pf
+      FROM cand JOIN qn USING (qid) WHERE cand.n_hit = qn.n_off GROUP BY 1, 2),
+    scored AS (
+      SELECT pf.qid, pf.doc_id,
+             idf_ok.idf_sum * pf.pf * {BM25_K1 + 1.0}
+             / (pf.pf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl))
+             AS score
+      FROM pf JOIN idf_ok USING (qid)
+           JOIN ds ON pf.doc_id = ds.doc_id CROSS JOIN stats),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
+def q_bool_topk() -> Entry:
+    """Boolean must/should/must_not top-10 (BooleanQuery twin,
+    query/boolquery.py): doc qualifies iff every must term present and
+    no must_not term; BM25 sum over matched must+should terms."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.boolquery import bool_search
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        res = bool_search(spark, BOOL_QUERIES, idx, k=10).select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = f"""
+    WITH {_POS_CTES},
+    q AS (SELECT * FROM (VALUES {_bool_values_sql()}) AS q(qid, term, clause)),
+    nmust AS (SELECT qid, count(*) AS n_must FROM q WHERE clause = 'must' GROUP BY 1),
+    scored AS (
+      SELECT q.qid, tf.doc_id,
+             sum({_BM25_COMPONENT}) AS score,
+             sum(CASE WHEN q.clause = 'must' THEN 1 ELSE 0 END) AS must_hits
+      FROM q JOIN dict USING (term) JOIN tf USING (term)
+           JOIN ds ON tf.doc_id = ds.doc_id CROSS JOIN stats
+      WHERE q.clause <> 'must_not'
+      GROUP BY 1, 2),
+    filt AS (
+      SELECT s.* FROM scored s LEFT JOIN nmust USING (qid)
+      WHERE s.must_hits = coalesce(nmust.n_must, 0)),
+    surv AS (
+      SELECT f.* FROM filt f
+      WHERE NOT EXISTS (
+        SELECT 1 FROM q JOIN tf USING (term)
+        WHERE q.clause = 'must_not' AND q.qid = f.qid AND tf.doc_id = f.doc_id)),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM surv)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
+def q_prefix_topk() -> Entry:
+    """Prefix top-10 (PrefixQuery twin, query/boolquery.py): expand to
+    the {PREFIX_EXPANSIONS} highest-df matching terms (ties term ASC),
+    score the expansion as a disjunction."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.boolquery import prefix_search
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        res = prefix_search(
+            spark, PREFIX_QUERIES, idx, k=10, max_expansions=PREFIX_EXPANSIONS
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    prefix_values = ", ".join(f"({qid}, '{p}')" for qid, p in PREFIX_QUERIES)
+    sql = f"""
+    WITH {_POS_CTES},
+    p AS (SELECT * FROM (VALUES {prefix_values}) AS p(qid, prefix)),
+    exp AS (
+      SELECT p.qid, d.term,
+             row_number() OVER (PARTITION BY p.qid
+                                ORDER BY d.df DESC, d.term) AS r
+      FROM p JOIN dict d ON d.term LIKE p.prefix || '%'),
+    qt AS (SELECT qid, term FROM exp WHERE r <= {PREFIX_EXPANSIONS}),
+    scored AS (
+      SELECT qt.qid, tf.doc_id, sum({_BM25_COMPONENT}) AS score
+      FROM qt JOIN dict USING (term) JOIN tf USING (term)
+           JOIN ds ON tf.doc_id = ds.doc_id CROSS JOIN stats
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 def q_domain_stats() -> Entry:
     """Per-domain crawl stats (extras/domains.py domain_of +
     per_domain_stats) over synthetic URLs derived from the documents
@@ -1851,4 +2057,7 @@ def all_entries() -> Dict[str, Entry]:
         "latest_events": q_latest_events(),
         "cap_per_source": q_cap_per_source(),
         "domain_stats": q_domain_stats(),
+        "phrase_topk": q_phrase_topk(),
+        "bool_topk": q_bool_topk(),
+        "prefix_topk": q_prefix_topk(),
     }

@@ -82,6 +82,10 @@ class InvertedIndex:
     # "hash" and fails fast otherwise (ADVICE r3: with a dense-id base
     # the override silently no-ops and re-crawled urls serve twice).
     id_strategy: Optional[str] = None
+    # optional positional postings (term_id, doc_id, tf, positions) —
+    # the .pos-file analog consumed by query/phrase.py; built when
+    # build_index*(build_positional=True)
+    positions: Optional[DataFrame] = None
 
     def unpersist(self) -> None:
         for df in self.cached or []:
@@ -102,6 +106,12 @@ class InvertedIndex:
         self.postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
         if self.blocks is not None:
             self.blocks.write.mode("overwrite").parquet(os.path.join(path, "blocks"))
+        if self.positions is not None:
+            # sort inside parquet row groups by term_id so a phrase
+            # query's term_id filter prunes row groups via min/max stats
+            self.positions.sortWithinPartitions("term_id").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(path, "positions"))
         with open(os.path.join(path, "stats.json"), "w") as f:
             json.dump(
                 {
@@ -120,6 +130,7 @@ class InvertedIndex:
         with open(os.path.join(path, "stats.json")) as f:
             s = json.load(f)
         blocks_path = os.path.join(path, "blocks")
+        pos_path = os.path.join(path, "positions")
         return InvertedIndex(
             docstats=spark.read.parquet(os.path.join(path, "docstats")),
             dictionary=spark.read.parquet(os.path.join(path, "dictionary")),
@@ -127,6 +138,7 @@ class InvertedIndex:
             blocks=spark.read.parquet(blocks_path) if os.path.isdir(blocks_path) else None,
             stats=IndexStats(s["n_docs"], s["avgdl"]),
             id_strategy=s.get("id_strategy"),
+            positions=spark.read.parquet(pos_path) if os.path.isdir(pos_path) else None,
         )
 
 
@@ -330,6 +342,7 @@ def build_index(
     salt_df_agg: int = 0,
     dedup_latest: bool = False,
     id_strategy: str = "dense_rank",
+    build_positional: bool = False,
 ) -> InvertedIndex:
     cleanup: list = []
     par = spark.sparkContext.defaultParallelism
@@ -351,6 +364,7 @@ def build_index(
         return build_index_from_docs(
             spark, docs, build_blocks=build_blocks, k1=k1, b=b,
             salt_df_agg=salt_df_agg, cleanup=cleanup, id_strategy="hash",
+            build_positional=build_positional,
         )
     if verify_extract:
         # verification path: ids ride the distribution shuffle, extract
@@ -368,7 +382,7 @@ def build_index(
         return build_index_from_docs(
             spark, docs, build_blocks=build_blocks, k1=k1, b=b,
             salt_df_agg=salt_df_agg, cleanup=cleanup, repartition=False,
-            id_strategy="dense_rank",
+            id_strategy="dense_rank", build_positional=build_positional,
         )
 
     # hot path: ONE url-range shuffle doubles as id assignment and the
@@ -398,10 +412,19 @@ def build_index(
     # docstats' (doc_id, url) view reuses the same offsets — off the
     # critical path, no text column
     docs = attach_ids(parts, bc, "doc_id", columns=["url"])
-    return _finish_index(
+    idx = _finish_index(
         spark, tf, docs, n_docs_cnt, build_blocks=build_blocks, k1=k1, b=b,
         salt_df_agg=salt_df_agg, cleanup=cleanup, id_strategy="dense_rank",
     )
+    if build_positional:
+        # second Arrow pass over the ranged parts (same ids, same
+        # partitioning; the tf histogram already collapsed positions)
+        from dpr_spark.query.phrase import build_positions
+
+        idx.positions = build_positions(
+            attach_ids(parts, bc, "doc_id", columns=["text"]), idx.dictionary
+        )
+    return idx
 
 
 def build_index_from_docs(
@@ -416,6 +439,7 @@ def build_index_from_docs(
     doc_split_bits: Optional[int] = None,
     doc_split_threshold: int = 8_000_000,
     id_strategy: Optional[str] = None,
+    build_positional: bool = False,
 ) -> InvertedIndex:
     """Build from docs that already carry (doc_id, text[, url]) — e.g.
     the driver's `documents` table, or prepare_docs output. Pass
@@ -455,12 +479,20 @@ def build_index_from_docs(
 
     # N is a free byproduct of the dense-id prefix sum when available
     n_docs_cnt = int(n_docs_hint) if n_docs_hint is not None else docs.count()
-    return _finish_index(
+    idx = _finish_index(
         spark, tf, docs.select("doc_id", "url"), n_docs_cnt,
         build_blocks=build_blocks, k1=k1, b=b, salt_df_agg=salt_df_agg,
         cleanup=cleanup, doc_split_bits=doc_split_bits,
         doc_split_threshold=doc_split_threshold, id_strategy=id_strategy,
     )
+    if build_positional:
+        # a second Arrow pass over the docs (positions need the token
+        # stream the tf histogram already collapsed); reuses the same
+        # partitioning, shuffles only (term_id, doc_id, positions)
+        from dpr_spark.query.phrase import build_positions
+
+        idx.positions = build_positions(docs.select("doc_id", "text"), idx.dictionary)
+    return idx
 
 
 def _finish_index(

@@ -83,6 +83,94 @@ class BM25Oracle:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    # ------------------------------------------------------------------
+    # Lucene-parity query-surface twins (query/phrase.py, query/boolquery.py)
+    # ------------------------------------------------------------------
+
+    def _score_pf(self, pf: int, doc_id: int, idf_sum: float) -> float:
+        """BM25 with tf := phrase frequency and idf := per-position sum."""
+        dl = self.doclen[doc_id]
+        return (
+            idf_sum
+            * pf
+            * (self.k1 + 1.0)
+            / (pf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+        )
+
+    def phrase_search(self, phrase: str, k: int = 10) -> List[Tuple[int, float]]:
+        """Exact-phrase top-k (PhraseQuery twin): docs where the phrase's
+        tokens occur at consecutive positions; tf = occurrence count,
+        idf = sum over phrase POSITIONS (duplicates count per position)."""
+        toks = tokenize(normalize_question(phrase))
+        if not toks or any(t not in self.postings for t in toks):
+            return []
+        idf_sum = sum(self.idf(t) for t in toks)
+        scores: Dict[int, float] = {}
+        for d in self.postings[toks[0]]:
+            dt = self.doc_tokens[d]
+            pf = sum(
+                1
+                for i in range(len(dt) - len(toks) + 1)
+                if dt[i : i + len(toks)] == toks
+            )
+            if pf:
+                scores[d] = self._score_pf(pf, d, idf_sum)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    def bool_search(
+        self,
+        must: Sequence[str],
+        should: Sequence[str],
+        must_not: Sequence[str],
+        k: int = 10,
+    ) -> List[Tuple[int, float]]:
+        """BooleanQuery twin: doc qualifies iff it has every must term and
+        no must_not term; score = BM25 sum over matched must+should terms
+        (set semantics; a term in both clauses scores once)."""
+
+        def norm(terms: Sequence[str]) -> List[str]:
+            out: set = set()
+            for t in terms:
+                out.update(tokenize(t))
+            return sorted(out)
+
+        m, s, x = norm(must), norm(should), norm(must_not)
+        s = [t for t in s if t not in m]
+        scores: Dict[int, float] = {}
+        for t in m + s:
+            for d in self.postings.get(t, ()):
+                scores[d] = scores.get(d, 0.0) + self.score_one(t, d)
+        out = []
+        for d, sc in scores.items():
+            if any(d not in self.postings.get(t, {}) for t in m):
+                continue
+            if any(d in self.postings.get(t, {}) for t in x):
+                continue
+            out.append((d, sc))
+        # a must-term absent from the corpus vocabulary -> no doc matches
+        if any(t not in self.postings for t in m):
+            return []
+        out.sort(key=lambda kv: (-kv[1], kv[0]))
+        return out[:k]
+
+    def prefix_search(
+        self, prefix: str, k: int = 10, max_expansions: int = 16
+    ) -> List[Tuple[int, float]]:
+        """PrefixQuery twin: expand to the max_expansions highest-df
+        (ties: term asc) vocabulary terms, score as a disjunction."""
+        p = prefix.lower()
+        cand = sorted(
+            (t for t in self.postings if t.startswith(p)),
+            key=lambda t: (-self.df[t], t),
+        )[:max_expansions]
+        scores: Dict[int, float] = {}
+        for t in cand:
+            for d in self.postings[t]:
+                scores[d] = scores.get(d, 0.0) + self.score_one(t, d)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
 
 def has_answer(answers: Sequence[str], text: str) -> bool:
     """V1 string match: `qa_validation.py:175-193`."""

@@ -1,0 +1,165 @@
+"""Boolean (must / should / must_not) and prefix queries over the
+inverted index — the Lucene `BooleanQuery` / `PrefixQuery` surface of
+the fulltext tier (the reference's BM25 baseline is Lucene, see
+`/root/reference/dpr/data/tables.py:241` and BASELINE.md).
+
+Semantics (documented contract, oracle-checked in engine_queries.py):
+
+- bool_search: a document qualifies when it contains EVERY `must` term
+  and NO `must_not` term; its score is the BM25 sum over all matched
+  `must` + `should` terms (Lucene scores MUST clauses too). Terms are
+  sets per clause (duplicates collapse), same as `query_terms`.
+- prefix_search: a prefix expands to the `max_expansions` matching
+  dictionary terms by (df DESC, term ASC) — the highest-df rewrite,
+  deterministic — and the expansion scores as a disjunction (BM25 sum
+  over the matched expanded terms, set semantics).
+
+Scale shape: both paths broadcast the tiny query-term side and probe
+the postings table in place (no postings shuffle); the must_not
+exclusion is a left_anti join on (qid, doc_id) against only the
+exclusion terms' postings — the same candidate volume a BM25 query
+over those terms would ship. Prefix expansion scans the dictionary
+with a `startswith` filter (Catalyst pushes the resulting
+`StringStartsWith` to the parquet dictionary scan when persisted).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dpr_spark import BM25_B, BM25_K1, DEFAULT_TOP_K
+from dpr_spark.index.build import InvertedIndex
+
+# (qid, must terms, should terms, must_not terms)
+BoolQuery = Tuple[int, Sequence[str], Sequence[str], Sequence[str]]
+
+
+def _component(avgdl: float, k1: float, b: float):
+    return (
+        F.col("idf")
+        * F.col("tf").cast("double")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen").cast("double") / F.lit(avgdl))
+        )
+    )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
+def _clause_rows(queries: Sequence[BoolQuery]):
+    """-> [(qid, term, clause)] with per-clause set semantics; a term in
+    both must and should counts once, as must (Lucene collapses the
+    duplicate SHOULD into the MUST's score)."""
+    from dpr_spark.functions.tokenizer import tokenize
+
+    def norm(terms: Sequence[str]) -> List[str]:
+        out: set = set()
+        for t in terms:
+            out.update(tokenize(t))
+        return sorted(out)
+
+    rows = []
+    for qid, must, should, must_not in queries:
+        m = norm(must)
+        rows += [(qid, t, "must") for t in m]
+        rows += [(qid, t, "should") for t in norm(should) if t not in m]
+        rows += [(qid, t, "must_not") for t in norm(must_not)]
+    return rows
+
+
+def bool_search(
+    spark: SparkSession,
+    queries: Sequence[BoolQuery],
+    index: InvertedIndex,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    rows = _clause_rows(queries)
+    if not rows:
+        raise ValueError("no tokenizable clauses")
+    qdf = spark.createDataFrame(rows, "qid int, term string, clause string")
+    qt = qdf.join(
+        F.broadcast(index.dictionary.select("term", "term_id", "idf")), "term"
+    )
+
+    # a must term missing from the dictionary can never be satisfied:
+    # require every must clause to resolve, counting from the raw rows
+    n_must_raw = (
+        qdf.filter(F.col("clause") == "must").groupBy("qid").agg(F.count("*").alias("n_must"))
+    )
+
+    scoring = qt.filter(F.col("clause") != "must_not")
+    joined = index.postings.join(
+        F.broadcast(scoring.select("qid", "term_id", "idf", "clause")), "term_id"
+    )
+    per_doc = joined.groupBy("qid", "doc_id").agg(
+        F.sum(_component(index.stats.avgdl, k1, b)).alias("score"),
+        F.sum(F.when(F.col("clause") == "must", 1).otherwise(0)).alias("must_hits"),
+    )
+    # left join: queries with no must clause keep every candidate
+    per_doc = per_doc.join(F.broadcast(n_must_raw), "qid", "left").filter(
+        F.col("must_hits") == F.coalesce(F.col("n_must"), F.lit(0))
+    )
+
+    excl_terms = qt.filter(F.col("clause") == "must_not").select("qid", "term_id")
+    excl = (
+        index.postings.join(F.broadcast(excl_terms), "term_id")
+        .select("qid", "doc_id")
+        .distinct()
+    )
+    survivors = per_doc.join(excl, ["qid", "doc_id"], "left_anti")
+    return _topk(survivors.select("qid", "doc_id", "score"), k)
+
+
+def expand_prefix(
+    index: InvertedIndex, prefixes: DataFrame, max_expansions: int = 16
+) -> DataFrame:
+    """prefixes(qid, prefix) -> (qid, term, term_id, idf): the
+    `max_expansions` highest-df dictionary terms per prefix (ties by
+    term ASC). The dictionary is the small side at any scale (terms,
+    not docs) but still distributed: the rank is a per-qid window over
+    only the prefix-matching rows."""
+    cand = F.broadcast(prefixes).join(
+        index.dictionary.select("term", "term_id", "idf", "df"),
+        F.col("term").startswith(F.col("prefix")),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_expansions)
+        .select("qid", "term", "term_id", "idf")
+    )
+
+
+def prefix_search(
+    spark: SparkSession,
+    prefixes: Sequence[Tuple[int, str]],
+    index: InvertedIndex,
+    k: int = DEFAULT_TOP_K,
+    max_expansions: int = 16,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    pdf = spark.createDataFrame(
+        [(qid, p.lower()) for qid, p in prefixes], "qid int, prefix string"
+    )
+    qt = expand_prefix(index, pdf, max_expansions)
+    joined = index.postings.join(F.broadcast(qt.select("qid", "term_id", "idf")), "term_id")
+    scored = joined.groupBy("qid", "doc_id").agg(
+        F.sum(_component(index.stats.avgdl, k1, b)).alias("score")
+    )
+    return _topk(scored, k)

@@ -1,0 +1,323 @@
+"""Exact-phrase search over positional postings (Lucene-parity feature).
+
+The reference's BM25 baseline is Lucene (`/root/reference/README.md`
+cites the BM25 rows of Karpukhin et al. 2020 Table 1; DPR hands the
+corpus to Lucene via the CSV exporter `dpr/data/tables.py:241`).
+Lucene's `PhraseQuery` matches documents where the phrase terms occur
+at consecutive positions and scores them with BM25 where
+
+    tf  = phrase frequency (number of adjacent occurrences), and
+    idf = sum of the per-term idfs over the phrase's positions
+          (duplicate terms counted once per position, as in
+          `PhraseWeight`).
+
+This module reproduces that contract Spark-first:
+
+- positions come from ONE fused Arrow pass (`doc_term_positions`) that
+  tokenizes and groups positions per (doc, term) inside the kernel —
+  a doc's tokens never leave its partition, so there is no
+  explode-positions shuffle (same design as `index/build.py:doc_terms`);
+- at query time the kernel takes the phrase VOCABULARY as a filter, so
+  over a 10^12-doc corpus the emitted rows are only the postings of the
+  handful of phrase terms, not the full positional index;
+- adjacency verification is pure Catalyst: per (query, doc) the start
+  positions of the first term are folded through
+  ``aggregate(rest, p0, (acc, x) -> filter(acc, p -> array_contains(
+  x.positions, p + x.off)))`` — a per-row O(phrase_len * occurrences)
+  expression with no Python and no extra shuffle;
+- persistent indexes can carry a positional postings table
+  (`build_positions`, saved/loaded by `InvertedIndex` when present),
+  the parquet analog of Lucene's .prx/.pos files: (term_id, doc_id,
+  positions array<int>) sorted by term_id — scoring joins it exactly
+  like the tf postings.
+
+Scale notes (100 TB): the query-time path shuffles only (qid, doc_id,
+off, positions) rows for docs containing at least one phrase term —
+the same candidate volume the BM25 term join ships. The groupBy key is
+(qid, doc_id); a pathological phrase of two stopwords degenerates to
+the same candidate set a 2-stopword BM25 query already produces.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dpr_spark import BM25_B, BM25_K1, DEFAULT_TOP_K
+
+POSITIONS_SCHEMA = "doc_id long, doclen int, term string, tf long, positions array<int>"
+
+
+def positions_batch(
+    texts, pat, vocab: Optional[frozenset] = None
+) -> Optional[tuple]:
+    """Vectorized tokenize + per-(doc, term) position-list grouping.
+
+    Same numpy shape as `index/build.py:tf_batch` with one extra gather:
+    token positions ride a stable argsort of (doc, term) so each group's
+    positions come out ascending. When `vocab` is given, only those
+    terms' rows are materialized (query-time path)."""
+    tok_lists = [pat.findall(t) if t is not None else [] for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    total = int(lens.sum())
+    if total == 0:
+        return None
+    flat = pd.Series([tok for toks in tok_lists for tok in toks], dtype="object")
+    codes_raw, vocab_raw = pd.factorize(flat, sort=False)
+    code_map, terms = pd.factorize(pd.Series(vocab_raw).str.lower(), sort=False)
+    codes = code_map[codes_raw].astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
+    starts = np.zeros(len(tok_lists), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    pos = np.arange(total, dtype=np.int64) - starts[doc_idx]
+    if vocab is not None:
+        keep_codes = np.flatnonzero(
+            pd.Series(terms).isin(vocab).to_numpy()
+        )
+        mask = np.isin(codes, keep_codes)
+        if not mask.any():
+            return None
+        codes, doc_idx, pos = codes[mask], doc_idx[mask], pos[mask]
+    key = (doc_idx << np.int64(32)) | codes
+    order = np.argsort(key, kind="stable")
+    skey = key[order]
+    spos = pos[order].astype(np.int32)
+    ukey, first = np.unique(skey, return_index=True)
+    counts = np.diff(np.append(first, len(skey)))
+    u_doc = (ukey >> np.int64(32)).astype(np.int64)
+    u_code = (ukey & np.int64(0xFFFFFFFF)).astype(np.int64)
+    pos_lists = np.split(spos, np.cumsum(counts)[:-1])
+    return u_doc, lens, terms.take(u_code), counts.astype(np.int64), pos_lists
+
+
+def doc_term_positions(
+    docs: DataFrame, vocab: Optional[Sequence[str]] = None
+) -> DataFrame:
+    """docs(doc_id, text) -> (doc_id, doclen, term, tf, positions).
+
+    One Arrow pass; with `vocab` set only those terms are emitted
+    (the 100 TB query-time shape — the kernel is the pushed-down
+    filter, since a Python stage can't push predicates to the scan)."""
+    from dpr_spark.functions.tokenizer import _compiled_fast
+
+    vset = frozenset(vocab) if vocab is not None else None
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pat = _compiled_fast()
+        for pdf in it:
+            out = positions_batch(pdf["text"], pat, vset)
+            if out is None:
+                continue
+            u_doc, lens, terms, tfs, pos_lists = out
+            doc_ids = pdf["doc_id"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids[u_doc],
+                    "doclen": lens[u_doc].astype(np.int32),
+                    "term": terms,
+                    "tf": tfs,
+                    "positions": pos_lists,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, POSITIONS_SCHEMA)
+
+
+def build_positions(docs: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """Positional postings for a persistent index (the .pos analog):
+    (term_id, doc_id, tf, positions), term-keyed like the tf postings.
+    Parquet's int-list encoding delta-compresses the ascending position
+    arrays; a broadcast dictionary join swaps the term string for the
+    8-byte id before anything shuffles."""
+    pos = doc_term_positions(docs)
+    return pos.join(
+        F.broadcast(dictionary.select("term", "term_id")), "term"
+    ).select("term_id", "doc_id", "tf", "positions")
+
+
+def _phrase_offsets(phrases: Sequence[Tuple[int, str]]):
+    """[(qid, phrase)] -> ([(qid, off, term)], vocab). Tokenized with the
+    reference tokenizer after question normalization (’ -> ',
+    `dpr/utils/data_utils.py:63-65`); phrases are user queries (tiny,
+    driver-side)."""
+    from dpr_spark.functions.normalize import normalize_question
+    from dpr_spark.functions.tokenizer import tokenize
+
+    rows: List[Tuple[int, int, str]] = []
+    vocab: set = set()
+    for qid, phrase in phrases:
+        toks = tokenize(normalize_question(phrase))
+        for off, t in enumerate(toks):
+            rows.append((qid, off, t))
+            vocab.add(t)
+    return rows, sorted(vocab)
+
+
+def _verify_and_count(grouped: DataFrame) -> DataFrame:
+    """grouped(qid, doc_id, doclen, n_off, structs<off,positions>) ->
+    (qid, doc_id, doclen, pf) for pf > 0. structs are sorted by off;
+    the fold keeps only start positions that survive every offset."""
+    s = F.sort_array("structs")
+    base = F.element_at(s, 1)["positions"]
+    rest = F.slice(s, 2, F.size(s) - 1)
+    surviving = F.aggregate(
+        rest,
+        base,
+        lambda acc, x: F.filter(
+            acc, lambda p: F.array_contains(x["positions"], p + x["off"])
+        ),
+    )
+    return (
+        grouped.withColumn("pf", F.size(surviving))
+        .filter(F.col("pf") > 0)
+        .select("qid", "doc_id", "doclen", "pf")
+    )
+
+
+def _score_phrases(
+    matched: DataFrame, idf_sums: DataFrame, avgdl: float, k1: float, b: float
+) -> DataFrame:
+    """BM25 with tf = phrase frequency, idf = per-query idf sum."""
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("doclen").cast("double") / F.lit(avgdl)
+    )
+    pf = F.col("pf").cast("double")
+    return matched.join(F.broadcast(idf_sums), "qid").select(
+        "qid",
+        "doc_id",
+        (F.col("idf_sum") * pf * F.lit(k1 + 1.0) / (pf + norm)).alias("score"),
+    )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
+
+
+def phrase_search_docs(
+    spark: SparkSession,
+    docs: DataFrame,
+    phrases: Sequence[Tuple[int, str]],
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    corpus_stats: Optional[Tuple[int, float]] = None,
+) -> DataFrame:
+    """Phrase top-k straight off the raw pages table (no prebuilt index):
+    one vocab-filtered positional pass + one Catalyst doclen aggregate.
+
+    `corpus_stats=(n_docs, avgdl)` skips the stats scan when the caller
+    already knows them (e.g. from an index manifest)."""
+    qrows, vocab = _phrase_offsets(phrases)
+    if not qrows:
+        raise ValueError("no tokenizable phrases")
+    qdf = spark.createDataFrame(qrows, "qid int, off int, term string")
+
+    pos = doc_term_positions(docs, vocab=vocab).persist()
+    try:
+        if corpus_stats is None:
+            from dpr_spark.functions.tokenizer import tokenize_col
+
+            srow = (
+                docs.select(F.size(tokenize_col("text", lowercase_first=True)).alias("dl"))
+                .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+                .collect()[0]
+            )
+            n_docs, avgdl = int(srow["n"]), float(srow["avgdl"])
+        else:
+            n_docs, avgdl = corpus_stats
+
+        # global df of each phrase term — the vocab-filtered pass carries
+        # exactly the rows needed to count it
+        df_tbl = pos.groupBy("term").agg(F.count("*").alias("df"))
+        idf = F.log(
+            (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        idf_sums = (
+            qdf.join(F.broadcast(df_tbl), "term")
+            .groupBy("qid")
+            .agg(F.sum(idf).alias("idf_sum"), F.count("*").alias("n_terms"))
+        )
+        n_off = qdf.groupBy("qid").agg(F.count("*").alias("n_off"))
+
+        cand = pos.join(F.broadcast(qdf), "term").select(
+            "qid", "doc_id", "doclen", F.struct("off", "positions").alias("st")
+        )
+        grouped = (
+            cand.groupBy("qid", "doc_id")
+            .agg(
+                F.first("doclen").alias("doclen"),
+                F.collect_list("st").alias("structs"),
+            )
+            .join(F.broadcast(n_off), "qid")
+            .filter(F.size("structs") == F.col("n_off"))
+        )
+        matched = _verify_and_count(grouped)
+        # idf_sums drops queries with an out-of-vocabulary term via the
+        # inner df join — matched is empty for those anyway (no postings)
+        out = _topk(_score_phrases(matched, idf_sums, avgdl, k1, b), k)
+        out = out.localCheckpoint(eager=True)  # cut lineage off the persist
+        return out
+    finally:
+        pos.unpersist()
+
+
+def phrase_search_index(
+    spark: SparkSession,
+    index,
+    positions: DataFrame,
+    phrases: Sequence[Tuple[int, str]],
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Phrase top-k over a prebuilt positional index: dictionary lookup
+    for term_id + idf (broadcast the handful of phrase terms, probe the
+    positions table in place), docstats join for doclen AFTER the
+    match filter (the matched side is tiny * k)."""
+    qrows, _ = _phrase_offsets(phrases)
+    if not qrows:
+        raise ValueError("no tokenizable phrases")
+    qdf = spark.createDataFrame(qrows, "qid int, off int, term string")
+    qterms = qdf.join(
+        F.broadcast(index.dictionary.select("term", "term_id", "idf")), "term"
+    )
+    # queries whose every offset resolved (an OOV term can never match)
+    n_off_all = qdf.groupBy("qid").agg(F.count("*").alias("n_off"))
+    idf_sums = qterms.groupBy("qid").agg(
+        F.sum("idf").alias("idf_sum"), F.count("*").alias("n_res")
+    )
+    idf_sums = (
+        idf_sums.join(n_off_all, "qid")
+        .filter(F.col("n_res") == F.col("n_off"))
+        .select("qid", "idf_sum", F.col("n_off"))
+    )
+
+    cand = positions.join(
+        F.broadcast(qterms.select("qid", "off", "term_id")), "term_id"
+    ).select("qid", "doc_id", F.struct("off", "positions").alias("st"))
+    grouped = (
+        cand.groupBy("qid", "doc_id")
+        .agg(F.collect_list("st").alias("structs"))
+        .join(F.broadcast(idf_sums.select("qid", "n_off")), "qid")
+        .filter(F.size("structs") == F.col("n_off"))
+    )
+    # doclen joins in AFTER grouping: only candidate docs ship their stats
+    grouped = grouped.join(
+        index.docstats.select("doc_id", "doclen"), "doc_id"
+    )
+    matched = _verify_and_count(grouped)
+    return _topk(
+        _score_phrases(matched, idf_sums.select("qid", "idf_sum"), index.stats.avgdl, k1, b),
+        k,
+    )

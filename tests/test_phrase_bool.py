@@ -1,0 +1,192 @@
+"""Lucene-parity query surface: exact-phrase (positional postings),
+boolean must/should/must_not, and prefix queries — each checked
+rank-AND-score-identical against the pure-Python oracle twins in
+dpr_spark/oracle/bm25.py (the reference's sparse baseline is Lucene,
+`/root/reference/README.md:25-26`; PhraseQuery/BooleanQuery/PrefixQuery
+are its standard query types over the same index)."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, pages_pdf):
+    from dpr_spark.fixtures.corpus import assign_doc_ids
+
+    pw = assign_doc_ids(pages_pdf)
+    return spark.createDataFrame(pw[["doc_id", "text"]])
+
+
+@pytest.fixture(scope="module")
+def positions(spark, index, docs_df):
+    from dpr_spark.query.phrase import build_positions
+
+    pos = build_positions(docs_df, index.dictionary).persist()
+    pos.count()
+    yield pos
+    pos.unpersist()
+
+
+def _corpus_phrases(oracle):
+    """Phrases guaranteed to occur (token slices of real docs) + one
+    adjacent-nowhere pair + one OOV phrase."""
+    doc_ids = sorted(oracle.doc_tokens)
+    out = []
+    for i, d in enumerate(doc_ids[:6]):
+        toks = oracle.doc_tokens[d]
+        if len(toks) >= 7:
+            n = 2 + (i % 3)  # phrase lengths 2..4
+            start = (7 * i) % (len(toks) - n)
+            out.append(" ".join(toks[start : start + n]))
+    # in-vocab terms that (almost surely) never appear adjacent in this order
+    toks0 = oracle.doc_tokens[doc_ids[0]]
+    out.append(f"{toks0[-1]} {toks0[0]} {toks0[-1]}")
+    out.append("zzzunseen phrase")  # OOV term -> must yield no rows
+    return list(enumerate(out))
+
+
+def _check_topk(rows, expect_by_qid, label):
+    got = {}
+    for r in rows:
+        got.setdefault(r.qid, []).append((r.rank, r.doc_id, r.score))
+    for qid in got:
+        got[qid].sort()
+    for qid, expect in expect_by_qid.items():
+        actual = got.get(qid, [])
+        assert len(actual) == len(expect), f"{label} qid={qid} count"
+        for (rank, doc_id, score), (edoc, escore) in zip(actual, expect):
+            assert doc_id == edoc, f"{label} qid={qid} rank={rank}"
+            assert score == pytest.approx(escore, abs=1e-9), (
+                f"{label} qid={qid} rank={rank} doc={doc_id}"
+            )
+    extra = set(got) - set(q for q, e in expect_by_qid.items() if e)
+    assert not extra, f"{label} unexpected qids {extra}"
+
+
+def test_positions_consistent_with_postings(index, positions):
+    from pyspark.sql import functions as F
+
+    bad = positions.filter(
+        (F.size("positions") != F.col("tf"))
+        | (F.col("positions") != F.sort_array("positions"))
+    ).count()
+    assert bad == 0
+    assert positions.count() == index.postings.count()
+    ptf = positions.agg(F.sum("tf")).collect()[0][0]
+    btf = index.postings.agg(F.sum("tf")).collect()[0][0]
+    assert ptf == btf
+
+
+@pytest.mark.parametrize("k", [5, 50])
+def test_phrase_search_index_vs_oracle(spark, index, positions, oracle, k):
+    from dpr_spark.query.phrase import phrase_search_index
+
+    phrases = _corpus_phrases(oracle)
+    expect = {qid: oracle.phrase_search(p, k) for qid, p in phrases}
+    assert sum(len(v) for v in expect.values()) > 0  # suite exercises matches
+    rows = phrase_search_index(spark, index, positions, phrases, k=k).collect()
+    _check_topk(rows, expect, "phrase_index")
+
+
+def test_phrase_search_docs_vs_oracle(spark, docs_df, oracle):
+    from dpr_spark.query.phrase import phrase_search_docs
+
+    phrases = _corpus_phrases(oracle)
+    expect = {qid: oracle.phrase_search(p, 10) for qid, p in phrases}
+    rows = phrase_search_docs(spark, docs_df, phrases, k=10).collect()
+    _check_topk(rows, expect, "phrase_docs")
+
+
+def test_phrase_single_term_equals_term_query(spark, index, positions, oracle):
+    """A 1-token phrase must degenerate to the plain BM25 term query."""
+    from dpr_spark.query.phrase import phrase_search_index
+
+    term = max(oracle.df, key=lambda t: (oracle.df[t], t))
+    expect = {0: oracle.phrase_search(term, 10)}
+    assert expect[0] == oracle.search(term, 10)
+    rows = phrase_search_index(spark, index, positions, [(0, term)], k=10).collect()
+    _check_topk(rows, expect, "phrase_1term")
+
+
+def _bool_cases(oracle):
+    terms = sorted(oracle.df, key=lambda t: -oracle.df[t])
+    a, b, c, d = terms[0], terms[1], terms[len(terms) // 2], terms[-1]
+    return [
+        (0, [a], [c], []),          # must + should
+        (1, [a, b], [], []),        # conjunction
+        (2, [], [a, c], [b]),       # pure disjunction with exclusion
+        (3, [a], [], [b]),          # must with exclusion
+        (4, [a, "zzzunseen"], [c], []),  # OOV must -> empty
+        (5, [], [d], []),           # rare-term disjunction
+        (6, [c], [c, a], [d]),      # duplicate term across clauses
+    ]
+
+
+def test_bool_search_vs_oracle(spark, index, oracle):
+    from dpr_spark.query.boolquery import bool_search
+
+    cases = _bool_cases(oracle)
+    expect = {
+        qid: oracle.bool_search(m, s, x, k=20) for qid, m, s, x in cases
+    }
+    assert sum(len(v) for v in expect.values()) > 0
+    assert expect[4] == []  # the OOV-must case really is empty
+    rows = bool_search(spark, cases, index, k=20).collect()
+    _check_topk(rows, expect, "bool")
+
+
+def test_bool_must_not_excludes(spark, index, oracle):
+    """Every returned doc contains all must terms and no must_not term."""
+    from dpr_spark.query.boolquery import bool_search
+
+    terms = sorted(oracle.df, key=lambda t: -oracle.df[t])
+    m, x = terms[2], terms[3]
+    rows = bool_search(spark, [(0, [m], [], [x])], index, k=1000).collect()
+    assert rows
+    for r in rows:
+        toks = set(oracle.doc_tokens[r.doc_id])
+        assert m in toks and x not in toks
+
+
+def test_prefix_search_vs_oracle(spark, index, oracle):
+    from dpr_spark.query.boolquery import prefix_search
+
+    # 1-2 char prefixes of real vocabulary (several expansions each),
+    # plus a no-match prefix
+    terms = sorted(oracle.df)
+    prefixes = sorted({t[:2] for t in terms[:40] if len(t) >= 2})[:6]
+    prefixes += [terms[len(terms) // 2][:1], "zzznope"]
+    cases = list(enumerate(prefixes))
+    expect = {
+        qid: oracle.prefix_search(p, k=15, max_expansions=4) for qid, p in cases
+    }
+    assert sum(len(v) for v in expect.values()) > 0
+    rows = prefix_search(spark, cases, index, k=15, max_expansions=4).collect()
+    _check_topk(rows, expect, "prefix")
+
+
+def test_index_save_load_roundtrip_with_positions(
+    spark, pages_df, oracle, tmp_path
+):
+    """build_index(build_positional=True) -> save -> load -> phrase query
+    identical to the oracle (S8 resume surface extended with the .pos
+    analog)."""
+    from dpr_spark.index.build import InvertedIndex, build_index
+    from dpr_spark.query.phrase import phrase_search_index
+
+    idx = build_index(spark, pages_df, build_blocks=False, build_positional=True)
+    assert idx.positions is not None
+    path = str(tmp_path / "posidx")
+    idx.save(path)
+    idx.unpersist()
+
+    loaded = InvertedIndex.load(spark, path)
+    assert loaded.positions is not None
+    d = sorted(oracle.doc_tokens)[7]
+    toks = oracle.doc_tokens[d]
+    phrase = " ".join(toks[2:5])
+    expect = {0: oracle.phrase_search(phrase, 10)}
+    assert expect[0]
+    rows = phrase_search_index(
+        spark, loaded, loaded.positions, [(0, phrase)], k=10
+    ).collect()
+    _check_topk(rows, expect, "phrase_loaded")
