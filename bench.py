@@ -275,6 +275,47 @@ def main() -> None:
         except Exception as e:
             print(f"bench serving extras failed: {e}", file=sys.stderr)
 
+        # --- phrase surface (extra-only): positional postings build over
+        # the 50k corpus + 100 verbatim-phrase queries against them
+        try:
+            from dpr_spark.functions.tokenizer import tokenize
+            from dpr_spark.query.phrase import build_positions, phrase_search_index
+
+            docs50 = (
+                spark.read.parquet(pages_path)
+                .join(state["idx"].docstats.select("doc_id", "url"), "url")
+                .select("doc_id", "text")
+            )
+            t0 = time.perf_counter()
+            pos = build_positions(docs50, state["idx"].dictionary).persist()
+            pos.count()
+            extra["positions_build_50k_sec"] = round(time.perf_counter() - t0, 3)
+
+            # phrases sliced from the corpus itself -> guaranteed matches
+            texts100 = [
+                r.text
+                for r in spark.read.parquet(pages_path).select("text").limit(100).collect()
+            ]
+            phrases = []
+            for i, t in enumerate(texts100):
+                toks = tokenize(t)
+                n = 2 + (i % 2)
+                s = (11 * i) % max(1, len(toks) - n)
+                phrases.append((i, " ".join(toks[s : s + n])))
+            best = None
+            for _ in range(max(1, REPS)):
+                t0 = time.perf_counter()
+                phrase_search_index(
+                    spark, state["idx"], pos, phrases, k=100
+                ).write.format("noop").mode("overwrite").save()
+                w = time.perf_counter() - t0
+                best = w if best is None else min(best, w)
+            extra["phrase_search_100q_sec"] = round(best, 3)
+            extra["phrase_queries_per_sec"] = round(100 / best, 1)
+            pos.unpersist()
+        except Exception as e:
+            print(f"bench phrase extras failed: {e}", file=sys.stderr)
+
     total = round(sum(v for v in timings.values() if v > 0), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

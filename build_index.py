@@ -37,6 +37,10 @@ def main(argv=None) -> None:
                          "delta (query.py --delta-dir) — recorded in stats.json "
                          "and enforced at serve time")
     ap.add_argument("--no-blocks", action="store_true", help="skip compressed blocks")
+    ap.add_argument("--positional", action="store_true",
+                    help="also build positional postings (term_id, doc_id, tf, "
+                         "positions) — the .pos-file analog required by "
+                         "query.py --engine phrase")
     ap.add_argument("--segments-buckets", type=int, default=0,
                     help="also materialize doc-bucketed impact segments (0=off)")
     ap.add_argument("--block-buckets", type=int, default=0,
@@ -64,6 +68,9 @@ def main(argv=None) -> None:
             ap.error("--id-strategy hash is not supported with --resumable "
                      "(shard manifests assume dense ids); build without "
                      "--resumable for an NRT-capable base")
+        if args.positional:
+            ap.error("--positional is not supported with --resumable yet; "
+                     "build without --resumable for a phrase-capable index")
         from dpr_spark.index.manifest import ResumableIndexBuilder
 
         b = ResumableIndexBuilder(spark, args.resumable, n_shards=args.shards, lang=args.lang)
@@ -81,6 +88,7 @@ def main(argv=None) -> None:
             verify_extract=args.verify_extract,
             dedup_latest=args.dedup_latest,
             id_strategy=args.id_strategy,
+            build_positional=args.positional,
         )
     idx.save(args.out)
     if args.snapshot_dir:

@@ -1281,6 +1281,72 @@ def q_prefix_topk() -> Entry:
     return fn, sql
 
 
+# (qid, query) — misspellings of corpus vocabulary + one exact + one far
+FUZZY_QUERIES = [
+    (0, "spark"),        # exact term (dist-0 expansion, boost 1.0)
+    (1, "spork"),        # 1 sub from 'spark' (and whatever else is near)
+    (2, "joon"),         # 1 sub from 'join'
+    (3, "tble"),         # 1 del from 'table'
+    (4, "winow data"),   # multi-clause: 1-edit + exact
+    (5, "qzqzqz"),       # far from all vocabulary -> no rows
+]
+FUZZY_MAX_EDITS = 1
+FUZZY_MAX_EXP = 8
+
+
+def q_fuzzy_topk() -> Entry:
+    """Fuzzy top-10 (Lucene FuzzyQuery twin, query/fuzzy.py): per-clause
+    dictionary expansion within Levenshtein max_edits (rank dist ASC,
+    df DESC, term ASC; cap max_expansions), BM25 scaled by
+    1 - dist/max(len(clause), len(term))."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.fuzzy import fuzzy_search
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        res = fuzzy_search(
+            spark, FUZZY_QUERIES, idx, k=10,
+            max_edits=FUZZY_MAX_EDITS, max_expansions=FUZZY_MAX_EXP,
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    from dpr_spark.query.fuzzy import _clauses
+
+    clause_values = ", ".join(
+        f"({qid}, '{c}')" for qid, c in _clauses(FUZZY_QUERIES)
+    )
+    sql = f"""
+    WITH {_POS_CTES},
+    c AS (SELECT * FROM (VALUES {clause_values}) AS c(qid, clause)),
+    exp AS (
+      SELECT c.qid, c.clause, d.term, levenshtein(d.term, c.clause) AS dist,
+             row_number() OVER (
+               PARTITION BY c.qid, c.clause
+               ORDER BY levenshtein(d.term, c.clause), d.df DESC, d.term) AS r
+      FROM c JOIN dict d ON levenshtein(d.term, c.clause) <= {FUZZY_MAX_EDITS}),
+    qt AS (
+      SELECT qid, clause, term,
+             1.0 - dist::DOUBLE / greatest(length(clause), length(term)) AS boost
+      FROM exp WHERE r <= {FUZZY_MAX_EXP}),
+    scored AS (
+      SELECT qt.qid, tf.doc_id, sum(qt.boost * {_BM25_COMPONENT}) AS score
+      FROM qt JOIN dict USING (term) JOIN tf USING (term)
+           JOIN ds ON tf.doc_id = ds.doc_id CROSS JOIN stats
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 def q_domain_stats() -> Entry:
     """Per-domain crawl stats (extras/domains.py domain_of +
     per_domain_stats) over synthetic URLs derived from the documents
@@ -2060,4 +2126,5 @@ def all_entries() -> Dict[str, Entry]:
         "phrase_topk": q_phrase_topk(),
         "bool_topk": q_bool_topk(),
         "prefix_topk": q_prefix_topk(),
+        "fuzzy_topk": q_fuzzy_topk(),
     }

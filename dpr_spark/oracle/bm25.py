@@ -154,6 +154,37 @@ class BM25Oracle:
         out.sort(key=lambda kv: (-kv[1], kv[0]))
         return out[:k]
 
+    def fuzzy_search(
+        self,
+        query: str,
+        k: int = 10,
+        max_edits: int = 1,
+        max_expansions: int = 8,
+        prefix_len: int = 0,
+    ) -> List[Tuple[int, float]]:
+        """FuzzyQuery twin: per distinct query token, expand to the
+        max_expansions dictionary terms within max_edits Levenshtein
+        (rank: distance ASC, df DESC, term ASC; optional shared prefix),
+        score BM25 * (1 - dist / max(len(clause), len(term))); a term
+        reachable from two clauses contributes to both."""
+        clauses = sorted(set(tokenize(normalize_question(query))))
+        scores: Dict[int, float] = {}
+        for c in clauses:
+            cand = []
+            for t in self.postings:
+                if prefix_len > 0 and t[:prefix_len] != c[:prefix_len]:
+                    continue
+                d = _levenshtein(c, t, max_edits)
+                if d >= 0:
+                    cand.append((d, -self.df[t], t))
+            cand.sort()
+            for d, _negdf, t in cand[:max_expansions]:
+                boost = 1.0 - d / max(len(c), len(t))
+                for doc in self.postings[t]:
+                    scores[doc] = scores.get(doc, 0.0) + boost * self.score_one(t, doc)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def prefix_search(
         self, prefix: str, k: int = 10, max_expansions: int = 16
     ) -> List[Tuple[int, float]]:
@@ -170,6 +201,20 @@ class BM25Oracle:
                 scores[d] = scores.get(d, 0.0) + self.score_one(t, d)
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
+
+
+def _levenshtein(a: str, b: str, threshold: int) -> int:
+    """Plain DP edit distance; returns -1 when > threshold (the Spark
+    `levenshtein(l, r, threshold)` contract the engine filters on)."""
+    if abs(len(a) - len(b)) > threshold:
+        return -1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1] if prev[-1] <= threshold else -1
 
 
 def has_answer(answers: Sequence[str], text: str) -> bool:

@@ -1,0 +1,129 @@
+"""Fuzzy (edit-distance) queries over the inverted index — the Lucene
+`FuzzyQuery` surface of the fulltext tier (the reference's BM25
+baseline is Lucene, `/root/reference/dpr/data/tables.py:241`;
+misspelled web queries are the norm over a crawl corpus).
+
+Deterministic contract (oracle-checked in engine_queries.py and
+tests/test_fuzzy.py):
+
+- the query string tokenizes to clauses with SET semantics (duplicate
+  tokens collapse), same as `query_terms`;
+- each clause expands to the dictionary terms within `max_edits`
+  Levenshtein distance (optionally sharing a `prefix_len`-char prefix,
+  Lucene's prefixLength pruning), ranked by (distance ASC, df DESC,
+  term ASC), capped at `max_expansions` — Lucene's
+  TopTermsBlendedFreqScoringRewrite analog, made deterministic;
+- each expansion scores BM25 scaled by
+  ``boost = 1 - dist / max(len(clause), len(term))`` (1.0 for the exact
+  term; Lucene's similarity boost with an explicit symmetric length
+  normalizer), and a document sums over clauses and expansions. An
+  index term reachable from two different clauses contributes to both
+  (Lucene sums per BooleanQuery clause).
+
+Scale shape: the expansion is ONE pass over the dictionary (vocab-sized
+— terms, not documents) with the tiny clause side broadcast; Catalyst
+evaluates `levenshtein(term, clause) <= k` inside the scan stage with
+the 3.5+ threshold short-circuit. Scoring then probes the postings in
+place exactly like a plain BM25 disjunction — candidate volume is
+bounded by max_expansions × clauses.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dpr_spark import BM25_B, BM25_K1, DEFAULT_TOP_K
+from dpr_spark.index.build import InvertedIndex
+
+
+def _clauses(queries: Sequence[Tuple[int, str]]):
+    from dpr_spark.functions.normalize import normalize_question
+    from dpr_spark.functions.tokenizer import tokenize
+
+    rows = []
+    for qid, q in queries:
+        for t in sorted(set(tokenize(normalize_question(q)))):
+            rows.append((qid, t))
+    return rows
+
+
+def expand_fuzzy(
+    index: InvertedIndex,
+    clauses: DataFrame,
+    max_edits: int = 1,
+    max_expansions: int = 8,
+    prefix_len: int = 0,
+) -> DataFrame:
+    """clauses(qid, clause) -> (qid, clause, term_id, idf, boost):
+    per-clause dictionary expansion within `max_edits`, ranked
+    (distance ASC, df DESC, term ASC), top `max_expansions`."""
+    dic = index.dictionary.select("term", "term_id", "df", "idf")
+    cond = F.levenshtein(F.col("term"), F.col("clause"), max_edits) >= F.lit(0)
+    if prefix_len > 0:
+        cond = cond & (
+            F.substring("term", 1, prefix_len)
+            == F.substring("clause", 1, prefix_len)
+        )
+    cand = F.broadcast(clauses).join(dic, cond).withColumn(
+        "dist", F.levenshtein(F.col("term"), F.col("clause"), max_edits)
+    )
+    w = Window.partitionBy("qid", "clause").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    boost = F.lit(1.0) - F.col("dist").cast("double") / F.greatest(
+        F.length("clause"), F.length("term")
+    ).cast("double")
+    return (
+        cand.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_expansions)
+        .select("qid", "clause", "term_id", "idf", boost.alias("boost"))
+    )
+
+
+def fuzzy_search(
+    spark: SparkSession,
+    queries: Sequence[Tuple[int, str]],
+    index: InvertedIndex,
+    k: int = DEFAULT_TOP_K,
+    max_edits: int = 1,
+    max_expansions: int = 8,
+    prefix_len: int = 0,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    rows = _clauses(queries)
+    if not rows:
+        raise ValueError("no tokenizable queries")
+    cdf = spark.createDataFrame(rows, "qid int, clause string")
+    qt = expand_fuzzy(
+        index, cdf, max_edits=max_edits,
+        max_expansions=max_expansions, prefix_len=prefix_len,
+    )
+    joined = index.postings.join(
+        F.broadcast(qt.select("qid", "clause", "term_id", "idf", "boost")),
+        "term_id",
+    )
+    component = (
+        F.col("boost")
+        * F.col("idf")
+        * F.col("tf").cast("double")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("doclen").cast("double") / F.lit(index.stats.avgdl)
+            )
+        )
+    )
+    scored = joined.groupBy("qid", "doc_id").agg(F.sum(component).alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )

@@ -40,7 +40,10 @@ def main(argv=None) -> None:
     ap.add_argument("--queries", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--k", type=int, default=100)
-    ap.add_argument("--engine", choices=["exact", "segments", "blockmax"], default="segments")
+    ap.add_argument("--engine", choices=["exact", "segments", "blockmax", "phrase"],
+                    default="segments",
+                    help="'phrase' treats each question as an exact phrase "
+                         "(requires an index built with --positional)")
     ap.add_argument("--eval", action="store_true")
     ap.add_argument("--pages", default=None, help="pages parquet (doc text for --eval)")
     ap.add_argument("--delta-dir", default=None,
@@ -76,9 +79,10 @@ def main(argv=None) -> None:
     if args.delta_dir:
         from dpr_spark.streaming.refresh import StreamingIndexRefresher
 
-        if args.engine == "blockmax":
-            raise SystemExit("--delta-dir serves exact/segments only; "
-                             "compact() the delta to restore block-max serving")
+        if args.engine in ("blockmax", "phrase"):
+            raise SystemExit("--delta-dir serves exact/segments only (a live "
+                             "delta invalidates block/positional layouts); "
+                             "compact() the delta to restore them")
         idx = StreamingIndexRefresher(spark, args.delta_dir).fresh_index(idx)
 
     if args.serve:
@@ -105,7 +109,17 @@ def main(argv=None) -> None:
         queries = spark.read.parquet(args.queries)
 
     t0 = time.perf_counter()
-    if args.engine == "segments":
+    if args.engine == "phrase":
+        from dpr_spark.query.phrase import phrase_search_index
+
+        if idx.positions is None:
+            raise SystemExit("--engine phrase needs positional postings; "
+                             "rebuild the index with build_index.py --positional")
+        # phrase strings ride to the driver (~bytes/query, the same
+        # boundary as the term-resolution wave payload)
+        phrases = [(r.qid, r.question) for r in queries.select("qid", "question").collect()]
+        results = phrase_search_index(spark, idx, idx.positions, phrases, k=args.k)
+    elif args.engine == "segments":
         from dpr_spark.query.wand import build_impact_segments, search_segments
 
         seg_path = os.path.join(args.index, "segments")

@@ -46,7 +46,7 @@ def test_cli_build_and_query(tmp_path, pages_pdf, queries_pdf):
     out1 = subprocess.run(
         [sys.executable, os.path.join(REPO, "build_index.py"),
          "--pages", pages_path, "--out", str(tmp_path / "idx"),
-         "--segments-buckets", "4"],
+         "--segments-buckets", "4", "--positional"],
         capture_output=True, text=True, timeout=420, env=env,
     )
     assert out1.returncode == 0, out1.stderr[-2000:]
@@ -64,6 +64,29 @@ def test_cli_build_and_query(tmp_path, pages_pdf, queries_pdf):
     assert os.path.isdir(tmp_path / "run" / "results")
     assert os.path.isdir(tmp_path / "run" / "results_json")
     assert "accuracy@" in out2.stdout
+
+    # phrase engine over the same (positional) index: one query is a
+    # verbatim bigram of a real document, so it MUST return rows
+    from dpr_spark.functions.tokenizer import tokenize
+
+    bigram = " ".join(tokenize(pages_pdf["text"].iloc[0])[:2])
+    ph = queries_pdf.head(2).copy()
+    ph.loc[ph.index[0], "question"] = bigram
+    write_queries_tsv(str(tmp_path / "qa_phrase.tsv"), ph)
+    out3 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "query.py"),
+         "--index", str(tmp_path / "idx"),
+         "--queries", str(tmp_path / "qa_phrase.tsv"),
+         "--k", "5", "--out", str(tmp_path / "run_phrase"),
+         "--engine", "phrase"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out3.returncode == 0, out3.stderr[-2000:]
+    assert "searched 2 queries" in out3.stdout
+    import pyarrow.parquet as _pq
+
+    nrows = _pq.read_table(str(tmp_path / "run_phrase" / "results")).num_rows
+    assert nrows > 0
 
 
 @pytest.mark.slow

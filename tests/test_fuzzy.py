@@ -1,0 +1,100 @@
+"""Fuzzy (edit-distance) queries vs the pure-Python oracle twin
+(Lucene FuzzyQuery parity; dpr_spark/query/fuzzy.py)."""
+
+import pytest
+
+
+def _check_topk(rows, expect_by_qid, label):
+    got = {}
+    for r in rows:
+        got.setdefault(r.qid, []).append((r.rank, r.doc_id, r.score))
+    for qid in got:
+        got[qid].sort()
+    for qid, expect in expect_by_qid.items():
+        actual = got.get(qid, [])
+        assert len(actual) == len(expect), f"{label} qid={qid} count"
+        for (rank, doc_id, score), (edoc, escore) in zip(actual, expect):
+            assert doc_id == edoc, f"{label} qid={qid} rank={rank}"
+            assert score == pytest.approx(escore, abs=1e-9), (
+                f"{label} qid={qid} rank={rank} doc={doc_id}"
+            )
+
+
+def _misspell(term: str, i: int) -> str:
+    """One deterministic edit: substitute, insert, or delete at position i."""
+    mode = i % 3
+    p = i % max(1, len(term))
+    if mode == 0:
+        return term[:p] + ("x" if term[p] != "x" else "y") + term[p + 1 :]
+    if mode == 1:
+        return term[:p] + "z" + term[p:]
+    return term[:p] + term[p + 1 :] if len(term) > 2 else term + "q"
+
+
+def _fuzzy_cases(oracle):
+    terms = sorted(oracle.df, key=lambda t: -oracle.df[t])
+    cases = [
+        (0, _misspell(terms[0], 0)),                      # head term, 1 sub
+        (1, _misspell(terms[3], 1)),                      # insert
+        (2, _misspell(terms[5], 2)),                      # delete
+        (3, terms[1]),                                    # exact (dist 0)
+        (4, f"{_misspell(terms[2], 0)} {terms[4]}"),      # multi-clause
+        (5, "zzzzzzzzzzzz"),                              # far from everything
+    ]
+    return cases
+
+
+def test_levenshtein_twin_matches_spark(spark):
+    """The oracle's thresholded edit distance == Spark's levenshtein."""
+    from pyspark.sql import functions as F
+
+    from dpr_spark.oracle.bm25 import _levenshtein
+
+    pairs = [
+        ("kitten", "sitting"), ("abc", "abc"), ("abc", "abd"), ("a", ""),
+        ("abcd", "abdc"), ("spark", "spank"), ("spark", "sparkle"),
+        ("table", "tale"), ("zü", "zu"),
+    ]
+    for thr in (1, 2, 3):
+        df = spark.createDataFrame(pairs, "a string, b string").select(
+            "a", "b", F.levenshtein("a", "b", thr).alias("d")
+        )
+        for r in df.collect():
+            assert r.d == _levenshtein(r.a, r.b, thr), (r.a, r.b, thr)
+
+
+@pytest.mark.parametrize(
+    "max_edits,max_expansions,prefix_len", [(1, 8, 0), (2, 4, 0), (1, 8, 1)]
+)
+def test_fuzzy_search_vs_oracle(
+    spark, index, oracle, max_edits, max_expansions, prefix_len
+):
+    from dpr_spark.query.fuzzy import fuzzy_search
+
+    cases = _fuzzy_cases(oracle)
+    expect = {
+        qid: oracle.fuzzy_search(
+            q, k=15, max_edits=max_edits,
+            max_expansions=max_expansions, prefix_len=prefix_len,
+        )
+        for qid, q in cases
+    }
+    assert sum(len(v) for v in expect.values()) > 0
+    rows = fuzzy_search(
+        spark, cases, index, k=15, max_edits=max_edits,
+        max_expansions=max_expansions, prefix_len=prefix_len,
+    ).collect()
+    _check_topk(rows, expect, f"fuzzy_e{max_edits}_x{max_expansions}_p{prefix_len}")
+
+
+def test_fuzzy_exact_term_includes_plain_bm25(spark, index, oracle):
+    """dist-0 expansion has boost 1.0, so an exact single-term query's
+    fuzzy score >= its plain BM25 score on every returned doc."""
+    from dpr_spark.query.fuzzy import fuzzy_search
+
+    term = sorted(oracle.df, key=lambda t: -oracle.df[t])[0]
+    rows = fuzzy_search(spark, [(0, term)], index, k=10).collect()
+    assert rows
+    plain = dict(oracle.search(term, k=oracle.N))
+    for r in rows:
+        assert r.score >= plain.get(r.doc_id, 0.0) - 1e-9
