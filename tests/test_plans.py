@@ -168,3 +168,41 @@ def test_serving_layout_rowgroup_pruning_skips(spark, index, queries_df, serving
     assert matched < total, (matched, total)
     # the point of the sort: most row groups are skippable for a real query
     assert matched <= total * 0.7, (matched, total)
+
+
+def test_phrase_index_plan_broadcasts_query_side(spark, index, tmp_path):
+    """Phrase search probes the positions table in place: the (qid, off,
+    term_id) side is broadcast, positions are never hash-exchanged on
+    term_id, and a stored positions scan gets the term_id filter pushed."""
+    from dpr_spark.query.phrase import build_positions, phrase_search_index
+
+    pos = build_positions(
+        index.docstats.select("doc_id", F.lit("word one word").alias("text")),
+        index.dictionary,
+    )
+    plan = _explain(phrase_search_index(spark, index, pos, [(0, "word one")], k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(term_id" not in plan
+
+
+def test_fuzzy_expansion_stays_on_dictionary_scan(spark, index):
+    """Fuzzy expansion is ONE vocab-sized pass: the clause side is
+    broadcast into a nested-loop join over the dictionary (levenshtein
+    is a theta predicate), and postings join the expansion by broadcast."""
+    from dpr_spark.query.fuzzy import fuzzy_search
+
+    plan = _explain(fuzzy_search(spark, [(0, "word")], index, k=5))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "levenshtein" in plan
+    assert "hashpartitioning(term_id" not in plan
+
+
+def test_bool_exclusion_is_broadcast_anti_join(spark, index):
+    """must_not exclusion: a left_anti join against only the exclusion
+    terms' postings, broadcast (candidates x exclusions are both tiny
+    relative to the corpus); postings never exchange on term_id."""
+    from dpr_spark.query.boolquery import bool_search
+
+    plan = _explain(bool_search(spark, [(0, ["word"], [], ["one"])], index, k=5))
+    assert "LeftAnti" in plan
+    assert "hashpartitioning(term_id" not in plan
