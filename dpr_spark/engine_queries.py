@@ -1347,6 +1347,55 @@ def q_fuzzy_topk() -> Entry:
     return fn, sql
 
 
+HL_WINDOW = 20
+
+
+def q_highlight_topk() -> Entry:
+    """Best-fragment snippets for the BM25 top-3 (Lucene Highlighter
+    twin, query/highlight.py): the HL_WINDOW-token window with the most
+    query-term hits among windows starting at a hit, ties leftmost;
+    fragment = space-joined token slice."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.query.highlight import highlight
+
+        top = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= 3)
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        frags = highlight(
+            top, docs, _qterms_df(spark), window=HL_WINDOW, lowercase_first=True
+        )
+        return top.select("qid", "rank", "doc_id").join(
+            frags, ["qid", "doc_id"]
+        ).select("qid", "rank", "doc_id", "start_tok", "n_hits", "fragment")
+
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + f""",
+    top3 AS (SELECT qid, rank, doc_id FROM ranked WHERE rank <= 3),
+    pos AS (SELECT doc_id, unnest(toks) AS term,
+                   generate_subscripts(toks, 1) AS p FROM tok),
+    h AS (
+      SELECT t.qid, t.rank, t.doc_id, pos.p
+      FROM top3 t JOIN qt ON qt.qid = t.qid
+           JOIN pos ON pos.doc_id = t.doc_id AND pos.term = qt.term),
+    win AS (
+      SELECT h1.qid, h1.rank, h1.doc_id, h1.p AS s, count(*) AS n_hits
+      FROM h h1 JOIN h h2 ON h2.qid = h1.qid AND h2.doc_id = h1.doc_id
+           AND h2.p >= h1.p AND h2.p < h1.p + {HL_WINDOW}
+      GROUP BY 1, 2, 3, 4),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY qid, doc_id
+                                   ORDER BY n_hits DESC, s) AS rn
+      FROM win)
+    SELECT b.qid, b.rank, b.doc_id, (b.s - 1)::INT AS start_tok,
+           b.n_hits::INT AS n_hits,
+           array_to_string(t.toks[b.s : b.s + {HL_WINDOW} - 1], ' ') AS fragment
+    FROM best b JOIN tok t USING (doc_id) WHERE b.rn = 1"""
+    )
+    return fn, sql
+
+
 def q_domain_stats() -> Entry:
     """Per-domain crawl stats (extras/domains.py domain_of +
     per_domain_stats) over synthetic URLs derived from the documents
@@ -2127,4 +2176,5 @@ def all_entries() -> Dict[str, Entry]:
         "bool_topk": q_bool_topk(),
         "prefix_topk": q_prefix_topk(),
         "fuzzy_topk": q_fuzzy_topk(),
+        "highlight_topk": q_highlight_topk(),
     }

@@ -203,6 +203,20 @@ class BM25Oracle:
         return ranked[:k]
 
 
+def best_fragment(tokens, terms, window: int = 30):
+    """Highlighter twin (query/highlight.py contract): the window-token
+    window with the most query-term hits among windows starting at a hit
+    (ties leftmost); -> (start_tok, n_hits, fragment) or None."""
+    tset = set(terms)
+    hits = [i for i, t in enumerate(tokens) if t in tset]
+    if not hits:
+        return None
+    neg, s = min(
+        (-sum(1 for p in hits if st <= p < st + window), st) for st in hits
+    )
+    return s, -neg, " ".join(tokens[s : s + window])
+
+
 def _levenshtein(a: str, b: str, threshold: int) -> int:
     """Plain DP edit distance; returns -1 when > threshold (the Spark
     `levenshtein(l, r, threshold)` contract the engine filters on)."""
