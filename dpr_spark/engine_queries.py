@@ -1347,6 +1347,70 @@ def q_fuzzy_topk() -> Entry:
     return fn, sql
 
 
+MLT_SEEDS = [(0, 0), (1, 7), (2, 42)]  # (qid, seed doc_id)
+MLT_MIN_TF, MLT_MIN_DF, MLT_MAX_TERMS_E = 2, 3, 10
+
+
+def q_mlt_topk() -> Entry:
+    """More-like-this top-10 (Lucene MoreLikeThis twin,
+    query/morelikethis.py): seed terms with tf>=min_tf and df>=min_df
+    ranked by rounded tf*idf (DESC, term ASC), top max_query_terms, run
+    as a BM25 disjunction with the seed excluded."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.morelikethis import more_like_this
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        seeds = spark.createDataFrame(MLT_SEEDS, "qid int, doc_id long")
+        res = more_like_this(
+            spark, seeds, docs, idx, k=10,
+            min_tf=MLT_MIN_TF, min_df=MLT_MIN_DF,
+            max_query_terms=MLT_MAX_TERMS_E,
+            lowercase_first=True, selection_round=6,
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    seed_values = ", ".join(f"({q}, {d})" for q, d in MLT_SEEDS)
+    sql = f"""
+    WITH {_POS_CTES},
+    seeds AS (SELECT * FROM (VALUES {seed_values}) AS s(qid, doc_id)),
+    stf AS (
+      SELECT s.qid, tf.term, tf.tf
+      FROM seeds s JOIN tf ON tf.doc_id = s.doc_id
+      WHERE tf.tf >= {MLT_MIN_TF}),
+    cand AS (
+      SELECT stf.qid, stf.term,
+             row_number() OVER (
+               PARTITION BY stf.qid
+               ORDER BY round(stf.tf * ln((stats.n - d.df + 0.5)
+                                          / (d.df + 0.5) + 1.0), 6) DESC,
+                        stf.term) AS r
+      FROM stf JOIN dict d USING (term) CROSS JOIN stats
+      WHERE d.df >= {MLT_MIN_DF}),
+    qmlt AS (SELECT qid, term FROM cand WHERE r <= {MLT_MAX_TERMS_E}),
+    scored AS (
+      SELECT qmlt.qid, tf.doc_id, sum({_BM25_COMPONENT}) AS score
+      FROM qmlt JOIN dict USING (term) JOIN tf USING (term)
+           JOIN ds ON tf.doc_id = ds.doc_id CROSS JOIN stats
+      GROUP BY 1, 2),
+    surv AS (
+      SELECT sc.* FROM scored sc
+      WHERE NOT EXISTS (SELECT 1 FROM seeds s
+                        WHERE s.qid = sc.qid AND s.doc_id = sc.doc_id)),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM surv)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 HL_WINDOW = 20
 
 
@@ -2177,4 +2241,5 @@ def all_entries() -> Dict[str, Entry]:
         "prefix_topk": q_prefix_topk(),
         "fuzzy_topk": q_fuzzy_topk(),
         "highlight_topk": q_highlight_topk(),
+        "mlt_topk": q_mlt_topk(),
     }

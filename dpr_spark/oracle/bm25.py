@@ -185,6 +185,36 @@ class BM25Oracle:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def more_like_this(
+        self,
+        seed_doc: int,
+        k: int = 10,
+        min_tf: int = 2,
+        min_df: int = 3,
+        max_query_terms: int = 25,
+    ) -> List[Tuple[int, float]]:
+        """MoreLikeThis twin: seed terms with tf>=min_tf and df>=min_df
+        ranked (tf*idf DESC, term ASC), top max_query_terms, run as a
+        BM25 disjunction excluding the seed itself."""
+        tf: Dict[str, int] = {}
+        for t in self.doc_tokens[seed_doc]:
+            tf[t] = tf.get(t, 0) + 1
+        cand = [
+            (-(c * self.idf(t)), t)
+            for t, c in tf.items()
+            if c >= min_tf and self.df.get(t, 0) >= min_df
+        ]
+        cand.sort()
+        terms = [t for _s, t in cand[:max_query_terms]]
+        scores: Dict[int, float] = {}
+        for t in terms:
+            for d in self.postings.get(t, ()):
+                if d == seed_doc:
+                    continue
+                scores[d] = scores.get(d, 0.0) + self.score_one(t, d)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def prefix_search(
         self, prefix: str, k: int = 10, max_expansions: int = 16
     ) -> List[Tuple[int, float]]:

@@ -129,14 +129,16 @@ def doc_term_positions(
 
 def build_positions(docs: DataFrame, dictionary: DataFrame) -> DataFrame:
     """Positional postings for a persistent index (the .pos analog):
-    (term_id, doc_id, tf, positions), term-keyed like the tf postings.
+    (term_id, doc_id, tf, doclen, positions), term-keyed like the tf
+    postings — doclen rides along (like the tf postings' norm) so a
+    phrase query never joins the doc-count-sized docstats table.
     Parquet's int-list encoding delta-compresses the ascending position
     arrays; a broadcast dictionary join swaps the term string for the
     8-byte id before anything shuffles."""
     pos = doc_term_positions(docs)
     return pos.join(
         F.broadcast(dictionary.select("term", "term_id")), "term"
-    ).select("term_id", "doc_id", "tf", "positions")
+    ).select("term_id", "doc_id", "tf", "doclen", "positions")
 
 
 def _phrase_offsets(phrases: Sequence[Tuple[int, str]]):
@@ -155,6 +157,63 @@ def _phrase_offsets(phrases: Sequence[Tuple[int, str]]):
             rows.append((qid, off, t))
             vocab.add(t)
     return rows, sorted(vocab)
+
+
+def _choose_two_pass(df_rows) -> bool:
+    """Cost-based pass selection from exact dictionary stats.
+
+    df_rows: [(qid, n_off, min_df, sum_df)]. Single-pass ships every
+    matching position row WITH its array into the groupBy (≈ Σ sum_df
+    array rows). Two-pass ships arrays only for conjunction survivors,
+    bounded by n_off × min_df per query, but pays a second arrayless
+    probe. Choose two-pass when its array-row bound is under half the
+    single-pass volume — i.e. when the rarest term actually filters
+    (a stopword-only phrase keeps the one-shuffle plan)."""
+    single = sum(r[3] for r in df_rows)
+    two = sum(r[1] * r[2] for r in df_rows)
+    return two * 2 < single
+
+
+def _single_pass_grouped(cand: DataFrame, n_off: DataFrame) -> DataFrame:
+    return (
+        cand.groupBy("qid", "doc_id")
+        .agg(
+            F.first("doclen").alias("doclen"),
+            F.collect_list("st").alias("structs"),
+        )
+        .join(F.broadcast(n_off), "qid")
+        .filter(F.size("structs") == F.col("n_off"))
+        .drop("n_off")
+    )
+
+
+def _conjunctive_docs(light: DataFrame, n_off: DataFrame) -> DataFrame:
+    """light(qid, doc_id, doclen, off) -> (qid, doc_id, doclen) for docs
+    matching EVERY phrase offset. The light pass ships no position
+    arrays — head-term arrays for docs that can never match (missing
+    one of the other terms) stay columnar at rest; only the (usually
+    tiny) conjunction survivors fetch arrays in the second pass, which
+    AQE broadcast-joins at runtime."""
+    return (
+        light.groupBy("qid", "doc_id")
+        .agg(F.first("doclen").alias("doclen"), F.count("*").alias("n_res"))
+        .join(F.broadcast(n_off), "qid")
+        .filter(F.col("n_res") == F.col("n_off"))
+        .select("qid", "doc_id", "doclen")
+    )
+
+
+def _grouped_structs(cand: DataFrame, survivors: DataFrame) -> DataFrame:
+    """Second pass: fetch (off, positions) structs only for conjunction
+    survivors and group them per (qid, doc_id)."""
+    return (
+        cand.join(survivors.select("qid", "doc_id"), ["qid", "doc_id"])
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.first("doclen").alias("doclen"),
+            F.collect_list("st").alias("structs"),
+        )
+    )
 
 
 def _verify_and_count(grouped: DataFrame) -> DataFrame:
@@ -253,15 +312,24 @@ def phrase_search_docs(
         cand = pos.join(F.broadcast(qdf), "term").select(
             "qid", "doc_id", "doclen", F.struct("off", "positions").alias("st")
         )
-        grouped = (
-            cand.groupBy("qid", "doc_id")
+        df_rows = [
+            (r["qid"], r["n_off"], r["min_df"], r["sum_df"])
+            for r in qdf.join(F.broadcast(df_tbl), "term")
+            .groupBy("qid")
             .agg(
-                F.first("doclen").alias("doclen"),
-                F.collect_list("st").alias("structs"),
+                F.count("*").alias("n_off"),
+                F.min("df").alias("min_df"),
+                F.sum("df").alias("sum_df"),
             )
-            .join(F.broadcast(n_off), "qid")
-            .filter(F.size("structs") == F.col("n_off"))
-        )
+            .collect()
+        ]
+        if _choose_two_pass(df_rows):
+            light = pos.join(F.broadcast(qdf), "term").select(
+                "qid", "doc_id", "doclen", "off"
+            )
+            grouped = _grouped_structs(cand, _conjunctive_docs(light, n_off))
+        else:
+            grouped = _single_pass_grouped(cand, n_off)
         matched = _verify_and_count(grouped)
         # idf_sums drops queries with an out-of-vocabulary term via the
         # inner df join — matched is empty for those anyway (no postings)
@@ -283,14 +351,14 @@ def phrase_search_index(
 ) -> DataFrame:
     """Phrase top-k over a prebuilt positional index: dictionary lookup
     for term_id + idf (broadcast the handful of phrase terms, probe the
-    positions table in place), docstats join for doclen AFTER the
-    match filter (the matched side is tiny * k)."""
+    positions table in place); doclen rides on the positions rows, so
+    the doc-count-sized docstats table is never touched."""
     qrows, _ = _phrase_offsets(phrases)
     if not qrows:
         raise ValueError("no tokenizable phrases")
     qdf = spark.createDataFrame(qrows, "qid int, off int, term string")
     qterms = qdf.join(
-        F.broadcast(index.dictionary.select("term", "term_id", "idf")), "term"
+        F.broadcast(index.dictionary.select("term", "term_id", "idf", "df")), "term"
     )
     # queries whose every offset resolved (an OOV term can never match)
     n_off_all = qdf.groupBy("qid").agg(F.count("*").alias("n_off"))
@@ -303,19 +371,30 @@ def phrase_search_index(
         .select("qid", "idf_sum", F.col("n_off"))
     )
 
-    cand = positions.join(
-        F.broadcast(qterms.select("qid", "off", "term_id")), "term_id"
-    ).select("qid", "doc_id", F.struct("off", "positions").alias("st"))
-    grouped = (
-        cand.groupBy("qid", "doc_id")
-        .agg(F.collect_list("st").alias("structs"))
-        .join(F.broadcast(idf_sums.select("qid", "n_off")), "qid")
-        .filter(F.size("structs") == F.col("n_off"))
+    qsel = F.broadcast(qterms.select("qid", "off", "term_id"))
+    cand = positions.join(qsel, "term_id").select(
+        "qid", "doc_id", "doclen", F.struct("off", "positions").alias("st")
     )
-    # doclen joins in AFTER grouping: only candidate docs ship their stats
-    grouped = grouped.join(
-        index.docstats.select("doc_id", "doclen"), "doc_id"
-    )
+    # exact-stats pass selection: the dictionary's df column prices the
+    # single-pass (all arrays) vs two-pass (arrayless probe + survivor
+    # arrays) shuffle volumes before anything runs
+    df_rows = [
+        (r["qid"], r["n_off"], r["min_df"], r["sum_df"])
+        for r in qterms.groupBy("qid")
+        .agg(
+            F.count("*").alias("n_off"),
+            F.min("df").alias("min_df"),
+            F.sum("df").alias("sum_df"),
+        )
+        .collect()
+    ]
+    if _choose_two_pass(df_rows):
+        light = positions.join(qsel, "term_id").select(
+            "qid", "doc_id", "doclen", "off"
+        )
+        grouped = _grouped_structs(cand, _conjunctive_docs(light, n_off_all))
+    else:
+        grouped = _single_pass_grouped(cand, n_off_all)
     matched = _verify_and_count(grouped)
     return _topk(
         _score_phrases(matched, idf_sums.select("qid", "idf_sum"), index.stats.avgdl, k1, b),

@@ -147,6 +147,46 @@ def test_bool_must_not_excludes(spark, index, oracle):
         assert m in toks and x not in toks
 
 
+def _bigram_where(oracle, pred):
+    """First document bigram (tok[i], tok[i+1]) satisfying pred(df_i, df_j)."""
+    for d in sorted(oracle.doc_tokens):
+        toks = oracle.doc_tokens[d]
+        for i in range(len(toks) - 1):
+            if pred(oracle.df[toks[i]], oracle.df[toks[i + 1]]):
+                return f"{toks[i]} {toks[i + 1]}"
+    raise AssertionError("no such bigram in fixture corpus")
+
+
+def test_phrase_pass_selection_both_branches(spark, index, positions, oracle):
+    """The cost-based single-pass vs two-pass choice: a rare+common
+    phrase takes the survivor-filtered two-pass plan, a common+common
+    phrase the one-shuffle plan — results oracle-identical either way."""
+    from dpr_spark.query import phrase as ph
+
+    rare_common = _bigram_where(oracle, lambda a, b: min(a, b) <= 3 and max(a, b) >= 30)
+    common_common = _bigram_where(oracle, lambda a, b: min(a, b) >= 30)
+
+    chosen = []
+    orig = ph._choose_two_pass
+
+    def spy(df_rows):
+        out = orig(df_rows)
+        chosen.append(out)
+        return out
+
+    ph._choose_two_pass = spy
+    try:
+        for q, want_two in [(rare_common, True), (common_common, False)]:
+            expect = {0: oracle.phrase_search(q, 10)}
+            rows = ph.phrase_search_index(
+                spark, index, positions, [(0, q)], k=10
+            ).collect()
+            _check_topk(rows, expect, f"pass_sel:{q}")
+            assert chosen[-1] is want_two, (q, chosen)
+    finally:
+        ph._choose_two_pass = orig
+
+
 def test_prefix_search_vs_oracle(spark, index, oracle):
     from dpr_spark.query.boolquery import prefix_search
 
