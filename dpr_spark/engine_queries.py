@@ -1347,6 +1347,80 @@ def q_fuzzy_topk() -> Entry:
     return fn, sql
 
 
+RM3_FB_DOCS_E, RM3_FB_TERMS_E, RM3_ALPHA_E = 5, 8, 0.5
+
+
+def q_rm3_topk() -> Entry:
+    """BM25+RM3 top-10 (the Pyserini strong-baseline twin,
+    query/rm3.py): rounded-rank BM25 top-5 feedback docs -> RM1 term
+    weights (tf/dl * doc score, normalized, top-8, ties term ASC) ->
+    alpha-interpolated weighted BM25 rescore."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.rm3 import rm3_search
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        base = (
+            _bm25_ranked(spark, sf_dir)
+            .filter(F.col("rank") <= RM3_FB_DOCS_E)
+            .select("qid", "doc_id", F.col("score_r").alias("score"))
+        )
+        res = rm3_search(
+            spark, qdf, idx, docs, k=10,
+            fb_terms=RM3_FB_TERMS_E, alpha=RM3_ALPHA_E,
+            lowercase_first=True, selection_round=6, first_pass=base,
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    a = RM3_ALPHA_E
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + f""",
+    fb AS (SELECT qid, doc_id, score_r AS s FROM ranked
+           WHERE rank <= {RM3_FB_DOCS_E}),
+    w_raw AS (
+      SELECT fb.qid, tf.term,
+             sum(tf.tf::DOUBLE / ds.doclen * fb.s) AS w_raw
+      FROM fb JOIN tf USING (doc_id) JOIN ds USING (doc_id)
+      GROUP BY 1, 2),
+    tot AS (SELECT qid, sum(w_raw) AS w_total FROM w_raw GROUP BY 1),
+    w_norm AS (
+      SELECT w_raw.qid, w_raw.term, w_raw.w_raw / tot.w_total AS w_norm,
+             row_number() OVER (PARTITION BY w_raw.qid
+                                ORDER BY round(w_raw.w_raw / tot.w_total, 6) DESC,
+                                         w_raw.term) AS r
+      FROM w_raw JOIN tot USING (qid)),
+    expn AS (SELECT qid, term, ({1.0 - a}) * w_norm AS w FROM w_norm
+             WHERE r <= {RM3_FB_TERMS_E}),
+    nq AS (SELECT qid, count(*) AS n_terms FROM qt GROUP BY 1),
+    orig AS (SELECT qt.qid, qt.term, {a} / nq.n_terms AS w
+             FROM qt JOIN nq USING (qid)),
+    fin AS (SELECT qid, term, sum(w) AS w
+            FROM (SELECT * FROM orig UNION ALL SELECT * FROM expn)
+            GROUP BY 1, 2),
+    rescored AS (
+      SELECT fin.qid, tf.doc_id,
+             sum(fin.w * {_BM25_COMPONENT}) AS score
+      FROM fin JOIN dict USING (term) JOIN tf USING (term)
+           JOIN ds ON tf.doc_id = ds.doc_id CROSS JOIN stats
+      GROUP BY 1, 2),
+    reranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM rescored)
+    SELECT qid, rank, doc_id, score_r FROM reranked WHERE rank <= 10"""
+    )
+    return fn, sql
+
+
 MLT_SEEDS = [(0, 0), (1, 7), (2, 42)]  # (qid, seed doc_id)
 MLT_MIN_TF, MLT_MIN_DF, MLT_MAX_TERMS_E = 2, 3, 10
 
@@ -2242,4 +2316,5 @@ def all_entries() -> Dict[str, Entry]:
         "fuzzy_topk": q_fuzzy_topk(),
         "highlight_topk": q_highlight_topk(),
         "mlt_topk": q_mlt_topk(),
+        "rm3_topk": q_rm3_topk(),
     }

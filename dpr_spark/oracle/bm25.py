@@ -185,6 +185,45 @@ class BM25Oracle:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def rm3_search(
+        self,
+        question: str,
+        k: int = 10,
+        fb_docs: int = 10,
+        fb_terms: int = 10,
+        alpha: float = 0.5,
+    ) -> List[Tuple[int, float]]:
+        """RM3 twin (query/rm3.py contract): BM25 top fb_docs -> RM1
+        term weights (tf/dl * doc_score, normalized, top fb_terms, ties
+        term ASC) -> alpha-interpolated weighted BM25 rescore."""
+        base = self.search(question, fb_docs)
+        w_raw: Dict[str, float] = {}
+        for d, s in base:
+            toks = self.doc_tokens[d]
+            dl = len(toks)
+            tf: Dict[str, int] = {}
+            for t in toks:
+                tf[t] = tf.get(t, 0) + 1
+            for t, c in tf.items():
+                w_raw[t] = w_raw.get(t, 0.0) + (c / dl) * s
+        total = sum(w_raw.values())
+        exp: Dict[str, float] = {}
+        if total > 0:
+            cand = sorted((-(w / total), t) for t, w in w_raw.items())
+            exp = {t: -negw for negw, t in cand[:fb_terms]}
+        qterms = sorted(set(tokenize(normalize_question(question))))
+        final: Dict[str, float] = {}
+        for t in qterms:
+            final[t] = final.get(t, 0.0) + alpha / len(qterms)
+        for t, wn in exp.items():
+            final[t] = final.get(t, 0.0) + (1.0 - alpha) * wn
+        scores: Dict[int, float] = {}
+        for t, wt in final.items():
+            for d in self.postings.get(t, ()):
+                scores[d] = scores.get(d, 0.0) + wt * self.score_one(t, d)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def more_like_this(
         self,
         seed_doc: int,
