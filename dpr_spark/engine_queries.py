@@ -1347,6 +1347,111 @@ def q_fuzzy_topk() -> Entry:
     return fn, sql
 
 
+def q_facet_counts() -> Entry:
+    """Facet value histograms (lang, source) over the BM25 top-10
+    (Lucene faceting twin, query/facets.py)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.query.facets import facet_counts
+
+        top = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= 10)
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+        return facet_counts(top, docs, ["lang", "source"])
+
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + """,
+    top10 AS (SELECT qid, doc_id FROM ranked WHERE rank <= 10),
+    j AS (SELECT t.qid, d.lang, d.source
+          FROM top10 t JOIN documents d USING (doc_id)),
+    fv AS (
+      SELECT qid, 'lang' AS facet, lang::VARCHAR AS value FROM j
+      UNION ALL
+      SELECT qid, 'source' AS facet, source::VARCHAR AS value FROM j)
+    SELECT qid, facet, value, count(*) AS n
+    FROM fv WHERE value IS NOT NULL GROUP BY 1, 2, 3"""
+    )
+    return fn, sql
+
+
+SPAN_WINDOW = 6
+SPAN_QUERIES = [
+    (0, "spark window agg"),
+    (1, "customer join"),
+    (2, "fast filter"),
+    (3, "hash sort key"),
+    (4, "stream data"),
+    (5, "spark zzznope"),  # OOV -> no rows
+]
+
+
+def q_span_near_topk() -> Entry:
+    """Unordered proximity top-10 (Lucene SpanNearQuery twin,
+    query/phrase.py span_near_search_index): all distinct query terms
+    within a SPAN_WINDOW-token span; tf = qualifying end positions,
+    idf = per-term sum."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.phrase import build_positions, span_near_search_index
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        pos = build_positions(docs, idx.dictionary)
+        res = span_near_search_index(
+            spark, idx, pos, SPAN_QUERIES, window=SPAN_WINDOW, k=10
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    from dpr_spark.query.phrase import _near_terms
+
+    term_values = ", ".join(
+        f"({qid}, '{t}')" for qid, _off, t in _near_terms(SPAN_QUERIES)
+    )
+    W = SPAN_WINDOW
+    sql = f"""
+    WITH {_POS_CTES},
+    q AS (SELECT * FROM (VALUES {term_values}) AS q(qid, term)),
+    qn AS (SELECT qid, count(*) AS n_terms FROM q GROUP BY 1),
+    idf AS (
+      SELECT q.qid,
+             sum(ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)) AS idf_sum,
+             count(*) AS n_res
+      FROM q JOIN dict USING (term) CROSS JOIN stats GROUP BY 1),
+    idf_ok AS (SELECT idf.qid, idf.idf_sum FROM idf JOIN qn USING (qid)
+               WHERE idf.n_res = qn.n_terms),
+    hits AS (SELECT q.qid, pos.doc_id, q.term, pos.p
+             FROM q JOIN pos USING (term)),
+    ends AS (SELECT DISTINCT qid, doc_id, p FROM hits),
+    covered AS (
+      SELECT e.qid, e.doc_id, e.p, count(DISTINCT h.term) AS nt
+      FROM ends e JOIN hits h ON h.qid = e.qid AND h.doc_id = e.doc_id
+           AND h.p <= e.p AND h.p > e.p - {W}
+      GROUP BY 1, 2, 3),
+    pf AS (
+      SELECT c.qid, c.doc_id, count(*) AS pf
+      FROM covered c JOIN qn USING (qid) WHERE c.nt = qn.n_terms
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT pf.qid, pf.doc_id,
+             idf_ok.idf_sum * pf.pf * {BM25_K1 + 1.0}
+             / (pf.pf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl))
+             AS score
+      FROM pf JOIN idf_ok USING (qid)
+           JOIN ds ON pf.doc_id = ds.doc_id CROSS JOIN stats),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 RM3_FB_DOCS_E, RM3_FB_TERMS_E, RM3_ALPHA_E = 5, 8, 0.5
 
 
@@ -2317,4 +2422,6 @@ def all_entries() -> Dict[str, Entry]:
         "highlight_topk": q_highlight_topk(),
         "mlt_topk": q_mlt_topk(),
         "rm3_topk": q_rm3_topk(),
+        "span_near_topk": q_span_near_topk(),
+        "facet_counts": q_facet_counts(),
     }

@@ -185,6 +185,37 @@ class BM25Oracle:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def span_near_search(
+        self, query: str, k: int = 10, window: int = 8
+    ) -> List[Tuple[int, float]]:
+        """SpanNear (unordered) twin: all distinct query terms within a
+        window-token span; pf = qualifying end positions, idf = per-term
+        sum; OOV term -> no matches."""
+        terms = sorted(set(tokenize(normalize_question(query))))
+        if not terms or any(t not in self.postings for t in terms):
+            return []
+        idf_sum = sum(self.idf(t) for t in terms)
+        # docs containing every term
+        docs = set(self.postings[terms[0]])
+        for t in terms[1:]:
+            docs &= set(self.postings[t])
+        scores: Dict[int, float] = {}
+        for d in docs:
+            pos = {
+                t: [i for i, tok in enumerate(self.doc_tokens[d]) if tok == t]
+                for t in terms
+            }
+            ends = sorted({p for ps in pos.values() for p in ps})
+            pf = sum(
+                1
+                for p in ends
+                if all(any(p - window < x <= p for x in pos[t]) for t in terms)
+            )
+            if pf:
+                scores[d] = self._score_pf(pf, d, idf_sum)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def rm3_search(
         self,
         question: str,

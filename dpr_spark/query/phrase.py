@@ -340,6 +340,101 @@ def phrase_search_docs(
         pos.unpersist()
 
 
+def _verify_and_count_near(grouped: DataFrame, window: int) -> DataFrame:
+    """Span-near verify: pf = number of END positions p (over all term
+    occurrences) where every query term occurs in (p - window, p].
+    Deterministic, monotone in proximity and frequency — the unordered
+    SpanNearQuery counting contract."""
+    s = F.col("structs")
+    ends = F.array_distinct(
+        F.flatten(F.transform(s, lambda x: x["positions"]))
+    )
+    covered = F.filter(
+        ends,
+        lambda p: F.forall(
+            s,
+            lambda x: F.exists(
+                x["positions"], lambda y: (y <= p) & (y > p - F.lit(window))
+            ),
+        ),
+    )
+    return (
+        grouped.withColumn("pf", F.size(covered))
+        .filter(F.col("pf") > 0)
+        .select("qid", "doc_id", "doclen", "pf")
+    )
+
+
+def _near_terms(queries: Sequence[Tuple[int, str]]):
+    """[(qid, query)] -> [(qid, off, term)] over DISTINCT terms (off is
+    just an index so the phrase plumbing's n_off completeness check
+    counts distinct terms)."""
+    from dpr_spark.functions.normalize import normalize_question
+    from dpr_spark.functions.tokenizer import tokenize
+
+    rows: List[Tuple[int, int, str]] = []
+    for qid, q in queries:
+        for off, t in enumerate(sorted(set(tokenize(normalize_question(q))))):
+            rows.append((qid, off, t))
+    return rows
+
+
+def span_near_search_index(
+    spark: SparkSession,
+    index,
+    positions: DataFrame,
+    queries: Sequence[Tuple[int, str]],
+    window: int = 8,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Unordered proximity top-k over a prebuilt positional index
+    (Lucene SpanNearQuery, inOrder=false, slop≈window): all the query's
+    distinct terms must co-occur within a `window`-token span; tf = the
+    qualifying end-position count, idf = per-term idf sum. Shares the
+    phrase path's candidate plumbing including cost-based pass
+    selection; an OOV term means no document can match."""
+    qrows = _near_terms(queries)
+    if not qrows:
+        raise ValueError("no tokenizable queries")
+    qdf = spark.createDataFrame(qrows, "qid int, off int, term string")
+    qterms = qdf.join(
+        F.broadcast(index.dictionary.select("term", "term_id", "idf", "df")), "term"
+    )
+    n_off_all = qdf.groupBy("qid").agg(F.count("*").alias("n_off"))
+    idf_sums = (
+        qterms.groupBy("qid")
+        .agg(F.sum("idf").alias("idf_sum"), F.count("*").alias("n_res"))
+        .join(n_off_all, "qid")
+        .filter(F.col("n_res") == F.col("n_off"))
+        .select("qid", "idf_sum")
+    )
+    qsel = F.broadcast(qterms.select("qid", "off", "term_id"))
+    cand = positions.join(qsel, "term_id").select(
+        "qid", "doc_id", "doclen", F.struct("off", "positions").alias("st")
+    )
+    df_rows = [
+        (r["qid"], r["n_off"], r["min_df"], r["sum_df"])
+        for r in qterms.groupBy("qid")
+        .agg(
+            F.count("*").alias("n_off"),
+            F.min("df").alias("min_df"),
+            F.sum("df").alias("sum_df"),
+        )
+        .collect()
+    ]
+    if _choose_two_pass(df_rows):
+        light = positions.join(qsel, "term_id").select(
+            "qid", "doc_id", "doclen", "off"
+        )
+        grouped = _grouped_structs(cand, _conjunctive_docs(light, n_off_all))
+    else:
+        grouped = _single_pass_grouped(cand, n_off_all)
+    matched = _verify_and_count_near(grouped, window)
+    return _topk(_score_phrases(matched, idf_sums, index.stats.avgdl, k1, b), k)
+
+
 def phrase_search_index(
     spark: SparkSession,
     index,

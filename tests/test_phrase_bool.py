@@ -187,6 +187,46 @@ def test_phrase_pass_selection_both_branches(spark, index, positions, oracle):
         ph._choose_two_pass = orig
 
 
+@pytest.mark.parametrize("window", [3, 8, 50])
+def test_span_near_vs_oracle(spark, index, positions, oracle, window):
+    from dpr_spark.query.phrase import span_near_search_index
+
+    doc_ids = sorted(oracle.doc_tokens)
+    queries = []
+    for i, d in enumerate(doc_ids[:5]):
+        toks = oracle.doc_tokens[d]
+        if len(toks) >= 12:
+            # terms sampled non-adjacently from a real doc -> guaranteed
+            # co-occurrence at SOME window size
+            queries.append((i, f"{toks[1]} {toks[6]} {toks[10]}"))
+    queries.append((9, "zzzunseen thing"))
+    expect = {
+        qid: oracle.span_near_search(q, k=20, window=window) for qid, q in queries
+    }
+    if window >= 50:
+        assert sum(len(v) for v in expect.values()) > 0
+    rows = span_near_search_index(
+        spark, index, positions, queries, window=window, k=20
+    ).collect()
+    _check_topk(rows, expect, f"span_near_w{window}")
+
+
+def test_span_near_window_monotone(spark, index, positions, oracle):
+    """A wider window can only add matches (per qid, the matched doc set
+    grows monotonically with window)."""
+    from dpr_spark.query.phrase import span_near_search_index
+
+    d = sorted(oracle.doc_tokens)[2]
+    toks = oracle.doc_tokens[d]
+    q = [(0, f"{toks[0]} {toks[5]}")]
+    sets = []
+    for w in (2, 10, 100):
+        rows = span_near_search_index(spark, index, positions, q, window=w, k=1000)
+        sets.append({r.doc_id for r in rows.collect()})
+    assert sets[0] <= sets[1] <= sets[2]
+    assert sets[2]  # the widest window certainly matches the source doc
+
+
 def test_prefix_search_vs_oracle(spark, index, oracle):
     from dpr_spark.query.boolquery import prefix_search
 
