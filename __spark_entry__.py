@@ -3,11 +3,14 @@
 entry(spark)    -> flagship BM25 top-k query over sf0.001 documents.
 queries()       -> one entry per implemented operator (SURVEY.md §2),
                    implemented in dpr_spark.engine_queries.
-oracle_sql()    -> DuckDB twins for EVERY entry (41/41 since round 4:
+oracle_sql()    -> DuckDB twins for EVERY entry (50/50 since round 4:
                    the nested-JSON sinks compare as canonical Jackson
-                   wire bytes rebuilt with string_agg, and the table-
-                   parser fixture's chunk algebra has a slice-arithmetic
-                   SQL spelling — see engine_queries.py docstrings).
+                   wire bytes rebuilt with string_agg, the table-parser
+                   fixture's chunk algebra has a slice-arithmetic SQL
+                   spelling, and the round-4 Lucene-parity query surface
+                   — phrase/bool/prefix/fuzzy/span-near/highlight/
+                   more-like-this/RM3/facets — each carries a positions-
+                   or expansion-based SQL twin; see engine_queries.py).
 """
 
 from __future__ import annotations

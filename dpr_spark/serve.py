@@ -31,6 +31,7 @@ def make_searcher(
     engine: str = "segments",
     index_dir: Optional[str] = None,
     k: int = DEFAULT_TOP_K,
+    positions: Optional[DataFrame] = None,
 ) -> Tuple[Callable[[DataFrame], DataFrame], Callable[[], None]]:
     """(search_fn, close_fn): search_fn(queries_df) -> results_df with the
     serving tables resident. Resident state: the dictionary (query-term
@@ -39,6 +40,8 @@ def make_searcher(
     storage layout when the index directory carries one (then nothing is
     cached; the bucketed scan serves straight from storage)."""
     persisted = []
+    if positions is None:
+        positions = getattr(idx, "positions", None)
 
     def hold(df: DataFrame) -> DataFrame:
         df = df.persist()
@@ -91,6 +94,29 @@ def make_searcher(
 
         def fn(queries: DataFrame, k: int = k) -> DataFrame:
             return search(queries, idx, k=k)
+
+    elif engine == "phrase":
+        from dpr_spark.query.phrase import phrase_search_index
+
+        pos_path = index_dir and os.path.join(index_dir, "positions")
+        if positions is not None:
+            pos = hold(positions)
+        elif pos_path and os.path.isdir(pos_path):
+            pos = hold(spark.read.parquet(pos_path))
+        else:
+            raise ValueError(
+                "engine='phrase' needs positional postings "
+                "(build_index.py --positional)"
+            )
+
+        def fn(queries: DataFrame, k: int = k) -> DataFrame:
+            # phrase strings ride to the driver — the same per-wave
+            # boundary as the term-resolution payload (~bytes/query)
+            phrases = [
+                (r.qid, r.question)
+                for r in queries.select("qid", "question").collect()
+            ]
+            return phrase_search_index(spark, idx, pos, phrases, k=k)
 
     else:
         raise ValueError(engine)

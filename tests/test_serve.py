@@ -100,3 +100,32 @@ def test_serve_loop_coalesces_backlog_same_results(spark, index, queries_pdf, tm
             for r in search(spark.createDataFrame(pdf), index, k=5).collect()
         )
         assert got == exp, name
+
+
+def test_make_searcher_phrase_engine(spark, index, pages_pdf, oracle, tmp_path):
+    """engine='phrase': positions resident, batch answers == oracle."""
+    from dpr_spark.fixtures.corpus import assign_doc_ids
+    from dpr_spark.query.phrase import build_positions
+    from dpr_spark.serve import make_searcher
+
+    pw = assign_doc_ids(pages_pdf)
+    docs = spark.createDataFrame(pw[["doc_id", "text"]])
+    pos = build_positions(docs, index.dictionary)
+
+    d = sorted(oracle.doc_tokens)[4]
+    phrase = " ".join(oracle.doc_tokens[d][1:3])
+    qdf = spark.createDataFrame([(0, phrase)], ["qid", "question"])
+
+    searcher, close = make_searcher(spark, index, engine="phrase", k=5, positions=pos)
+    try:
+        got = sorted(
+            (r.qid, r.rank, r.doc_id, round(r.score, 9)) for r in searcher(qdf).collect()
+        )
+    finally:
+        close()
+    exp = [
+        (0, i + 1, doc, round(s, 9))
+        for i, (doc, s) in enumerate(oracle.phrase_search(phrase, 5))
+    ]
+    assert got == exp
+    assert exp  # the bigram really matched
