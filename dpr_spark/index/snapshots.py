@@ -305,12 +305,12 @@ def snapshot_index(
     }
     if idx.blocks is not None:
         tables["blocks"] = idx.blocks
-    return catalog.commit(
-        tables,
-        operation,
-        properties={"n_docs": idx.stats.n_docs, "avgdl": idx.stats.avgdl},
-        timestamp_ms=timestamp_ms,
-    )
+    if getattr(idx, "positions", None) is not None:
+        tables["positions"] = idx.positions
+    props = {"n_docs": idx.stats.n_docs, "avgdl": idx.stats.avgdl}
+    if getattr(idx, "id_strategy", None):
+        props["id_strategy"] = idx.id_strategy
+    return catalog.commit(tables, operation, properties=props, timestamp_ms=timestamp_ms)
 
 
 def load_index_at(
@@ -325,6 +325,7 @@ def load_index_at(
     snap = catalog._resolve(snapshot_id, as_of_ms)
     props = snap.get("properties", {})
     has_blocks = "blocks" in snap["manifest"]
+    has_pos = "positions" in snap["manifest"]
     sid = snap["snapshot_id"]
     return InvertedIndex(
         docstats=catalog.read("docstats", snapshot_id=sid),
@@ -332,4 +333,6 @@ def load_index_at(
         postings=catalog.read("postings", snapshot_id=sid),
         blocks=catalog.read("blocks", snapshot_id=sid) if has_blocks else None,
         stats=IndexStats(int(props["n_docs"]), float(props["avgdl"])),
+        id_strategy=props.get("id_strategy"),
+        positions=catalog.read("positions", snapshot_id=sid) if has_pos else None,
     )
