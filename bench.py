@@ -316,6 +316,27 @@ def main() -> None:
         except Exception as e:
             print(f"bench phrase extras failed: {e}", file=sys.stderr)
 
+    # --- round-4 Lucene-parity query surface (extra-only, 1 rep each:
+    # the driver-table corpus; each entry is self-contained incl. its
+    # index build, so these are end-to-end entry latencies, not engine
+    # throughput — keep `queries` identical to earlier rounds)
+    parity_total = 0.0
+    for name in [
+        "phrase_topk", "bool_topk", "prefix_topk", "fuzzy_topk",
+        "span_near_topk", "highlight_topk", "mlt_topk", "rm3_topk",
+        "facet_counts",
+    ]:
+        try:
+            fn, _ = entries[name]
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            w = round(time.perf_counter() - t0, 3)
+            extra[f"entry_{name}_sec"] = w
+            parity_total += w
+        except Exception as e:
+            print(f"bench entry {name} failed: {e}", file=sys.stderr)
+    extra["lucene_parity_suite_sec"] = round(parity_total, 3)
+
     total = round(sum(v for v in timings.values() if v > 0), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
