@@ -1347,6 +1347,57 @@ def q_fuzzy_topk() -> Entry:
     return fn, sql
 
 
+WILDCARD_QUERIES = [(0, "sp*k"), (1, "?oin"), (2, "w*"), (3, "*a*e*"), (4, "zz*")]
+WILDCARD_EXP = 4
+
+
+def q_wildcard_topk() -> Entry:
+    """Wildcard top-10 (Lucene WildcardQuery twin,
+    query/boolquery.py wildcard_search): `*`/`?` glob expands to the
+    {WILDCARD_EXP} highest-df matching terms, scored as a disjunction."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.boolquery import wildcard_search
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        res = wildcard_search(
+            spark, WILDCARD_QUERIES, idx, k=10, max_expansions=WILDCARD_EXP
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    from dpr_spark.query.boolquery import wildcard_regex
+
+    rx_values = ", ".join(
+        f"({qid}, '{wildcard_regex(p)}')" for qid, p in WILDCARD_QUERIES
+    )
+    sql = f"""
+    WITH {_POS_CTES},
+    p AS (SELECT * FROM (VALUES {rx_values}) AS p(qid, rx)),
+    exp AS (
+      SELECT p.qid, d.term,
+             row_number() OVER (PARTITION BY p.qid
+                                ORDER BY d.df DESC, d.term) AS r
+      FROM p JOIN dict d ON regexp_matches(d.term, p.rx)),
+    qt2 AS (SELECT qid, term FROM exp WHERE r <= {WILDCARD_EXP}),
+    scored AS (
+      SELECT qt2.qid, tf.doc_id, sum({_BM25_COMPONENT}) AS score
+      FROM qt2 JOIN dict USING (term) JOIN tf USING (term)
+           JOIN ds ON tf.doc_id = ds.doc_id CROSS JOIN stats
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 def q_facet_counts() -> Entry:
     """Facet value histograms (lang, source) over the BM25 top-10
     (Lucene faceting twin, query/facets.py)."""
@@ -2424,4 +2475,5 @@ def all_entries() -> Dict[str, Entry]:
         "rm3_topk": q_rm3_topk(),
         "span_near_topk": q_span_near_topk(),
         "facet_counts": q_facet_counts(),
+        "wildcard_topk": q_wildcard_topk(),
     }

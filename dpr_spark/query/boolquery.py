@@ -145,6 +145,63 @@ def expand_prefix(
     )
 
 
+def wildcard_regex(pattern: str) -> str:
+    """`*`/`?` glob -> anchored regex, literals escaped. The escaped
+    form uses only constructs Java regex and RE2 read identically, so
+    the Spark engine and a DuckDB oracle expand the same term set."""
+    import re as _re
+
+    out = []
+    for ch in pattern.lower():
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def expand_wildcard(
+    index: InvertedIndex, patterns: DataFrame, max_expansions: int = 16
+) -> DataFrame:
+    """patterns(qid, rx) -> (qid, term, term_id, idf): the
+    `max_expansions` highest-df matching dictionary terms per pattern
+    (ties term ASC) — the PrefixQuery rewrite generalized to globs."""
+    cand = F.broadcast(patterns).join(
+        index.dictionary.select("term", "term_id", "idf", "df"),
+        F.expr("term RLIKE rx"),  # column-valued pattern needs the SQL form
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_expansions)
+        .select("qid", "term", "term_id", "idf")
+    )
+
+
+def wildcard_search(
+    spark: SparkSession,
+    patterns: Sequence[Tuple[int, str]],
+    index: InvertedIndex,
+    k: int = DEFAULT_TOP_K,
+    max_expansions: int = 16,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Lucene WildcardQuery: `*` = any run, `?` = one char; expansion
+    scores as a disjunction (same contract as prefix_search)."""
+    pdf = spark.createDataFrame(
+        [(qid, wildcard_regex(p)) for qid, p in patterns], "qid int, rx string"
+    )
+    qt = expand_wildcard(index, pdf, max_expansions)
+    joined = index.postings.join(F.broadcast(qt.select("qid", "term_id", "idf")), "term_id")
+    scored = joined.groupBy("qid", "doc_id").agg(
+        F.sum(_component(index.stats.avgdl, k1, b)).alias("score")
+    )
+    return _topk(scored, k)
+
+
 def prefix_search(
     spark: SparkSession,
     prefixes: Sequence[Tuple[int, str]],

@@ -244,6 +244,26 @@ def test_prefix_search_vs_oracle(spark, index, oracle):
     _check_topk(rows, expect, "prefix")
 
 
+def test_wildcard_search_vs_oracle(spark, index, oracle):
+    from dpr_spark.query.boolquery import wildcard_search
+
+    terms = sorted(oracle.df, key=lambda t: -oracle.df[t])
+    t0, t1 = terms[0], terms[4]
+    cases = [
+        (0, f"{t0[0]}*"),                         # prefix-equivalent glob
+        (1, f"*{t1[-1]}"),                        # suffix
+        (2, f"{t0[0]}?{t0[2:]}" if len(t0) >= 3 else f"{t0}?"),  # ? wildcard
+        (3, "*"),                                 # matches everything (capped)
+        (4, "zzz*nope"),                          # no match
+    ]
+    expect = {
+        qid: oracle.wildcard_search(p, k=15, max_expansions=4) for qid, p in cases
+    }
+    assert sum(len(v) for v in expect.values()) > 0
+    rows = wildcard_search(spark, cases, index, k=15, max_expansions=4).collect()
+    _check_topk(rows, expect, "wildcard")
+
+
 def test_index_save_load_roundtrip_with_positions(
     spark, pages_df, oracle, tmp_path
 ):
