@@ -206,3 +206,40 @@ def test_bool_exclusion_is_broadcast_anti_join(spark, index):
     plan = _explain(bool_search(spark, [(0, ["word"], [], ["one"])], index, k=5))
     assert "LeftAnti" in plan
     assert "hashpartitioning(term_id" not in plan
+
+
+def test_wildcard_expansion_stays_on_dictionary_scan(spark, index):
+    from dpr_spark.query.boolquery import wildcard_search
+
+    plan = _explain(wildcard_search(spark, [(0, "wo*")], index, k=5))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "hashpartitioning(term_id" not in plan
+
+
+def test_mlt_tokenizes_only_seed_docs(spark, index, pages_df, tmp_path):
+    """MoreLikeThis reads term vectors from stored text: the seed-id
+    side is broadcast into the docs scan (no full-corpus tokenize
+    shuffle), and postings are probed in place."""
+    from dpr_spark.fixtures.corpus import assign_doc_ids, gen_pages_pdf
+    from dpr_spark.query.morelikethis import more_like_this
+
+    pw = assign_doc_ids(gen_pages_pdf(50, seed=3))
+    docs = spark.createDataFrame(pw[["doc_id", "text"]])
+    seeds = spark.createDataFrame([(0, 1)], "qid int, doc_id long")
+    plan = _explain(more_like_this(spark, seeds, docs, index, k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(term_id" not in plan
+    # the seed-doc text join keys on doc_id with the tiny side broadcast
+    assert "BroadcastExchange" in plan
+
+
+def test_rm3_postings_probed_in_place(spark, index, pages_df):
+    from dpr_spark.fixtures.corpus import assign_doc_ids, gen_pages_pdf
+    from dpr_spark.query.rm3 import rm3_search
+
+    pw = assign_doc_ids(gen_pages_pdf(50, seed=3))
+    docs = spark.createDataFrame(pw[["doc_id", "text"]])
+    qdf = spark.createDataFrame([(0, "word one")], ["qid", "question"])
+    plan = _explain(rm3_search(spark, qdf, index, docs, k=5))
+    assert "hashpartitioning(term_id" not in plan
+    assert "BroadcastHashJoin" in plan
