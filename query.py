@@ -45,6 +45,14 @@ def main(argv=None) -> None:
                     help="'phrase' treats each question as an exact phrase "
                          "(requires an index built with --positional)")
     ap.add_argument("--eval", action="store_true")
+    ap.add_argument("--rm3", action="store_true",
+                    help="BM25+RM3 pseudo-relevance feedback: the chosen "
+                         "engine's top --rm3-fb-docs feed an RM1 expansion "
+                         "and a weighted rescore (requires --pages for the "
+                         "feedback docs' text)")
+    ap.add_argument("--rm3-fb-docs", type=int, default=10)
+    ap.add_argument("--rm3-fb-terms", type=int, default=10)
+    ap.add_argument("--rm3-alpha", type=float, default=0.5)
     ap.add_argument("--pages", default=None, help="pages parquet (doc text for --eval)")
     ap.add_argument("--delta-dir", default=None,
                     help="streaming delta dir (streaming/refresh.py): serve "
@@ -152,13 +160,33 @@ def main(argv=None) -> None:
         from dpr_spark.query.scorer import search
 
         results = search(queries, idx, k=args.k)
+    if args.rm3:
+        if args.engine == "phrase":
+            raise SystemExit("--rm3 expands term queries, not phrases")
+        if not args.pages:
+            raise SystemExit("--rm3 requires --pages (feedback docs' text)")
+        from pyspark.sql import functions as F
+
+        from dpr_spark.query.rm3 import rm3_search
+
+        pages_df = spark.read.parquet(args.pages).select("url", "text")
+        docs_text = idx.docstats.join(pages_df, "url").select("doc_id", "text")
+        fb = results.filter(F.col("rank") <= args.rm3_fb_docs).select(
+            "qid", "doc_id", "score"
+        )
+        results = rm3_search(
+            spark, queries, idx, docs_text, k=args.k,
+            fb_docs=args.rm3_fb_docs, fb_terms=args.rm3_fb_terms,
+            alpha=args.rm3_alpha, first_pass=fb,
+        )
     results = results.persist()
     n_res = results.count()
     wall = time.perf_counter() - t0
     n_q = queries.count()
     results.write.mode("overwrite").parquet(os.path.join(args.out, "results"))
+    engine_label = args.engine + ("+rm3" if args.rm3 else "")
     print(f"searched {n_q} queries (k={args.k}, {n_res} rows) in {wall:.2f}s "
-          f"= {n_q / wall:.1f} q/s [{args.engine}]")
+          f"= {n_q / wall:.1f} q/s [{engine_label}]")
 
     if args.eval:
         if not args.pages:

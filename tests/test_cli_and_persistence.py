@@ -88,6 +88,20 @@ def test_cli_build_and_query(tmp_path, pages_pdf, queries_pdf):
     nrows = _pq.read_table(str(tmp_path / "run_phrase" / "results")).num_rows
     assert nrows > 0
 
+    # RM3 expansion layered over the segments engine
+    out4 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "query.py"),
+         "--index", str(tmp_path / "idx"), "--queries", str(tmp_path / "qa.tsv"),
+         "--k", "5", "--out", str(tmp_path / "run_rm3"),
+         "--engine", "segments", "--rm3", "--rm3-fb-docs", "5",
+         "--pages", pages_path],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out4.returncode == 0, out4.stderr[-2000:]
+    assert "[segments+rm3]" in out4.stdout
+    nrows = _pq.read_table(str(tmp_path / "run_rm3" / "results")).num_rows
+    assert nrows > 0
+
 
 @pytest.mark.slow
 def test_cli_blockmax_storage_roundtrip(tmp_path, pages_pdf, queries_pdf):
