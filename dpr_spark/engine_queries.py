@@ -1641,6 +1641,48 @@ def q_mlt_topk() -> Entry:
     return fn, sql
 
 
+SPELL_QUERIES = [(0, "spqrk windaw"), (1, "custmer"), (2, "join scan")]
+SPELL_N = 3
+
+
+def q_spell_suggest() -> Entry:
+    """Did-you-mean suggestions (Lucene DirectSpellChecker twin,
+    query/fuzzy.py spell_suggest): per OOV token, the top-{SPELL_N}
+    dictionary terms within 2 edits sharing the first letter, ranked
+    (dist ASC, df DESC, term ASC). In-vocab tokens yield no rows."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.fuzzy import spell_suggest
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        return spell_suggest(spark, SPELL_QUERIES, idx, n_suggestions=SPELL_N)
+
+    from dpr_spark.query.fuzzy import _clauses
+
+    clause_values = ", ".join(
+        f"({qid}, '{c}')" for qid, c in _clauses(SPELL_QUERIES)
+    )
+    sql = f"""
+    WITH {_POS_CTES},
+    c AS (SELECT * FROM (VALUES {clause_values}) AS c(qid, clause)),
+    oov AS (
+      SELECT c.qid, c.clause FROM c LEFT JOIN dict d ON d.term = c.clause
+      WHERE coalesce(d.df, 0) <= 0),
+    exp AS (
+      SELECT oov.qid, oov.clause, d.term, d.df,
+             row_number() OVER (
+               PARTITION BY oov.qid, oov.clause
+               ORDER BY levenshtein(d.term, oov.clause), d.df DESC, d.term) AS r
+      FROM oov JOIN dict d
+        ON levenshtein(d.term, oov.clause) <= 2
+       AND substr(d.term, 1, 1) = substr(oov.clause, 1, 1))
+    SELECT qid, clause, r::INT AS rank, term AS suggestion, df
+    FROM exp WHERE r <= {SPELL_N}"""
+    return fn, sql
+
+
 HL_WINDOW = 20
 
 
@@ -2476,4 +2518,5 @@ def all_entries() -> Dict[str, Entry]:
         "span_near_topk": q_span_near_topk(),
         "facet_counts": q_facet_counts(),
         "wildcard_topk": q_wildcard_topk(),
+        "spell_suggest": q_spell_suggest(),
     }

@@ -306,6 +306,36 @@ class BM25Oracle:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def spell_suggest(
+        self,
+        query: str,
+        max_edits: int = 2,
+        min_df_ratio: float = 0.0,
+        n_suggestions: int = 3,
+        prefix_len: int = 1,
+    ) -> Dict[str, List[Tuple[int, str, int]]]:
+        """DirectSpellChecker twin: per low-df/OOV token, the top
+        suggestions (dist ASC, df DESC, term ASC) sharing a prefix.
+        -> {clause: [(rank, suggestion, df)]}."""
+        bar = min_df_ratio * self.N
+        out: Dict[str, List[Tuple[int, str, int]]] = {}
+        for c in sorted(set(tokenize(normalize_question(query)))):
+            if self.df.get(c, 0) > bar:
+                continue
+            cand = []
+            for t in self.postings:
+                if prefix_len > 0 and t[:prefix_len] != c[:prefix_len]:
+                    continue
+                d = _levenshtein(c, t, max_edits)
+                if d >= 0:
+                    cand.append((d, -self.df[t], t))
+            cand.sort()
+            out[c] = [
+                (i + 1, t, self.df[t])
+                for i, (_d, _n, t) in enumerate(cand[:n_suggestions])
+            ]
+        return out
+
     def prefix_search(
         self, prefix: str, k: int = 10, max_expansions: int = 16
     ) -> List[Tuple[int, float]]:

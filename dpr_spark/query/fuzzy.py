@@ -77,9 +77,53 @@ def expand_fuzzy(
         F.length("clause"), F.length("term")
     ).cast("double")
     return (
-        cand.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= max_expansions)
-        .select("qid", "clause", "term_id", "idf", boost.alias("boost"))
+        cand.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= max_expansions)
+        .select(
+            "qid", "clause", "term", "term_id", "idf",
+            boost.alias("boost"), "dist", "df", "r",
+        )
+    )
+
+
+def spell_suggest(
+    spark: SparkSession,
+    queries: Sequence[Tuple[int, str]],
+    index: InvertedIndex,
+    max_edits: int = 2,
+    min_df_ratio: float = 0.0,
+    n_suggestions: int = 3,
+    prefix_len: int = 1,
+) -> DataFrame:
+    """Did-you-mean suggestions (Lucene DirectSpellChecker analog):
+    for every query token whose df is <= min_df_ratio * N (0.0 = only
+    out-of-vocabulary tokens), the `n_suggestions` dictionary terms
+    within `max_edits` (sharing a `prefix_len` prefix, the standard
+    spell-check pruning), ranked (distance ASC, df DESC, term ASC).
+
+    -> (qid, clause, rank, suggestion, df). Tokens above the df bar
+    produce no rows. The expansion is the same one-dictionary-scan
+    broadcast join as fuzzy_search."""
+    rows = _clauses(queries)
+    if not rows:
+        raise ValueError("no tokenizable queries")
+    cdf = spark.createDataFrame(rows, "qid int, clause string")
+    df_bar = float(min_df_ratio) * float(index.stats.n_docs)
+    known = index.dictionary.select(
+        F.col("term").alias("clause"), F.col("df").alias("_df")
+    )
+    misspelled = (
+        cdf.join(F.broadcast(known), "clause", "left")
+        .filter(F.coalesce(F.col("_df"), F.lit(0)) <= F.lit(df_bar))
+        .select("qid", "clause")
+    )
+    exp = expand_fuzzy(
+        index, misspelled, max_edits=max_edits,
+        max_expansions=n_suggestions, prefix_len=prefix_len,
+    )
+    return exp.select(
+        "qid", "clause", F.col("r").alias("rank"),
+        F.col("term").alias("suggestion"), "df",
     )
 
 

@@ -87,6 +87,33 @@ def test_fuzzy_search_vs_oracle(
     _check_topk(rows, expect, f"fuzzy_e{max_edits}_x{max_expansions}_p{prefix_len}")
 
 
+def test_spell_suggest_vs_oracle(spark, index, oracle):
+    from dpr_spark.query.fuzzy import spell_suggest
+
+    terms = sorted(oracle.df, key=lambda t: -oracle.df[t])
+    # mutate past position 0: prefix_len=1 pruning requires a shared
+    # first letter (the standard spell-check trade, tested as such)
+    t_long = next(t for t in terms if len(t) >= 5)
+    q0 = f"{t_long[:2]}z{t_long[2:]} {terms[1]}"  # mid-word insert + known
+    q1 = _misspell(terms[6], 1)
+    q2 = terms[2]                                  # in-vocab -> no rows
+    cases = [(0, q0), (1, q1), (2, q2)]
+    rows = spell_suggest(spark, cases, index, n_suggestions=3).collect()
+    got = {}
+    for r in rows:
+        got.setdefault((r.qid, r.clause), []).append((r.rank, r.suggestion, r.df))
+    for v in got.values():
+        v.sort()
+    expect = {}
+    for qid, q in cases:
+        for clause, sugg in oracle.spell_suggest(q, n_suggestions=3).items():
+            if sugg:
+                expect[(qid, clause)] = sugg
+    assert got == expect
+    assert any(qid == 0 for qid, _c in got)  # the misspelling got suggestions
+    assert all(qid != 2 for qid, _c in got)  # in-vocab token produced none
+
+
 def test_fuzzy_exact_term_includes_plain_bm25(spark, index, oracle):
     """dist-0 expansion has boost 1.0, so an exact single-term query's
     fuzzy score >= its plain BM25 score on every returned doc."""
