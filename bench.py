@@ -324,7 +324,7 @@ def main() -> None:
     for name in [
         "phrase_topk", "bool_topk", "prefix_topk", "fuzzy_topk",
         "span_near_topk", "highlight_topk", "mlt_topk", "rm3_topk",
-        "facet_counts",
+        "facet_counts", "wildcard_topk", "spell_suggest",
     ]:
         try:
             fn, _ = entries[name]
