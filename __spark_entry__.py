@@ -3,7 +3,9 @@
 entry(spark)    -> flagship BM25 top-k query over sf0.001 documents.
 queries()       -> one entry per implemented operator (SURVEY.md §2),
                    implemented in dpr_spark.engine_queries.
-oracle_sql()    -> DuckDB twins for EVERY entry (53/53 since round 4:
+oracle_sql()    -> DuckDB twins for EVERY entry — len(oracle_sql()) ==
+                   len(queries()), asserted in tests/test_entry.py (since
+                   round 4:
                    the nested-JSON sinks compare as canonical Jackson
                    wire bytes rebuilt with string_agg, the table-parser
                    fixture's chunk algebra has a slice-arithmetic SQL

@@ -91,7 +91,7 @@ def bool_search(
     rows = _clause_rows(queries)
     if not rows:
         raise ValueError("no tokenizable clauses")
-    qdf = spark.createDataFrame(rows, "qid int, term string, clause string")
+    qdf = spark.createDataFrame(rows, "qid long, term string, clause string")
     qt = qdf.join(
         F.broadcast(index.dictionary.select("term", "term_id", "idf")), "term"
     )
@@ -192,7 +192,7 @@ def wildcard_search(
     """Lucene WildcardQuery: `*` = any run, `?` = one char; expansion
     scores as a disjunction (same contract as prefix_search)."""
     pdf = spark.createDataFrame(
-        [(qid, wildcard_regex(p)) for qid, p in patterns], "qid int, rx string"
+        [(qid, wildcard_regex(p)) for qid, p in patterns], "qid long, rx string"
     )
     qt = expand_wildcard(index, pdf, max_expansions)
     joined = index.postings.join(F.broadcast(qt.select("qid", "term_id", "idf")), "term_id")
@@ -212,7 +212,7 @@ def prefix_search(
     b: float = BM25_B,
 ) -> DataFrame:
     pdf = spark.createDataFrame(
-        [(qid, p.lower()) for qid, p in prefixes], "qid int, prefix string"
+        [(qid, p.lower()) for qid, p in prefixes], "qid long, prefix string"
     )
     qt = expand_prefix(index, pdf, max_expansions)
     joined = index.postings.join(F.broadcast(qt.select("qid", "term_id", "idf")), "term_id")

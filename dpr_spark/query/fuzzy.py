@@ -107,13 +107,19 @@ def spell_suggest(
     rows = _clauses(queries)
     if not rows:
         raise ValueError("no tokenizable queries")
-    cdf = spark.createDataFrame(rows, "qid int, clause string")
+    cdf = spark.createDataFrame(rows, "qid long, clause string")
     df_bar = float(min_df_ratio) * float(index.stats.n_docs)
-    known = index.dictionary.select(
-        F.col("term").alias("clause"), F.col("df").alias("_df")
-    )
+    # resolve clauses by SCANNING the vocab-sized dictionary with the tiny
+    # clause set broadcast (the dictionary is the big side at corpus scale
+    # and never broadcasts — same contract as expand_fuzzy /
+    # _resolve_query_terms); the resolved map is clause-bounded, so IT can
+    # broadcast back onto cdf. OOV clauses fall out of the left join.
+    clause_set = cdf.select("clause").distinct()
+    resolved = index.dictionary.join(
+        F.broadcast(clause_set), F.col("term") == F.col("clause"), "left_semi"
+    ).select(F.col("term").alias("clause"), F.col("df").alias("_df"))
     misspelled = (
-        cdf.join(F.broadcast(known), "clause", "left")
+        cdf.join(F.broadcast(resolved), "clause", "left")
         .filter(F.coalesce(F.col("_df"), F.lit(0)) <= F.lit(df_bar))
         .select("qid", "clause")
     )
@@ -141,7 +147,7 @@ def fuzzy_search(
     rows = _clauses(queries)
     if not rows:
         raise ValueError("no tokenizable queries")
-    cdf = spark.createDataFrame(rows, "qid int, clause string")
+    cdf = spark.createDataFrame(rows, "qid long, clause string")
     qt = expand_fuzzy(
         index, cdf, max_edits=max_edits,
         max_expansions=max_expansions, prefix_len=prefix_len,

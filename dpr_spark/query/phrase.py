@@ -278,15 +278,19 @@ def phrase_search_docs(
     qrows, vocab = _phrase_offsets(phrases)
     if not qrows:
         raise ValueError("no tokenizable phrases")
-    qdf = spark.createDataFrame(qrows, "qid int, off int, term string")
+    qdf = spark.createDataFrame(qrows, "qid long, off int, term string")
 
     pos = doc_term_positions(docs, vocab=vocab).persist()
     try:
         if corpus_stats is None:
-            from dpr_spark.functions.tokenizer import tokenize_col
+            # same Arrow tokenizer as the positional kernel (ADVICE r4:
+            # the Catalyst lowercase-first spelling is only ASCII-equal
+            # to _compiled_fast, so mixing them skews BM25 length
+            # normalization on non-ASCII corpora)
+            from dpr_spark.functions.tokenizer import tokenize_udf
 
             srow = (
-                docs.select(F.size(tokenize_col("text", lowercase_first=True)).alias("dl"))
+                docs.select(F.size(tokenize_udf()(F.col("text"))).alias("dl"))
                 .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
                 .collect()[0]
             )
@@ -398,7 +402,7 @@ def span_near_search_index(
     qrows = _near_terms(queries)
     if not qrows:
         raise ValueError("no tokenizable queries")
-    qdf = spark.createDataFrame(qrows, "qid int, off int, term string")
+    qdf = spark.createDataFrame(qrows, "qid long, off int, term string")
     qterms = qdf.join(
         F.broadcast(index.dictionary.select("term", "term_id", "idf", "df")), "term"
     )
@@ -451,7 +455,7 @@ def phrase_search_index(
     qrows, _ = _phrase_offsets(phrases)
     if not qrows:
         raise ValueError("no tokenizable phrases")
-    qdf = spark.createDataFrame(qrows, "qid int, off int, term string")
+    qdf = spark.createDataFrame(qrows, "qid long, off int, term string")
     qterms = qdf.join(
         F.broadcast(index.dictionary.select("term", "term_id", "idf", "df")), "term"
     )

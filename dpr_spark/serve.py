@@ -174,12 +174,14 @@ def serve_loop(
     batches = []
     wave_idx = 0
 
-    def run_wave(names) -> None:
+    def run_wave(entries) -> None:
+        # entries: [(name, cached queries df, n_queries)] — each batch file
+        # was read ONCE at poll time (count + qid bounds in the same agg)
         nonlocal wave_idx
-        qdfs, counts = [], []
-        for i, name in enumerate(names):
-            q = _read_batch(spark, os.path.join(in_dir, name))
-            counts.append(q.count())
+        names = [e[0] for e in entries]
+        counts = [e[2] for e in entries]
+        qdfs = []
+        for i, (_name, q, _n) in enumerate(entries):
             qdfs.append(
                 q.select(
                     (F.lit(i).cast("long") * _BASE + F.col("qid")).alias("qid"),
@@ -202,6 +204,11 @@ def serve_loop(
         wall = time.perf_counter() - t0
         if len(names) > 1:
             results.unpersist()
+        for _name, q, _n in entries:
+            try:
+                q.unpersist()
+            except Exception:
+                pass
         tot = sum(counts) or 1
         for name, n_q in zip(names, counts):
             share = wall * n_q / tot
@@ -232,19 +239,26 @@ def serve_loop(
         if max_batches is not None:
             pending = pending[: max_batches - len(batches)]
         # coalesce the whole backlog into one wave; batches whose qids
-        # can't be re-keyed run alone, preserving order
+        # can't be re-keyed run alone, preserving order. Each batch file
+        # is read ONCE: cached here, bounds+count in one agg, the same
+        # DataFrame reused by run_wave (ADVICE r4: the old two-reads +
+        # per-batch min/max job re-introduced N fixed job costs).
         group = []
         for name in pending:
-            q = _read_batch(spark, os.path.join(in_dir, name))
-            r = q.agg(F.min("qid").alias("lo"), F.max("qid").alias("hi")).first()
+            q = _read_batch(spark, os.path.join(in_dir, name)).persist()
+            r = q.agg(
+                F.count("*").alias("n"),
+                F.min("qid").alias("lo"),
+                F.max("qid").alias("hi"),
+            ).first()
             ok = r.lo is not None and r.lo >= 0 and r.hi < _BASE
             if ok:
-                group.append(name)
+                group.append((name, q, int(r.n)))
             else:
                 if group:
                     run_wave(group)
                     group = []
-                run_wave([name])
+                run_wave([(name, q, int(r.n))])
         if group:
             run_wave(group)
         stop = os.path.exists(os.path.join(in_dir, stop_file))

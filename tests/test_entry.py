@@ -54,6 +54,12 @@ QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 
+def test_every_entry_has_oracle():
+    # the driver records a weaker rows-only check for twinless entries;
+    # the repo's contract is a DuckDB twin for EVERY entry
+    assert set(ORACLES) == set(QUERIES)
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()

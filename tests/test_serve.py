@@ -102,6 +102,54 @@ def test_serve_loop_coalesces_backlog_same_results(spark, index, queries_pdf, tm
         assert got == exp, name
 
 
+def test_serve_loop_phrase_multibatch_wave(spark, index, pages_pdf, oracle, tmp_path):
+    """ADVICE r4 (high): a coalesced wave re-keys qids to i*2^32+qid,
+    which overflowed the phrase engine's int qid schema and crashed the
+    serve loop exactly when a backlog formed. Two pending phrase batches
+    must drain in ONE wave with per-batch results == the oracle."""
+    import pandas as pd
+
+    from dpr_spark.fixtures.corpus import assign_doc_ids
+    from dpr_spark.query.phrase import build_positions
+    from dpr_spark.serve import make_searcher, serve_loop
+
+    pw = assign_doc_ids(pages_pdf)
+    docs = spark.createDataFrame(pw[["doc_id", "text"]])
+    pos = build_positions(docs, index.dictionary)
+
+    ds = sorted(oracle.doc_tokens)
+    p1 = " ".join(oracle.doc_tokens[ds[4]][1:3])
+    p2 = " ".join(oracle.doc_tokens[ds[7]][2:4])
+
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    os.makedirs(in_dir)
+    pd.DataFrame({"qid": [0], "question": [p1]}).to_parquet(
+        in_dir / "p_a.parquet", index=False
+    )
+    pd.DataFrame({"qid": [0], "question": [p2]}).to_parquet(
+        in_dir / "p_b.parquet", index=False
+    )
+    (in_dir / "STOP").touch()
+
+    searcher, close = make_searcher(spark, index, engine="phrase", k=5, positions=pos)
+    try:
+        stats = serve_loop(spark, searcher, str(in_dir), str(out_dir), poll_sec=0.05)
+    finally:
+        close()
+    assert [b["wave"] for b in stats["batches"]] == [0, 0]  # one wave
+    for name, phrase in (("p_a", p1), ("p_b", p2)):
+        got = sorted(
+            (r.qid, r.rank, r.doc_id, round(r.score, 9))
+            for r in spark.read.parquet(str(out_dir / name)).collect()
+        )
+        exp = [
+            (0, i + 1, doc, round(s, 9))
+            for i, (doc, s) in enumerate(oracle.phrase_search(phrase, 5))
+        ]
+        assert got == exp, name
+        assert exp
+
+
 def test_make_searcher_phrase_engine(spark, index, pages_pdf, oracle, tmp_path):
     """engine='phrase': positions resident, batch answers == oracle."""
     from dpr_spark.fixtures.corpus import assign_doc_ids
