@@ -481,6 +481,7 @@ def search_blocks(
     k1: float = BM25_K1,
     b: float = BM25_B,
     batch_size: int = None,
+    resolve: str = "auto",
 ) -> DataFrame:
     """results(qid, rank, doc_id, score) from the compressed blocks —
     bit-identical to query/scorer.py::search. Queries ship in BROADCAST
@@ -511,7 +512,9 @@ def search_blocks(
     # tokenization + dictionary resolution run as a Spark job (see
     # wand.py::_resolve_query_terms); the driver only streams resolved
     # (qid, term_ids, idfs) rows one wave at a time — O(wave) memory.
-    for wave in iter_query_term_waves(spark, queries, index, batch_size, with_idf=True):
+    for wave in iter_query_term_waves(
+        spark, queries, index, batch_size, with_idf=True, resolve=resolve
+    ):
         wave_tids = sorted({int(t) for _, tids, _ in wave for t in tids})
         bsel = _values_filter(blocks, "term_id", wave_tids)
         bc = spark.sparkContext.broadcast(wave)

@@ -119,9 +119,14 @@ def test_segments_search_uses_distributed_resolution(spark, index, queries_df):
     )
 
     segs = build_impact_segments(index, num_buckets=4)
+    # force the distributed resolver: queries_df is a local relation, so
+    # "auto" would short-circuit to the driver-local twin (r4 next-round
+    # #5) and this identity test would compare the twin to itself
     got = {
         (r.qid, r.rank): (r.doc_id, r.score)
-        for r in search_segments(spark, queries_df, index, segs, k=10).collect()
+        for r in search_segments(
+            spark, queries_df, index, segs, k=10, resolve="distributed"
+        ).collect()
     }
     # twin path: collect-based resolution, same per-partition kernel
     qterms = _driver_query_terms(spark, queries_df, index)
@@ -142,3 +147,31 @@ def test_segments_search_uses_distributed_resolution(spark, index, queries_df):
         .collect()
     }
     assert got == exp
+
+
+def test_auto_resolution_local_fast_path(spark, index, queries_df):
+    """r4 next-round #5: a local-relation query batch (createDataFrame —
+    the CLI / bench shape) takes the driver-local resolution path under
+    resolve='auto', and its waves are identical to the distributed
+    resolver's (same qids, same sorted term_ids, same idfs)."""
+    from dpr_spark.query.wand import iter_query_term_waves
+
+    assert queries_df.isLocal()  # precondition for the auto short-circuit
+
+    def to_map(resolve):
+        out = {}
+        for wave in iter_query_term_waves(
+            spark, queries_df, index, 4096, with_idf=True, resolve=resolve
+        ):
+            for qid, tids, idfs in wave:
+                out[qid] = (tids.tolist(), idfs.tolist())
+        return out
+
+    auto = to_map("auto")
+    dist = to_map("distributed")
+    assert auto == dist and len(auto) > 0
+
+    # and a file-backed (non-local) query table still distributes: auto
+    # must not collect a 10^9-row query table onto the driver
+    big = _gen_big_queries(spark, 100)
+    assert not big.isLocal()
