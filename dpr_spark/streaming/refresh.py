@@ -372,7 +372,10 @@ class StreamingIndexRefresher:
         # the base max with exact (delta-complete) df
         from dpr_spark.plans.ids import assign_dense_ids
 
-        base_dict = base.dictionary.select("term", "term_id", "df", "idf")
+        # rterm (trailing-glob pruning column) carried when the base has
+        # it; a pre-round-5 base without it stays 4-column end to end
+        dcols = ["term"] + (["rterm"] if "rterm" in base.dictionary.columns else [])
+        base_dict = base.dictionary.select(*dcols, "term_id", "df", "idf")
         new_df = (
             latest.groupBy("term")
             .agg(F.count("*").alias("df"))
@@ -381,6 +384,7 @@ class StreamingIndexRefresher:
         base_max = base_dict.agg(F.max("term_id")).first()[0] or 0
         new_terms = assign_dense_ids(new_df, "term", "_nid").select(
             "term",
+            *([F.reverse("term").alias("rterm")] if "rterm" in dcols else []),
             (F.col("_nid") + F.lit(base_max + 1)).alias("term_id"),
             "df",
             F.log(

@@ -216,6 +216,60 @@ def test_wildcard_expansion_stays_on_dictionary_scan(spark, index):
     assert "hashpartitioning(term_id" not in plan
 
 
+@pytest.fixture(scope="module")
+def stored_index(spark, index, tmp_path_factory):
+    """The session index saved + reloaded so its dictionary is a parquet
+    scan (pushed filters only exist on file scans)."""
+    from dpr_spark.index.build import InvertedIndex
+
+    path = str(tmp_path_factory.mktemp("idx") / "stored")
+    index.save(path)
+    return InvertedIndex.load(spark, path)
+
+
+def test_fuzzy_prefix_pushes_to_dictionary_scan(spark, stored_index):
+    """r4 What's-wrong #1: with prefix_len > 0 the clause prefixes reach
+    the parquet dictionary scan as StringStartsWith — the FST-seek
+    analog — instead of a full-vocab levenshtein nested loop."""
+    from dpr_spark.query.fuzzy import fuzzy_search
+
+    plan = _explain(
+        fuzzy_search(spark, [(0, "word")], stored_index, k=5, prefix_len=2)
+    )
+    assert "StringStartsWith(term,wo)" in plan, plan
+
+
+def test_wildcard_leading_literal_pushes_to_dictionary_scan(spark, stored_index):
+    """A leading-literal glob (`wo*`) prunes the dictionary scan with a
+    pushed StringStartsWith before the RLIKE nested loop."""
+    from dpr_spark.query.boolquery import wildcard_search
+
+    plan = _explain(wildcard_search(spark, [(0, "wo*")], stored_index, k=5))
+    assert "StringStartsWith(term,wo)" in plan, plan
+
+
+def test_wildcard_trailing_literal_pushes_via_rterm(spark, stored_index):
+    """A trailing-literal glob (`*rd`) prunes via the reversed-term
+    dictionary column: StringStartsWith(rterm, 'dr') is pushable where a
+    filter on reverse(term) computed at query time is not."""
+    from dpr_spark.query.boolquery import wildcard_search
+
+    assert "rterm" in stored_index.dictionary.columns
+    plan = _explain(wildcard_search(spark, [(0, "*rd")], stored_index, k=5))
+    assert "StringStartsWith(rterm,dr)" in plan, plan
+
+
+def test_glob_literal_runs():
+    from dpr_spark.query.boolquery import glob_literal_runs
+
+    assert glob_literal_runs("wo*") == ("wo", "")
+    assert glob_literal_runs("*ing") == ("", "ing")
+    assert glob_literal_runs("w?rd") == ("w", "rd")
+    assert glob_literal_runs("*") == ("", "")
+    assert glob_literal_runs("word") == ("word", "word")
+    assert glob_literal_runs("A*Z") == ("a", "z")
+
+
 def test_mlt_tokenizes_only_seed_docs(spark, index, pages_df, tmp_path):
     """MoreLikeThis reads term vectors from stored text: the seed-id
     side is broadcast into the docs scan (no full-corpus tokenize
