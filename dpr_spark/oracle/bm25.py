@@ -216,6 +216,39 @@ class BM25Oracle:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def span_ordered_search(
+        self, phrase: str, k: int = 10, slop: int = 2
+    ) -> List[Tuple[int, float]]:
+        """Ordered-span twin (query/phrase.py::span_ordered_search_index
+        contract): the phrase tokens must occur IN ORDER within width
+        len(tokens) + slop; pf = start positions whose GREEDY chain
+        (smallest next position > previous) fits the width; idf =
+        per-position sum; slop=0 == phrase_search."""
+        toks = tokenize(normalize_question(phrase))
+        if not toks or any(t not in self.postings for t in toks):
+            return []
+        idf_sum = sum(self.idf(t) for t in toks)
+        width = len(toks) + slop
+        scores: Dict[int, float] = {}
+        for d in self.postings[toks[0]]:
+            dt = self.doc_tokens[d]
+            pos = {t: [i for i, tok in enumerate(dt) if tok == t] for t in set(toks)}
+            pf = 0
+            for p0 in pos[toks[0]]:
+                cur, ok = p0, True
+                for t in toks[1:]:
+                    nxt = next((p for p in pos[t] if p > cur), None)
+                    if nxt is None:
+                        ok = False
+                        break
+                    cur = nxt
+                if ok and cur - p0 + 1 <= width:
+                    pf += 1
+            if pf:
+                scores[d] = self._score_pf(pf, d, idf_sum)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def rm3_search(
         self,
         question: str,
@@ -350,6 +383,75 @@ class BM25Oracle:
         for t in cand:
             for d in self.postings[t]:
                 scores[d] = scores.get(d, 0.0) + self.score_one(t, d)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+
+@dataclass
+class FieldedBM25Oracle:
+    """Pure-Python twin of index/fielded.py: per-field BM25 (own df/idf,
+    doclen, avgdl per field) summed with field weights —
+    score(q,d) = Σ_f w_f · BM25_f(q,d). Float fold order matches the
+    engine's sort_array(term_id) fold: ascending (term, field_id), and
+    the component is multiplied in the same order (w·idf·tf·(k1+1)/…),
+    so scores are bit-identical (tests/test_fielded.py)."""
+
+    fields: Tuple[str, ...] = ("text", "title")
+    weights: Dict[str, float] = None
+    k1: float = BM25_K1
+    b: float = BM25_B
+
+    def __post_init__(self):
+        if self.weights is None:
+            self.weights = {f: (2.0 if f == "title" else 1.0) for f in self.fields}
+        self.doc_tokens: Dict[str, Dict[int, List[str]]] = {f: {} for f in self.fields}
+
+    def add(self, doc_id: int, field_texts: Dict[str, str]) -> None:
+        for f in self.fields:
+            self.doc_tokens[f][doc_id] = tokenize(field_texts.get(f) or "")
+
+    def build(self) -> None:
+        self.N = len(self.doc_tokens[self.fields[0]])
+        self.doclen = {f: {d: len(t) for d, t in self.doc_tokens[f].items()} for f in self.fields}
+        self.avgdl = {
+            f: (sum(self.doclen[f].values()) / self.N if self.N else 0.0)
+            for f in self.fields
+        }
+        self.postings: Dict[str, Dict[str, Dict[int, int]]] = {f: {} for f in self.fields}
+        for f in self.fields:
+            for d, toks in self.doc_tokens[f].items():
+                for t in toks:
+                    self.postings[f].setdefault(t, {})
+                    self.postings[f][t][d] = self.postings[f][t].get(d, 0) + 1
+        self.df = {f: {t: len(p) for t, p in self.postings[f].items()} for f in self.fields}
+
+    def idf(self, field: str, term: str) -> float:
+        df = self.df[field].get(term, 0)
+        return math.log((self.N - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score_one(self, field: str, term: str, doc_id: int) -> float:
+        tf = self.postings[field].get(term, {}).get(doc_id, 0)
+        if tf == 0:
+            return 0.0
+        dl = self.doclen[field][doc_id]
+        return (
+            self.weights[field]
+            * self.idf(field, term)
+            * tf
+            * (self.k1 + 1.0)
+            / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl[field]))
+        )
+
+    def search(self, question: str, k: int = 10) -> List[Tuple[int, float]]:
+        """Top-k (doc_id, score); a doc qualifies when ANY field contains
+        ≥1 query term. Fold order: term ASC, then field_id ASC — the
+        engine's ascending-term_id order."""
+        terms = sorted(set(tokenize(normalize_question(question))))
+        scores: Dict[int, float] = {}
+        for t in terms:
+            for f in self.fields:  # field_id order == tuple position
+                for d in self.postings[f].get(t, ()):
+                    scores[d] = scores.get(d, 0.0) + self.score_one(f, t, d)
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
