@@ -227,6 +227,58 @@ def test_span_near_window_monotone(spark, index, positions, oracle):
     assert sets[2]  # the widest window certainly matches the source doc
 
 
+@pytest.mark.parametrize("slop", [0, 1, 3])
+def test_span_ordered_vs_oracle(spark, index, positions, oracle, slop):
+    """Ordered-with-gaps (r4 Missing #4): engine == pure-Python greedy
+    twin across slops, on phrases with real matches + never-adjacent +
+    OOV cases."""
+    from dpr_spark.query.phrase import span_ordered_search_index
+
+    phrases = _corpus_phrases(oracle)
+    expect = {qid: oracle.span_ordered_search(p, k=20, slop=slop) for qid, p in phrases}
+    assert sum(len(v) for v in expect.values()) > 0
+    rows = span_ordered_search_index(
+        spark, index, positions, phrases, slop=slop, k=20
+    ).collect()
+    _check_topk(rows, expect, f"span_ordered_s{slop}")
+
+
+def test_span_ordered_slop0_equals_phrase(spark, index, positions, oracle):
+    """slop=0 must degenerate to the exact-phrase engine bit-for-bit."""
+    from dpr_spark.query.phrase import phrase_search_index, span_ordered_search_index
+
+    phrases = _corpus_phrases(oracle)
+    a = sorted(
+        map(tuple, span_ordered_search_index(
+            spark, index, positions, phrases, slop=0, k=30
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, phrase_search_index(spark, index, positions, phrases, k=30).collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_span_ordered_slop_monotone(spark, index, positions, oracle):
+    """A larger slop can only add matches (the width bound relaxes) and
+    ordering matters: a reversed never-adjacent phrase stays empty at
+    slop=0 but its in-order counterpart gains matches with slop."""
+    from dpr_spark.query.phrase import span_ordered_search_index
+
+    d0 = sorted(oracle.doc_tokens)[0]
+    toks = oracle.doc_tokens[d0]
+    # two in-order tokens with one gap: matches only at slop >= 1
+    q = [(0, f"{toks[0]} {toks[2]}")]
+    prev = -1
+    for slop in (0, 1, 4):
+        n = span_ordered_search_index(
+            spark, index, positions, q, slop=slop, k=1000
+        ).count()
+        assert n >= prev
+        prev = n
+    assert prev > 0  # slop=4 certainly matches doc d0
+
+
 def test_prefix_search_vs_oracle(spark, index, oracle):
     from dpr_spark.query.boolquery import prefix_search
 
