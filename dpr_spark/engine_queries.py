@@ -1261,6 +1261,110 @@ def q_phrase_topk() -> Entry:
     return fn, sql
 
 
+SPAN_ORDERED_SLOP = 2
+# ordered-with-gaps fixtures: in-order token pairs/triples that are NOT
+# (always) adjacent in the corpus phrases, so slop>0 genuinely adds
+# matches over exact phrase; plus an OOV case
+SPAN_ORDERED_QUERIES = [
+    (0, "spark agg"),
+    (1, "customer order"),
+    (2, "fast filter"),
+    (3, "stream window data"),
+    (4, "the table"),
+    (5, "spark zzznope"),  # OOV term -> no rows
+]
+
+
+def q_span_ordered_topk() -> Entry:
+    """Ordered span-with-slop top-10 (PhraseQuery(slop) /
+    SpanNearQuery(inOrder=true) twin, query/phrase.py::
+    span_ordered_search_index, r4 Missing #4): tokens in order within
+    width n_tokens + slop; pf = start positions whose GREEDY chain
+    (min next position > previous) fits the width. The DuckDB twin
+    reproduces the greedy fold as per-offset min-aggregation CTEs —
+    greedy minimizes the chain end, so existence within the width bound
+    is exactly the greedy chain's qualification."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.phrase import span_ordered_search_index
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(
+            spark, docs, build_blocks=False, build_positional=True
+        )
+        res = span_ordered_search_index(
+            spark, idx, idx.positions, SPAN_ORDERED_QUERIES,
+            slop=SPAN_ORDERED_SLOP, k=10,
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    from dpr_spark.functions.normalize import normalize_question
+
+    vals, max_n = [], 0
+    for qid, p in SPAN_ORDERED_QUERIES:
+        toks = tokenize(normalize_question(p))
+        max_n = max(max_n, len(toks))
+        for off, t in enumerate(toks):
+            vals.append(f"({qid}, {off}, '{t}')")
+    chain_ctes, done_parts = [], [
+        "SELECT c0.qid, c0.doc_id, c0.p0, c0.cur FROM c0"
+        " JOIN qn ON qn.qid = c0.qid AND qn.n_off = 1"
+    ]
+    for i in range(1, max_n):
+        chain_ctes.append(
+            f"""c{i} AS (
+      SELECT c.qid, c.doc_id, c.p0, min(h.p) AS cur
+      FROM c{i - 1} c JOIN h ON h.qid = c.qid AND h.off = {i}
+           AND h.doc_id = c.doc_id AND h.p > c.cur
+      GROUP BY 1, 2, 3)"""
+        )
+        done_parts.append(
+            f"SELECT c{i}.qid, c{i}.doc_id, c{i}.p0, c{i}.cur FROM c{i}"
+            f" JOIN qn ON qn.qid = c{i}.qid AND qn.n_off = {i + 1}"
+        )
+    vals_sql = ", ".join(vals)
+    chains_sql = ",\n    ".join(chain_ctes)
+    done_sql = " UNION ALL ".join(done_parts)
+    sql = f"""
+    WITH {_POS_CTES},
+    q AS (SELECT * FROM (VALUES {vals_sql}) AS q(qid, off, term)),
+    qn AS (SELECT qid, count(*) AS n_off FROM q GROUP BY 1),
+    idf AS (
+      SELECT q.qid,
+             sum(ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)) AS idf_sum,
+             count(*) AS n_res
+      FROM q JOIN dict USING (term) CROSS JOIN stats GROUP BY 1),
+    idf_ok AS (SELECT idf.qid, idf.idf_sum FROM idf JOIN qn USING (qid)
+               WHERE idf.n_res = qn.n_off),
+    h AS (SELECT q.qid, q.off, pos.doc_id, pos.p FROM q JOIN pos USING (term)),
+    c0 AS (SELECT qid, doc_id, p AS p0, p AS cur FROM h WHERE off = 0),
+    {chains_sql},
+    done AS ({done_sql}),
+    pf AS (
+      SELECT d.qid, d.doc_id, count(*) AS pf
+      FROM done d JOIN qn USING (qid)
+      WHERE d.cur - d.p0 + 1 <= qn.n_off + {SPAN_ORDERED_SLOP}
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT pf.qid, pf.doc_id,
+             idf_ok.idf_sum * pf.pf * {BM25_K1 + 1.0}
+             / (pf.pf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl))
+             AS score
+      FROM pf JOIN idf_ok USING (qid)
+           JOIN ds ON pf.doc_id = ds.doc_id CROSS JOIN stats),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 def q_bool_topk() -> Entry:
     """Boolean must/should/must_not top-10 (BooleanQuery twin,
     query/boolquery.py): doc qualifies iff every must term present and
@@ -2591,4 +2695,5 @@ def all_entries() -> Dict[str, Entry]:
         "wildcard_topk": q_wildcard_topk(),
         "spell_suggest": q_spell_suggest(),
         "bm25f_topk": q_bm25f_topk(),
+        "span_ordered_topk": q_span_ordered_topk(),
     }
