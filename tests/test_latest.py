@@ -255,6 +255,128 @@ def test_fresh_index_nrt_search(spark, tmp_path):
     base_idx.unpersist()
 
 
+def test_fresh_index_positional_nrt_phrase(spark, tmp_path):
+    """r4 Missing #2 / next-round #4: a positional base + positional
+    delta serves phrase queries over the FRESH corpus state — identical
+    doc sets to a full positional rebuild before compaction (scores use
+    the documented stale NRT stats), and bit-identical results after
+    auto-less manual compact()."""
+    from dpr_spark.index.build import build_index_from_docs
+    from dpr_spark.query.phrase import phrase_search_index
+    from dpr_spark.streaming.refresh import StreamingIndexRefresher
+
+    base_pages = spark.createDataFrame(
+        [("u0", "alpha beta gamma"), ("u1", "gamma delta alpha beta")],
+        "url string, text string",
+    )
+    base_idx = build_index_from_docs(
+        spark,
+        base_pages.withColumn("doc_id", F.xxhash64("url")),
+        build_blocks=False,
+        id_strategy="hash",
+        build_positional=True,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # u1 re-crawled: "gamma delta" phrase gone, "beta alpha" appears;
+    # u2 new doc with a new-vocabulary phrase
+    _write_batch(
+        str(src / "b1.parquet"),
+        [("u1", _ts(2), "beta alpha epsilon"), ("u2", _ts(2), "zeta beta alpha")],
+    )
+    r = StreamingIndexRefresher(spark, str(tmp_path / "delta"), positional=True)
+    r.start(str(src), STREAM_SCHEMA).awaitTermination(120)
+
+    fresh = r.fresh_index(base_idx)
+    assert fresh.positions is not None
+    h = lambda u: int(spark.range(1).select(F.xxhash64(F.lit(u))).first()[0])
+
+    def docs_of(idx, phrase):
+        rows = phrase_search_index(
+            spark, idx, idx.positions, [(0, phrase)], k=10
+        ).collect()
+        return {r_.doc_id for r_ in rows}
+
+    # stale-base phrase no longer matches the re-crawled doc
+    assert docs_of(fresh, "gamma delta") == set()
+    # fresh re-crawl phrase + brand-new-vocabulary phrase serve
+    assert docs_of(fresh, "beta alpha") == {h("u1"), h("u2")}
+    assert docs_of(fresh, "zeta beta") == {h("u2")}
+    # untouched base doc still serves its phrases
+    assert docs_of(fresh, "alpha beta") == {h("u0")}
+
+    # doc sets == full positional rebuild for every probe
+    full_pages = spark.createDataFrame(
+        [
+            ("u0", "alpha beta gamma"),
+            ("u1", "beta alpha epsilon"),
+            ("u2", "zeta beta alpha"),
+        ],
+        "url string, text string",
+    )
+    full_idx = build_index_from_docs(
+        spark,
+        full_pages.withColumn("doc_id", F.xxhash64("url")),
+        build_blocks=False,
+        id_strategy="hash",
+        build_positional=True,
+    )
+    for p in ("gamma delta", "beta alpha", "zeta beta", "alpha beta"):
+        assert docs_of(fresh, p) == docs_of(full_idx, p), p
+
+    # compaction folds the positional delta: bit-identical to the rebuild
+    # (delta pages passed explicitly — retention needs a CompactionPolicy)
+    delta_pages = spark.createDataFrame(
+        [("u1", "beta alpha epsilon"), ("u2", "zeta beta alpha")],
+        "url string, text string",
+    )
+    compacted = r.compact(base_pages, delta_pages, reset=True)
+    assert compacted.positions is not None  # refresher is positional
+    for p in ("beta alpha", "zeta beta", "alpha beta"):
+        got = sorted(
+            map(tuple, phrase_search_index(
+                spark, compacted, compacted.positions, [(0, p)], k=10
+            ).collect())
+        )
+        exp = sorted(
+            map(tuple, phrase_search_index(
+                spark, full_idx, full_idx.positions, [(0, p)], k=10
+            ).collect())
+        )
+        assert got == exp, p
+    fresh.unpersist()
+    base_idx.unpersist()
+    full_idx.unpersist()
+    compacted.unpersist()
+
+
+def test_fresh_index_positional_base_requires_positional_delta(spark, tmp_path):
+    """A positional base with a positions-less delta must fail fast —
+    silently serving stale/missing phrase results is the r4 bug."""
+    from dpr_spark.index.build import build_index_from_docs
+    from dpr_spark.streaming.refresh import StreamingIndexRefresher
+
+    base_pages = spark.createDataFrame(
+        [("u0", "alpha beta")], "url string, text string"
+    )
+    base_idx = build_index_from_docs(
+        spark,
+        base_pages.withColumn("doc_id", F.xxhash64("url")),
+        build_blocks=False,
+        id_strategy="hash",
+        build_positional=True,
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    _write_batch(str(src / "b1.parquet"), [("u1", _ts(2), "gamma beta")])
+    r = StreamingIndexRefresher(spark, str(tmp_path / "delta"))  # NOT positional
+    r.start(str(src), STREAM_SCHEMA).awaitTermination(120)
+    with pytest.raises(ValueError, match="positional"):
+        r.fresh_index(base_idx)
+    base_idx.unpersist()
+
+
 def test_compact_recrawl_does_not_double_count(spark):
     """base and delta share a url: compaction must NOT merge both
     versions' postings under the shared xxhash64 doc_id."""
