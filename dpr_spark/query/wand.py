@@ -30,7 +30,7 @@ out-of-band shard fan-out; here fan-out/merge is one Spark stage.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -67,11 +67,12 @@ def _values_filter(df: DataFrame, col: str, values, pushdown_limit: int = 1024):
     return df.join(F.broadcast(vdf), col, "left_semi")
 
 
-def _resolve_query_terms(
-    spark: SparkSession, queries: DataFrame, index: InvertedIndex
+def query_term_pairs(
+    queries: DataFrame, index: InvertedIndex, with_idf: bool = True
 ) -> DataFrame:
-    """(qid, term_ids array<long> asc, idfs array<double> aligned) — query
-    tokenization + dictionary resolution AS A SPARK JOB, not a driver loop.
+    """(qid, term_id[, idf]) resolved query-term pairs — query
+    tokenization + dictionary resolution AS A SPARK JOB, not a driver
+    loop.
 
     Tokenization runs in an Arrow-vectorized pandas UDF over the query
     table (the same `tokenize(normalize_question(.))` chain as the
@@ -80,7 +81,7 @@ def _resolve_query_terms(
     are broadcast INTO the dictionary scan (the dictionary — the big side
     at 10^12-doc scale — never shuffles), and the resolved (term, term_id,
     idf) map — bounded by distinct query-term count — is broadcast back
-    onto the exploded pairs. One shuffle total (groupBy qid).
+    onto the exploded pairs. Zero shuffles of anything doc-sized.
 
     The reference's analog boundary is the RPC client batch loop
     (`/root/reference/dense_retriever.py:258-287`), which encodes query
@@ -96,11 +97,19 @@ def _resolve_query_terms(
 
     pairs = queries.select("qid", F.explode(qtok("question")).alias("term"))
     needed = pairs.select("term").distinct()
-    resolved = index.dictionary.join(F.broadcast(needed), "term").select(
-        "term", "term_id", "idf"
-    )
+    cols = ["term", "term_id"] + (["idf"] if with_idf else [])
+    resolved = index.dictionary.join(F.broadcast(needed), "term").select(*cols)
+    return pairs.join(F.broadcast(resolved), "term").drop("term")
+
+
+def _resolve_query_terms(
+    spark: SparkSession, queries: DataFrame, index: InvertedIndex
+) -> DataFrame:
+    """(qid, term_ids array<long> asc, idfs array<double> aligned) — the
+    per-query packed form of query_term_pairs; one shuffle total
+    (groupBy qid over query-sized rows)."""
     return (
-        pairs.join(F.broadcast(resolved), "term")
+        query_term_pairs(queries, index, with_idf=True)
         .groupBy("qid")
         .agg(F.sort_array(F.collect_list(F.struct("term_id", "idf"))).alias("tl"))
         .select(
@@ -296,12 +305,32 @@ def _rescore_exact(
     return out
 
 
+def _cursor_filter(
+    local_idx: np.ndarray,
+    scores: np.ndarray,
+    udocs: np.ndarray,
+    cursor: Optional[Tuple[float, int]],
+) -> np.ndarray:
+    """search_after: keep only candidates STRICTLY after the cursor in
+    (score DESC, doc_id ASC) order — score < c_score, or equal score and
+    doc_id > c_doc. Applied BEFORE the top-k selection, so page N+1's
+    heap never holds page N's rows (engine scores are deterministic
+    bit-for-bit, so the caller can echo a result row's exact floats)."""
+    if cursor is None:
+        return local_idx
+    c_score, c_doc = cursor
+    s = scores[local_idx]
+    keep = (s < c_score) | ((s == c_score) & (udocs[local_idx] > c_doc))
+    return local_idx[keep]
+
+
 def _search_partition(
     pdfs: Iterator[pd.DataFrame],
     qterms: List[Tuple[int, np.ndarray]],
     k: int,
     prune: bool = True,
     stats: dict = None,
+    cursors: Optional[dict] = None,
 ) -> Iterator[pd.DataFrame]:
     if not qterms:
         return
@@ -339,6 +368,7 @@ def _search_partition(
     scores = np.zeros(n_docs, dtype=np.float64)
     gen = np.full(n_docs, -1, dtype=np.int64)
     for qi, (qid, q_tids) in enumerate(qterms):
+        cur = cursors.get(qid) if cursors else None
         # element-wise membership: q_tids[i] is present iff the searchsorted
         # slot actually holds it (np.isin would double-count a present query
         # term whenever an ABSENT query term's insertion point lands on it)
@@ -367,7 +397,13 @@ def _search_partition(
                 stats["score_writes"] = stats.get("score_writes", 0) + len(lidx)
 
         list_sizes = t_ends[hit] - t_starts[hit]
-        use_prune = prune and len(hit) > 1 and int(list_sizes.sum()) > 8 * k
+        # a cursored (search_after) query takes the exhaustive fold: the
+        # MaxScore threshold is the kth-best over ALL candidates, which
+        # includes page-1 rows the cursor excludes — pruning against it
+        # could drop docs that belong on this page. The fold cost equals
+        # page 1's unpruned cost, so page N never rescans more than page 1
+        # (asserted via the postings_touched counter in tests).
+        use_prune = prune and cur is None and len(hit) > 1 and int(list_sizes.sum()) > 8 * k
         if not use_prune:
             # ascending term order == oracle float-fold order
             for p in hit:
@@ -376,6 +412,7 @@ def _search_partition(
             if stats is not None:
                 stats["postings_touched"] += int(list_sizes.sum())
             cand = np.sort(np.concatenate(cand_chunks)) if cand_chunks else np.empty(0, np.int64)
+            cand = _cursor_filter(cand, scores, udocs, cur)
             keep = _at_least_top(scores[cand], k)  # tie runs included
             top, top_scores = _final_topk(cand[keep], scores[cand[keep]], udocs, k)
         else:
@@ -438,24 +475,33 @@ def search_segments(
     k: int = DEFAULT_TOP_K,
     batch_size: int = DEFAULT_QUERY_BATCH,
     resolve: str = "auto",
+    cursors: Optional[Dict[int, Tuple[float, int]]] = None,
 ) -> DataFrame:
     """results(qid, rank, doc_id, score) — bit-identical to the exact
     scorer, one postings pass per wave, no postings shuffle. Queries ship
     in broadcast waves of batch_size (queries are independent, so wave
     splitting cannot change any query's result — asserted in
-    tests/test_wand_pruning.py)."""
-    def make_run(bc):
+    tests/test_wand_pruning.py).
+
+    cursors: optional search_after map {qid: (score, doc_id)} — the last
+    row of the previous page, echoed bit-for-bit (engine scores are
+    deterministic). Each bucket drops rows at-or-before the cursor BEFORE
+    its local top-k heap, so a page-N call emits ≤ k rows per bucket and
+    the merge window sorts the same ≤ k·B rows page 1 did — the deep-page
+    cost is flat, not rank_from-linear (Lucene searchAfter contract)."""
+    def make_run(bc, bcur):
         def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            return _search_partition(it, bc.value, k)
+            return _search_partition(it, bc.value, k, cursors=bcur.value if bcur else None)
 
         return run
 
+    bcur = spark.sparkContext.broadcast(cursors) if cursors else None
     local = None
     for wave in iter_query_term_waves(
         spark, queries, index, batch_size, resolve=resolve
     ):
         bc = spark.sparkContext.broadcast(wave)
-        part = segments.mapInPandas(make_run(bc), RESULT_SCHEMA)
+        part = segments.mapInPandas(make_run(bc, bcur), RESULT_SCHEMA)
         local = part if local is None else local.unionByName(part)
     if local is None:
         return spark.createDataFrame([], "qid long, rank int, doc_id long, score double")

@@ -25,6 +25,15 @@ from dpr_spark import DEFAULT_TOP_K
 from dpr_spark.index.build import InvertedIndex
 
 
+def _reject_cursors(queries: DataFrame, engine: str) -> None:
+    """Paged batches must fail loudly, not silently return page 1."""
+    if "after_score" in queries.columns:
+        raise ValueError(
+            f"engine={engine!r} does not support search_after cursors "
+            "(use engine='segments')"
+        )
+
+
 def make_searcher(
     spark: SparkSession,
     idx: InvertedIndex,
@@ -59,6 +68,8 @@ def make_searcher(
     )
 
     if engine == "segments":
+        from pyspark.sql import functions as F
+
         from dpr_spark.query.wand import build_impact_segments, search_segments
 
         seg_path = index_dir and os.path.join(index_dir, "segments")
@@ -68,7 +79,22 @@ def make_searcher(
             seg = hold(build_impact_segments(idx))
 
         def fn(queries: DataFrame, k: int = k) -> DataFrame:
-            return search_segments(spark, queries, idx, seg, k=k)
+            # search_after: a batch may page by echoing its previous
+            # page's last row per qid as (after_score, after_doc). The
+            # cursor map is client-held state, O(queries) — collected on
+            # the driver like the rest of the batch bookkeeping.
+            cursors = None
+            if "after_score" in queries.columns:
+                rows = (
+                    queries.filter(F.col("after_score").isNotNull())
+                    .select("qid", "after_score", "after_doc")
+                    .collect()
+                )
+                cursors = {
+                    int(r.qid): (float(r.after_score), int(r.after_doc)) for r in rows
+                } or None
+                queries = queries.select("qid", "question")
+            return search_segments(spark, queries, idx, seg, k=k, cursors=cursors)
 
     elif engine == "blockmax":
         from dpr_spark.query.blockmax import (
@@ -85,6 +111,7 @@ def make_searcher(
             blocks, norms = hold(bb), hold(nn)
 
         def fn(queries: DataFrame, k: int = k) -> DataFrame:
+            _reject_cursors(queries, engine)
             return search_blocks(spark, queries, idx, blocks, norms, k=k)
 
     elif engine == "exact":
@@ -93,6 +120,7 @@ def make_searcher(
         hold(idx.postings)
 
         def fn(queries: DataFrame, k: int = k) -> DataFrame:
+            _reject_cursors(queries, engine)
             return search(queries, idx, k=k)
 
     elif engine == "phrase":
@@ -110,6 +138,7 @@ def make_searcher(
             )
 
         def fn(queries: DataFrame, k: int = k) -> DataFrame:
+            _reject_cursors(queries, engine)
             # phrase strings ride to the driver — the same per-wave
             # boundary as the term-resolution payload (~bytes/query)
             phrases = [
@@ -180,14 +209,27 @@ def serve_loop(
         nonlocal wave_idx
         names = [e[0] for e in entries]
         counts = [e[2] for e in entries]
+        # cursor columns (search_after) ride through the re-keying; a
+        # cursor's after_doc is a GLOBAL doc_id, so only qid is re-keyed.
+        has_cursor = any("after_score" in e[1].columns for e in entries)
         qdfs = []
         for i, (_name, q, _n) in enumerate(entries):
-            qdfs.append(
-                q.select(
-                    (F.lit(i).cast("long") * _BASE + F.col("qid")).alias("qid"),
-                    "question",
-                )
-            )
+            cols = [
+                (F.lit(i).cast("long") * _BASE + F.col("qid")).alias("qid"),
+                "question",
+            ]
+            if has_cursor:
+                if "after_score" in q.columns:
+                    cols += [
+                        F.col("after_score").cast("double").alias("after_score"),
+                        F.col("after_doc").cast("long").alias("after_doc"),
+                    ]
+                else:
+                    cols += [
+                        F.lit(None).cast("double").alias("after_score"),
+                        F.lit(None).cast("long").alias("after_doc"),
+                    ]
+            qdfs.append(q.select(*cols))
         wave = qdfs[0]
         for q in qdfs[1:]:
             wave = wave.unionByName(q)

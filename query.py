@@ -53,6 +53,15 @@ def main(argv=None) -> None:
     ap.add_argument("--rm3-fb-docs", type=int, default=10)
     ap.add_argument("--rm3-fb-terms", type=int, default=10)
     ap.add_argument("--rm3-alpha", type=float, default=0.5)
+    ap.add_argument("--sort-by", default=None,
+                    help="sort-by-field mode: rank each query's matches by this "
+                         "doc-values column instead of BM25 score (Lucene "
+                         "Sort(SortField)); needs --doc-values or --pages")
+    ap.add_argument("--sort-asc", action="store_true",
+                    help="ascending field order for --sort-by (default desc)")
+    ap.add_argument("--doc-values", default=None,
+                    help="parquet with (doc_id|url, <field>) for --sort-by; "
+                         "defaults to --pages")
     ap.add_argument("--pages", default=None, help="pages parquet (doc text for --eval)")
     ap.add_argument("--delta-dir", default=None,
                     help="streaming delta dir (streaming/refresh.py): serve "
@@ -116,8 +125,42 @@ def main(argv=None) -> None:
     else:
         queries = spark.read.parquet(args.queries)
 
+    # search_after cursors ride in the query file as (after_score,
+    # after_doc) columns — the client echoes its previous page's last row
+    cursors = None
+    if "after_score" in queries.columns:
+        from pyspark.sql import functions as F
+
+        rows = (
+            queries.filter(F.col("after_score").isNotNull())
+            .select("qid", "after_score", "after_doc")
+            .collect()
+        )
+        cursors = {int(r.qid): (float(r.after_score), int(r.after_doc)) for r in rows} or None
+        queries = queries.select("qid", "question")
+        if cursors and args.engine != "segments" and not args.sort_by:
+            raise SystemExit("search_after cursors need --engine segments "
+                             "(or --sort-by field paging)")
+
     t0 = time.perf_counter()
-    if args.engine == "phrase":
+    if args.sort_by:
+        from dpr_spark.query.paging import search_sort_by_field
+
+        dv_path = args.doc_values or args.pages
+        if not dv_path:
+            raise SystemExit("--sort-by needs --doc-values (or --pages) "
+                             "carrying the field column")
+        dv = spark.read.parquet(dv_path)
+        if "doc_id" not in dv.columns:
+            dv = idx.docstats.select("doc_id", "url").join(dv, "url")
+        fcursors = (
+            {q: (s, d) for q, (s, d) in cursors.items()} if cursors else None
+        )
+        results = search_sort_by_field(
+            spark, queries, idx, dv, args.sort_by, k=args.k,
+            ascending=args.sort_asc, salt_buckets=8, cursors=fcursors,
+        )
+    elif args.engine == "phrase":
         from dpr_spark.query.phrase import phrase_search_index
 
         if idx.positions is None:
@@ -136,7 +179,7 @@ def main(argv=None) -> None:
         else:
             seg = build_impact_segments(idx).persist()
             seg.count()
-        results = search_segments(spark, queries, idx, seg, k=args.k)
+        results = search_segments(spark, queries, idx, seg, k=args.k, cursors=cursors)
     elif args.engine == "blockmax":
         from dpr_spark.query.blockmax import (
             build_block_segments,

@@ -189,3 +189,71 @@ def test_cli_snapshot_build_and_time_travel_query(tmp_path, pages_pdf, queries_p
         )
         assert out2.returncode == 0, out2.stderr[-2000:]
         assert "searched 5 queries" in out2.stdout
+
+
+@pytest.mark.slow
+def test_cli_search_after_and_sort_by(tmp_path, pages_pdf, queries_pdf):
+    """query.py paging surface: a query parquet carrying (after_score,
+    after_doc) returns page 2 == ranks 6..10 of the k=10 run; --sort-by
+    ranks matches by a doc-values column."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(pages_pdf[["url", "text"]].head(120), preserve_index=False),
+        pages_path,
+    )
+    qpdf = queries_pdf.head(5)[["qid", "question"]]
+    qpath = str(tmp_path / "q.parquet")
+    qpdf.to_parquet(qpath, index=False)
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    run = lambda *a: subprocess.run(
+        [sys.executable, *a], capture_output=True, text=True, timeout=420, env=env
+    )
+    out = run(os.path.join(REPO, "build_index.py"), "--pages", pages_path,
+              "--out", str(tmp_path / "idx"), "--segments-buckets", "4")
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    out = run(os.path.join(REPO, "query.py"), "--index", str(tmp_path / "idx"),
+              "--queries", qpath, "--k", "10", "--out", str(tmp_path / "full"),
+              "--engine", "segments")
+    assert out.returncode == 0, out.stderr[-2000:]
+    full = pq.read_table(str(tmp_path / "full" / "results")).to_pandas()
+
+    cur = full[full["rank"] == 5][["qid", "score", "doc_id"]].rename(
+        columns={"score": "after_score", "doc_id": "after_doc"}
+    )
+    q2 = qpdf.merge(cur, on="qid")
+    q2path = str(tmp_path / "q2.parquet")
+    q2.to_parquet(q2path, index=False)
+    out = run(os.path.join(REPO, "query.py"), "--index", str(tmp_path / "idx"),
+              "--queries", q2path, "--k", "5", "--out", str(tmp_path / "p2"),
+              "--engine", "segments")
+    assert out.returncode == 0, out.stderr[-2000:]
+    p2 = pq.read_table(str(tmp_path / "p2" / "results")).to_pandas()
+    exp = full[full["rank"] > 5].copy()
+    exp["rank"] -= 5
+    key = ["qid", "rank", "doc_id", "score"]
+    assert (
+        p2[key].sort_values(key).reset_index(drop=True).equals(
+            exp[key].sort_values(key).reset_index(drop=True))
+    )
+
+    # sort-by-field over synthetic doc values keyed by url
+    dv = pages_pdf.head(120)[["url"]].copy()
+    dv["ts"] = [(i * 37) % 101 for i in range(len(dv))]
+    dvpath = str(tmp_path / "dv.parquet")
+    dv.to_parquet(dvpath, index=False)
+    out = run(os.path.join(REPO, "query.py"), "--index", str(tmp_path / "idx"),
+              "--queries", qpath, "--k", "5", "--out", str(tmp_path / "srt"),
+              "--engine", "segments", "--sort-by", "ts", "--doc-values", dvpath)
+    assert out.returncode == 0, out.stderr[-2000:]
+    srt = pq.read_table(str(tmp_path / "srt" / "results")).to_pandas()
+    assert set(srt.columns) == {"qid", "rank", "doc_id", "ts"}
+    assert len(srt) > 0
+    for _, g in srt.sort_values(["qid", "rank"]).groupby("qid"):
+        ts = list(g.ts)
+        assert ts == sorted(ts, reverse=True)

@@ -1,0 +1,231 @@
+"""search_after pagination + sort-by-field result modes (r4 VERDICT
+Missing #5; Lucene searchAfter / Sort(SortField) contracts)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def segments(index):
+    from dpr_spark.query.wand import build_impact_segments
+
+    seg = build_impact_segments(index, num_buckets=8).persist()
+    seg.count()
+    return seg
+
+
+def _by_qid(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r.qid, []).append((r.rank, r.doc_id, r.score))
+    for v in out.values():
+        v.sort()
+    return out
+
+
+def test_page2_equals_ranks_11_20(spark, index, segments, queries_df):
+    from dpr_spark.query.paging import cursors_from_page, search_after
+    from dpr_spark.query.wand import search_segments
+
+    full = _by_qid(search_segments(spark, queries_df, index, segments, k=20).collect())
+    page1 = search_segments(spark, queries_df, index, segments, k=10)
+    cursors = cursors_from_page(page1)
+    page2 = _by_qid(
+        search_after(spark, queries_df, index, segments, cursors, k=10).collect()
+    )
+    expect = {
+        qid: [(rk - 10, d, s) for rk, d, s in rows if rk > 10]
+        for qid, rows in full.items()
+    }
+    expect = {q: v for q, v in expect.items() if v}
+    assert page2 == expect  # bit-identical scores, same docs, page-relative ranks
+
+
+def test_page_walk_covers_full_ranking(spark, index, segments, queries_pdf):
+    """Walking pages of 7 reconstructs the k=35 ranking exactly: no gaps,
+    no duplicates, and a query stops producing rows once exhausted."""
+    from dpr_spark.query.paging import cursors_from_page, search_after
+    from dpr_spark.query.wand import search_segments
+
+    qpdf = queries_pdf[["qid", "question"]].head(12)
+    qdf = spark.createDataFrame(qpdf)
+    full = _by_qid(search_segments(spark, qdf, index, segments, k=35).collect())
+
+    walked = {}
+    active = qpdf
+    cursors = None
+    for _page in range(5):
+        if active.empty:
+            break
+        adf = spark.createDataFrame(active)
+        page = (
+            search_after(spark, adf, index, segments, cursors, k=7)
+            if cursors
+            else search_segments(spark, adf, index, segments, k=7)
+        )
+        page = page.persist()
+        rows = page.collect()
+        got = _by_qid(rows)
+        for qid, prs in got.items():
+            base = len(walked.get(qid, []))
+            walked.setdefault(qid, []).extend(
+                (base + rk, d, s) for rk, d, s in prs
+            )
+        cursors = cursors_from_page(page)
+        page.unpersist()
+        # the client contract: stop paging a query once a page comes back
+        # short; exhausted queries would otherwise restart at page 1
+        alive = {q for q, prs in got.items() if len(prs) == 7}
+        active = active[active.qid.isin(alive)]
+    assert walked == full
+
+
+def test_cursor_tie_break(spark):
+    """A tie run (identical docs -> identical scores) split across a page
+    boundary pages by doc_id with no duplicate and no gap."""
+    from dpr_spark.index.build import build_index_from_docs
+    from dpr_spark.query.paging import cursors_from_page, search_after
+    from dpr_spark.query.wand import build_impact_segments, search_segments
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(9)]
+        + [(100 + i, "delta epsilon zeta") for i in range(3)],
+        "doc_id long, text string",
+    )
+    idx = build_index_from_docs(spark, docs, build_blocks=False)
+    seg = build_impact_segments(idx, num_buckets=4).persist()
+    qdf = spark.createDataFrame([(0, "alpha")], "qid int, question string")
+
+    page1 = search_segments(spark, qdf, idx, seg, k=4).persist()
+    r1 = page1.orderBy("rank").collect()
+    page2 = search_after(
+        spark, qdf, idx, seg, cursors_from_page(page1), k=4
+    ).persist()
+    r2 = page2.orderBy("rank").collect()
+    page3 = search_after(spark, qdf, idx, seg, cursors_from_page(page2), k=4)
+    r3 = page3.orderBy("rank").collect()
+
+    docs_seen = [r.doc_id for r in r1 + r2 + r3]
+    assert docs_seen == list(range(9))  # all 9 tied docs, doc_id order
+    assert len({r.score for r in r1 + r2 + r3}) == 1  # one tied score
+    page1.unpersist()
+    page2.unpersist()
+
+
+def test_page2_work_not_more_than_page1(spark, index, segments, queries_pdf):
+    """Kernel-level cost contract: a cursored query folds the same
+    postings page 1's unpruned fold did — deep pages never rescan more —
+    and each bucket emits <= k rows either way."""
+    from dpr_spark.query.wand import _driver_query_terms, _search_partition
+
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(8))
+    qterms = _driver_query_terms(spark, qdf, index)
+    seg_pdf = segments.select("term_id", "doc_id", "impact").toPandas()
+
+    stats1 = {}
+    out1 = list(_search_partition(iter([seg_pdf]), qterms, 10, prune=False, stats=stats1))
+    p1 = pd.concat(out1)
+    cursors = {}
+    for qid, g in p1.groupby("qid"):
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True])
+        cursors[int(qid)] = (float(g.score.iloc[-1]), int(g.doc_id.iloc[-1]))
+
+    stats2 = {}
+    out2 = list(
+        _search_partition(iter([seg_pdf]), qterms, 10, stats=stats2, cursors=cursors)
+    )
+    assert stats2["postings_touched"] == stats1["postings_touched"]
+    p2 = pd.concat(out2) if out2 else pd.DataFrame(columns=["qid"])
+    assert (p2.groupby("qid").size() <= 10).all()
+
+
+def test_page2_plan_shape_matches_page1(spark, index, segments, queries_df):
+    """Plan contract: page 2's physical plan has exactly page 1's shuffle
+    count — paging adds no rescan/resort stage."""
+    from dpr_spark.query.paging import search_after
+    from dpr_spark.query.wand import search_segments
+
+    page1 = search_segments(spark, queries_df, index, segments, k=10)
+    cursors = {0: (1.0, 5)}
+    page2 = search_after(spark, queries_df, index, segments, cursors, k=10)
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+
+    assert n_exchanges(page2) == n_exchanges(page1)
+
+
+def _ts_of(doc_id: int) -> int:
+    return (doc_id * 2654435761) % 100003
+
+
+def test_sort_by_field_matches_twin(spark, index, segments, pages_pdf, queries_pdf):
+    """Top-k by stored field == pure-Python twin on the same corpus:
+    match set is any-query-term containment, order (field desc, doc_id)."""
+    from dpr_spark.fixtures.corpus import assign_doc_ids
+    from dpr_spark.functions.normalize import normalize_question
+    from dpr_spark.functions.tokenizer import tokenize
+    from dpr_spark.query.paging import search_sort_by_field
+
+    pw = assign_doc_ids(pages_pdf)
+    doc_toks = {int(d): set(tokenize(t)) for d, t in zip(pw.doc_id, pw.text)}
+
+    qpdf = queries_pdf[["qid", "question"]].head(10)
+    qdf = spark.createDataFrame(qpdf)
+    dv = spark.createDataFrame(
+        [(int(d), _ts_of(int(d))) for d in pw.doc_id], "doc_id long, ts long"
+    )
+    got = _by_qid(
+        search_sort_by_field(spark, qdf, index, dv, "ts", k=5)
+        .withColumnRenamed("ts", "score")
+        .collect()
+    )
+
+    for _, row in qpdf.iterrows():
+        terms = set(tokenize(normalize_question(row.question)))
+        matches = [d for d, toks in doc_toks.items() if toks & terms]
+        ranked = sorted(matches, key=lambda d: (-_ts_of(d), d))[:5]
+        expect = [(i + 1, d, _ts_of(d)) for i, d in enumerate(ranked)]
+        assert got.get(row.qid, []) == expect, row.question
+
+
+def test_sort_by_field_pagination_and_salting(spark, index, pages_pdf, queries_pdf):
+    """Field-order search_after: page 2 == ranks 6..10 of the k=10 result;
+    the salted two-level top-N returns the identical rows."""
+    from dpr_spark.fixtures.corpus import assign_doc_ids
+    from dpr_spark.query.paging import search_sort_by_field
+
+    pw = assign_doc_ids(pages_pdf)
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(6))
+    dv = spark.createDataFrame(
+        [(int(d), _ts_of(int(d))) for d in pw.doc_id], "doc_id long, ts long"
+    )
+    full = _by_qid(
+        search_sort_by_field(spark, qdf, index, dv, "ts", k=10)
+        .withColumnRenamed("ts", "score")
+        .collect()
+    )
+    page1 = search_sort_by_field(spark, qdf, index, dv, "ts", k=5)
+    cursors = {
+        int(r.qid): (int(r.ts), int(r.doc_id))
+        for r in page1.filter(F.col("rank") == 5).collect()
+    }
+    page2 = _by_qid(
+        search_sort_by_field(spark, qdf, index, dv, "ts", k=5, cursors=cursors)
+        .withColumnRenamed("ts", "score")
+        .collect()
+    )
+    expect = {
+        q: [(rk - 5, d, s) for rk, d, s in rows if rk > 5] for q, rows in full.items()
+    }
+    expect = {q: v for q, v in expect.items() if v and q in cursors}
+    assert page2 == expect
+
+    salted = _by_qid(
+        search_sort_by_field(spark, qdf, index, dv, "ts", k=10, salt_buckets=4)
+        .withColumnRenamed("ts", "score")
+        .collect()
+    )
+    assert salted == full

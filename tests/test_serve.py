@@ -177,3 +177,59 @@ def test_make_searcher_phrase_engine(spark, index, pages_pdf, oracle, tmp_path):
     ]
     assert got == exp
     assert exp  # the bigram really matched
+
+
+def test_serve_loop_paged_batch_mixed_wave(spark, index, queries_pdf, tmp_path):
+    """search_after on the serving path: a batch carrying
+    (after_score, after_doc) cursor columns returns page 2, coalesced in
+    the SAME wave as a plain page-1 batch (null-filled cursors + re-keyed
+    qids), and a non-segments engine rejects cursor batches loudly."""
+    import pytest
+
+    from dpr_spark.query.paging import cursors_from_page
+    from dpr_spark.query.wand import build_impact_segments, search_segments
+    from dpr_spark.serve import make_searcher, serve_loop
+
+    seg = build_impact_segments(index, num_buckets=8)
+    qpdf = queries_pdf.head(8)[["qid", "question"]].copy()
+    qdf = spark.createDataFrame(qpdf)
+    full = {}
+    for r in search_segments(spark, qdf, index, seg, k=10).collect():
+        full.setdefault(r.qid, []).append((r.rank, r.doc_id, r.score))
+    cursors = cursors_from_page(search_segments(spark, qdf, index, seg, k=5))
+
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    os.makedirs(in_dir)
+    paged = qpdf.copy()
+    paged["after_score"] = paged.qid.map(lambda q: cursors[int(q)][0])
+    paged["after_doc"] = paged.qid.map(lambda q: cursors[int(q)][1])
+    paged.to_parquet(in_dir / "b1_page2.parquet", index=False)
+    qpdf.to_parquet(in_dir / "b2_plain.parquet", index=False)
+    (in_dir / "STOP").touch()
+
+    searcher, close = make_searcher(spark, index, engine="segments", k=5)
+    stats = serve_loop(spark, searcher, str(in_dir), str(out_dir), poll_sec=0.05)
+    close()
+    assert {b["wave"] for b in stats["batches"]} == {0}  # one coalesced wave
+
+    got2 = {}
+    for r in spark.read.parquet(str(out_dir / "b1_page2")).collect():
+        got2.setdefault(r.qid, []).append((r.rank, r.doc_id, r.score))
+    exp2 = {
+        q: sorted((rk - 5, d, s) for rk, d, s in rows if rk > 5)
+        for q, rows in full.items()
+    }
+    exp2 = {q: v for q, v in exp2.items() if v}
+    assert {q: sorted(v) for q, v in got2.items()} == exp2
+
+    got1 = {}
+    for r in spark.read.parquet(str(out_dir / "b2_plain")).collect():
+        got1.setdefault(r.qid, []).append((r.rank, r.doc_id, r.score))
+    exp1 = {q: sorted((rk, d, s) for rk, d, s in rows if rk <= 5) for q, rows in full.items()}
+    assert {q: sorted(v) for q, v in got1.items()} == exp1
+
+    blk, bclose = make_searcher(spark, index, engine="blockmax", k=5)
+    with pytest.raises(ValueError, match="search_after"):
+        blk(spark.createDataFrame(paged))
+    bclose()
