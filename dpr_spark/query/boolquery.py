@@ -87,7 +87,24 @@ def bool_search(
     k: int = DEFAULT_TOP_K,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    minimum_should_match: int = 0,
+    doc_values: DataFrame = None,
+    ranges: Sequence[Tuple[int, float, float]] = (),
+    range_field: str = None,
 ) -> DataFrame:
+    """minimum_should_match: a doc must additionally match at least this
+    many SHOULD terms (Lucene BooleanQuery.setMinimumNumberShouldMatch;
+    0 = optional as usual). Counted over resolved terms, so an msm
+    larger than a query's should-clause count matches nothing — Lucene's
+    unsatisfiable contract.
+
+    ranges + doc_values + range_field: Lucene FILTER-context range
+    clauses — per-query [lo, hi] bounds (inclusive) on a stored per-doc
+    column; constrains matches WITHOUT contributing to the score.
+    `ranges` rows are (qid, lo, hi); queries absent from it are
+    unconstrained. doc_values joins on doc_id AFTER the must/should
+    collapse, so only candidate (qid, doc_id) rows — not the corpus —
+    reach the filter join."""
     rows = _clause_rows(queries)
     if not rows:
         raise ValueError("no tokenizable clauses")
@@ -109,11 +126,14 @@ def bool_search(
     per_doc = joined.groupBy("qid", "doc_id").agg(
         F.sum(_component(index.stats.avgdl, k1, b)).alias("score"),
         F.sum(F.when(F.col("clause") == "must", 1).otherwise(0)).alias("must_hits"),
+        F.sum(F.when(F.col("clause") == "should", 1).otherwise(0)).alias("should_hits"),
     )
     # left join: queries with no must clause keep every candidate
     per_doc = per_doc.join(F.broadcast(n_must_raw), "qid", "left").filter(
         F.col("must_hits") == F.coalesce(F.col("n_must"), F.lit(0))
     )
+    if minimum_should_match > 0:
+        per_doc = per_doc.filter(F.col("should_hits") >= minimum_should_match)
 
     excl_terms = qt.filter(F.col("clause") == "must_not").select("qid", "term_id")
     excl = (
@@ -122,6 +142,22 @@ def bool_search(
         .distinct()
     )
     survivors = per_doc.join(excl, ["qid", "doc_id"], "left_anti")
+
+    if ranges:
+        if doc_values is None or range_field is None:
+            raise ValueError("ranges need doc_values and range_field")
+        rdf = spark.createDataFrame(
+            [(int(q), lo, hi) for q, lo, hi in ranges], ["qid", "_lo", "_hi"]
+        )
+        fcol = F.col(range_field)
+        survivors = (
+            survivors.join(doc_values.select("doc_id", range_field), "doc_id")
+            .join(F.broadcast(rdf), "qid", "left")
+            .filter(
+                F.col("_lo").isNull() | ((fcol >= F.col("_lo")) & (fcol <= F.col("_hi")))
+            )
+            .drop("_lo", "_hi", range_field)
+        )
     return _topk(survivors.select("qid", "doc_id", "score"), k)
 
 
