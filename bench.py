@@ -325,6 +325,11 @@ def main() -> None:
         "phrase_topk", "bool_topk", "prefix_topk", "fuzzy_topk",
         "span_near_topk", "highlight_topk", "mlt_topk", "rm3_topk",
         "facet_counts", "wildcard_topk", "spell_suggest",
+        # round-5 additions: fielded BM25F, ordered span w/ slop,
+        # search_after page 2, sort-by-field
+        "bm25f_topk", "span_ordered_topk", "search_after_page2",
+        "sort_by_field_topk", "merged_index_topk", "explain_topk",
+        "synonym_topk", "bool_msm_range",
     ]:
         try:
             fn, _ = entries[name]

@@ -900,6 +900,178 @@ def q_bm25f_topk() -> Entry:
     return fn, sql
 
 
+def q_explain_topk() -> Entry:
+    """Score explain (query/explain.py; Lucene IndexSearcher.explain):
+    one row per (query, top-3 doc, matched term) with tf, doclen, df,
+    idf and the BM25 component — sum(component) == the doc's score. The
+    twin recomputes every number from the shared BM25 CTEs."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.explain import explain_topk
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        ex = explain_topk(spark, qdf, idx, k=3)
+        return ex.select(
+            "qid",
+            "rank",
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doclen").cast("long").alias("doclen"),
+            F.col("df").cast("long").alias("df"),
+            F.round("idf", 6).alias("idf_r"),
+            F.round("component", 6).alias("comp_r"),
+            F.round("score", 6).alias("score_r"),
+        )
+
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + f""",
+      comp AS (
+        SELECT qt.qid, tf.doc_id, qt.term, tf.tf::BIGINT AS tf,
+               ds.doclen::BIGINT AS doclen, dict.df::BIGINT AS df,
+               round(ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0), 6)
+                 AS idf_r,
+               round(ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                     * tf.tf * {BM25_K1 + 1.0}
+                     / (tf.tf + {BM25_K1}
+                        * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl)),
+                     6) AS comp_r
+        FROM qt JOIN dict USING (term) JOIN tf USING (term)
+             JOIN ds ON tf.doc_id = ds.doc_id CROSS JOIN stats)
+      SELECT c.qid, r.rank, c.doc_id, c.term, c.tf, c.doclen, c.df,
+             c.idf_r, c.comp_r, r.score_r
+      FROM comp c JOIN ranked r ON r.qid = c.qid AND r.doc_id = c.doc_id
+      WHERE r.rank <= 3"""
+    )
+    return fn, sql
+
+
+def q_merged_index_topk() -> Entry:
+    """Index MERGE (index/merge.py; Lucene segment merge; the north
+    rule's 'construction, merge, compression, top-k'): the documents
+    table is split by doc_id parity, each half built into its own index,
+    the two merged WITHOUT retokenizing (dictionary union + summed df +
+    term_id rewrite), and BM25 top-10 over the merged index must equal
+    the oracle over the WHOLE table — proving df/idf/avgdl/postings
+    merged exactly. Searched via the segments engine, so the merged
+    index also drives the production path."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.index.merge import merge_indexes
+        from dpr_spark.query.wand import build_impact_segments, search_segments
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        a = build_index_from_docs(
+            spark, docs.filter(F.col("doc_id") % 2 == 0), build_blocks=False
+        )
+        b = build_index_from_docs(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), build_blocks=False
+        )
+        idx = merge_indexes(spark, [a, b])
+        seg = build_impact_segments(idx, num_buckets=8)
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search_segments(spark, qdf, idx, seg, k=10).select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + "SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"
+    )
+    return fn, sql
+
+
+def q_search_after_page2() -> Entry:
+    """Result pagination via search_after (query/paging.py; Lucene
+    IndexSearcher.searchAfter): page 1 (k=10) runs on the real segments
+    engine, its last row per query is echoed back as the (score, doc_id)
+    cursor — exact floats, the engine is deterministic bit-for-bit — and
+    the returned PAGE 2 must equal oracle ranks 11..20. Each bucket
+    drops at-or-before-cursor rows BEFORE its local top-k heap, so page
+    N costs what page 1 cost (plan/cost asserts in tests/test_paging.py).
+    Rank re-derived from the 6-dp-rounded score; absolute rank = page
+    rank + 10 so the twin is a plain BETWEEN window slice."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.paging import cursors_from_page, search_after
+        from dpr_spark.query.wand import build_impact_segments, search_segments
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        seg = build_impact_segments(idx, num_buckets=8).persist()
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        page1 = search_segments(spark, qdf, idx, seg, k=10)
+        cursors = cursors_from_page(page1)
+        res = search_after(spark, qdf, idx, seg, cursors, k=10).select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn(
+            "rank", F.row_number().over(w) + F.lit(10)
+        ).select("qid", "rank", "doc_id", "score_r")
+
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + "SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank BETWEEN 11 AND 20"
+    )
+    return fn, sql
+
+
+def q_sort_by_field_topk() -> Entry:
+    """Sort-by-field result mode (query/paging.py; Lucene Sort(SortField)
+    over doc values): top-10 MATCHES of each query (any-term OR
+    semantics — the same match set BM25 scores) ordered by a stored
+    per-doc column instead of relevance. The documents table has no
+    timestamp, so warc_ts := (doc_id·2654435761) mod 100003 — a
+    deterministic scramble both engines derive identically. Selection is
+    the exact two-level top-N (extras/domains.cap_per_key), so one
+    mega-query can't funnel through a single window task."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.paging import search_sort_by_field
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        dv = docs.select(
+            "doc_id",
+            F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100003)).alias("warc_ts"),
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        return search_sort_by_field(
+            spark, qdf, idx, dv, "warc_ts", k=10, salt_buckets=4
+        )
+
+    sql = f"""
+      WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+      dterms AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok),
+      qt AS (SELECT * FROM (VALUES {_qterm_values_sql()}) AS q(qid, term)),
+      matches AS (SELECT DISTINCT qt.qid, dterms.doc_id
+                  FROM qt JOIN dterms USING (term)),
+      dv AS (SELECT doc_id, (doc_id * 2654435761) % 100003 AS warc_ts
+             FROM documents),
+      ranked AS (
+        SELECT m.qid, m.doc_id, dv.warc_ts,
+               row_number() OVER (PARTITION BY m.qid
+                                  ORDER BY dv.warc_ts DESC, m.doc_id) AS rank
+        FROM matches m JOIN dv USING (doc_id))
+      SELECT qid, rank, doc_id, warc_ts FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 def q_chunk_100w() -> Entry:
     """T5 100-word chunking over documents (reference corpus prep,
     `download_data.py:31-36`) with a DuckDB twin. 30-word chunks so the
@@ -1404,6 +1576,145 @@ def q_bool_topk() -> Entry:
       WHERE NOT EXISTS (
         SELECT 1 FROM q JOIN tf USING (term)
         WHERE q.clause = 'must_not' AND q.qid = f.qid AND tf.doc_id = f.doc_id)),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM surv)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
+SYNONYMS = {"join": ["merge"], "scan": ["filter"], "fast": ["quick"]}
+
+
+def q_synonym_topk() -> Entry:
+    """Query-time synonym expansion (query/synonyms.py; Lucene
+    SynonymQuery): each query token + its synonyms score as ONE group —
+    tf = sum over members in the doc, df = MAX over resolved members
+    (blended statistics) — so a rare spelling neither inflates idf nor
+    double-counts a doc containing both forms."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.synonyms import synonym_search
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        syn = spark.createDataFrame(
+            [(t, s) for t, syns in SYNONYMS.items() for s in syns],
+            "term string, syn string",
+        )
+        res = synonym_search(spark, qdf, idx, syn, k=10).select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    rows = []
+    for qid, q in BENCH_QUERIES:
+        for t in sorted(set(tokenize(q))):
+            rows.append(f"({qid}, '{t}', '{t}')")
+            for s in SYNONYMS.get(t, []):
+                rows.append(f"({qid}, '{t}', '{s}')")
+    group_values = ", ".join(rows)
+    sql = f"""
+    WITH {_POS_CTES},
+    g AS (SELECT * FROM (VALUES {group_values}) AS g(qid, grp, term)),
+    r AS (SELECT g.qid, g.grp, g.term, dict.df FROM g JOIN dict USING (term)),
+    gs AS (SELECT qid, grp, max(df) AS df_g FROM r GROUP BY 1, 2),
+    gtf AS (SELECT r.qid, r.grp, tf.doc_id, sum(tf.tf) AS tf_g
+            FROM r JOIN tf USING (term) GROUP BY 1, 2, 3),
+    comp AS (
+      SELECT gtf.qid, gtf.doc_id,
+             ln((stats.n - gs.df_g + 0.5) / (gs.df_g + 0.5) + 1.0)
+               * gtf.tf_g * {BM25_K1 + 1.0}
+               / (gtf.tf_g + {BM25_K1}
+                  * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl)) AS c
+      FROM gtf JOIN gs ON gs.qid = gtf.qid AND gs.grp = gtf.grp
+           JOIN ds ON ds.doc_id = gtf.doc_id CROSS JOIN stats),
+    scored AS (SELECT qid, doc_id, sum(c) AS score FROM comp GROUP BY 1, 2),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
+MSM_QUERIES = [
+    (0, [], ["fast", "scan", "filter"], []),
+    (1, [], ["window", "data", "stream"], []),
+    (2, ["table"], ["big", "sort"], []),
+]
+MSM_RANGES = [(0, 10000, 60000), (1, 20000, 90000)]  # qid 2 unconstrained
+_MSM = 2
+
+
+def q_bool_msm_range() -> Entry:
+    """minimum_should_match + FILTER-context range clause (boolquery.py;
+    Lucene BooleanQuery.setMinimumNumberShouldMatch + PointRangeQuery in
+    filter context): a doc must match >= 2 SHOULD terms AND fall inside
+    the query's [lo, hi] doc-values range (warc_ts synthesized from
+    doc_id as in sort_by_field_topk); the range constrains matches but
+    never contributes to the score."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.boolquery import bool_search
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        dv = docs.select(
+            "doc_id",
+            F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100003)).alias("warc_ts"),
+        )
+        res = bool_search(
+            spark, MSM_QUERIES, idx, k=10, minimum_should_match=_MSM,
+            doc_values=dv, ranges=MSM_RANGES, range_field="warc_ts",
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    qrows = []
+    for qid, must, should, must_not in MSM_QUERIES:
+        m = sorted({t for x in must for t in tokenize(x)})
+        qrows += [f"({qid}, '{t}', 'must')" for t in m]
+        qrows += [
+            f"({qid}, '{t}', 'should')"
+            for t in sorted({t for x in should for t in tokenize(x)})
+            if t not in m
+        ]
+    range_values = ", ".join(f"({q}, {lo}, {hi})" for q, lo, hi in MSM_RANGES)
+    sql = f"""
+    WITH {_POS_CTES},
+    q AS (SELECT * FROM (VALUES {", ".join(qrows)}) AS q(qid, term, clause)),
+    nmust AS (SELECT qid, count(*) AS n_must FROM q WHERE clause = 'must' GROUP BY 1),
+    rng AS (SELECT * FROM (VALUES {range_values}) AS r(qid, lo, hi)),
+    dv AS (SELECT doc_id, (doc_id * 2654435761) % 100003 AS warc_ts FROM documents),
+    scored AS (
+      SELECT q.qid, tf.doc_id,
+             sum({_BM25_COMPONENT}) AS score,
+             sum(CASE WHEN q.clause = 'must' THEN 1 ELSE 0 END) AS must_hits,
+             sum(CASE WHEN q.clause = 'should' THEN 1 ELSE 0 END) AS should_hits
+      FROM q JOIN dict USING (term) JOIN tf USING (term)
+           JOIN ds ON tf.doc_id = ds.doc_id CROSS JOIN stats
+      GROUP BY 1, 2),
+    filt AS (
+      SELECT s.* FROM scored s LEFT JOIN nmust USING (qid)
+      WHERE s.must_hits = coalesce(nmust.n_must, 0)
+        AND s.should_hits >= {_MSM}),
+    surv AS (
+      SELECT f.qid, f.doc_id, f.score
+      FROM filt f JOIN dv ON dv.doc_id = f.doc_id
+           LEFT JOIN rng ON rng.qid = f.qid
+      WHERE rng.lo IS NULL OR (dv.warc_ts >= rng.lo AND dv.warc_ts <= rng.hi)),
     ranked AS (
       SELECT qid, doc_id, round(score, 6) AS score_r,
              row_number() OVER (PARTITION BY qid
@@ -2696,4 +3007,10 @@ def all_entries() -> Dict[str, Entry]:
         "spell_suggest": q_spell_suggest(),
         "bm25f_topk": q_bm25f_topk(),
         "span_ordered_topk": q_span_ordered_topk(),
+        "search_after_page2": q_search_after_page2(),
+        "sort_by_field_topk": q_sort_by_field_topk(),
+        "merged_index_topk": q_merged_index_topk(),
+        "explain_topk": q_explain_topk(),
+        "synonym_topk": q_synonym_topk(),
+        "bool_msm_range": q_bool_msm_range(),
     }
