@@ -32,12 +32,12 @@ postings, positions) are only UNIONED, never shuffled by doc.
 from __future__ import annotations
 
 from functools import reduce
-from typing import Optional, Sequence
+from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dpr_spark import BM25_B, BM25_K1
+from dpr_spark import BM25_B, BM25_K1, DEFAULT_TOP_K
 from dpr_spark.index.build import IndexStats, InvertedIndex, _encode_blocks
 from dpr_spark.plans.ids import assign_dense_ids
 
@@ -154,3 +154,195 @@ def merge_indexes(
     )
     merged.positions = positions
     return merged
+
+
+def _sum_doclen(ix: InvertedIndex) -> int:
+    """Exact integer Σdoclen recovered from stats: avgdl = Σdl/N in
+    float64, and round(avgdl·N) is exact while Σdl·2^-52 < 0.5 — true up
+    to Σdl ≈ 2^52 (a 10^12-doc × 300-token corpus is ~3·10^14, error
+    ~0.07), so no extra docstats pass per search."""
+    return int(round(ix.stats.avgdl * ix.stats.n_docs))
+
+
+def search_across(
+    spark: SparkSession,
+    queries: DataFrame,
+    indexes: Sequence[InvertedIndex],
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k ACROSS unmerged segments with globally blended
+    statistics — Lucene's multi-segment IndexSearcher contract: term
+    statistics (df, N, avgdl) aggregate over all segments at query time,
+    scoring runs per segment, results union into one global top-k.
+
+    Bit-identical to searching the merged index (and a fresh build over
+    the union — asserted in tests/test_merge.py): global df is the exact
+    per-segment sum (disjoint docs), avgdl the exact blended mean, and a
+    doc's components fold in ascending LOCAL term_id — the dense rank by
+    term restricted to a sub-corpus vocabulary preserves term order, so
+    the fold order equals the merged index's ascending merged-term_id
+    fold for every doc.
+
+    Cost shape: only query-term rows leave any dictionary (broadcast
+    semi-probe per segment); each segment's postings are probed in place
+    exactly as single-index search does; the final window sees the union
+    of per-segment candidates. This is what makes the merge policy a
+    THROUGHPUT choice (fewer probes, better compression) rather than a
+    correctness requirement — Lucene's position exactly."""
+    from dpr_spark.query.scorer import query_terms, top_k
+
+    indexes = list(indexes)
+    if not indexes:
+        raise ValueError("no segments")
+    n_docs = sum(ix.stats.n_docs for ix in indexes)
+    sum_dl = sum(_sum_doclen(ix) for ix in indexes)
+    avgdl = float(sum_dl) / n_docs if n_docs else 0.0
+
+    qt = query_terms(queries)
+    needed = qt.select("term").distinct()
+    gdf = (
+        _union_all(
+            [
+                ix.dictionary.join(F.broadcast(needed), "term").select("term", "df")
+                for ix in indexes
+            ]
+        )
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    gidf = gdf.select(
+        "term",
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ).alias("idf"),
+    )
+    qti = qt.join(F.broadcast(gidf), "term")
+
+    component = (
+        F.col("idf")
+        * F.col("tf").cast("double")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("doclen").cast("double") / F.lit(avgdl))
+        )
+    )
+    scored_parts = []
+    for ix in indexes:
+        seg_qt = (
+            ix.dictionary.select("term", "term_id")
+            .join(F.broadcast(qti), "term")
+            .select("qid", "term_id", "idf")
+        )
+        joined = ix.postings.join(F.broadcast(seg_qt), "term_id")
+        parts = joined.select(
+            "qid",
+            "doc_id",
+            F.struct(F.col("term_id"), component.alias("component")).alias("tc"),
+        )
+        scored_parts.append(
+            parts.groupBy("qid", "doc_id")
+            .agg(F.sort_array(F.collect_list("tc")).alias("tcs"))
+            .select(
+                "qid",
+                "doc_id",
+                F.aggregate(
+                    "tcs", F.lit(0.0), lambda acc, x: acc + x["component"]
+                ).alias("score"),
+            )
+        )
+    return top_k(_union_all(scored_parts), k)
+
+
+class TieredMergePolicy:
+    """Which segments to merge, and when — Lucene TieredMergePolicy's
+    public contract, simplified: segments are tiered by size (tier =
+    floor(log_factor(n_docs))), and any tier holding >= merge_factor
+    segments merges them (size-similar inputs make merges cheap and keep
+    the segment count logarithmic in corpus size). max_merged_docs caps
+    a merge's output so one mega-segment never re-merges forever."""
+
+    def __init__(self, merge_factor: int = 4, max_merged_docs: Optional[int] = None):
+        if merge_factor < 2:
+            raise ValueError("merge_factor >= 2")
+        self.merge_factor = merge_factor
+        self.max_merged_docs = max_merged_docs
+
+    def select(self, sizes: Sequence[int]) -> List[List[int]]:
+        """[n_docs per segment] -> groups of segment POSITIONS to merge
+        (each group >= merge_factor members, same size tier, output under
+        max_merged_docs). Deterministic: positions ascend within a group."""
+        import math
+
+        tiers = {}
+        for i, n in enumerate(sizes):
+            t = int(math.log(max(n, 1), self.merge_factor))
+            tiers.setdefault(t, []).append(i)
+        groups = []
+        for t in sorted(tiers):
+            members = tiers[t]
+            while len(members) >= self.merge_factor:
+                take = members[: self.merge_factor]
+                if (
+                    self.max_merged_docs is not None
+                    and sum(sizes[i] for i in take) > self.max_merged_docs
+                ):
+                    break
+                groups.append(take)
+                members = members[self.merge_factor :]
+        return groups
+
+
+class SegmentSet:
+    """A live collection of disjoint-doc segments: crawl waves / NRT
+    compaction outputs land via add(); queries run across ALL segments
+    with blended statistics (search, bit-identical to one merged index);
+    maybe_merge() applies a TieredMergePolicy in the background the way
+    Lucene's merge scheduler does — correctness never depends on it."""
+
+    def __init__(self, indexes: Sequence[InvertedIndex] = ()):
+        self.segments: List[InvertedIndex] = list(indexes)
+
+    def add(self, index: InvertedIndex) -> None:
+        self.segments.append(index)
+
+    def search(
+        self, spark: SparkSession, queries: DataFrame, k: int = DEFAULT_TOP_K,
+        k1: float = BM25_K1, b: float = BM25_B,
+    ) -> DataFrame:
+        return search_across(spark, queries, self.segments, k=k, k1=k1, b=b)
+
+    def maybe_merge(
+        self,
+        spark: SparkSession,
+        policy: TieredMergePolicy,
+        build_blocks: bool = False,
+        check_disjoint: bool = False,
+    ) -> int:
+        """Apply one round of the policy; returns the number of merges
+        performed. check_disjoint defaults OFF here: segments entered
+        through add() come from disjoint waves by construction and were
+        already unioned by every search."""
+        groups = policy.select([ix.stats.n_docs for ix in self.segments])
+        if not groups:
+            return 0
+        merged_out, consumed = [], set()
+        for g in groups:
+            merged_out.append(
+                merge_indexes(
+                    spark,
+                    [self.segments[i] for i in g],
+                    build_blocks=build_blocks,
+                    check_disjoint=check_disjoint,
+                )
+            )
+            consumed.update(g)
+        self.segments = [
+            ix for i, ix in enumerate(self.segments) if i not in consumed
+        ] + merged_out
+        return len(groups)

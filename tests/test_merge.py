@@ -143,3 +143,65 @@ def test_merge_rejects_overlapping_docs(spark, pages_pdf):
     b = build_index_from_docs(spark, docs.filter(F.col("doc_id") >= 20), build_blocks=False)
     with pytest.raises(ValueError, match="overlap"):
         merge_indexes(spark, [a, b])
+
+
+def test_search_across_segments_bit_identical(spark, halves, queries_df):
+    """Lucene multi-segment searcher contract: blended (df, N, avgdl)
+    statistics + per-segment scoring == the merged index == the fresh
+    build, bit for bit."""
+    from dpr_spark.index.merge import search_across
+    from dpr_spark.query.scorer import search
+
+    a, b, fresh = halves
+    exp = sorted(
+        (r.qid, r.rank, r.doc_id, r.score)
+        for r in search(queries_df, fresh, k=10).collect()
+    )
+    got = sorted(
+        (r.qid, r.rank, r.doc_id, r.score)
+        for r in search_across(spark, queries_df, [a, b], k=10).collect()
+    )
+    assert got == exp
+
+
+def test_tiered_merge_policy_select():
+    from dpr_spark.index.merge import TieredMergePolicy
+
+    p = TieredMergePolicy(merge_factor=4)
+    # four size-tier-1 segments merge; the mega segment is left alone
+    assert p.select([100, 110, 90, 105, 50_000]) == [[0, 1, 2, 3]]
+    # under merge_factor per tier: nothing to do
+    assert p.select([100, 110, 50_000]) == []
+    # two full groups in one tier
+    assert p.select([100] * 8) == [[0, 1, 2, 3], [4, 5, 6, 7]]
+    # max_merged_docs caps the output size
+    assert TieredMergePolicy(4, max_merged_docs=300).select([100] * 4) == []
+
+
+def test_segment_set_merge_invariant(spark, pages_pdf, queries_df):
+    """SegmentSet: results identical before and after maybe_merge, and
+    the policy actually folds the small segments."""
+    from dpr_spark.fixtures.corpus import assign_doc_ids
+    from dpr_spark.index.build import build_index_from_docs
+    from dpr_spark.index.merge import SegmentSet, TieredMergePolicy
+
+    pw = assign_doc_ids(pages_pdf.head(160))
+    docs = spark.createDataFrame(pw[["doc_id", "url", "text"]])
+    segs = SegmentSet()
+    for i in range(4):
+        segs.add(
+            build_index_from_docs(
+                spark, docs.filter(F.col("doc_id") % 4 == i), build_blocks=False
+            )
+        )
+    before = sorted(
+        (r.qid, r.rank, r.doc_id, r.score)
+        for r in segs.search(spark, queries_df, k=10).collect()
+    )
+    n = segs.maybe_merge(spark, TieredMergePolicy(merge_factor=4))
+    assert n == 1 and len(segs.segments) == 1
+    after = sorted(
+        (r.qid, r.rank, r.doc_id, r.score)
+        for r in segs.search(spark, queries_df, k=10).collect()
+    )
+    assert after == before
