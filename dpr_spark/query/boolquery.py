@@ -109,8 +109,9 @@ def bool_search(
     if not rows:
         raise ValueError("no tokenizable clauses")
     qdf = spark.createDataFrame(rows, "qid long, term string, clause string")
-    qt = qdf.join(
-        F.broadcast(index.dictionary.select("term", "term_id", "idf")), "term"
+    # clause rows broadcast INTO the dictionary scan, never the reverse
+    qt = index.dictionary.select("term", "term_id", "idf").join(
+        F.broadcast(qdf), "term"
     )
 
     # a must term missing from the dictionary can never be satisfied:

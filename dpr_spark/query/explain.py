@@ -40,12 +40,15 @@ def explain_pairs(
     impact_expr). `pairs` must be query-sized (top-k output, a debug
     list) — it broadcasts into the postings probe."""
     qt = query_term_pairs(queries, index, with_idf=False).select("qid", "term_id")
+    # the dictionary is scanned with the broadcast query-term ids (never
+    # broadcast itself); the RESOLVED query-sized map broadcasts back
+    terms_meta = index.dictionary.select("term_id", "term", "df", "idf").join(
+        F.broadcast(qt.select("term_id").distinct()), "term_id"
+    )
     comp = (
         index.postings.join(F.broadcast(qt), "term_id")
         .join(F.broadcast(pairs.select("qid", "doc_id")), ["qid", "doc_id"])
-        .join(F.broadcast(index.dictionary.select("term_id", "term", "df", "idf")
-                          .join(qt.select("term_id").distinct(), "term_id")),
-              "term_id")
+        .join(F.broadcast(terms_meta), "term_id")
     )
     return comp.select(
         "qid",

@@ -69,13 +69,12 @@ def interesting_terms(
         .agg(F.count("*").alias("tf"))
         .filter(F.col("tf") >= min_tf)
     )
-    cand = tf.join(
-        F.broadcast(
-            index.dictionary.select("term", "term_id", "df", "idf").filter(
-                F.col("df") >= min_df
-            )
-        ),
-        "term",
+    # seed term vectors are query-sized: broadcast INTO the dictionary
+    # scan (df >= min_df stays a pushable scan filter on the big side)
+    cand = (
+        index.dictionary.select("term", "term_id", "df", "idf")
+        .filter(F.col("df") >= min_df)
+        .join(F.broadcast(tf), "term")
     )
     key = F.col("tf").cast("double") * F.col("idf")
     if selection_round > 0:

@@ -86,8 +86,11 @@ def search_sort_by_field(
     shuffling it) -> probe postings with the broadcast (qid, term_id)
     pairs -> collapse to distinct (qid, doc_id) matches -> join the doc-
     values column -> exact two-level top-N per qid (cap_per_key with
-    optional salting for mega-queries). Postings and doc values shuffle
-    only their matched (qid, doc_id[, field]) rows, never the corpus.
+    optional salting for mega-queries). The postings table is probed in
+    place (only matched (qid, doc_id) rows shuffle); the doc-values side
+    is a narrow 2-column table that sort-merge-joins on doc_id at scale —
+    the same shape as the results->passage lookup (SURVEY J1) — or stays
+    exchange-free when written bucketed by doc_id.
 
     cursors: optional {qid: (field_value, doc_id)} search_after map in
     field order — rows at-or-before the cursor are dropped BEFORE the

@@ -390,8 +390,9 @@ def _index_plumbing(spark: SparkSession, index, positions: DataFrame, qrows):
     Includes the cost-based single/two-pass selection priced from exact
     dictionary df stats."""
     qdf = spark.createDataFrame(qrows, "qid long, off int, term string")
-    qterms = qdf.join(
-        F.broadcast(index.dictionary.select("term", "term_id", "idf", "df")), "term"
+    # offset rows broadcast INTO the dictionary scan, never the reverse
+    qterms = index.dictionary.select("term", "term_id", "idf", "df").join(
+        F.broadcast(qdf), "term"
     )
     n_off_all = qdf.groupBy("qid").agg(F.count("*").alias("n_off"))
     # queries whose every offset resolved (an OOV term can never match)

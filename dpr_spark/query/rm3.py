@@ -160,7 +160,8 @@ def rm3_search(
         .groupBy("qid", "term")
         .agg(F.sum("w").alias("w"))
     )
-    weights = final.join(
-        F.broadcast(index.dictionary.select("term", "term_id", "idf")), "term"
+    # weighted terms are query-sized: broadcast INTO the dictionary scan
+    weights = index.dictionary.select("term", "term_id", "idf").join(
+        F.broadcast(final), "term"
     )
     return _weighted_topk(weights, index, k=k, k1=k1, b=b)

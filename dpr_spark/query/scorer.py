@@ -5,8 +5,10 @@ Replaces `dense_retriever.py`'s FAISS `search_knn`
 `conf/dense_retriever.yaml`) with a declarative DataFrame DAG:
 
     queries ──normalize(P5)──tokenize(T1)──explode──distinct──►
-      ⋈ broadcast(dictionary)  [term -> term_id, idf]
-      ⋈ postings on term_id    [the J6 join; sort-merge at scale]
+      broadcast INTO dictionary scan  [term -> term_id, idf; the
+        vocab-sized dictionary never broadcasts or shuffles]
+      ⋈ postings on term_id    [the J6 join; resolved terms broadcast,
+        postings probed in place]
       ──per-(qid,doc) ordered float fold──window top-k──results
 
 Rank identity details (must mirror oracle/bm25.py bit-for-bit):
@@ -53,8 +55,11 @@ def score_exact(
     """(qid, doc_id, score) for every candidate doc (>=1 shared term)."""
     avgdl = index.stats.avgdl
     qt = query_terms(queries)
-    qt = qt.join(
-        F.broadcast(index.dictionary.select("term", "term_id", "idf")), "term"
+    # the query-term side is bytes; it broadcasts INTO the vocab-sized
+    # dictionary scan (the dictionary is the big side at 10^12-doc scale
+    # and never broadcasts on the query path)
+    qt = index.dictionary.select("term", "term_id", "idf").join(
+        F.broadcast(qt), "term"
     )
     # queries are tiny (q * ~5 terms): broadcast them so the postings
     # table is probed in place — no 10^10-row shuffle on term_id

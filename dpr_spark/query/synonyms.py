@@ -67,8 +67,9 @@ def synonym_search(
     from the group's MAX df; per-doc score = Σ over groups, folded in
     ascending group order (deterministic)."""
     members = expand_synonyms(spark, queries, synonyms)
-    resolved = members.join(
-        F.broadcast(index.dictionary.select("term", "term_id", "df")), "term"
+    # group members are query-sized: broadcast INTO the dictionary scan
+    resolved = index.dictionary.select("term", "term_id", "df").join(
+        F.broadcast(members), "term"
     )
     # blended statistics: df_g = max df over resolved members
     gstats = resolved.groupBy("qid", "group").agg(F.max("df").alias("df_g"))
