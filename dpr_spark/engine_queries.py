@@ -992,6 +992,44 @@ def q_merged_index_topk() -> Entry:
     return fn, sql
 
 
+def q_multi_segment_topk() -> Entry:
+    """Multi-segment search with blended statistics (index/merge.py
+    search_across; Lucene's multi-segment IndexSearcher): the documents
+    table split 3 ways by doc_id mod 3, each built independently,
+    searched ACROSS without merging — per-query-term df sums over
+    segments, avgdl blends exactly — and the top-10 must equal the
+    whole-table oracle (the same contract the merged index satisfies,
+    proving merge is a throughput choice, not a correctness one)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.index.merge import search_across
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        parts = [
+            build_index_from_docs(
+                spark, docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i),
+                build_blocks=False,
+            )
+            for i in range(3)
+        ]
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search_across(spark, qdf, parts, k=10).select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + "SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"
+    )
+    return fn, sql
+
+
 def q_search_after_page2() -> Entry:
     """Result pagination via search_after (query/paging.py; Lucene
     IndexSearcher.searchAfter): page 1 (k=10) runs on the real segments
@@ -3013,4 +3051,5 @@ def all_entries() -> Dict[str, Entry]:
         "explain_topk": q_explain_topk(),
         "synonym_topk": q_synonym_topk(),
         "bool_msm_range": q_bool_msm_range(),
+        "multi_segment_topk": q_multi_segment_topk(),
     }
