@@ -992,6 +992,48 @@ def q_merged_index_topk() -> Entry:
     return fn, sql
 
 
+def q_collapse_topk() -> Entry:
+    """Field collapsing (query/paging.py search_collapse; Lucene
+    CollapsingTopDocsCollector / ES `collapse`): BM25 top-5 with at most
+    ONE result per (query, source) — each source contributes its best
+    doc over the FULL candidate set, then the winners rank. The
+    "one result per domain" serving contract."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.paging import search_collapse
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+        idx = build_index_from_docs(spark, docs.select("doc_id", "text"), build_blocks=False)
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search_collapse(
+            spark, qdf, idx, docs.select("doc_id", "source"), "source", k=5
+        ).select("qid", "doc_id", "source", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "source", "score_r"
+        )
+
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + """,
+      withsrc AS (
+        SELECT s.qid, s.doc_id, d.source, round(s.score, 6) AS score_r,
+               row_number() OVER (PARTITION BY s.qid, d.source
+                                  ORDER BY round(s.score, 6) DESC, s.doc_id)
+                 AS grp_rn
+        FROM scored s JOIN documents d USING (doc_id)),
+      winners AS (
+        SELECT qid, doc_id, source, score_r,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score_r DESC, doc_id) AS rank
+        FROM withsrc WHERE grp_rn = 1)
+      SELECT qid, rank, doc_id, source, score_r FROM winners WHERE rank <= 5"""
+    )
+    return fn, sql
+
+
 def q_multi_segment_topk() -> Entry:
     """Multi-segment search with blended statistics (index/merge.py
     search_across; Lucene's multi-segment IndexSearcher): the documents
@@ -3052,4 +3094,5 @@ def all_entries() -> Dict[str, Entry]:
         "synonym_topk": q_synonym_topk(),
         "bool_msm_range": q_bool_msm_range(),
         "multi_segment_topk": q_multi_segment_topk(),
+        "collapse_topk": q_collapse_topk(),
     }

@@ -67,6 +67,45 @@ def search_after(
     )
 
 
+def search_collapse(
+    spark: SparkSession,
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    field: str,
+    k: int = DEFAULT_TOP_K,
+    per_group: int = 1,
+    salt_buckets: Optional[int] = None,
+) -> DataFrame:
+    """(qid, rank, doc_id, <field>, score) — BM25 top-k with at most
+    per_group results per (query, field value): Lucene field collapsing
+    (CollapsingTopDocsCollector / Elasticsearch `collapse`), the "one
+    result per domain" serving contract. Collapse happens over the FULL
+    candidate set before the top-k — a dominated group contributes its
+    best doc(s) only, so page depth never re-admits collapsed duplicates.
+
+    Plan: exact scoring (postings probed in place) -> doc-values join
+    (narrow 2-column sort-merge on doc_id at scale, SURVEY J1 shape) ->
+    exact two-level top-N inside each (qid, field) group (cap_per_key,
+    salting for mega-groups) -> final top-k over group winners. Scores
+    are the ordinary BM25 scores — collapsing filters, never rescores.
+    """
+    from dpr_spark.query.scorer import score_exact
+
+    scored = score_exact(queries, index)
+    withf = scored.join(doc_values.select("doc_id", field), "doc_id")
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    winners = cap_per_key(
+        withf, ["qid", field], order, per_group, salt_buckets=salt_buckets
+    )
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        winners.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", field, "score")
+    )
+
+
 def search_sort_by_field(
     spark: SparkSession,
     queries: DataFrame,

@@ -229,3 +229,68 @@ def test_sort_by_field_pagination_and_salting(spark, index, pages_pdf, queries_p
         .collect()
     )
     assert salted == full
+
+
+def test_search_collapse_vs_twin(spark, index, pages_pdf, queries_pdf, oracle):
+    """Field collapsing == best-doc-per-group over the FULL candidate
+    set, then top-k (Lucene collapse contract); salted variant identical."""
+    from dpr_spark.fixtures.corpus import assign_doc_ids
+    from dpr_spark.query.paging import search_collapse
+
+    pw = assign_doc_ids(pages_pdf)
+    group_of = lambda d: int(d) % 5
+    dv = spark.createDataFrame(
+        [(int(d), group_of(d)) for d in pw.doc_id], "doc_id long, grp long"
+    )
+    qpdf = queries_pdf[["qid", "question"]].head(8)
+    qdf = spark.createDataFrame(qpdf)
+    got = _by_qid(
+        search_collapse(spark, qdf, index, dv, "grp", k=4)
+        .select("qid", "rank", "doc_id", F.col("score"))
+        .collect()
+    )
+    for _, row in qpdf.iterrows():
+        cands = oracle.search(row.question, k=10**9)  # all candidates
+        best = {}
+        for d, s in cands:  # already (score desc, doc_id asc)
+            best.setdefault(group_of(d), (d, s))
+        ranked = sorted(best.values(), key=lambda ds: (-ds[1], ds[0]))[:4]
+        exp = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+        act = got.get(row.qid, [])
+        assert [a[:2] for a in act] == [e[:2] for e in exp], row.question
+        for a, e in zip(act, exp):
+            assert a[2] == pytest.approx(e[2], abs=1e-9)
+    salted = _by_qid(
+        search_collapse(spark, qdf, index, dv, "grp", k=4, salt_buckets=3)
+        .select("qid", "rank", "doc_id", F.col("score"))
+        .collect()
+    )
+    assert salted == got
+
+
+def test_search_collapse_per_group_2(spark, index, pages_pdf, queries_pdf, oracle):
+    from dpr_spark.fixtures.corpus import assign_doc_ids
+    from dpr_spark.query.paging import search_collapse
+
+    pw = assign_doc_ids(pages_pdf)
+    dv = spark.createDataFrame(
+        [(int(d), int(d) % 3) for d in pw.doc_id], "doc_id long, grp long"
+    )
+    q = queries_pdf[["qid", "question"]].head(3)
+    qdf = spark.createDataFrame(q)
+    rows = search_collapse(spark, qdf, index, dv, "grp", k=6, per_group=2).collect()
+    for _, qrow in q.iterrows():
+        sel = [(r.doc_id, r.score) for r in rows if r.qid == qrow.qid]
+        per_g = {}
+        for d, _s in sel:
+            per_g[d % 3] = per_g.get(d % 3, 0) + 1
+        assert all(v <= 2 for v in per_g.values())
+        # the kept docs per group are that group's best by (score, doc_id)
+        cands = oracle.search(qrow.question, k=10**9)
+        bygrp = {}
+        for d, s in cands:
+            bygrp.setdefault(d % 3, []).append((d, s))
+        for g, docs in per_g.items():
+            top2 = [d for d, _ in bygrp[g][:2]]
+            kept = [d for d, _ in sel if d % 3 == g]
+            assert set(kept) <= set(top2)
