@@ -175,3 +175,28 @@ def test_auto_resolution_local_fast_path(spark, index, queries_df):
     # must not collect a 10^9-row query table onto the driver
     big = _gen_big_queries(spark, 100)
     assert not big.isLocal()
+
+
+def test_auto_resolution_catches_tuple_batches(spark, index, monkeypatch):
+    """A createDataFrame-from-tuples batch roots as LogicalRDD (not a
+    LocalRelation) but its rows are driver-resident all the same — auto
+    must take the local path for it (it is the parity entries' and the
+    CLI's batch shape), and a file-backed table must still distribute."""
+    from dpr_spark.query import wand
+
+    qdf = spark.createDataFrame(
+        [(0, "spark window"), (1, "fast scan")], "qid int, question string"
+    )
+    assert not qdf.isLocal()
+    assert wand._driver_resident(qdf)
+
+    calls = []
+    orig = wand._local_query_term_waves
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(wand, "_local_query_term_waves", spy)
+    waves = list(wand.iter_query_term_waves(spark, qdf, index, 4096))
+    assert calls and sum(len(w) for w in waves) >= 0
