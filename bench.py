@@ -330,7 +330,7 @@ def main() -> None:
         "bm25f_topk", "span_ordered_topk", "search_after_page2",
         "sort_by_field_topk", "merged_index_topk", "explain_topk",
         "synonym_topk", "bool_msm_range", "multi_segment_topk",
-        "collapse_topk",
+        "collapse_topk", "delete_live_topk", "delete_purge_topk",
     ]:
         try:
             fn, _ = entries[name]

@@ -992,6 +992,79 @@ def q_merged_index_topk() -> Entry:
     return fn, sql
 
 
+def q_delete_live_topk() -> Entry:
+    """Live deletes (index/deletes.py; Lucene deleted-docs bitset):
+    docs with doc_id % 7 == 0 are tombstoned and excluded at the
+    postings iterator of the segments engine while df/N/avgdl stay
+    STALE (Lucene's documented trade) — so the twin scores with
+    FULL-corpus statistics and filters the dead docs only at ranking."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.wand import build_impact_segments, search_segments
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        dead = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+        seg = build_impact_segments(idx, num_buckets=8)
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search_segments(spark, qdf, idx, seg, k=10, deletes=dead).select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + """,
+      live_ranked AS (
+        SELECT qid, doc_id, round(score, 6) AS score_r,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY round(score, 6) DESC, doc_id) AS rank
+        FROM scored WHERE doc_id % 7 <> 0)
+      SELECT qid, rank, doc_id, score_r FROM live_ranked WHERE rank <= 10"""
+    )
+    return fn, sql
+
+
+def q_delete_purge_topk() -> Entry:
+    """Purged deletes (index/deletes.py purge_deletes; Lucene merge-time
+    reclaim): after the purge the index is a fresh build over the
+    survivors — statistics recomputed — so the twin runs the whole BM25
+    pipeline over `WHERE doc_id % 7 <> 0` documents."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.index.deletes import purge_deletes
+        from dpr_spark.query.wand import build_impact_segments, search_segments
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        dead = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+        purged = purge_deletes(spark, idx, dead)
+        seg = build_impact_segments(purged, num_buckets=8)
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search_segments(spark, qdf, purged, seg, k=10).select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = (
+        "WITH live AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),\n"
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql()).replace(
+            "FROM documents", "FROM live"
+        )
+        + "SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"
+    )
+    return fn, sql
+
+
 def q_collapse_topk() -> Entry:
     """Field collapsing (query/paging.py search_collapse; Lucene
     CollapsingTopDocsCollector / ES `collapse`): BM25 top-5 with at most
@@ -3095,4 +3168,6 @@ def all_entries() -> Dict[str, Entry]:
         "bool_msm_range": q_bool_msm_range(),
         "multi_segment_topk": q_multi_segment_topk(),
         "collapse_topk": q_collapse_topk(),
+        "delete_live_topk": q_delete_live_topk(),
+        "delete_purge_topk": q_delete_purge_topk(),
     }

@@ -112,8 +112,17 @@ def search(
     k: int = DEFAULT_TOP_K,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    deletes: DataFrame = None,
 ) -> DataFrame:
-    return top_k(score_exact(queries, index, k1=k1, b=b), k)
+    """deletes: optional tombstone set (doc_id) — excluded BEFORE the
+    top-k (Lucene liveDocs); term statistics stay stale until
+    index.deletes.purge_deletes, Lucene's documented trade."""
+    scored = score_exact(queries, index, k1=k1, b=b)
+    if deletes is not None:
+        from dpr_spark.index.deletes import exclude_deleted
+
+        scored = exclude_deleted(scored, deletes)
+    return top_k(scored, k)
 
 
 def attach_passages(results: DataFrame, index: InvertedIndex, docs: DataFrame) -> DataFrame:

@@ -351,6 +351,7 @@ def _search_partition(
     prune: bool = True,
     stats: dict = None,
     cursors: Optional[dict] = None,
+    deleted: Optional[np.ndarray] = None,
 ) -> Iterator[pd.DataFrame]:
     if not qterms:
         return
@@ -367,6 +368,18 @@ def _search_partition(
     term_ids = np.concatenate(t_chunks) if len(t_chunks) > 1 else t_chunks[0]
     doc_ids = np.concatenate(d_chunks) if len(d_chunks) > 1 else d_chunks[0]
     impacts = np.concatenate(i_chunks) if len(i_chunks) > 1 else i_chunks[0]
+    if deleted is not None and len(deleted):
+        # liveDocs at the postings iterator (Lucene): tombstoned rows
+        # drop here, so pruning, cursors and top-k never see them
+        pos = np.searchsorted(deleted, doc_ids)
+        dead = (pos < len(deleted)) & (
+            deleted[np.minimum(pos, len(deleted) - 1)] == doc_ids
+        )
+        if dead.any():
+            live = ~dead
+            term_ids, doc_ids, impacts = term_ids[live], doc_ids[live], impacts[live]
+        if not len(term_ids):
+            return
     order = np.lexsort((doc_ids, term_ids))
     term_ids, doc_ids, impacts = term_ids[order], doc_ids[order], impacts[order]
     # local dense doc index
@@ -496,6 +509,7 @@ def search_segments(
     batch_size: int = DEFAULT_QUERY_BATCH,
     resolve: str = "auto",
     cursors: Optional[Dict[int, Tuple[float, int]]] = None,
+    deletes=None,
 ) -> DataFrame:
     """results(qid, rank, doc_id, score) — bit-identical to the exact
     scorer, one postings pass per wave, no postings shuffle. Queries ship
@@ -508,10 +522,28 @@ def search_segments(
     deterministic). Each bucket drops rows at-or-before the cursor BEFORE
     its local top-k heap, so a page-N call emits ≤ k rows per bucket and
     the merge window sorts the same ≤ k·B rows page 1 did — the deep-page
-    cost is flat, not rank_from-linear (Lucene searchAfter contract)."""
+    cost is flat, not rank_from-linear (Lucene searchAfter contract).
+
+    deletes: optional tombstone set — a (doc_id) DataFrame or a sorted
+    int64 numpy array — applied at the postings iterator in every bucket
+    (Lucene liveDocs); term statistics stay stale until purge_deletes."""
+    if deletes is not None and not isinstance(deletes, np.ndarray):
+        from dpr_spark.index.deletes import deletes_array
+
+        deletes = deletes_array(deletes)
+    bdel = (
+        spark.sparkContext.broadcast(deletes)
+        if deletes is not None and len(deletes)
+        else None
+    )
+
     def make_run(bc, bcur):
         def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            return _search_partition(it, bc.value, k, cursors=bcur.value if bcur else None)
+            return _search_partition(
+                it, bc.value, k,
+                cursors=bcur.value if bcur else None,
+                deleted=bdel.value if bdel else None,
+            )
 
         return run
 

@@ -41,6 +41,7 @@ def make_searcher(
     index_dir: Optional[str] = None,
     k: int = DEFAULT_TOP_K,
     positions: Optional[DataFrame] = None,
+    deletes: Optional[DataFrame] = None,
 ) -> Tuple[Callable[[DataFrame], DataFrame], Callable[[], None]]:
     """(search_fn, close_fn): search_fn(queries_df) -> results_df with the
     serving tables resident. Resident state: the dictionary (query-term
@@ -49,6 +50,13 @@ def make_searcher(
     storage layout when the index directory carries one (then nothing is
     cached; the bucketed scan serves straight from storage)."""
     persisted = []
+    if deletes is not None and engine not in ("segments", "exact"):
+        # silently serving tombstoned docs would be a data bug; blockmax
+        # and phrase serve the purged index (purge_deletes / compaction)
+        raise ValueError(
+            f"engine={engine!r} does not apply live tombstones — "
+            "purge_deletes the index first, or use segments/exact"
+        )
     if positions is None:
         positions = getattr(idx, "positions", None)
 
@@ -78,6 +86,14 @@ def make_searcher(
         else:
             seg = hold(build_impact_segments(idx))
 
+        # tombstones collect ONCE at searcher build (the resident
+        # liveDocs array), not per batch
+        del_arr = None
+        if deletes is not None:
+            from dpr_spark.index.deletes import deletes_array
+
+            del_arr = deletes_array(deletes)
+
         def fn(queries: DataFrame, k: int = k) -> DataFrame:
             # search_after: a batch may page by echoing its previous
             # page's last row per qid as (after_score, after_doc). The
@@ -94,7 +110,9 @@ def make_searcher(
                     int(r.qid): (float(r.after_score), int(r.after_doc)) for r in rows
                 } or None
                 queries = queries.select("qid", "question")
-            return search_segments(spark, queries, idx, seg, k=k, cursors=cursors)
+            return search_segments(
+                spark, queries, idx, seg, k=k, cursors=cursors, deletes=del_arr
+            )
 
     elif engine == "blockmax":
         from dpr_spark.query.blockmax import (
@@ -121,7 +139,7 @@ def make_searcher(
 
         def fn(queries: DataFrame, k: int = k) -> DataFrame:
             _reject_cursors(queries, engine)
-            return search(queries, idx, k=k)
+            return search(queries, idx, k=k, deletes=deletes)
 
     elif engine == "phrase":
         from dpr_spark.query.phrase import phrase_search_index
