@@ -1586,6 +1586,106 @@ def q_phrase_topk() -> Entry:
     return fn, sql
 
 
+RESCORE_WINDOW, RESCORE_WEIGHT, RESCORE_K = 10, 0.5, 20
+
+
+def q_rescore_topk() -> Entry:
+    """Two-stage retrieval (query/rescore.py; Lucene QueryRescorer / ES
+    rescore): BM25 first pass (k=20) over the phrase queries' bags of
+    words, then the top-10 window per query re-ranked by
+    first + 0.5·exact-phrase score — docs where the words are adjacent
+    in order rise; ranks 11..20 keep first-pass order and scores below
+    the rescored block. The twin composes the BM25 CTEs with the
+    phrase-adjacency CTEs and the same window/tail contract."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.phrase import build_positions
+        from dpr_spark.query.rescore import rescore_phrase
+        from dpr_spark.query.wand import build_impact_segments, search_segments
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        pos = build_positions(docs, idx.dictionary)
+        seg = build_impact_segments(idx, num_buckets=8)
+        qdf = spark.createDataFrame(PHRASE_QUERIES, "qid int, question string")
+        first = search_segments(spark, qdf, idx, seg, k=RESCORE_K)
+        res = rescore_phrase(
+            spark, qdf, idx, pos, first,
+            window=RESCORE_WINDOW, weight=RESCORE_WEIGHT,
+        )
+        win = res.filter("rescored").select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        win = win.withColumn("rank", F.row_number().over(w)).withColumn(
+            "rescored", F.lit(True)
+        )
+        tail = res.filter(~F.col("rescored")).select(
+            "qid", "rank", "doc_id",
+            F.round("score", 6).alias("score_r"), "rescored",
+        )
+        return win.select("qid", "rank", "doc_id", "score_r", "rescored").unionByName(
+            tail
+        )
+
+    qt_rows = []
+    for qid, p in PHRASE_QUERIES:
+        for t in sorted(set(tokenize(p))):
+            qt_rows.append(f"({qid}, '{t}')")
+    sql = f"""
+    WITH {_POS_CTES},
+    q AS (SELECT * FROM (VALUES {_phrase_values_sql()}) AS q(qid, off, term)),
+    qn AS (SELECT qid, count(*) AS n_off FROM q GROUP BY 1),
+    idf AS (
+      SELECT q.qid,
+             sum(ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)) AS idf_sum,
+             count(*) AS n_res
+      FROM q JOIN dict USING (term) CROSS JOIN stats GROUP BY 1),
+    idf_ok AS (SELECT idf.qid, idf.idf_sum FROM idf JOIN qn USING (qid)
+               WHERE idf.n_res = qn.n_off),
+    pcand AS (
+      SELECT q.qid, pos.doc_id, pos.p - q.off AS start, count(*) AS n_hit
+      FROM q JOIN pos USING (term) GROUP BY 1, 2, 3),
+    pf AS (
+      SELECT pcand.qid, pcand.doc_id, count(*) AS pf
+      FROM pcand JOIN qn USING (qid) WHERE pcand.n_hit = qn.n_off GROUP BY 1, 2),
+    phsc AS (
+      SELECT pf.qid, pf.doc_id,
+             idf_ok.idf_sum * pf.pf * {BM25_K1 + 1.0}
+             / (pf.pf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl))
+             AS score
+      FROM pf JOIN idf_ok USING (qid)
+           JOIN ds ON pf.doc_id = ds.doc_id CROSS JOIN stats),
+    qt AS (SELECT * FROM (VALUES {", ".join(qt_rows)}) AS q(qid, term)),
+    bm AS (
+      SELECT qt.qid, tf.doc_id, sum({_BM25_COMPONENT}) AS score
+      FROM qt JOIN dict USING (term) JOIN tf USING (term)
+           JOIN ds ON tf.doc_id = ds.doc_id CROSS JOIN stats
+      GROUP BY 1, 2),
+    ranked1 AS (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM bm),
+    comb AS (
+      SELECT r.qid, r.doc_id,
+             r.score + {RESCORE_WEIGHT} * coalesce(p.score, 0.0) AS score
+      FROM ranked1 r LEFT JOIN phsc p ON p.qid = r.qid AND p.doc_id = r.doc_id
+      WHERE r.rank <= {RESCORE_WINDOW}),
+    win2 AS (
+      SELECT qid,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank,
+             doc_id, round(score, 6) AS score_r, TRUE AS rescored
+      FROM comb)
+    SELECT qid, rank, doc_id, score_r, rescored FROM win2
+    UNION ALL
+    SELECT qid, rank, doc_id, round(score, 6) AS score_r, FALSE AS rescored
+    FROM ranked1 WHERE rank > {RESCORE_WINDOW} AND rank <= {RESCORE_K}"""
+    return fn, sql
+
+
 SPAN_ORDERED_SLOP = 2
 # ordered-with-gaps fixtures: in-order token pairs/triples that are NOT
 # (always) adjacent in the corpus phrases, so slop>0 genuinely adds
@@ -3170,4 +3270,5 @@ def all_entries() -> Dict[str, Entry]:
         "collapse_topk": q_collapse_topk(),
         "delete_live_topk": q_delete_live_topk(),
         "delete_purge_topk": q_delete_purge_topk(),
+        "rescore_topk": q_rescore_topk(),
     }
