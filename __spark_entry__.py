@@ -13,6 +13,11 @@ oracle_sql()    -> DuckDB twins for EVERY entry — len(oracle_sql()) ==
                    — phrase/bool/prefix/fuzzy/span-near/highlight/
                    more-like-this/RM3/facets — each carries a positions-
                    or expansion-based SQL twin; see engine_queries.py).
+                   Round 5 adds BM25F, ordered spans, search_after
+                   paging, sort-by-field, index merge, multi-segment
+                   search, explain, synonyms, minimum_should_match +
+                   range filters, field collapsing, live/purged deletes,
+                   and two-stage rescoring — every one DuckDB-twinned.
 """
 
 from __future__ import annotations

@@ -62,6 +62,10 @@ def main(argv=None) -> None:
     ap.add_argument("--doc-values", default=None,
                     help="parquet with (doc_id|url, <field>) for --sort-by; "
                          "defaults to --pages")
+    ap.add_argument("--deletes", default=None,
+                    help="tombstone parquet with a doc_id (or url) column: "
+                         "excluded live from segments/exact searches "
+                         "(Lucene deleted-docs); purge via index.deletes")
     ap.add_argument("--pages", default=None, help="pages parquet (doc text for --eval)")
     ap.add_argument("--delta-dir", default=None,
                     help="streaming delta dir (streaming/refresh.py): serve "
@@ -125,6 +129,18 @@ def main(argv=None) -> None:
     else:
         queries = spark.read.parquet(args.queries)
 
+    deletes = None
+    if args.deletes:
+        deletes = spark.read.parquet(args.deletes)
+        if "doc_id" not in deletes.columns:
+            from dpr_spark.index.deletes import deletes_for_urls
+
+            deletes = deletes_for_urls(idx, deletes)
+        if args.engine not in ("segments", "exact") or args.sort_by:
+            raise SystemExit("--deletes applies live tombstones on "
+                             "--engine segments/exact only; purge the "
+                             "index for other engines")
+
     # search_after cursors ride in the query file as (after_score,
     # after_doc) columns — the client echoes its previous page's last row
     cursors = None
@@ -179,7 +195,9 @@ def main(argv=None) -> None:
         else:
             seg = build_impact_segments(idx).persist()
             seg.count()
-        results = search_segments(spark, queries, idx, seg, k=args.k, cursors=cursors)
+        results = search_segments(
+            spark, queries, idx, seg, k=args.k, cursors=cursors, deletes=deletes
+        )
     elif args.engine == "blockmax":
         from dpr_spark.query.blockmax import (
             build_block_segments,
@@ -202,7 +220,7 @@ def main(argv=None) -> None:
     else:
         from dpr_spark.query.scorer import search
 
-        results = search(queries, idx, k=args.k)
+        results = search(queries, idx, k=args.k, deletes=deletes)
     if args.rm3:
         if args.engine == "phrase":
             raise SystemExit("--rm3 expands term queries, not phrases")
