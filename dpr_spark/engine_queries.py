@@ -3204,6 +3204,105 @@ def q_reader_samples() -> Entry:
     return fn, sql
 
 
+def q_tfidf_topk() -> Entry:
+    """Pluggable similarity #1 (query/similarity.py; Lucene
+    ClassicSimilarity): classic TF-IDF top-10 via the REAL engine —
+    build_index_from_docs + search_similarity('classic') — score =
+    Σ sqrt(tf)·idf²·1/sqrt(dl), idf = 1 + ln(N/(df+1)). Same index, same
+    probe plan as BM25; only the Catalyst formula differs. Rank
+    re-derived from the 6-dp-rounded score."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.similarity import search_similarity
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search_similarity(qdf, idx, similarity="classic", k=10).select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = f"""
+      WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+      ds AS (SELECT doc_id, len(toks) AS doclen FROM tok),
+      stats AS (SELECT count(*)::DOUBLE AS n FROM ds),
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2),
+      dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      qt AS (SELECT * FROM (VALUES {_qterm_values_sql()}) AS q(qid, term)),
+      scored AS (
+        SELECT qt.qid, tf.doc_id,
+               sum(sqrt(tf.tf)
+                   * (1.0 + ln(stats.n / (dict.df + 1.0)))
+                   * (1.0 + ln(stats.n / (dict.df + 1.0)))
+                   / sqrt(ds.doclen)) AS score
+        FROM qt JOIN dict USING (term) JOIN tf USING (term)
+             JOIN ds ON tf.doc_id = ds.doc_id CROSS JOIN stats
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT qid, doc_id, round(score, 6) AS score_r,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY round(score, 6) DESC, doc_id) AS rank
+        FROM scored)
+      SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
+def q_lmdirichlet_topk() -> Entry:
+    """Pluggable similarity #2 (query/similarity.py; Lucene
+    LMDirichletSimilarity, mu=2000): per-term
+    max(0, ln(1 + tf/(mu·ctf/total)) + ln(mu/(dl+mu))) — ctf resolved at
+    query time from one extra postings probe over the query terms only
+    (ctf is NOT in the dictionary; adding it would break the merge
+    bit-identity contract). Rank re-derived from the 6-dp-rounded
+    score."""
+    MU = 2000.0
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.similarity import search_similarity
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search_similarity(qdf, idx, similarity="lmdirichlet", k=10, mu=MU).select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = f"""
+      WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+      ds AS (SELECT doc_id, len(toks) AS doclen FROM tok),
+      total AS (SELECT sum(doclen)::DOUBLE AS tt FROM ds),
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2),
+      ctf AS (SELECT term, sum(tf)::DOUBLE AS ctf FROM tf GROUP BY 1),
+      qt AS (SELECT * FROM (VALUES {_qterm_values_sql()}) AS q(qid, term)),
+      scored AS (
+        SELECT qt.qid, tf.doc_id,
+               sum(greatest(0.0,
+                   ln(1.0 + tf.tf / ({MU} * (ctf.ctf / total.tt)))
+                   + ln({MU} / (ds.doclen + {MU})))) AS score
+        FROM qt JOIN ctf USING (term) JOIN tf USING (term)
+             JOIN ds ON tf.doc_id = ds.doc_id CROSS JOIN total
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT qid, doc_id, round(score, 6) AS score_r,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY round(score, 6) DESC, doc_id) AS rank
+        FROM scored)
+      SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -3271,4 +3370,6 @@ def all_entries() -> Dict[str, Entry]:
         "delete_live_topk": q_delete_live_topk(),
         "delete_purge_topk": q_delete_purge_topk(),
         "rescore_topk": q_rescore_topk(),
+        "tfidf_topk": q_tfidf_topk(),
+        "lmdirichlet_topk": q_lmdirichlet_topk(),
     }

@@ -83,6 +83,44 @@ class BM25Oracle:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def classic_search(self, question: str, k: int = 10) -> List[Tuple[int, float]]:
+        """Classic TF-IDF twin (query/similarity.py contract):
+        Σ_t sqrt(tf)·idf²·1/sqrt(dl), idf = 1 + ln(N/(df+1)); ascending-
+        term fold order, same as the engine's term_id fold."""
+        terms = sorted(set(tokenize(normalize_question(question))))
+        scores: Dict[int, float] = {}
+        for t in terms:
+            df = self.df.get(t, 0)
+            if df == 0:
+                continue
+            idf = 1.0 + math.log(self.N / (df + 1.0))
+            for d, tf in self.postings[t].items():
+                c = math.sqrt(tf) * idf * idf / math.sqrt(self.doclen[d])
+                scores[d] = scores.get(d, 0.0) + c
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    def lmdirichlet_search(
+        self, question: str, k: int = 10, mu: float = 2000.0
+    ) -> List[Tuple[int, float]]:
+        """LM Dirichlet twin (query/similarity.py contract):
+        Σ_t max(0, ln(1 + tf/(mu·ctf/total)) + ln(mu/(dl+mu)))."""
+        terms = sorted(set(tokenize(normalize_question(question))))
+        total = float(sum(self.doclen.values()))
+        scores: Dict[int, float] = {}
+        for t in terms:
+            plist = self.postings.get(t)
+            if not plist:
+                continue
+            ctf = float(sum(plist.values()))
+            p_c = ctf / total
+            for d, tf in plist.items():
+                dl = self.doclen[d]
+                raw = math.log(1.0 + tf / (mu * p_c)) + math.log(mu / (dl + mu))
+                scores[d] = scores.get(d, 0.0) + max(0.0, raw)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     # ------------------------------------------------------------------
     # Lucene-parity query-surface twins (query/phrase.py, query/boolquery.py)
     # ------------------------------------------------------------------
