@@ -331,7 +331,7 @@ def main() -> None:
         "sort_by_field_topk", "merged_index_topk", "explain_topk",
         "synonym_topk", "bool_msm_range", "multi_segment_topk",
         "collapse_topk", "delete_live_topk", "delete_purge_topk",
-        "rescore_topk", "tfidf_topk", "lmdirichlet_topk",
+        "rescore_topk", "tfidf_topk", "lmdirichlet_topk", "dismax_topk",
     ]:
         try:
             fn, _ = entries[name]

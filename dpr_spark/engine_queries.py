@@ -3303,6 +3303,67 @@ def q_lmdirichlet_topk() -> Entry:
     return fn, sql
 
 
+# (qid, [(clause_text, boost), ...]) — clause 3 of qid 3 is fully OOV, so
+# the doc set comes from the surviving clause alone (DisMax semantics:
+# union of clause matches, not intersection).
+DISMAX_QUERIES = [
+    (0, [("spark window data", 1.0), ("customer join", 1.5)]),
+    (1, [("fast scan", 2.0), ("sort key", 1.0)]),
+    (2, [("table", 1.0), ("value column data", 0.5)]),
+    (3, [("zzznope", 1.0), ("spark", 1.25)]),
+]
+DISMAX_TIE_BREAKER = 0.3
+
+
+def q_dismax_topk() -> Entry:
+    """Disjunction-max top-10 (query/dismax.py; Lucene
+    DisjunctionMaxQuery with tieBreakerMultiplier=0.3 and per-clause
+    BoostQuery): clause_score = boost · BM25 sum over the clause's token
+    set; doc score = max + tb·(sum − max). The twin scores each
+    (qid, clause) group independently then folds max/sum per doc."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.dismax import dismax_search
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        res = dismax_search(
+            spark, DISMAX_QUERIES, idx, tie_breaker=DISMAX_TIE_BREAKER, k=10
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    from dpr_spark.query.dismax import _clause_rows
+
+    values = ", ".join(
+        f"({qid}, {cid}, {boost!r}::DOUBLE, '{t}')"
+        for qid, cid, boost, t in _clause_rows(DISMAX_QUERIES)
+    )
+    sql = f"""
+    WITH {_POS_CTES},
+    q AS (SELECT * FROM (VALUES {values}) AS q(qid, clause_id, boost, term)),
+    cs AS (
+      SELECT q.qid, tf.doc_id, q.clause_id,
+             max(q.boost) * sum({_BM25_COMPONENT}) AS bcs
+      FROM q JOIN dict USING (term) JOIN tf USING (term)
+           JOIN ds ON tf.doc_id = ds.doc_id CROSS JOIN stats
+      GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT qid, doc_id,
+             max(bcs) + {DISMAX_TIE_BREAKER} * (sum(bcs) - max(bcs)) AS score
+      FROM cs GROUP BY 1, 2),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -3372,4 +3433,5 @@ def all_entries() -> Dict[str, Entry]:
         "rescore_topk": q_rescore_topk(),
         "tfidf_topk": q_tfidf_topk(),
         "lmdirichlet_topk": q_lmdirichlet_topk(),
+        "dismax_topk": q_dismax_topk(),
     }

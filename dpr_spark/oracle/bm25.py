@@ -192,6 +192,31 @@ class BM25Oracle:
         out.sort(key=lambda kv: (-kv[1], kv[0]))
         return out[:k]
 
+    def dismax_search(
+        self,
+        clauses: Sequence[Tuple[str, float]],
+        tie_breaker: float = 0.0,
+        k: int = 10,
+    ) -> List[Tuple[int, float]]:
+        """Dis-max twin (query/dismax.py contract): clause_score =
+        boost · BM25 sum over the clause's token set; doc score =
+        max + tie_breaker · (sum − max)."""
+        per_doc: Dict[int, List[float]] = {}
+        for text, boost in clauses:
+            terms = sorted(set(tokenize(normalize_question(text))))
+            cs: Dict[int, float] = {}
+            for t in terms:
+                for d in self.postings.get(t, ()):
+                    cs[d] = cs.get(d, 0.0) + self.score_one(t, d)
+            for d, s in cs.items():
+                per_doc.setdefault(d, []).append(boost * s)
+        scores = {
+            d: max(bcs) + tie_breaker * (sum(bcs) - max(bcs))
+            for d, bcs in per_doc.items()
+        }
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def fuzzy_search(
         self,
         query: str,
