@@ -3364,6 +3364,47 @@ def q_dismax_topk() -> Entry:
     return fn, sql
 
 
+def q_analyzed_topk() -> Entry:
+    """English analysis chain (functions/analysis.py; Lucene
+    EnglishAnalyzer shape: lowercase → stop-filter → stem): BM25 top-10
+    over an index built with the 33-word Lucene stop set + the Harman
+    S-stemmer (the SQL-expressible stemmer; Porter is pytest-verified in
+    tests/test_analysis.py). doclen counts surviving tokens. The twin
+    wraps the token CTE in the analyzer's list_filter/list_transform
+    spelling and pre-analyzes the query VALUES with the same chain."""
+    from dpr_spark.functions.analysis import ENGLISH_S, analyze_query
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.scorer import search
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(
+            spark, docs, build_blocks=False, analyzer=ENGLISH_S
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search(qdf, idx, k=10).select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in BENCH_QUERIES
+        for t in analyze_query(q, ENGLISH_S)
+    )
+    ctes = _BM25_CTES.replace("{QTERMS}", qvals).replace(
+        _DUCK_TOKS, ENGLISH_S.sql_toks_expr(_DUCK_TOKS)
+    )
+    sql = f"""
+    WITH {ctes}
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -3434,4 +3475,5 @@ def all_entries() -> Dict[str, Entry]:
         "tfidf_topk": q_tfidf_topk(),
         "lmdirichlet_topk": q_lmdirichlet_topk(),
         "dismax_topk": q_dismax_topk(),
+        "analyzed_topk": q_analyzed_topk(),
     }

@@ -86,6 +86,11 @@ class InvertedIndex:
     # the .pos-file analog consumed by query/phrase.py; built when
     # build_index*(build_positional=True)
     positions: Optional[DataFrame] = None
+    # optional analysis chain (functions/analysis.Analyzer) the index was
+    # built with — every engine's query-term resolution applies the same
+    # chain automatically (Lucene: search with the index's analyzer);
+    # None = the identity chain (raw SimpleTokenizer terms)
+    analyzer: Optional[object] = None
 
     def unpersist(self) -> None:
         for df in self.cached or []:
@@ -118,6 +123,7 @@ class InvertedIndex:
                     "n_docs": self.stats.n_docs,
                     "avgdl": self.stats.avgdl,
                     "id_strategy": self.id_strategy,
+                    "analyzer": self.analyzer.spec() if self.analyzer else None,
                 },
                 f,
             )
@@ -129,9 +135,12 @@ class InvertedIndex:
 
         with open(os.path.join(path, "stats.json")) as f:
             s = json.load(f)
+        from dpr_spark.functions.analysis import Analyzer
+
         blocks_path = os.path.join(path, "blocks")
         pos_path = os.path.join(path, "positions")
         return InvertedIndex(
+            analyzer=Analyzer.from_spec(s.get("analyzer")),
             docstats=spark.read.parquet(os.path.join(path, "docstats")),
             dictionary=spark.read.parquet(os.path.join(path, "dictionary")),
             postings=spark.read.parquet(os.path.join(path, "postings")),
@@ -239,7 +248,7 @@ DOC_TERMS_SCHEMA = T.StructType(
 )
 
 
-def tf_batch(texts, pat) -> Optional[tuple]:
+def tf_batch(texts, pat, vocab_map=None) -> Optional[tuple]:
     """The fused tokenize + per-document term-histogram kernel (T1 + A7)
     for one Arrow batch. Returns (row_idx, doclen_per_row, terms, tfs)
     where row_idx indexes into `texts`, or None for an all-empty batch.
@@ -249,7 +258,12 @@ def tf_batch(texts, pat) -> Optional[tuple]:
     factorized RAW and only the (small, Zipf) vocab is lowercased, then
     re-factorized to merge case variants — semantically identical to
     lowering every token, ~25% faster (lowers ~10k vocab strings instead
-    of ~3.5M tokens per batch)."""
+    of ~3.5M tokens per batch).
+
+    vocab_map (Analyzer.map_vocab): optional per-DISTINCT-term transform
+    — None drops the term (stopword), a string renames it (stem). Runs
+    over the batch vocabulary only (same trick as the lowercasing);
+    doclen then counts SURVIVING tokens, Lucene's field-length norm."""
     tok_lists = [pat.findall(t) if t is not None else [] for t in texts]
     lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
     if lens.sum() == 0:
@@ -259,6 +273,20 @@ def tf_batch(texts, pat) -> Optional[tuple]:
     code_map, terms = pd.factorize(pd.Series(vocab_raw).str.lower(), sort=False)
     codes = code_map[codes_raw]
     doc_idx = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
+    if vocab_map is not None:
+        mapped = vocab_map(pd.Series(terms))
+        keep_v = mapped.notna().to_numpy()
+        if not keep_v.any():
+            return None
+        remap = np.full(len(terms), -1, dtype=np.int64)
+        codes2, terms2 = pd.factorize(mapped[keep_v], sort=False)
+        remap[keep_v] = codes2
+        codes = remap[codes]
+        keep = codes >= 0
+        codes = codes[keep]
+        doc_idx = doc_idx[keep]
+        terms = terms2
+        lens = np.bincount(doc_idx, minlength=len(tok_lists)).astype(np.int64)
     key = (doc_idx << np.int64(32)) | codes.astype(np.int64)
     ukey, counts = np.unique(key, return_counts=True)
     u_doc = (ukey >> np.int64(32)).astype(np.int64)
@@ -266,18 +294,22 @@ def tf_batch(texts, pat) -> Optional[tuple]:
     return u_doc, lens, terms.take(u_code), counts.astype(np.int64)
 
 
-def doc_terms(docs: DataFrame) -> DataFrame:
+def doc_terms(docs: DataFrame, analyzer=None) -> DataFrame:
     """Fused tokenize + per-doc term histogram (T1 + A7) in ONE Arrow
     pass. tf per (term, doc) is a per-document quantity — computing it
     inside the tokenizer UDF removes the explode + groupBy shuffle of
     8.75M token rows entirely (a doc's tokens never leave its partition).
-    doclen rides on every row (functionally dependent on doc_id)."""
+    doclen rides on every row (functionally dependent on doc_id).
+    analyzer: optional functions/analysis.Analyzer, applied vocab-level
+    inside the same kernel."""
     from dpr_spark.functions.tokenizer import _compiled_fast
+
+    vocab_map = analyzer.map_vocab if analyzer is not None else None
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pat = _compiled_fast()
         for pdf in it:
-            out = tf_batch(pdf["text"], pat)
+            out = tf_batch(pdf["text"], pat, vocab_map=vocab_map)
             if out is None:
                 continue
             u_doc, lens, terms, tfs = out
@@ -440,6 +472,7 @@ def build_index_from_docs(
     doc_split_threshold: int = 8_000_000,
     id_strategy: Optional[str] = None,
     build_positional: bool = False,
+    analyzer=None,
 ) -> InvertedIndex:
     """Build from docs that already carry (doc_id, text[, url]) — e.g.
     the driver's `documents` table, or prepare_docs output. Pass
@@ -469,7 +502,7 @@ def build_index_from_docs(
         # (10^12-row) extra shuffle.
         docs = docs.repartition(3 * par)
     # one Arrow pass: tokenize + per-doc tf histogram (no explode shuffle)
-    tf = doc_terms(docs).persist()
+    tf = doc_terms(docs, analyzer=analyzer).persist()
     # materialize the cache NOW with a plain count: leaving it to the term
     # ranking's range-bounds sampling job pipelines the expensive double
     # Python stage under the sampler and was measured 3-10x slower than
@@ -485,7 +518,15 @@ def build_index_from_docs(
         cleanup=cleanup, doc_split_bits=doc_split_bits,
         doc_split_threshold=doc_split_threshold, id_strategy=id_strategy,
     )
+    idx.analyzer = analyzer
     if build_positional:
+        if analyzer is not None:
+            # positions over an analyzed stream need position-increment
+            # gaps for dropped stopwords (Lucene posIncrement) — a
+            # declared absence until the phrase tier learns analyzers
+            raise ValueError(
+                "build_positional is not supported with an analyzer yet"
+            )
         # a second Arrow pass over the docs (positions need the token
         # stream the tf histogram already collapsed); reuses the same
         # partitioning, shuffles only (term_id, doc_id, positions)

@@ -40,9 +40,16 @@ class BM25Oracle:
     # doc_id -> token list
     doc_tokens: Dict[int, List[str]] = field(default_factory=dict)
     doc_text: Dict[int, str] = field(default_factory=dict)
+    # optional functions/analysis.Analyzer — applied to doc tokens in
+    # add() and to query tokens in search(), mirroring the engine's
+    # index-analyzer contract (doclen counts surviving tokens)
+    analyzer: object = None
 
     def add(self, doc_id: int, text: str) -> None:
-        self.doc_tokens[doc_id] = tokenize(text)
+        toks = tokenize(text)
+        if self.analyzer is not None:
+            toks = self.analyzer.analyze_tokens(toks)
+        self.doc_tokens[doc_id] = toks
         self.doc_text[doc_id] = text
 
     def build(self) -> None:
@@ -75,7 +82,9 @@ class BM25Oracle:
     def search(self, question: str, k: int = 10) -> List[Tuple[int, float]]:
         """Top-k (doc_id, score), score desc then doc_id asc; 0-score docs
         are never returned (a doc must contain >=1 query term)."""
-        terms = sorted(set(tokenize(normalize_question(question))))
+        from dpr_spark.functions.analysis import analyze_query
+
+        terms = analyze_query(question, self.analyzer)
         scores: Dict[int, float] = {}
         for t in terms:
             for d in self.postings.get(t, ()):  # docs containing t

@@ -23,6 +23,8 @@ Rank identity details (must mirror oracle/bm25.py bit-for-bit):
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas-UDF string annotations resolve here
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -32,9 +34,22 @@ from dpr_spark.functions.tokenizer import tokenize_udf
 from dpr_spark.index.build import InvertedIndex
 
 
-def query_terms(queries: DataFrame) -> DataFrame:
+def query_terms(queries: DataFrame, analyzer=None) -> DataFrame:
     """queries(qid, question) -> distinct (qid, term); duplicate query
-    terms count once (set semantics, fixed by the oracle contract)."""
+    terms count once (set semantics, fixed by the oracle contract).
+    analyzer: the index's analysis chain (functions/analysis.Analyzer) —
+    query terms must pass through the same stop/stem chain the postings
+    did (Lucene: search with the index's analyzer)."""
+    if analyzer is not None:
+        from pyspark.sql import types as T
+
+        from dpr_spark.functions.analysis import analyze_query
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def qtok(s: pd.Series) -> pd.Series:
+            return s.map(lambda q: analyze_query(q, analyzer) if q is not None else [])
+
+        return queries.select("qid", F.explode(qtok("question")).alias("term"))
     return (
         queries.select(
             "qid",
@@ -54,7 +69,7 @@ def score_exact(
 ) -> DataFrame:
     """(qid, doc_id, score) for every candidate doc (>=1 shared term)."""
     avgdl = index.stats.avgdl
-    qt = query_terms(queries)
+    qt = query_terms(queries, analyzer=index.analyzer)
     # the query-term side is bytes; it broadcasts INTO the vocab-sized
     # dictionary scan (the dictionary is the big side at 10^12-doc scale
     # and never broadcasts on the query path)

@@ -89,10 +89,14 @@ def query_term_pairs(
     workers are executors."""
     from pyspark.sql import types as T
 
+    from dpr_spark.functions.analysis import analyze_query
+
+    analyzer = index.analyzer
+
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def qtok(s: pd.Series) -> pd.Series:
         return s.map(
-            lambda q: sorted(set(tokenize(normalize_question(q)))) if q is not None else []
+            lambda q: analyze_query(q, analyzer) if q is not None else []
         )
 
     pairs = queries.select("qid", F.explode(qtok("question")).alias("term"))
@@ -138,10 +142,12 @@ def _local_query_term_waves(
     measured ~0.7s, which a 200-query batch cannot amortize (r4 VERDICT
     What's-wrong #2). Wave contents are asserted identical to the
     distributed path in tests/test_query_resolution.py."""
+    from dpr_spark.functions.analysis import analyze_query
+
     qrows = queries.select("qid", "question").collect()
     qterms = {
         int(r.qid): (
-            sorted(set(tokenize(normalize_question(r.question))))
+            analyze_query(r.question, index.analyzer)
             if r.question is not None
             else []
         )

@@ -1,0 +1,214 @@
+"""Analysis chain (functions/analysis.py): stemmer unit vectors, the
+S-stemmer's SQL twin equivalence, and end-to-end rank identity of
+analyzed indexes (stop + s / stop + porter) vs the pure-Python oracle
+across the exact and segments engines, plus save/load persistence."""
+
+import pytest
+
+
+# --- unit vectors -----------------------------------------------------------
+
+PORTER_CASES = {
+    # every example from Porter (1980) steps 1-5
+    "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+    "cats": "cat", "feed": "feed", "agreed": "agre", "plastered": "plaster",
+    "bled": "bled", "motoring": "motor", "sing": "sing", "conflated": "conflat",
+    "troubled": "troubl", "sized": "size", "hopping": "hop", "tanned": "tan",
+    "falling": "fall", "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+    "filing": "file", "happy": "happi", "sky": "sky", "relational": "relat",
+    "conditional": "condit", "rational": "ration", "valenci": "valenc",
+    "hesitanci": "hesit", "digitizer": "digit", "conformabli": "conform",
+    "radicalli": "radic", "differentli": "differ", "vileli": "vile",
+    "analogousli": "analog", "vietnamization": "vietnam",
+    "predication": "predic", "operator": "oper", "feudalism": "feudal",
+    "decisiveness": "decis", "hopefulness": "hope", "callousness": "callous",
+    "formaliti": "formal", "sensitiviti": "sensit", "sensibiliti": "sensibl",
+    "triplicate": "triplic", "formative": "form", "formalize": "formal",
+    "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good", "revival": "reviv", "allowance": "allow",
+    "inference": "infer", "airliner": "airlin", "gyroscopic": "gyroscop",
+    "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+    "replacement": "replac", "adjustment": "adjust", "dependent": "depend",
+    "adoption": "adopt", "homologou": "homolog", "communism": "commun",
+    "activate": "activ", "angulariti": "angular", "homologous": "homolog",
+    "effective": "effect", "bowdlerize": "bowdler", "probate": "probat",
+    "rate": "rate", "cease": "ceas", "controll": "control", "roll": "roll",
+}
+
+
+def test_porter_published_vectors():
+    from dpr_spark.functions.analysis import porter_stem
+
+    bad = {w: porter_stem(w) for w, e in PORTER_CASES.items() if porter_stem(w) != e}
+    assert not bad
+
+
+def test_s_stem_rules():
+    from dpr_spark.functions.analysis import s_stem
+
+    assert s_stem("ponies") == "pony"
+    assert s_stem("flies") == "fly"
+    assert s_stem("caresses") == "caresse"  # es -> e (drop s)
+    assert s_stem("cats") == "cat"
+    assert s_stem("bus") == "bus"  # us exception
+    assert s_stem("pass") == "pass"  # ss exception
+    assert s_stem("is") == "is"  # len guard
+    assert s_stem("goes") == "goe"  # oes fails rule 2, cascades to rule 3
+
+
+def test_s_stem_sql_twin_on_corpus_vocab(pages_pdf):
+    """The SQL CASE and the Python s_stem agree on every distinct term
+    of the fixture corpus plus the rule-edge words."""
+    import duckdb
+
+    from dpr_spark.functions.analysis import s_stem, s_stem_sql_case
+    from dpr_spark.functions.tokenizer import tokenize
+
+    vocab = sorted({t for text in pages_pdf.text for t in tokenize(text)})
+    vocab += ["ponies", "caresses", "goes", "trees", "bus", "pass", "ies", "s"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v(t VARCHAR)")
+    con.executemany("INSERT INTO v VALUES (?)", [(t,) for t in vocab])
+    got = dict(con.execute(f"SELECT t, {s_stem_sql_case('t')} FROM v").fetchall())
+    assert got == {t: s_stem(t) for t in vocab}
+
+
+def test_analyze_tokens_stop_then_stem():
+    from dpr_spark.functions.analysis import ENGLISH_S
+
+    toks = ["the", "ponies", "are", "in", "fields", "this", "is", "it"]
+    assert ENGLISH_S.analyze_tokens(toks) == ["pony", "field"]
+
+
+def test_analyzer_spec_roundtrip():
+    from dpr_spark.functions.analysis import Analyzer, ENGLISH_PORTER
+
+    back = Analyzer.from_spec(ENGLISH_PORTER.spec())
+    assert back == ENGLISH_PORTER
+    assert Analyzer.from_spec(None) is None
+
+
+# --- end-to-end rank identity ----------------------------------------------
+
+
+def _analyzed_oracle(pages_pdf, analyzer):
+    from dpr_spark.fixtures.corpus import assign_doc_ids
+    from dpr_spark.oracle.bm25 import BM25Oracle
+
+    pw = assign_doc_ids(pages_pdf)
+    o = BM25Oracle(analyzer=analyzer)
+    for d, t in zip(pw.doc_id, pw.text):
+        o.add(int(d), t)
+    o.build()
+    return o
+
+
+def _docs_df(spark, pages_pdf):
+    from dpr_spark.fixtures.corpus import assign_doc_ids
+
+    pw = assign_doc_ids(pages_pdf)
+    return spark.createDataFrame(pw[["doc_id", "text"]])
+
+
+@pytest.mark.parametrize("which", ["s", "porter"])
+def test_analyzed_rank_identity_exact(spark, pages_pdf, queries_pdf, which):
+    from dpr_spark.functions.analysis import ENGLISH_PORTER, ENGLISH_S
+    from dpr_spark.index.build import build_index_from_docs
+    from dpr_spark.query.scorer import search
+
+    analyzer = ENGLISH_S if which == "s" else ENGLISH_PORTER
+    idx = build_index_from_docs(
+        spark, _docs_df(spark, pages_pdf), build_blocks=False, analyzer=analyzer
+    )
+    o = _analyzed_oracle(pages_pdf, analyzer)
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(15))
+    got = {}
+    for r in search(qdf, idx, k=10).collect():
+        got.setdefault(r.qid, []).append((r.rank, r.doc_id, r.score))
+    n = 0
+    for _, q in queries_pdf.head(15).iterrows():
+        expect = o.search(q.question, 10)
+        actual = sorted(got.get(int(q.qid), []))
+        assert len(actual) == len(expect), f"qid={q.qid}"
+        for (rank, doc_id, score), (edoc, escore) in zip(actual, expect):
+            assert doc_id == edoc, f"{which} qid={q.qid} rank={rank}"
+            assert score == pytest.approx(escore, abs=1e-9)
+            n += 1
+    assert n > 40
+    idx.unpersist()
+
+
+def test_analyzed_rank_identity_segments(spark, pages_pdf, queries_pdf):
+    """The wand/segments engine resolves query terms through the same
+    analyzer chain (wand.py query resolution, both local and UDF paths
+    go through analyze_query)."""
+    from dpr_spark.functions.analysis import ENGLISH_S
+    from dpr_spark.index.build import build_index_from_docs
+    from dpr_spark.query.wand import build_impact_segments, search_segments
+
+    idx = build_index_from_docs(
+        spark, _docs_df(spark, pages_pdf), build_blocks=False, analyzer=ENGLISH_S
+    )
+    o = _analyzed_oracle(pages_pdf, ENGLISH_S)
+    seg = build_impact_segments(idx, num_buckets=8)
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(12))
+    got = {}
+    for r in search_segments(spark, qdf, idx, seg, k=10).collect():
+        got.setdefault(r.qid, []).append((r.rank, r.doc_id, round(r.score, 9)))
+    for _, q in queries_pdf.head(12).iterrows():
+        expect = [
+            (i + 1, d, round(s, 9)) for i, (d, s) in enumerate(o.search(q.question, 10))
+        ]
+        assert sorted(got.get(int(q.qid), [])) == expect, f"qid={q.qid}"
+    idx.unpersist()
+
+
+def test_analyzed_doclen_counts_survivors(spark, pages_pdf):
+    """doclen == the oracle's surviving-token count per doc (stopwords
+    excluded from length normalization, Lucene field-norm semantics)."""
+    from dpr_spark.functions.analysis import ENGLISH_S
+    from dpr_spark.index.build import build_index_from_docs
+
+    idx = build_index_from_docs(
+        spark, _docs_df(spark, pages_pdf), build_blocks=False, analyzer=ENGLISH_S
+    )
+    o = _analyzed_oracle(pages_pdf, ENGLISH_S)
+    got = {r.doc_id: r.doclen for r in idx.docstats.collect()}
+    assert got == o.doclen
+    # and the analyzer genuinely shortened something
+    o_raw = _analyzed_oracle(pages_pdf, None)
+    assert sum(got.values()) < sum(o_raw.doclen.values())
+    idx.unpersist()
+
+
+def test_analyzer_save_load_roundtrip(spark, pages_pdf, queries_pdf, tmp_path):
+    from dpr_spark.functions.analysis import ENGLISH_S
+    from dpr_spark.index.build import InvertedIndex, build_index_from_docs
+    from dpr_spark.query.scorer import search
+
+    idx = build_index_from_docs(
+        spark, _docs_df(spark, pages_pdf), build_blocks=False, analyzer=ENGLISH_S
+    )
+    p = str(tmp_path / "analyzed_idx")
+    idx.save(p)
+    back = InvertedIndex.load(spark, p)
+    assert back.analyzer == ENGLISH_S
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(5))
+    a = sorted(map(tuple, search(qdf, idx, k=10).collect()))
+    b = sorted(map(tuple, search(qdf, back, k=10).collect()))
+    assert a == b
+    idx.unpersist()
+
+
+def test_positional_build_rejects_analyzer(spark, pages_pdf):
+    from dpr_spark.functions.analysis import ENGLISH_S
+    from dpr_spark.index.build import build_index_from_docs
+
+    with pytest.raises(ValueError, match="positional"):
+        build_index_from_docs(
+            spark,
+            _docs_df(spark, pages_pdf),
+            build_blocks=False,
+            build_positional=True,
+            analyzer=ENGLISH_S,
+        )
