@@ -46,6 +46,13 @@ def main(argv=None) -> None:
     ap.add_argument("--block-buckets", type=int, default=0,
                     help="also materialize doc-bucketed COMPRESSED block segments "
                          "+ norms for the blockmax engine (0=off)")
+    ap.add_argument("--analyzer", choices=["none", "english-s", "english-porter"],
+                    default="none",
+                    help="analysis chain (Lucene EnglishAnalyzer shape): "
+                         "lowercase + 33-word stop set + S- or Porter "
+                         "stemming; recorded in stats.json — query.py "
+                         "automatically analyzes queries with the index's "
+                         "chain")
     ap.add_argument("--resumable", default=None, help="workdir for manifest-checkpointed build")
     ap.add_argument("--snapshot-dir", default=None,
                     help="also commit the index tables to an Iceberg-style "
@@ -60,7 +67,17 @@ def main(argv=None) -> None:
     t0 = time.perf_counter()
     pages = spark.read.parquet(args.pages)
 
+    from dpr_spark.functions.analysis import ENGLISH_PORTER, ENGLISH_S
+
+    analyzer = {"none": None, "english-s": ENGLISH_S,
+                "english-porter": ENGLISH_PORTER}[args.analyzer]
+    if analyzer is not None and args.positional:
+        ap.error("--analyzer is not supported with --positional yet "
+                 "(stopword position gaps)")
+
     if args.resumable:
+        if analyzer is not None:
+            ap.error("--analyzer is not supported with --resumable yet")
         if args.dedup_latest:
             ap.error("--dedup-latest is not supported with --resumable yet: "
                      "dedup the pages table first (plans/latest.py latest_by_key)")
@@ -89,6 +106,7 @@ def main(argv=None) -> None:
             dedup_latest=args.dedup_latest,
             id_strategy=args.id_strategy,
             build_positional=args.positional,
+            analyzer=analyzer,
         )
     idx.save(args.out)
     if args.snapshot_dir:

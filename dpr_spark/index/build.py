@@ -326,7 +326,7 @@ def doc_terms(docs: DataFrame, analyzer=None) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(run, DOC_TERMS_SCHEMA)
 
 
-def doc_terms_from_parts(parts: DataFrame, offsets_bc) -> DataFrame:
+def doc_terms_from_parts(parts: DataFrame, offsets_bc, analyzer=None) -> DataFrame:
     """The FUSED hot path: dense doc_id assignment (positional, from the
     ranged_parts prefix sums) + tokenize + per-doc tf histogram in ONE
     Python stage. Chaining a separate id-assign mapInPandas in front of
@@ -334,6 +334,8 @@ def doc_terms_from_parts(parts: DataFrame, offsets_bc) -> DataFrame:
     doubles the Python-stage count — fusing removes both."""
     from dpr_spark.functions.tokenizer import _compiled_fast
     from dpr_spark.plans.ids import _offset_for
+
+    vocab_map = analyzer.map_vocab if analyzer is not None else None
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pat = _compiled_fast()
@@ -347,7 +349,7 @@ def doc_terms_from_parts(parts: DataFrame, offsets_bc) -> DataFrame:
             base = _offset_for(offsets_bc, int(pdf["_range_pid"].iloc[0]))
             ids = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
             seen += len(pdf)
-            out = tf_batch(pdf["text"], pat)
+            out = tf_batch(pdf["text"], pat, vocab_map=vocab_map)
             if out is None:
                 continue
             u_doc, lens, terms, tfs = out
@@ -375,11 +377,14 @@ def build_index(
     dedup_latest: bool = False,
     id_strategy: str = "dense_rank",
     build_positional: bool = False,
+    analyzer=None,
 ) -> InvertedIndex:
     cleanup: list = []
     par = spark.sparkContext.defaultParallelism
     if id_strategy not in ("dense_rank", "hash"):
         raise ValueError(id_strategy)
+    if analyzer is not None and build_positional:
+        raise ValueError("build_positional is not supported with an analyzer yet")
     if id_strategy == "hash":
         # xxhash64(url) ids — REQUIRED for a base index that will serve
         # with a streaming delta (fresh_index's override anti-join keys
@@ -396,7 +401,7 @@ def build_index(
         return build_index_from_docs(
             spark, docs, build_blocks=build_blocks, k1=k1, b=b,
             salt_df_agg=salt_df_agg, cleanup=cleanup, id_strategy="hash",
-            build_positional=build_positional,
+            build_positional=build_positional, analyzer=analyzer,
         )
     if verify_extract:
         # verification path: ids ride the distribution shuffle, extract
@@ -415,6 +420,7 @@ def build_index(
             spark, docs, build_blocks=build_blocks, k1=k1, b=b,
             salt_df_agg=salt_df_agg, cleanup=cleanup, repartition=False,
             id_strategy="dense_rank", build_positional=build_positional,
+            analyzer=analyzer,
         )
 
     # hot path: ONE url-range shuffle doubles as id assignment and the
@@ -439,7 +445,7 @@ def build_index(
     parts, bc, n_docs_cnt = ranged_parts(
         src.select("url", "text"), "url", 3 * par, cleanup
     )
-    tf = doc_terms_from_parts(parts, bc).persist()
+    tf = doc_terms_from_parts(parts, bc, analyzer=analyzer).persist()
     tf.count()  # materialize before the term-ranking sampler (see below)
     # docstats' (doc_id, url) view reuses the same offsets — off the
     # critical path, no text column
@@ -448,6 +454,7 @@ def build_index(
         spark, tf, docs, n_docs_cnt, build_blocks=build_blocks, k1=k1, b=b,
         salt_df_agg=salt_df_agg, cleanup=cleanup, id_strategy="dense_rank",
     )
+    idx.analyzer = analyzer
     if build_positional:
         # second Arrow pass over the ranged parts (same ids, same
         # partitioning; the tf histogram already collapsed positions)

@@ -212,3 +212,55 @@ def test_positional_build_rejects_analyzer(spark, pages_pdf):
             build_positional=True,
             analyzer=ENGLISH_S,
         )
+
+
+def test_cli_build_with_analyzer(tmp_path, pages_pdf, queries_pdf, spark):
+    """build_index.py --analyzer english-s records the chain; the loaded
+    index searches rank-identically to the analyzed oracle."""
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(
+            pages_pdf[["url", "text"]].head(120), preserve_index=False
+        ),
+        pages_path,
+    )
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "build_index.py"),
+         "--pages", pages_path, "--out", str(tmp_path / "idx"),
+         "--analyzer", "english-s", "--no-blocks"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    from dpr_spark.functions.analysis import ENGLISH_S
+    from dpr_spark.index.build import InvertedIndex
+    from dpr_spark.oracle.bm25 import BM25Oracle
+    from dpr_spark.query.scorer import search
+
+    idx = InvertedIndex.load(spark, str(tmp_path / "idx"))
+    assert idx.analyzer == ENGLISH_S
+
+    # the CLI's dense ids are assigned by url order over the 120-row slice
+    pw = pages_pdf.head(120).sort_values("url").reset_index(drop=True)
+    o = BM25Oracle(analyzer=ENGLISH_S)
+    for d, t in enumerate(pw.text):
+        o.add(d, t)
+    o.build()
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(6))
+    got = {}
+    for r in search(qdf, idx, k=5).collect():
+        got.setdefault(r.qid, []).append((r.rank, r.doc_id, round(r.score, 9)))
+    for _, q in queries_pdf.head(6).iterrows():
+        expect = [
+            (i + 1, d, round(s, 9)) for i, (d, s) in enumerate(o.search(q.question, 5))
+        ]
+        assert sorted(got.get(int(q.qid), [])) == expect, f"qid={q.qid}"
