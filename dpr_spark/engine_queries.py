@@ -3405,6 +3405,58 @@ def q_analyzed_topk() -> Entry:
     return fn, sql
 
 
+FUNC_SCORE_SCALE, FUNC_SCORE_DECAY = 500.0, 0.5
+
+
+def q_func_score_topk() -> Entry:
+    """Function-score top-10 (query/funcscore.py; ES function_score /
+    Lucene FunctionScoreQuery): BM25 × exp-decay over n_chars (origin 0,
+    scale 500, decay 0.5 — "prefer short docs"), boost_mode=multiply,
+    applied to EVERY matched doc before the top-k. The twin multiplies
+    the scored CTE by the same exp literal (λ pre-computed in Python so
+    both engines see the identical float64 constant)."""
+    import math
+
+    lam = math.log(FUNC_SCORE_DECAY) / FUNC_SCORE_SCALE
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.funcscore import decay_expr, search_function_score
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search_function_score(
+            qdf, idx, docs, "n_chars",
+            lambda c: decay_expr(
+                c, "exp", origin=0.0, scale=FUNC_SCORE_SCALE,
+                decay=FUNC_SCORE_DECAY,
+            ),
+            k=10,
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = f"""
+    WITH {_BM25_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    fs AS (
+      SELECT s.qid, s.doc_id,
+             s.score * exp({lam!r} * greatest(0.0, abs(d.n_chars::DOUBLE)))
+             AS score
+      FROM scored s JOIN documents d USING (doc_id)),
+    ranked_fs AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM fs)
+    SELECT qid, rank, doc_id, score_r FROM ranked_fs WHERE rank <= 10"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -3476,4 +3528,5 @@ def all_entries() -> Dict[str, Entry]:
         "lmdirichlet_topk": q_lmdirichlet_topk(),
         "dismax_topk": q_dismax_topk(),
         "analyzed_topk": q_analyzed_topk(),
+        "func_score_topk": q_func_score_topk(),
     }

@@ -201,6 +201,30 @@ class BM25Oracle:
         out.sort(key=lambda kv: (-kv[1], kv[0]))
         return out[:k]
 
+    def function_score_search(
+        self,
+        question: str,
+        values: Dict[int, float],
+        fn,
+        boost_mode: str = "multiply",
+        k: int = 10,
+    ) -> List[Tuple[int, float]]:
+        """Function-score twin (query/funcscore.py contract): BM25 over
+        ALL matched docs, then score ∘ fn(values[doc]) per doc."""
+        from dpr_spark.functions.analysis import analyze_query
+
+        terms = analyze_query(question, self.analyzer)
+        scores: Dict[int, float] = {}
+        for t in terms:
+            for d in self.postings.get(t, ()):
+                scores[d] = scores.get(d, 0.0) + self.score_one(t, d)
+        out = {}
+        for d, s in scores.items():
+            boost = fn(values[d])
+            out[d] = s * boost if boost_mode == "multiply" else s + boost
+        ranked = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def dismax_search(
         self,
         clauses: Sequence[Tuple[str, float]],
