@@ -332,7 +332,8 @@ def main() -> None:
         "synonym_topk", "bool_msm_range", "multi_segment_topk",
         "collapse_topk", "delete_live_topk", "delete_purge_topk",
         "rescore_topk", "tfidf_topk", "lmdirichlet_topk", "dismax_topk",
-        "analyzed_topk", "func_score_topk",
+        "analyzed_topk", "func_score_topk", "terms_agg_matches",
+        "stats_agg_matches",
     ]:
         try:
             fn, _ = entries[name]

@@ -3457,6 +3457,81 @@ def q_func_score_topk() -> Entry:
     return fn, sql
 
 
+_MATCH_CTES = f"""
+tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2),
+qt AS (SELECT * FROM (VALUES {{QTERMS}}) AS q(qid, term)),
+matches AS (SELECT DISTINCT qt.qid, tf.doc_id FROM qt JOIN tf USING (term))
+"""
+
+
+def q_terms_agg_matches() -> Entry:
+    """ES `terms` aggregation over the FULL match set (query/aggs.py):
+    top-5 (source, count) buckets per query, count desc / value asc —
+    EXACT global counts (no shard approximation), computed with the
+    two-level salted top-N so a mega-query can't funnel one window."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import terms_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        return terms_agg(
+            qdf, idx, docs.select("doc_id", "source"), "source",
+            size=5, salt_buckets=4,
+        )
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    counts AS (
+      SELECT m.qid, d.source AS value, count(*) AS count
+      FROM matches m JOIN documents d USING (doc_id) GROUP BY 1, 2),
+    ranked AS (
+      SELECT qid, value, count,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY count DESC, value ASC) AS rank
+      FROM counts)
+    SELECT qid, value, count, rank FROM ranked WHERE rank <= 5"""
+    return fn, sql
+
+
+def q_stats_agg_matches() -> Entry:
+    """ES `stats` aggregation + track_total_hits (query/aggs.py):
+    count/min/max/sum/avg of n_chars over every matched doc per query
+    (`n` IS the total-hits count — Lucene TotalHitCountCollector)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import stats_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = stats_agg(qdf, idx, docs.select("doc_id", "n_chars"), "n_chars")
+        return res.select(
+            "qid", "n",
+            F.round("min", 6).alias("min_v"), F.round("max", 6).alias("max_v"),
+            F.round("sum", 6).alias("sum_v"), F.round("avg", 6).alias("avg_v"),
+        )
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())}
+    SELECT m.qid, count(*) AS n,
+           round(min(d.n_chars::DOUBLE), 6) AS min_v,
+           round(max(d.n_chars::DOUBLE), 6) AS max_v,
+           round(sum(d.n_chars::DOUBLE), 6) AS sum_v,
+           round(avg(d.n_chars::DOUBLE), 6) AS avg_v
+    FROM matches m JOIN documents d USING (doc_id) GROUP BY 1"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -3529,4 +3604,6 @@ def all_entries() -> Dict[str, Entry]:
         "dismax_topk": q_dismax_topk(),
         "analyzed_topk": q_analyzed_topk(),
         "func_score_topk": q_func_score_topk(),
+        "terms_agg_matches": q_terms_agg_matches(),
+        "stats_agg_matches": q_stats_agg_matches(),
     }
