@@ -3532,6 +3532,60 @@ def q_stats_agg_matches() -> Entry:
     return fn, sql
 
 
+def q_percolate_matches() -> Entry:
+    """Percolator / reverse search (query/percolate.py; ES percolate,
+    Lucene Monitor): six standing subscriptions evaluated against every
+    document — (doc_id, pqid) match pairs. The twin re-derives the
+    clause algebra (must conjunction, msm threshold, must_not veto,
+    should-only ≥1) from the registered-term VALUES."""
+    from dpr_spark.query.percolate import PercolatorQuery
+
+    PERC = [
+        PercolatorQuery(0, must=("spark",)),
+        PercolatorQuery(1, must=("customer", "join")),
+        PercolatorQuery(2, should=("fast", "scan", "sort"), msm=2),
+        PercolatorQuery(3, must=("table",), must_not=("spark",)),
+        PercolatorQuery(4, should=("window", "key")),
+        PercolatorQuery(5, must=("zzznope",)),  # OOV -> no pairs
+    ]
+
+    def fn(spark, sf_dir):
+        from dpr_spark.query.percolate import percolate, register_queries
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        reg = register_queries(spark, PERC)
+        return percolate(docs, reg)
+
+    # registered rows rebuilt inline (same normalization chain)
+    from dpr_spark.query.percolate import register_queries as _rq
+
+    class _Cap:
+        def createDataFrame(self, rows, schema):
+            self.rows = rows
+            return rows
+
+    cap = _Cap()
+    _rq(cap, PERC)
+    vals = ", ".join(
+        f"({p}, '{t}', '{c}', {nm}, {ms})" for p, t, c, nm, ms in cap.rows
+    )
+    sql = f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    dterms AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok),
+    reg AS (SELECT * FROM (VALUES {vals})
+            AS r(pqid, term, clause, n_must, msm)),
+    agg AS (
+      SELECT d.doc_id, r.pqid, max(r.n_must) AS n_must, max(r.msm) AS msm,
+             sum(CASE WHEN r.clause = 'must' THEN 1 ELSE 0 END) AS must_hits,
+             sum(CASE WHEN r.clause = 'should' THEN 1 ELSE 0 END) AS should_hits,
+             sum(CASE WHEN r.clause = 'must_not' THEN 1 ELSE 0 END) AS neg_hits
+      FROM dterms d JOIN reg r USING (term) GROUP BY 1, 2)
+    SELECT doc_id, pqid FROM agg
+    WHERE must_hits = n_must AND should_hits >= msm AND neg_hits = 0
+      AND (n_must > 0 OR should_hits >= greatest(msm, 1))"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -3606,4 +3660,5 @@ def all_entries() -> Dict[str, Entry]:
         "func_score_topk": q_func_score_topk(),
         "terms_agg_matches": q_terms_agg_matches(),
         "stats_agg_matches": q_stats_agg_matches(),
+        "percolate_matches": q_percolate_matches(),
     }
