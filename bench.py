@@ -333,7 +333,7 @@ def main() -> None:
         "collapse_topk", "delete_live_topk", "delete_purge_topk",
         "rescore_topk", "tfidf_topk", "lmdirichlet_topk", "dismax_topk",
         "analyzed_topk", "func_score_topk", "terms_agg_matches",
-        "stats_agg_matches", "percolate_matches",
+        "stats_agg_matches", "percolate_matches", "regexp_topk",
     ]:
         try:
             fn, _ = entries[name]

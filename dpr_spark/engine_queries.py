@@ -3586,6 +3586,63 @@ def q_percolate_matches() -> Entry:
     return fn, sql
 
 
+REGEXP_QUERIES = [
+    (0, "sp[a-z]+k"),
+    (1, "win.*"),
+    (2, "jo.n|sort"),   # alternation: no pushable prefix, still correct
+    (3, "ta[b-d]le"),
+    (4, "zzz[0-9]+"),   # matches nothing
+]
+REGEXP_EXP = 8
+
+
+def q_regexp_topk() -> Entry:
+    """Regexp top-10 (Lucene RegexpQuery twin, query/boolquery.py
+    regexp_search): anchored Java/RE2-shared regex over the term
+    dictionary, expanded to the {REGEXP_EXP} highest-df matches and
+    scored as a disjunction; required literal prefixes push into the
+    dictionary scan (tests/test_regexp.py plan assert)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.boolquery import regexp_search
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        res = regexp_search(
+            spark, REGEXP_QUERIES, idx, k=10, max_expansions=REGEXP_EXP
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    rx_values = ", ".join(
+        f"({qid}, '^(?:{p})$')" for qid, p in REGEXP_QUERIES
+    )
+    sql = f"""
+    WITH {_POS_CTES},
+    p AS (SELECT * FROM (VALUES {rx_values}) AS p(qid, rx)),
+    exp AS (
+      SELECT p.qid, d.term,
+             row_number() OVER (PARTITION BY p.qid
+                                ORDER BY d.df DESC, d.term) AS r
+      FROM p JOIN dict d ON regexp_matches(d.term, p.rx)),
+    qt2 AS (SELECT qid, term FROM exp WHERE r <= {REGEXP_EXP}),
+    scored AS (
+      SELECT qt2.qid, tf.doc_id, sum({_BM25_COMPONENT}) AS score
+      FROM qt2 JOIN dict USING (term) JOIN tf USING (term)
+           JOIN ds ON tf.doc_id = ds.doc_id CROSS JOIN stats
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -3661,4 +3718,5 @@ def all_entries() -> Dict[str, Entry]:
         "terms_agg_matches": q_terms_agg_matches(),
         "stats_agg_matches": q_stats_agg_matches(),
         "percolate_matches": q_percolate_matches(),
+        "regexp_topk": q_regexp_topk(),
     }

@@ -435,6 +435,26 @@ class BM25Oracle:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def regexp_search(
+        self, pattern: str, k: int = 10, max_expansions: int = 16
+    ) -> List[Tuple[int, float]]:
+        """RegexpQuery twin (query/boolquery.py regexp_search): anchored
+        regex over the vocabulary, expansion ranked (df DESC, term ASC),
+        scored as a disjunction."""
+        import re
+
+        rx = re.compile(f"^(?:{pattern.lower()})$")
+        cand = sorted(
+            (t for t in self.postings if rx.match(t)),
+            key=lambda t: (-self.df[t], t),
+        )[:max_expansions]
+        scores: Dict[int, float] = {}
+        for t in cand:
+            for d in self.postings[t]:
+                scores[d] = scores.get(d, 0.0) + self.score_one(t, d)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def spell_suggest(
         self,
         query: str,

@@ -303,6 +303,109 @@ def wildcard_search(
     return _topk(scored, k)
 
 
+def regex_literal_prefix(pattern: str) -> str:
+    """The longest literal run a regex REQUIRES at position 0 — the
+    pushable StringStartsWith for the dictionary scan (the FST-seek
+    analog Lucene's RegexpQuery gets from its automaton's common
+    prefix). Escaped metacharacters count as literals; a trailing
+    literal made optional by `*`, `?` or `{` is dropped. Any unescaped
+    `|` anywhere (even grouped: `(a|b)x`) conservatively yields "" —
+    an alternation branch need not start with the scanned literals."""
+    metas = set(".*+?()[]{}|^$\\")
+    j = 0
+    in_class = False
+    while j < len(pattern):
+        c = pattern[j]
+        if c == "\\":
+            j += 2
+            continue
+        if c == "[":
+            in_class = True
+        elif c == "]":
+            in_class = False
+        elif c == "|" and not in_class:
+            return ""
+        j += 1
+    out = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern) and pattern[i + 1] in metas:
+            out.append(pattern[i + 1])
+            i += 2
+            continue
+        if c in metas:
+            if c in "*?{" and out:
+                out.pop()  # the preceding atom is optional/quantified
+            break
+        out.append(c)
+        i += 1
+    return "".join(out).lower()
+
+
+def expand_regexp(
+    index: InvertedIndex, patterns: DataFrame, max_expansions: int = 16,
+    raw_patterns: Sequence[str] = None,
+) -> DataFrame:
+    """patterns(qid, rx anchored) -> (qid, term, term_id, idf): the
+    `max_expansions` highest-df matching terms (ties term ASC). When
+    EVERY raw pattern has a required literal prefix, the disjunction of
+    StartsWith filters is pushed into the dictionary scan; one
+    prefix-free pattern honestly costs the full vocab scan."""
+    dic = index.dictionary
+    if raw_patterns:
+        prefixes = [regex_literal_prefix(p) for p in raw_patterns]
+        if all(prefixes):
+            keep = F.col("term").startswith(prefixes[0])
+            for p in prefixes[1:]:
+                keep = keep | F.col("term").startswith(p)
+            dic = dic.filter(keep)
+    cand = F.broadcast(patterns).join(
+        dic.select("term", "term_id", "idf", "df"),
+        F.expr("term RLIKE rx"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_expansions)
+        .select("qid", "term", "term_id", "idf")
+    )
+
+
+def regexp_search(
+    spark: SparkSession,
+    patterns: Sequence[Tuple[int, str]],
+    index: InvertedIndex,
+    k: int = DEFAULT_TOP_K,
+    max_expansions: int = 16,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Lucene RegexpQuery: an (unanchored-input, anchored-match) regex
+    over the term dictionary, expanded to the `max_expansions`
+    highest-df matches and scored as a disjunction (the same rewrite
+    contract as prefix/wildcard). Patterns must use the Java/RE2-shared
+    subset (no lookaround/backrefs) so a SQL oracle expands the same
+    term set; each pattern is validated by compiling it."""
+    import re as _re
+
+    rows = []
+    for qid, p in patterns:
+        _re.compile(p)  # syntax gate (raises on a malformed pattern)
+        if _re.search(r"\(\?[=!<]|\\\d", p):
+            raise ValueError(f"pattern {p!r}: lookaround/backrefs not supported")
+        rows.append((qid, f"^(?:{p.lower()})$"))
+    pdf = spark.createDataFrame(rows, "qid long, rx string")
+    qt = expand_regexp(
+        index, pdf, max_expansions, raw_patterns=[p for _, p in patterns]
+    )
+    joined = index.postings.join(F.broadcast(qt.select("qid", "term_id", "idf")), "term_id")
+    scored = joined.groupBy("qid", "doc_id").agg(
+        F.sum(_component(index.stats.avgdl, k1, b)).alias("score")
+    )
+    return _topk(scored, k)
+
+
 def prefix_search(
     spark: SparkSession,
     prefixes: Sequence[Tuple[int, str]],
