@@ -71,10 +71,6 @@ def main(argv=None) -> None:
 
     analyzer = {"none": None, "english-s": ENGLISH_S,
                 "english-porter": ENGLISH_PORTER}[args.analyzer]
-    if analyzer is not None and args.positional:
-        ap.error("--analyzer is not supported with --positional yet "
-                 "(stopword position gaps)")
-
     if args.resumable:
         if analyzer is not None:
             ap.error("--analyzer is not supported with --resumable yet")

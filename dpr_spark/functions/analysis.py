@@ -262,6 +262,21 @@ class Analyzer:
             out.append(st(t) if st is not None else t)
         return out
 
+    def analyze_with_positions(self, tokens: Sequence[str]) -> List[tuple]:
+        """[(original_index, analyzed_term)] for surviving tokens — the
+        Lucene position-increment contract: a dropped stopword leaves a
+        POSITION GAP (StopFilter bumps the next token's increment), so
+        exact-phrase adjacency is judged against original token
+        positions, not the compacted stream."""
+        st = _STEMMERS[self.stemmer]
+        stop = self.stopwords
+        out = []
+        for i, t in enumerate(tokens):
+            if stop is not None and t in stop:
+                continue
+            out.append((i, st(t) if st is not None else t))
+        return out
+
     # -- build-kernel side (vocab-level, index/build.py::tf_batch) ----------
 
     def map_vocab(self, terms):

@@ -383,8 +383,6 @@ def build_index(
     par = spark.sparkContext.defaultParallelism
     if id_strategy not in ("dense_rank", "hash"):
         raise ValueError(id_strategy)
-    if analyzer is not None and build_positional:
-        raise ValueError("build_positional is not supported with an analyzer yet")
     if id_strategy == "hash":
         # xxhash64(url) ids — REQUIRED for a base index that will serve
         # with a streaming delta (fresh_index's override anti-join keys
@@ -461,7 +459,8 @@ def build_index(
         from dpr_spark.query.phrase import build_positions
 
         idx.positions = build_positions(
-            attach_ids(parts, bc, "doc_id", columns=["text"]), idx.dictionary
+            attach_ids(parts, bc, "doc_id", columns=["text"]), idx.dictionary,
+            analyzer=analyzer,
         )
     return idx
 
@@ -527,19 +526,16 @@ def build_index_from_docs(
     )
     idx.analyzer = analyzer
     if build_positional:
-        if analyzer is not None:
-            # positions over an analyzed stream need position-increment
-            # gaps for dropped stopwords (Lucene posIncrement) — a
-            # declared absence until the phrase tier learns analyzers
-            raise ValueError(
-                "build_positional is not supported with an analyzer yet"
-            )
         # a second Arrow pass over the docs (positions need the token
         # stream the tf histogram already collapsed); reuses the same
-        # partitioning, shuffles only (term_id, doc_id, positions)
+        # partitioning, shuffles only (term_id, doc_id, positions).
+        # With an analyzer, survivors keep ORIGINAL token positions
+        # (Lucene position-increment gaps) and doclen counts survivors.
         from dpr_spark.query.phrase import build_positions
 
-        idx.positions = build_positions(docs.select("doc_id", "text"), idx.dictionary)
+        idx.positions = build_positions(
+            docs.select("doc_id", "text"), idx.dictionary, analyzer=analyzer
+        )
     return idx
 
 

@@ -53,14 +53,23 @@ POSITIONS_SCHEMA = "doc_id long, doclen int, term string, tf long, positions arr
 
 
 def positions_batch(
-    texts, pat, vocab: Optional[frozenset] = None
+    texts, pat, vocab: Optional[frozenset] = None, vocab_map=None
 ) -> Optional[tuple]:
     """Vectorized tokenize + per-(doc, term) position-list grouping.
 
     Same numpy shape as `index/build.py:tf_batch` with one extra gather:
     token positions ride a stable argsort of (doc, term) so each group's
     positions come out ascending. When `vocab` is given, only those
-    terms' rows are materialized (query-time path)."""
+    terms' rows are materialized (query-time path).
+
+    vocab_map (Analyzer.map_vocab) applies the analysis chain VOCAB-
+    level, like tf_batch: dropped (stopword) terms lose their rows but
+    the SURVIVORS KEEP THEIR ORIGINAL TOKEN POSITIONS — Lucene's
+    position-increment gap — while doclen switches to the surviving
+    count (the same norm the tf postings carry). Two raw terms stemming
+    to one vocab entry merge their position lists (the stable key sort
+    keeps each merged list ascending). The analyzer runs BEFORE the
+    vocab filter, so a query-time vocab is in analyzed terms."""
     tok_lists = [pat.findall(t) if t is not None else [] for t in texts]
     lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
     total = int(lens.sum())
@@ -74,6 +83,21 @@ def positions_batch(
     starts = np.zeros(len(tok_lists), dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
     pos = np.arange(total, dtype=np.int64) - starts[doc_idx]
+    if vocab_map is not None:
+        mapped = vocab_map(pd.Series(terms))
+        keep_v = mapped.notna().to_numpy()
+        if not keep_v.any():
+            return None
+        remap = np.full(len(terms), -1, dtype=np.int64)
+        codes2, terms2 = pd.factorize(mapped[keep_v], sort=False)
+        remap[keep_v] = codes2
+        codes = remap[codes]
+        keep = codes >= 0
+        if not keep.any():
+            return None
+        codes, doc_idx, pos = codes[keep], doc_idx[keep], pos[keep]
+        terms = terms2
+        lens = np.bincount(doc_idx, minlength=len(tok_lists)).astype(np.int64)
     if vocab is not None:
         keep_codes = np.flatnonzero(
             pd.Series(terms).isin(vocab).to_numpy()
@@ -95,7 +119,7 @@ def positions_batch(
 
 
 def doc_term_positions(
-    docs: DataFrame, vocab: Optional[Sequence[str]] = None
+    docs: DataFrame, vocab: Optional[Sequence[str]] = None, analyzer=None
 ) -> DataFrame:
     """docs(doc_id, text) -> (doc_id, doclen, term, tf, positions).
 
@@ -105,11 +129,12 @@ def doc_term_positions(
     from dpr_spark.functions.tokenizer import _compiled_fast
 
     vset = frozenset(vocab) if vocab is not None else None
+    vocab_map = analyzer.map_vocab if analyzer is not None else None
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pat = _compiled_fast()
         for pdf in it:
-            out = positions_batch(pdf["text"], pat, vset)
+            out = positions_batch(pdf["text"], pat, vset, vocab_map=vocab_map)
             if out is None:
                 continue
             u_doc, lens, terms, tfs, pos_lists = out
@@ -127,7 +152,7 @@ def doc_term_positions(
     return docs.select("doc_id", "text").mapInPandas(run, POSITIONS_SCHEMA)
 
 
-def build_positions(docs: DataFrame, dictionary: DataFrame) -> DataFrame:
+def build_positions(docs: DataFrame, dictionary: DataFrame, analyzer=None) -> DataFrame:
     """Positional postings for a persistent index (the .pos analog):
     (term_id, doc_id, tf, doclen, positions), term-keyed like the tf
     postings — doclen rides along (like the tf postings' norm) so a
@@ -135,17 +160,20 @@ def build_positions(docs: DataFrame, dictionary: DataFrame) -> DataFrame:
     Parquet's int-list encoding delta-compresses the ascending position
     arrays; a broadcast dictionary join swaps the term string for the
     8-byte id before anything shuffles."""
-    pos = doc_term_positions(docs)
+    pos = doc_term_positions(docs, analyzer=analyzer)
     return pos.join(
         F.broadcast(dictionary.select("term", "term_id")), "term"
     ).select("term_id", "doc_id", "tf", "doclen", "positions")
 
 
-def _phrase_offsets(phrases: Sequence[Tuple[int, str]]):
+def _phrase_offsets(phrases: Sequence[Tuple[int, str]], analyzer=None):
     """[(qid, phrase)] -> ([(qid, off, term)], vocab). Tokenized with the
     reference tokenizer after question normalization (’ -> ',
     `dpr/utils/data_utils.py:63-65`); phrases are user queries (tiny,
-    driver-side)."""
+    driver-side). With an analyzer, offsets are the ORIGINAL token
+    indices of surviving tokens (position-increment gaps, mirroring the
+    analyzed positions table): the phrase "the fast scan" keeps
+    fast@1/scan@2, matching docs where the stopword sat between them."""
     from dpr_spark.functions.normalize import normalize_question
     from dpr_spark.functions.tokenizer import tokenize
 
@@ -153,7 +181,19 @@ def _phrase_offsets(phrases: Sequence[Tuple[int, str]]):
     vocab: set = set()
     for qid, phrase in phrases:
         toks = tokenize(normalize_question(phrase))
-        for off, t in enumerate(toks):
+        pairs = (
+            analyzer.analyze_with_positions(toks)
+            if analyzer is not None
+            else list(enumerate(toks))
+        )
+        if pairs and pairs[0][0] != 0:
+            # rebase so the first surviving token is offset 0 (relative
+            # gaps preserved): the verify folds anchor start positions
+            # on the FIRST struct's positions, a leading stopword must
+            # not shift every anchor
+            base_off = pairs[0][0]
+            pairs = [(off - base_off, t) for off, t in pairs]
+        for off, t in pairs:
             rows.append((qid, off, t))
             vocab.add(t)
     return rows, sorted(vocab)
@@ -369,16 +409,16 @@ def _verify_and_count_near(grouped: DataFrame, window: int) -> DataFrame:
     )
 
 
-def _near_terms(queries: Sequence[Tuple[int, str]]):
+def _near_terms(queries: Sequence[Tuple[int, str]], analyzer=None):
     """[(qid, query)] -> [(qid, off, term)] over DISTINCT terms (off is
     just an index so the phrase plumbing's n_off completeness check
-    counts distinct terms)."""
-    from dpr_spark.functions.normalize import normalize_question
-    from dpr_spark.functions.tokenizer import tokenize
+    counts distinct terms; span-near is unordered, so no gap
+    bookkeeping — the analyzer only stems/stops the term set)."""
+    from dpr_spark.functions.analysis import analyze_query
 
     rows: List[Tuple[int, int, str]] = []
     for qid, q in queries:
-        for off, t in enumerate(sorted(set(tokenize(normalize_question(q))))):
+        for off, t in enumerate(analyze_query(q, analyzer)):
             rows.append((qid, off, t))
     return rows
 
@@ -446,7 +486,7 @@ def span_near_search_index(
     qualifying end-position count, idf = per-term idf sum. Shares the
     phrase path's candidate plumbing including cost-based pass
     selection; an OOV term means no document can match."""
-    qrows = _near_terms(queries)
+    qrows = _near_terms(queries, analyzer=getattr(index, "analyzer", None))
     if not qrows:
         raise ValueError("no tokenizable queries")
     grouped, idf_sums = _index_plumbing(spark, index, positions, qrows)
@@ -515,7 +555,7 @@ def span_ordered_search_index(
     (vocab-filtered positional probe, cost-based pass selection)."""
     if slop < 0:
         raise ValueError("slop must be >= 0")
-    qrows, _ = _phrase_offsets(phrases)
+    qrows, _ = _phrase_offsets(phrases, analyzer=getattr(index, "analyzer", None))
     if not qrows:
         raise ValueError("no tokenizable phrases")
     grouped, idf_sums = _index_plumbing(spark, index, positions, qrows)
@@ -536,7 +576,7 @@ def phrase_search_index(
     for term_id + idf (broadcast the handful of phrase terms, probe the
     positions table in place); doclen rides on the positions rows, so
     the doc-count-sized docstats table is never touched."""
-    qrows, _ = _phrase_offsets(phrases)
+    qrows, _ = _phrase_offsets(phrases, analyzer=getattr(index, "analyzer", None))
     if not qrows:
         raise ValueError("no tokenizable phrases")
     grouped, idf_sums = _index_plumbing(spark, index, positions, qrows)

@@ -100,6 +100,7 @@ class StreamingIndexRefresher:
         catalog=None,
         policy=None,
         positional: bool = False,
+        analyzer=None,
     ):
         """`catalog` (optional SnapshotCatalog): when given, each
         micro-batch is committed as an APPEND snapshot instead of an
@@ -113,6 +114,10 @@ class StreamingIndexRefresher:
         the raw (url, text, version) pages of each batch are retained in
         the delta area as well, so compaction can rebuild from them.
 
+        `analyzer`: the BASE INDEX's analysis chain — delta tokenization
+        must match the base's or fresh_index would mix vocabularies
+        (pass InvertedIndex.analyzer of the index being refreshed).
+
         `positional`: also maintain a positional delta (the Lucene NRT
         .pos analog; r4 VERDICT Missing #2): each micro-batch appends a
         doc_positions dataset from the SAME fused Arrow pass family, so
@@ -125,6 +130,7 @@ class StreamingIndexRefresher:
         self.catalog = catalog
         self.policy = policy
         self.positional = positional
+        self.analyzer = analyzer
         self.current_index = None
         self.compactions = 0
         os.makedirs(delta_dir, exist_ok=True)
@@ -161,7 +167,7 @@ class StreamingIndexRefresher:
             docs = latest_by_key(docs, "doc_id", "version")
             # batch-local broadcast join attaches each doc's version to
             # its term rows (AQE sees the tiny build side)
-            terms = doc_terms(docs).join(
+            terms = doc_terms(docs, analyzer=self.analyzer).join(
                 docs.select("doc_id", "version"), "doc_id"
             )
             urls = docs.select("doc_id", "url", "version")
@@ -169,9 +175,9 @@ class StreamingIndexRefresher:
             if self.positional:
                 from dpr_spark.query.phrase import doc_term_positions
 
-                datasets["doc_positions"] = doc_term_positions(docs).join(
-                    docs.select("doc_id", "version"), "doc_id"
-                )
+                datasets["doc_positions"] = doc_term_positions(
+                    docs, analyzer=self.analyzer
+                ).join(docs.select("doc_id", "version"), "doc_id")
             if self.policy is not None:
                 # auto-compaction rebuilds from raw text, so retain the
                 # batch's pages in the delta area (the Lucene stored-
@@ -275,6 +281,7 @@ class StreamingIndexRefresher:
             build_blocks=False,
             id_strategy="hash",
             build_positional=self.positional,
+            analyzer=self.analyzer,
         )
         if self.policy.index_catalog is not None:
             from dpr_spark.index.snapshots import snapshot_index
@@ -376,6 +383,14 @@ class StreamingIndexRefresher:
                 "delta overrides require doc_id == xxhash64(url); pass "
                 "id_strategy='hash' to build_index_from_docs to record it",
                 stacklevel=2,
+            )
+        if getattr(base, "analyzer", None) != self.analyzer:
+            raise ValueError(
+                "fresh_index: base index analyzer "
+                f"{getattr(base, 'analyzer', None)!r} != refresher analyzer "
+                f"{self.analyzer!r} — delta tokenization would mix "
+                "vocabularies; construct the refresher with "
+                "analyzer=base.analyzer"
             )
         delta = self.delta_doc_terms()
         if delta is None:

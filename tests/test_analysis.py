@@ -200,18 +200,118 @@ def test_analyzer_save_load_roundtrip(spark, pages_pdf, queries_pdf, tmp_path):
     idx.unpersist()
 
 
-def test_positional_build_rejects_analyzer(spark, pages_pdf):
+def test_analyzed_phrase_position_gaps(spark):
+    """Lucene position-increment semantics: a dropped stopword leaves a
+    GAP — survivors keep original token positions on both the doc and
+    query sides, so 'fast the scan' matches only docs where one token
+    sat between fast and scan, and 'fast scan' only true adjacency."""
     from dpr_spark.functions.analysis import ENGLISH_S
     from dpr_spark.index.build import build_index_from_docs
+    from dpr_spark.query.phrase import phrase_search_index
 
-    with pytest.raises(ValueError, match="positional"):
-        build_index_from_docs(
-            spark,
-            _docs_df(spark, pages_pdf),
-            build_blocks=False,
-            build_positional=True,
-            analyzer=ENGLISH_S,
+    docs = spark.createDataFrame(
+        [
+            (0, "the fast scan works"),   # fast@1 scan@2 (gap-adjacent)
+            (1, "fast the scan"),         # fast@0 scan@2 (one-gap)
+            (2, "fast scan"),             # fast@0 scan@1
+            (3, "scan fast"),             # wrong order
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index_from_docs(
+        spark, docs, build_blocks=False, build_positional=True,
+        analyzer=ENGLISH_S, repartition=False,
+    )
+
+    def hits(phrase):
+        res = phrase_search_index(spark, idx, idx.positions, [(0, phrase)], k=10)
+        return sorted(r.doc_id for r in res.collect())
+
+    assert hits("fast scan") == [0, 2]
+    assert hits("fast the scan") == [1]       # the gap is REQUIRED
+    assert hits("the fast scan") == [0, 2]    # leading stopword: no gap
+    idx.unpersist()
+
+
+def test_analyzed_positional_rank_identity(spark, pages_pdf):
+    """Analyzed positional phrase search vs a gap-aware pure-Python
+    twin over the fixture corpus (scores to 1e-9)."""
+    from dpr_spark.functions.analysis import ENGLISH_S
+    from dpr_spark.functions.normalize import normalize_question
+    from dpr_spark.functions.tokenizer import tokenize
+    from dpr_spark.index.build import build_index_from_docs
+    from dpr_spark.query.phrase import phrase_search_index
+
+    analyzer = ENGLISH_S
+    idx = build_index_from_docs(
+        spark, _docs_df(spark, pages_pdf), build_blocks=False,
+        build_positional=True, analyzer=analyzer,
+    )
+    o = _analyzed_oracle(pages_pdf, analyzer)
+
+    # verbatim 3-token snippets from real docs (gaps arise naturally)
+    from dpr_spark.fixtures.corpus import assign_doc_ids
+
+    pw = assign_doc_ids(pages_pdf)
+    phrases = []
+    for i, text in enumerate(pw.text.head(8)):
+        toks = tokenize(text)
+        phrases.append((i, " ".join(toks[3:6])))
+
+    # gap-aware python twin of phrase_search_index
+    doc_pos = {}
+    for d, text in zip(pw.doc_id, pw.text):
+        pairs = analyzer.analyze_with_positions(tokenize(text))
+        m = {}
+        for p, t in pairs:
+            m.setdefault(t, []).append(p)
+        doc_pos[int(d)] = m
+
+    def twin(phrase, k=10):
+        pairs = analyzer.analyze_with_positions(
+            tokenize(normalize_question(phrase))
         )
+        if not pairs:
+            return []
+        terms = [t for _, t in pairs]
+        if any(t not in o.df for t in terms):
+            return []
+        idf_sum = sum(o.idf(t) for t in terms)
+        out = []
+        for d, m in doc_pos.items():
+            if any(t not in m for t in terms):
+                continue
+            starts = None
+            for off, t in pairs:
+                s = {p - off for p in m[t]}
+                starts = s if starts is None else (starts & s)
+            pf = len(starts)
+            if pf == 0:
+                continue
+            dl = o.doclen[d]
+            score = (
+                idf_sum * pf * (o.k1 + 1.0)
+                / (pf + o.k1 * (1.0 - o.b + o.b * dl / o.avgdl))
+            )
+            out.append((d, score))
+        out.sort(key=lambda kv: (-kv[1], kv[0]))
+        return out[:k]
+
+    res = phrase_search_index(spark, idx, idx.positions, phrases, k=10)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r.qid, []).append((r.rank, r.doc_id, r.score))
+    n = 0
+    for qid, phrase in phrases:
+        expect = twin(phrase)
+        actual = sorted(got.get(qid, []))
+        assert len(actual) == len(expect), f"qid={qid} {phrase!r}"
+        for (rank, doc_id, score), (edoc, escore) in zip(actual, expect):
+            assert doc_id == edoc, f"qid={qid}"
+            assert score == pytest.approx(escore, abs=1e-9)
+            n += 1
+    assert n > 8  # the verbatim snippets really matched their docs
+    idx.unpersist()
 
 
 def test_cli_build_with_analyzer(tmp_path, pages_pdf, queries_pdf, spark):
