@@ -3643,6 +3643,39 @@ def q_regexp_topk() -> Entry:
     return fn, sql
 
 
+SUGGEST_PREFIXES = [(0, "sp"), (1, "wi"), (2, "jo"), (3, "ta"), (4, "zz")]
+
+
+def q_suggest_topn() -> Entry:
+    """Completion suggester (query/suggest.py; Lucene suggest module fed
+    from index terms): top-5 df-weighted vocabulary completions per
+    prefix, weight desc / term asc; the prefix condition pushes to the
+    dictionary scan."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.suggest import suggest_completions
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        return suggest_completions(spark, SUGGEST_PREFIXES, idx, n=5)
+
+    pvals = ", ".join(f"({qid}, '{p}')" for qid, p in SUGGEST_PREFIXES)
+    sql = f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2),
+    dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    p AS (SELECT * FROM (VALUES {pvals}) AS p(qid, prefix)),
+    cand AS (
+      SELECT p.qid, d.term, d.df AS weight,
+             row_number() OVER (PARTITION BY p.qid
+                                ORDER BY d.df DESC, d.term ASC) AS rank
+      FROM p JOIN dict d ON starts_with(d.term, p.prefix))
+    SELECT qid, rank, term, weight FROM cand WHERE rank <= 5"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -3719,4 +3752,5 @@ def all_entries() -> Dict[str, Entry]:
         "stats_agg_matches": q_stats_agg_matches(),
         "percolate_matches": q_percolate_matches(),
         "regexp_topk": q_regexp_topk(),
+        "suggest_topn": q_suggest_topn(),
     }

@@ -1,0 +1,61 @@
+"""Completion suggester — the Lucene suggest module's
+document-frequency-weighted term completions (TermFreqIteratorWrapper
+over the index dictionary feeding an AnalyzingSuggester /
+AnalyzingInfixSuggester, simplified to the dictionary contract):
+
+    suggest("sp") -> the n highest-weight vocabulary terms starting
+    with (or, infix mode, containing) "sp"
+
+Weight = document frequency (Lucene's default when the suggester is fed
+from index terms). Distinct from query/fuzzy.spell_suggest (did-you-
+mean for misspelled OOV terms) and boolquery.expand_prefix (internal
+query rewrite): this is the user-facing autocomplete surface, returning
+the terms themselves with weights and ranks.
+
+Scale shape: the prefix set is query-sized and broadcasts into the
+vocab-sized dictionary scan; prefix mode pushes StringStartsWith to the
+parquet scan (the FST-seek analog, same as expand_prefix); infix mode
+honestly costs a vocab scan (Lucene pays an n-gram index for the same
+contract — a declared trade). The per-qid top-n runs over only the
+matching rows."""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dpr_spark.index.build import InvertedIndex
+
+
+def suggest_completions(
+    spark: SparkSession,
+    prefixes: Sequence[Tuple[int, str]],
+    index: InvertedIndex,
+    n: int = 5,
+    mode: str = "prefix",
+) -> DataFrame:
+    """(qid, rank, term, weight): top-n completions per prefix, weight
+    (=df) desc then term asc. mode: "prefix" | "infix". An analyzed
+    index suggests from its ANALYZED vocabulary (what's searchable)."""
+    if mode not in ("prefix", "infix"):
+        raise ValueError(f"unknown mode {mode!r}")
+    rows = [(qid, p.lower()) for qid, p in prefixes]
+    if not rows or any(not p for _, p in rows):
+        raise ValueError("empty prefix")
+    pdf = spark.createDataFrame(rows, "qid long, prefix string")
+    cond = (
+        F.col("term").startswith(F.col("prefix"))
+        if mode == "prefix"
+        else F.col("term").contains(F.col("prefix"))
+    )
+    cand = F.broadcast(pdf).join(
+        index.dictionary.select("term", F.col("df").alias("weight")), cond
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("qid", "rank", "term", "weight")
+    )
