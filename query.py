@@ -45,6 +45,21 @@ def main(argv=None) -> None:
                     help="'phrase' treats each question as an exact phrase "
                          "(requires an index built with --positional)")
     ap.add_argument("--eval", action="store_true")
+    ap.add_argument("--similarity", choices=["bm25", "classic", "lmdirichlet"],
+                    default="bm25",
+                    help="scoring formula (--engine exact only): Lucene "
+                         "ClassicSimilarity / LMDirichletSimilarity analogs")
+    ap.add_argument("--regexp", action="store_true",
+                    help="treat each question as an anchored regex over the "
+                         "term dictionary (RegexpQuery rewrite; --engine "
+                         "exact/segments result schema)")
+    ap.add_argument("--suggest", type=int, default=None, metavar="N",
+                    help="autocomplete mode: treat each question as a prefix; "
+                         "emit the top-N df-weighted vocabulary completions")
+    ap.add_argument("--boost", default=None, metavar="FIELD:KIND:ORIGIN:SCALE",
+                    help="function-score (exact engine): multiply BM25 by a "
+                         "decay over a doc-values column, e.g. "
+                         "n_chars:exp:0:500 (needs --doc-values or --pages)")
     ap.add_argument("--rm3", action="store_true",
                     help="BM25+RM3 pseudo-relevance feedback: the chosen "
                          "engine's top --rm3-fb-docs feed an RM1 expansion "
@@ -158,8 +173,57 @@ def main(argv=None) -> None:
             raise SystemExit("search_after cursors need --engine segments "
                              "(or --sort-by field paging)")
 
+    if args.suggest:
+        from dpr_spark.query.suggest import suggest_completions
+
+        prefixes = [
+            (int(r.qid), r.question)
+            for r in queries.select("qid", "question").collect()
+        ]
+        t0 = time.perf_counter()
+        sugg = suggest_completions(spark, prefixes, idx, n=args.suggest).persist()
+        n_res = sugg.count()
+        wall = time.perf_counter() - t0
+        sugg.write.mode("overwrite").parquet(os.path.join(args.out, "suggestions"))
+        print(f"suggested for {len(prefixes)} prefixes ({n_res} rows) "
+              f"in {wall:.2f}s [suggest]")
+        spark.stop()
+        return
+
     t0 = time.perf_counter()
-    if args.sort_by:
+    if args.regexp:
+        from dpr_spark.query.boolquery import regexp_search
+
+        patterns = [
+            (int(r.qid), r.question)
+            for r in queries.select("qid", "question").collect()
+        ]
+        results = regexp_search(spark, patterns, idx, k=args.k)
+    elif args.boost:
+        from dpr_spark.query.funcscore import decay_expr, search_function_score
+
+        parts = args.boost.split(":")
+        if len(parts) < 4:
+            raise SystemExit("--boost wants FIELD:KIND:ORIGIN:SCALE[:DECAY]")
+        fld, kind, origin, scale = parts[0], parts[1], float(parts[2]), float(parts[3])
+        decay = float(parts[4]) if len(parts) > 4 else 0.5
+        dv_path = args.doc_values or args.pages
+        if not dv_path:
+            raise SystemExit("--boost needs --doc-values (or --pages) "
+                             "carrying the field column")
+        dv = spark.read.parquet(dv_path)
+        if "doc_id" not in dv.columns:
+            dv = idx.docstats.select("doc_id", "url").join(dv, "url")
+        results = search_function_score(
+            queries, idx, dv, fld,
+            lambda c: decay_expr(c, kind, origin=origin, scale=scale, decay=decay),
+            k=args.k, deletes=deletes,
+        )
+    elif args.similarity != "bm25":
+        from dpr_spark.query.similarity import search_similarity
+
+        results = search_similarity(queries, idx, similarity=args.similarity, k=args.k)
+    elif args.sort_by:
         from dpr_spark.query.paging import search_sort_by_field
 
         dv_path = args.doc_values or args.pages
@@ -245,7 +309,14 @@ def main(argv=None) -> None:
     wall = time.perf_counter() - t0
     n_q = queries.count()
     results.write.mode("overwrite").parquet(os.path.join(args.out, "results"))
-    engine_label = args.engine + ("+rm3" if args.rm3 else "")
+    if args.regexp:
+        engine_label = "regexp"
+    elif args.boost:
+        engine_label = "exact+boost"
+    elif args.similarity != "bm25":
+        engine_label = args.similarity
+    else:
+        engine_label = args.engine + ("+rm3" if args.rm3 else "")
     print(f"searched {n_q} queries (k={args.k}, {n_res} rows) in {wall:.2f}s "
           f"= {n_q / wall:.1f} q/s [{engine_label}]")
 

@@ -70,3 +70,82 @@ def test_suggest_validation(spark, index):
         suggest_completions(spark, [(0, "ab")], index, mode="fuzzy")
     with pytest.raises(ValueError, match="empty"):
         suggest_completions(spark, [(0, "")], index)
+
+
+def test_cli_new_query_modes(tmp_path, pages_pdf, queries_pdf):
+    """query.py --suggest / --regexp / --similarity / --boost drive the
+    new surfaces end-to-end over a CLI-built index."""
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dpr_spark.fixtures.corpus import write_queries_tsv
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(
+            pages_pdf[["url", "text"]].head(120), preserve_index=False
+        ),
+        pages_path,
+    )
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+
+    def run(*extra):
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "query.py"),
+             "--index", str(tmp_path / "idx"),
+             "--queries", str(tmp_path / "qa.tsv"),
+             "--k", "5", "--engine", "exact", *extra],
+            capture_output=True, text=True, timeout=420, env=env,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return out.stdout
+
+    built = subprocess.run(
+        [sys.executable, os.path.join(repo, "build_index.py"),
+         "--pages", pages_path, "--out", str(tmp_path / "idx"), "--no-blocks"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert built.returncode == 0, built.stderr[-2000:]
+    write_queries_tsv(str(tmp_path / "qa.tsv"), queries_pdf.head(4))
+
+    assert "[lmdirichlet]" in run("--out", str(tmp_path / "r1"),
+                                  "--similarity", "lmdirichlet")
+    assert "[exact+boost]" in run("--out", str(tmp_path / "r2"),
+                                  "--boost", "doclen:exp:0:80",
+                                  "--doc-values", str(tmp_path / "idx" / "docstats"))
+    # regexp: derive a live 2-char prefix pattern from the corpus
+    from dpr_spark.functions.tokenizer import tokenize
+
+    t0 = next(t for t in tokenize(pages_pdf["text"].iloc[0]) if len(t) >= 4)
+    rq = queries_pdf.head(2).copy()
+    rq.loc[rq.index[0], "question"] = t0[:2] + ".*"
+    rq.loc[rq.index[1], "question"] = "zzz[0-9]+"
+    write_queries_tsv(str(tmp_path / "qa_rx.tsv"), rq)
+    out3 = subprocess.run(
+        [sys.executable, os.path.join(repo, "query.py"),
+         "--index", str(tmp_path / "idx"),
+         "--queries", str(tmp_path / "qa_rx.tsv"),
+         "--k", "5", "--out", str(tmp_path / "r3"), "--regexp"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out3.returncode == 0, out3.stderr[-2000:]
+    assert "[regexp]" in out3.stdout
+    # suggest mode writes a suggestions dir
+    sq = queries_pdf.head(1).copy()
+    sq.loc[sq.index[0], "question"] = t0[:2]
+    write_queries_tsv(str(tmp_path / "qa_sg.tsv"), sq)
+    out4 = subprocess.run(
+        [sys.executable, os.path.join(repo, "query.py"),
+         "--index", str(tmp_path / "idx"),
+         "--queries", str(tmp_path / "qa_sg.tsv"),
+         "--out", str(tmp_path / "r4"), "--suggest", "5"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out4.returncode == 0, out4.stderr[-2000:]
+    assert os.path.isdir(tmp_path / "r4" / "suggestions")
+    assert pq.read_table(str(tmp_path / "r4" / "suggestions")).num_rows > 0
