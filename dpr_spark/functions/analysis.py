@@ -31,6 +31,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import FrozenSet, List, Optional, Sequence
 
+import pandas as pd  # module-level: pandas-UDF string annotations resolve here
+
 # Lucene EnglishAnalyzer / StandardAnalyzer default stop set
 # (org.apache.lucene.analysis.en.EnglishAnalyzer#ENGLISH_STOP_WORDS_SET —
 # public, 33 words).
@@ -334,6 +336,30 @@ class Analyzer:
 # The Lucene-EnglishAnalyzer-shaped defaults used by entries/CLI.
 ENGLISH_S = Analyzer(stopwords=LUCENE_ENGLISH_STOPWORDS, stemmer="s")
 ENGLISH_PORTER = Analyzer(stopwords=LUCENE_ENGLISH_STOPWORDS, stemmer="porter")
+
+
+def tokenize_analyze_udf(analyzer: Optional[Analyzer]):
+    """Arrow-vectorized text -> analyzed token array UDF for DOC-side
+    tokenization in query modules that read stored fields (RM3 feedback
+    docs, MoreLikeThis seeds): tokens must pass the index's chain or a
+    stemmed dictionary would silently drop them. With analyzer=None this
+    is exactly functions/tokenizer.tokenize_udf."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dpr_spark.functions.tokenizer import tokenize_fast
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _tok(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            toks = tokenize_fast(t)
+            return analyzer.analyze_tokens(toks) if analyzer is not None else toks
+
+        return s.map(one)
+
+    return _tok
 
 
 def analyze_query(question: str, analyzer: Optional[Analyzer]) -> List[str]:

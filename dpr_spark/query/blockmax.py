@@ -217,8 +217,13 @@ def _driver_query_terms_idf(
     based [(qid, term_ids asc, idfs aligned)] resolution; the production
     `search_blocks` streams waves from wand.py::iter_query_term_waves,
     asserted identical in tests/test_query_resolution.py."""
+    from dpr_spark.functions.analysis import analyze_query
+
     qrows = queries.select("qid", "question").collect()
-    qterms = {int(r.qid): sorted(set(tokenize(normalize_question(r.question)))) for r in qrows}
+    qterms = {
+        int(r.qid): analyze_query(r.question, getattr(index, "analyzer", None))
+        for r in qrows
+    }
     needed = sorted({t for ts in qterms.values() for t in ts})
     if not needed:
         return []

@@ -50,18 +50,20 @@ def interesting_terms(
     top max_query_terms. `selection_round` > 0 ranks on the rounded
     tf*idf (cross-engine oracle runs: JVM and DuckDB ln() may differ in
     the last ulp; the pure-Python twin uses the raw key)."""
-    from dpr_spark.functions.tokenizer import tokenize_col, tokenize_udf
+    from dpr_spark.functions.analysis import tokenize_analyze_udf
+    from dpr_spark.functions.tokenizer import tokenize_col
 
     seed_docs = F.broadcast(seeds.select("qid", "doc_id")).join(
         docs.select("doc_id", "text"), "doc_id"
     )
     # reference-faithful Arrow tokenizer by default (matches the index
-    # build); lowercase_first selects the DuckDB-mirrorable Catalyst
-    # spelling for oracle-checked entries (ASCII-equal)
+    # build — including the index's analysis chain, so seed terms land
+    # in the stemmed vocabulary); lowercase_first selects the DuckDB-
+    # mirrorable Catalyst spelling for oracle-checked entries (ASCII)
     toks = (
         tokenize_col("text", lowercase_first=True)
         if lowercase_first
-        else tokenize_udf()(F.col("text"))
+        else tokenize_analyze_udf(index.analyzer)(F.col("text"))
     )
     tf = (
         seed_docs.select("qid", F.explode(toks).alias("term"))

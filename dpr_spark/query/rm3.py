@@ -80,12 +80,15 @@ def expansion_weights(
 ) -> DataFrame:
     """first_pass(qid, doc_id, score) -> (qid, term, w_norm): the RM1
     relevance model over the feedback docs, normalized, top fb_terms."""
-    from dpr_spark.functions.tokenizer import tokenize_col, tokenize_udf
+    from dpr_spark.functions.analysis import tokenize_analyze_udf
+    from dpr_spark.functions.tokenizer import tokenize_col
 
+    # feedback docs tokenize through the INDEX's analysis chain — a
+    # stemmed dictionary would silently drop raw expansion terms
     toks = (
         tokenize_col("text", lowercase_first=True)
         if lowercase_first
-        else tokenize_udf()(F.col("text"))
+        else tokenize_analyze_udf(index.analyzer)(F.col("text"))
     )
     fb = F.broadcast(first_pass.select("qid", "doc_id", "score")).join(
         docs.select("doc_id", "text"), "doc_id"
@@ -149,7 +152,7 @@ def rm3_search(
         first_pass, docs, index, fb_terms=fb_terms,
         lowercase_first=lowercase_first, selection_round=selection_round,
     )
-    qt = query_terms(queries)  # (qid, term), set semantics
+    qt = query_terms(queries, analyzer=index.analyzer)  # (qid, term), set semantics
     n_q = qt.groupBy("qid").agg(F.count("*").alias("n_terms"))
     orig = qt.join(F.broadcast(n_q), "qid").select(
         "qid", "term", (F.lit(alpha) / F.col("n_terms").cast("double")).alias("w")

@@ -27,19 +27,22 @@ def expand_synonyms(
     spark: SparkSession,
     queries: DataFrame,
     synonyms: DataFrame,
+    analyzer=None,
 ) -> DataFrame:
     """(qid, group, term) — one row per group member. `group` is the
     query's own token (each query token starts its own group; its
     synonyms join it). synonyms(term, syn) is DIRECTIONAL — symmetric
-    closure is the table builder's job, not query time."""
-    from dpr_spark.functions.normalize import normalize_question
-    from dpr_spark.functions.tokenizer import tokenize
+    closure is the table builder's job, not query time; with an
+    analyzed index, the synonyms table must be in ANALYZED terms (the
+    query token is analyzed before the synonym lookup, like Lucene's
+    SynonymGraphFilter sitting after the stemmer)."""
+    from dpr_spark.functions.analysis import analyze_query
     from pyspark.sql import types as T
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def qtok(s: pd.Series) -> pd.Series:
         return s.map(
-            lambda q: sorted(set(tokenize(normalize_question(q)))) if q is not None else []
+            lambda q: analyze_query(q, analyzer) if q is not None else []
         )
 
     base = queries.select("qid", F.explode(qtok("question")).alias("group"))
@@ -66,7 +69,7 @@ def synonym_search(
     SynonymQuery group: per (qid, group, doc) tf_sum over members, idf
     from the group's MAX df; per-doc score = Σ over groups, folded in
     ascending group order (deterministic)."""
-    members = expand_synonyms(spark, queries, synonyms)
+    members = expand_synonyms(spark, queries, synonyms, analyzer=index.analyzer)
     # group members are query-sized: broadcast INTO the dictionary scan
     resolved = index.dictionary.select("term", "term_id", "df").join(
         F.broadcast(members), "term"

@@ -364,3 +364,82 @@ def test_cli_build_with_analyzer(tmp_path, pages_pdf, queries_pdf, spark):
             (i + 1, d, round(s, 9)) for i, (d, s) in enumerate(o.search(q.question, 5))
         ]
         assert sorted(got.get(int(q.qid), [])) == expect, f"qid={q.qid}"
+
+
+def test_analyzed_equals_preanalyzed_corpus(spark, pages_pdf, queries_pdf):
+    """Equivalence oracle for every non-positional engine: an ANALYZED
+    index over the raw corpus scores bit-identically to a PLAIN index
+    built over pre-analyzed text with pre-analyzed queries (same
+    vocabulary, doclens, avgdl, term_ids) — proving blockmax / RM3 /
+    MLT / synonyms all resolve through the index's chain."""
+    from dpr_spark.functions.analysis import ENGLISH_S, analyze_query
+    from dpr_spark.fixtures.corpus import assign_doc_ids
+    from dpr_spark.functions.tokenizer import tokenize
+    from dpr_spark.index.build import build_index_from_docs
+
+    pw = assign_doc_ids(pages_pdf)
+    raw = spark.createDataFrame(pw[["doc_id", "text"]])
+    pre_pdf = pw[["doc_id"]].copy()
+    pre_pdf["text"] = [
+        " ".join(ENGLISH_S.analyze_tokens(tokenize(t))) for t in pw.text
+    ]
+    pre = spark.createDataFrame(pre_pdf[["doc_id", "text"]])
+
+    a = build_index_from_docs(spark, raw, build_blocks=True, analyzer=ENGLISH_S)
+    p = build_index_from_docs(spark, pre, build_blocks=True)
+
+    qa = spark.createDataFrame(queries_pdf[["qid", "question"]].head(8))
+    qp_pdf = queries_pdf[["qid", "question"]].head(8).copy()
+    qp_pdf["question"] = [
+        " ".join(analyze_query(q, ENGLISH_S)) for q in qp_pdf.question
+    ]
+    qp = spark.createDataFrame(qp_pdf)
+
+    def rows(df):
+        return sorted((r.qid, r.rank, r.doc_id, r.score) for r in df.collect())
+
+    def rows9(df):
+        # RM3/MLT expansion weights ride an UNORDERED partial sum over
+        # feedback/seed rows (partition layout differs between the two
+        # corpora) — identical to the last ulp only; compare at 9 dp
+        return sorted((r.qid, r.doc_id, round(r.score, 9)) for r in df.collect())
+
+    # blockmax engine
+    from dpr_spark.query.blockmax import build_block_segments, search_blocks
+
+    ba, na = build_block_segments(a)
+    bp, np_ = build_block_segments(p)
+    assert rows(search_blocks(spark, qa, a, ba, na, k=10)) == rows(
+        search_blocks(spark, qp, p, bp, np_, k=10)
+    )
+
+    # RM3 (feedback docs' text: raw on the analyzed side, pre on plain)
+    from dpr_spark.query.rm3 import rm3_search
+
+    assert rows9(rm3_search(spark, qa, a, raw, k=10, fb_docs=5, fb_terms=5)) == rows9(
+        rm3_search(spark, qp, p, pre, k=10, fb_docs=5, fb_terms=5)
+    )
+
+    # MoreLikeThis over the same seed docs
+    from dpr_spark.query.morelikethis import more_like_this
+
+    seeds = spark.createDataFrame(
+        [(i, int(d)) for i, d in enumerate(pw.doc_id.head(5))], "qid long, doc_id long"
+    )
+    assert rows9(more_like_this(spark, seeds, raw, a, k=10, min_df=1)) == rows9(
+        more_like_this(spark, seeds, pre, p, k=10, min_df=1)
+    )
+
+    # synonyms (table in ANALYZED terms on both sides)
+    from dpr_spark.query.synonyms import synonym_search
+
+    vocab = sorted(
+        {t for text in pre_pdf.text for t in tokenize(text) if len(t) >= 4}
+    )[:4]
+    syn = spark.createDataFrame(
+        [(vocab[0], vocab[1]), (vocab[2], vocab[3])], "term string, syn string"
+    )
+    assert rows(synonym_search(spark, qa, a, syn, k=10)) == rows(
+        synonym_search(spark, qp, p, syn, k=10)
+    )
+    a.unpersist(); p.unpersist()
