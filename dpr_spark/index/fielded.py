@@ -86,6 +86,9 @@ class FieldedIndex:
     n_docs: int
     avgdl: Dict[str, float]
     cached: Optional[list] = None
+    # optional analysis chain (functions/analysis.Analyzer) applied to
+    # EVERY field at build time and to queries at search time
+    analyzer: Optional[object] = None
 
     def unpersist(self) -> None:
         for df in self.cached or []:
@@ -108,6 +111,7 @@ class FieldedIndex:
                     "weights": self.weights,
                     "n_docs": self.n_docs,
                     "avgdl": self.avgdl,
+                    "analyzer": self.analyzer.spec() if self.analyzer else None,
                 },
                 f,
             )
@@ -127,10 +131,15 @@ class FieldedIndex:
             postings=spark.read.parquet(os.path.join(path, "postings")),
             n_docs=int(m["n_docs"]),
             avgdl={k: float(v) for k, v in m["avgdl"].items()},
+            analyzer=__import__(
+                "dpr_spark.functions.analysis", fromlist=["Analyzer"]
+            ).Analyzer.from_spec(m.get("analyzer")),
         )
 
 
-def doc_terms_fielded(docs: DataFrame, fields: Sequence[str]) -> DataFrame:
+def doc_terms_fielded(
+    docs: DataFrame, fields: Sequence[str], analyzer=None
+) -> DataFrame:
     """Fused tokenize + per-(doc, field) term histogram in ONE Arrow pass
     (the fielded twin of build.doc_terms): per batch, run the shared
     tf_batch kernel once per field — a doc's tokens never leave its
@@ -139,6 +148,7 @@ def doc_terms_fielded(docs: DataFrame, fields: Sequence[str]) -> DataFrame:
     from dpr_spark.index.build import tf_batch
 
     fields = list(fields)
+    vocab_map = analyzer.map_vocab if analyzer is not None else None
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pat = _compiled_fast()
@@ -147,7 +157,7 @@ def doc_terms_fielded(docs: DataFrame, fields: Sequence[str]) -> DataFrame:
                 continue
             doc_ids = pdf["doc_id"].to_numpy(np.int64)
             for fid, fname in enumerate(fields):
-                out = tf_batch(pdf[fname], pat)
+                out = tf_batch(pdf[fname], pat, vocab_map=vocab_map)
                 if out is None:
                     continue
                 u_doc, lens, terms, tfs = out
@@ -172,6 +182,7 @@ def build_fielded_index(
     k1: float = BM25_K1,
     b: float = BM25_B,
     repartition: bool = True,
+    analyzer=None,
 ) -> FieldedIndex:
     """docs(doc_id[, url], <field columns>) -> FieldedIndex.
 
@@ -196,7 +207,7 @@ def build_fielded_index(
     if repartition:
         docs = docs.repartition(3 * par)
 
-    tff = doc_terms_fielded(docs, fields).persist()
+    tff = doc_terms_fielded(docs, fields, analyzer=analyzer).persist()
     tff.count()  # materialize before the rank sampler (see build.py)
     n_docs = docs.count()
 
@@ -249,6 +260,7 @@ def build_fielded_index(
         n_docs=n_docs,
         avgdl=avgdl,
         cached=[tff] + cleanup,
+        analyzer=analyzer,
     )
 
 
@@ -285,7 +297,7 @@ def search_fielded(
     w = weights or index.weights
     if set(w) != set(index.fields):
         raise ValueError(f"weights keys {sorted(w)} != fields {sorted(index.fields)}")
-    qt = query_terms(queries)
+    qt = query_terms(queries, analyzer=index.analyzer)
     # term -> (field_id, term_id, idf): ≤ n_fields rows per query term;
     # the dictionary is the big side at web scale — the tiny query-term
     # set broadcasts into it, and the resolved map broadcasts back

@@ -516,6 +516,7 @@ class FieldedBM25Oracle:
     weights: Dict[str, float] = None
     k1: float = BM25_K1
     b: float = BM25_B
+    analyzer: object = None  # same contract as BM25Oracle.analyzer
 
     def __post_init__(self):
         if self.weights is None:
@@ -524,7 +525,10 @@ class FieldedBM25Oracle:
 
     def add(self, doc_id: int, field_texts: Dict[str, str]) -> None:
         for f in self.fields:
-            self.doc_tokens[f][doc_id] = tokenize(field_texts.get(f) or "")
+            toks = tokenize(field_texts.get(f) or "")
+            if self.analyzer is not None:
+                toks = self.analyzer.analyze_tokens(toks)
+            self.doc_tokens[f][doc_id] = toks
 
     def build(self) -> None:
         self.N = len(self.doc_tokens[self.fields[0]])
@@ -562,7 +566,9 @@ class FieldedBM25Oracle:
         """Top-k (doc_id, score); a doc qualifies when ANY field contains
         ≥1 query term. Fold order: term ASC, then field_id ASC — the
         engine's ascending-term_id order."""
-        terms = sorted(set(tokenize(normalize_question(question))))
+        from dpr_spark.functions.analysis import analyze_query
+
+        terms = analyze_query(question, self.analyzer)
         scores: Dict[int, float] = {}
         for t in terms:
             for f in self.fields:  # field_id order == tuple position

@@ -161,3 +161,47 @@ def test_empty_field_docs(spark):
     assert set(got) == {0, 1}
     # doc 0 matches alpha in BOTH fields -> strictly higher score
     assert got[0] > got[1]
+
+
+def test_fielded_analyzed_rank_identity(spark, fielded_docs_pdf, queries_pdf, tmp_path):
+    """BM25F over an ANALYZED fielded index (stop + s-stem on every
+    field): rank+score identity vs the analyzer-aware FieldedBM25Oracle,
+    and the analyzer survives save/load."""
+    from dpr_spark.functions.analysis import ENGLISH_S
+    from dpr_spark.index.fielded import FieldedIndex, build_fielded_index, search_fielded
+    from dpr_spark.oracle.bm25 import FieldedBM25Oracle
+
+    o = FieldedBM25Oracle(
+        fields=("text", "title"), weights={"text": 1.0, "title": 2.0},
+        analyzer=ENGLISH_S,
+    )
+    for _, row in fielded_docs_pdf.iterrows():
+        o.add(int(row.doc_id), {"text": row.text, "title": row.title})
+    o.build()
+
+    docs = spark.createDataFrame(fielded_docs_pdf)
+    idx = build_fielded_index(
+        spark, docs, fields=("text", "title"),
+        weights={"text": 1.0, "title": 2.0}, analyzer=ENGLISH_S,
+    )
+    p = str(tmp_path / "fidx")
+    idx.save(p)
+    back = FieldedIndex.load(spark, p)
+    assert back.analyzer == ENGLISH_S
+
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(10))
+    for which in (idx, back):
+        got = {}
+        for r in search_fielded(qdf, which, k=10).collect():
+            got.setdefault(r.qid, []).append((r.rank, r.doc_id, r.score))
+        n = 0
+        for _, q in queries_pdf.head(10).iterrows():
+            expect = o.search(q.question, 10)
+            actual = sorted(got.get(int(q.qid), []))
+            assert len(actual) == len(expect), f"qid={q.qid}"
+            for (rank, doc_id, score), (edoc, escore) in zip(actual, expect):
+                assert doc_id == edoc, f"qid={q.qid} rank={rank}"
+                assert score == pytest.approx(escore, abs=1e-9)
+                n += 1
+        assert n > 30
+    idx.unpersist()
