@@ -3676,6 +3676,48 @@ def q_suggest_topn() -> Entry:
     return fn, sql
 
 
+def q_sorted_layout_topk() -> Entry:
+    """Index-time sorting + early termination (query/paging.py
+    build_sorted_layout / search_sorted_layout; Lucene IndexSorting +
+    early-terminating TopFieldCollector): the same sort-by-field
+    contract as sort_by_field_topk served from a value-range-bucketed
+    postings layout that probes ranges in field order and stops when
+    every query holds k matches. The twin is layout-independent (same
+    semantics), so a green row PROVES the early-terminated probe set is
+    exact."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.paging import build_sorted_layout, search_sorted_layout
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        dv = docs.select(
+            "doc_id",
+            F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100003)).alias("warc_ts"),
+        )
+        sp, _ = build_sorted_layout(idx, dv, "warc_ts", n_ranges=8)
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search_sorted_layout(spark, qdf, idx, sp, k=10, ascending=False)
+        return res.select("qid", "rank", "doc_id", F.col("value").alias("warc_ts"))
+
+    sql = f"""
+      WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+      dterms AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok),
+      qt AS (SELECT * FROM (VALUES {_qterm_values_sql()}) AS q(qid, term)),
+      matches AS (SELECT DISTINCT qt.qid, dterms.doc_id
+                  FROM qt JOIN dterms USING (term)),
+      dv AS (SELECT doc_id, ((doc_id * 2654435761) % 100003)::DOUBLE AS warc_ts
+             FROM documents),
+      ranked AS (
+        SELECT m.qid, m.doc_id, dv.warc_ts,
+               row_number() OVER (PARTITION BY m.qid
+                                  ORDER BY dv.warc_ts DESC, m.doc_id) AS rank
+        FROM matches m JOIN dv USING (doc_id))
+      SELECT qid, rank, doc_id, warc_ts FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -3753,4 +3795,5 @@ def all_entries() -> Dict[str, Entry]:
         "percolate_matches": q_percolate_matches(),
         "regexp_topk": q_regexp_topk(),
         "suggest_topn": q_suggest_topn(),
+        "sorted_layout_topk": q_sorted_layout_topk(),
     }

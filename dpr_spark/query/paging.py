@@ -161,3 +161,134 @@ def search_sort_by_field(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "qid", "rank", "doc_id", field
     )
+
+
+# ---------------------------------------------------------------------------
+# Index-time sorting + early termination (Lucene IndexSorting analog)
+# ---------------------------------------------------------------------------
+
+
+def build_sorted_layout(
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    field: str,
+    n_ranges: int = 16,
+    path: Optional[str] = None,
+):
+    """Sort-field-aware postings layout — the Lucene index-sorting
+    analog (IndexWriterConfig.setIndexSort): postings annotated with the
+    doc's sort value and bucketed into `n_ranges` VALUE RANGES, so a
+    sort-by-field query probes ranges in field order and STOPS as soon
+    as every query holds k matches (early termination — Lucene's
+    TopFieldCollector over a sorted index does exactly this per
+    segment).
+
+    Range assignment: boundaries from approx quantiles of the value
+    distribution; a doc's range_id counts boundaries STRICTLY below its
+    value, so all docs sharing a value share a range — which is what
+    makes early termination exact (the k-th match can never tie with a
+    value in an unprobed range).
+
+    One postings⋈doc-values join at LAYOUT BUILD time (the index-sort
+    cost Lucene pays at flush/merge); queries then never touch the
+    doc-values table. With `path`, the layout persists partitioned by
+    range_id — a probe of range i is a partition-pruned scan.
+    Returns (sorted_postings_df, boundaries)."""
+    vals = doc_values.select(
+        "doc_id", F.col(field).cast("double").alias("_v")
+    )
+    qs = [i / n_ranges for i in range(1, n_ranges)]
+    bounds = vals.approxQuantile("_v", qs, 0.001)
+    rid = F.lit(0)
+    for b in sorted(set(bounds)):
+        rid = rid + F.when(F.col("_v") > F.lit(float(b)), 1).otherwise(0)
+    out = (
+        index.postings.select("term_id", "doc_id")
+        .join(vals, "doc_id")
+        .withColumn("range_id", rid.cast("int"))
+    )
+    if path is not None:
+        out.write.partitionBy("range_id").mode("overwrite").parquet(path)
+        out = index.postings.sparkSession.read.parquet(path)
+    return out, sorted(set(bounds))
+
+
+def search_sorted_layout(
+    spark: SparkSession,
+    queries: DataFrame,
+    index: InvertedIndex,
+    sorted_postings: DataFrame,
+    k: int = DEFAULT_TOP_K,
+    ascending: bool = True,
+    stats: Optional[dict] = None,
+) -> DataFrame:
+    """(qid, rank, doc_id, value): sort-by-field top-k over a
+    build_sorted_layout layout with EARLY TERMINATION — ranges are
+    probed in field order and a query leaves the probe set the moment
+    it holds k matches; fully-satisfied waves stop the loop. Results
+    are identical to search_sort_by_field (asserted in
+    tests/test_paging.py); `stats` (optional dict) receives
+    {"ranges_probed": n, "ranges_total": m}.
+
+    Driver-side loop cost: ≤ n_ranges jobs, each a partition-pruned
+    scan of ONE range joined with the still-pending queries' terms —
+    the Spark spelling of Lucene's per-segment early-terminating
+    TopFieldCollector."""
+    qt = query_term_pairs(queries, index, with_idf=False).persist()
+    rids = sorted(
+        r.range_id for r in sorted_postings.select("range_id").distinct().collect()
+    )
+    if not ascending:
+        rids = rids[::-1]
+    pending = {int(r.qid) for r in qt.select("qid").distinct().collect()}
+    have: Dict[int, int] = {q: 0 for q in pending}
+    parts = []
+    probed = 0
+    for rid in rids:
+        if not pending:
+            break
+        probed += 1
+        qsel = qt if len(have) == len(pending) else qt.join(
+            F.broadcast(
+                spark.createDataFrame([(q,) for q in sorted(pending)], "qid long")
+            ),
+            "qid",
+            "left_semi",
+        )
+        probe = (
+            sorted_postings.filter(F.col("range_id") == rid)
+            .join(F.broadcast(qsel), "term_id")
+            .select("qid", "doc_id", "_v")
+            .distinct()
+            .persist()
+        )
+        for r in probe.groupBy("qid").agg(F.count("*").alias("n")).collect():
+            have[int(r.qid)] = have.get(int(r.qid), 0) + int(r.n)
+            if have[int(r.qid)] >= k:
+                pending.discard(int(r.qid))
+        parts.append(probe)
+    qt.unpersist()
+    if stats is not None:
+        stats["ranges_probed"] = probed
+        stats["ranges_total"] = len(rids)
+    if not parts:
+        return spark.createDataFrame(
+            [], "qid long, rank int, doc_id long, value double"
+        )
+    matches = parts[0]
+    for pdf in parts[1:]:
+        matches = matches.unionByName(pdf)
+    order = [
+        F.col("_v").asc() if ascending else F.col("_v").desc(),
+        F.col("doc_id").asc(),
+    ]
+    top = cap_per_key(matches, ["qid"], order, k)
+    w = Window.partitionBy("qid").orderBy(*order)
+    res = top.withColumn("rank", F.row_number().over(w)).select(
+        "qid", "rank", "doc_id", F.col("_v").alias("value")
+    )
+    res = res.persist()
+    res.count()
+    for pdf in parts:
+        pdf.unpersist()
+    return res

@@ -294,3 +294,52 @@ def test_search_collapse_per_group_2(spark, index, pages_pdf, queries_pdf, oracl
             top2 = [d for d, _ in bygrp[g][:2]]
             kept = [d for d, _ in sel if d % 3 == g]
             assert set(kept) <= set(top2)
+
+
+def test_sorted_layout_matches_unsorted(spark, index, queries_df, tmp_path):
+    """Early-terminating search over the index-sorted layout returns
+    EXACTLY search_sort_by_field's rows (both directions), probing
+    fewer ranges than exist; a saved layout's probe is a
+    partition-pruned scan."""
+    from dpr_spark.query.paging import (
+        build_sorted_layout,
+        search_sort_by_field,
+        search_sorted_layout,
+    )
+
+    path = str(tmp_path / "sorted_layout")
+    sp, bounds = build_sorted_layout(
+        index, index.docstats, "doclen", n_ranges=8, path=path
+    )
+    assert bounds == sorted(bounds)
+
+    for ascending in (True, False):
+        stats = {}
+        got = sorted(
+            (r.qid, r.rank, r.doc_id, r.value)
+            for r in search_sorted_layout(
+                spark, queries_df, index, sp, k=10,
+                ascending=ascending, stats=stats,
+            ).collect()
+        )
+        expect = sorted(
+            (r.qid, r.rank, r.doc_id, float(r.doclen))
+            for r in search_sort_by_field(
+                spark, queries_df, index, index.docstats, "doclen",
+                k=10, ascending=ascending,
+            ).collect()
+        )
+        assert got == expect
+        # early termination really fired: k=10 over a 300-doc corpus
+        # never needs every range
+        assert stats["ranges_probed"] < stats["ranges_total"], stats
+
+    # partition pruning: the per-range filter reaches the scan as a
+    # partition filter, not a post-scan predicate
+    plan = (
+        sp.filter("range_id = 0")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "range_id" in plan.split("PartitionFilters")[1][:200], plan
