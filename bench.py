@@ -334,7 +334,7 @@ def main() -> None:
         "rescore_topk", "tfidf_topk", "lmdirichlet_topk", "dismax_topk",
         "analyzed_topk", "func_score_topk", "terms_agg_matches",
         "stats_agg_matches", "percolate_matches", "regexp_topk",
-        "suggest_topn", "sorted_layout_topk",
+        "suggest_topn", "sorted_layout_topk", "has_child_topk",
     ]:
         try:
             fn, _ = entries[name]

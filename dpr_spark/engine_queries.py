@@ -3718,6 +3718,51 @@ def q_sorted_layout_topk() -> Entry:
     return fn, sql
 
 
+def q_has_child_topk() -> Entry:
+    """Relation join query (query/joinquery.py; ES has_child / Lucene
+    ToParentBlockJoinQuery): rank SOURCES by their best-matching page —
+    score(parent) = max over child BM25 scores, min_children=2 — the
+    'which sites are most relevant' serving question. max mode is
+    fold-order-free, so the twin hashes exactly."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.joinquery import has_child_search
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = has_child_search(
+            qdf, idx, docs.select("doc_id", F.col("source").alias("parent")),
+            score_mode="max", min_children=2, k=10,
+        ).select(
+            "qid", "parent", F.round("score", 6).alias("score_r"), "n_children"
+        )
+        # rank re-derived from the 6-dp score on both sides
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("parent"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "parent", "score_r", "n_children"
+        )
+
+    sql = f"""
+    WITH {_BM25_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    withp AS (
+      SELECT s.qid, d.source AS parent, s.score
+      FROM scored s JOIN documents d USING (doc_id)),
+    agg AS (
+      SELECT qid, parent, count(*) AS n_children, max(score) AS score
+      FROM withp GROUP BY 1, 2),
+    ranked_p AS (
+      SELECT qid, parent, round(score, 6) AS score_r, n_children,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, parent) AS rank
+      FROM agg WHERE n_children >= 2)
+    SELECT qid, rank, parent, score_r, n_children FROM ranked_p WHERE rank <= 10"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -3796,4 +3841,5 @@ def all_entries() -> Dict[str, Entry]:
         "regexp_topk": q_regexp_topk(),
         "suggest_topn": q_suggest_topn(),
         "sorted_layout_topk": q_sorted_layout_topk(),
+        "has_child_topk": q_has_child_topk(),
     }

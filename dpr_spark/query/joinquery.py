@@ -1,0 +1,84 @@
+"""Relation join queries — rank PARENT entities by the relevance of
+their CHILD documents: the Elasticsearch `has_child` query (Lucene
+join module, ToParentBlockJoinQuery / ScoreMode) re-expressed for a
+web corpus, where the natural parent of a page is its site/source and
+the serving question is "which SITES are most relevant", not "which
+pages".
+
+Contract (ES has_child):
+
+    score(parent) = mode over {bm25(q, child) : child matches}
+    mode ∈ {max, sum, avg, none};  min_children / max_children bound
+    the qualifying child count (a parent outside the bounds drops out).
+
+`none` ranks parents as filters only (matched == qualifying), ordered
+by parent id — ES's score_mode=none.
+
+Scale shape: children score through the ordinary exact BM25 plan
+(postings probed in place, query terms broadcast); the child→parent
+map is a narrow 2-column table that sort-merge-joins on doc_id (or
+stays exchange-free when bucketed by doc_id); the parent fold is one
+groupBy over already-scored candidate rows — map-side partial agg, no
+doc-sized shuffle beyond the candidates themselves. The per-query
+top-k of parents rides the same window as every other searcher.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dpr_spark import BM25_B, BM25_K1, DEFAULT_TOP_K
+from dpr_spark.index.build import InvertedIndex
+from dpr_spark.query.scorer import score_exact
+
+SCORE_MODES = ("max", "sum", "avg", "none")
+
+
+def has_child_search(
+    queries: DataFrame,
+    index: InvertedIndex,
+    child_parent: DataFrame,
+    score_mode: str = "max",
+    min_children: int = 1,
+    max_children: int = 0,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(qid, rank, parent, score, n_children): top-k parents per query.
+
+    child_parent: (doc_id, parent) — the join field (ES join-field
+    mapping). A child with no parent row never contributes; a parent's
+    n_children counts its MATCHING children for this query.
+    max_children=0 means unbounded (the ES default)."""
+    if score_mode not in SCORE_MODES:
+        raise ValueError(f"score_mode must be one of {SCORE_MODES}")
+    if min_children < 1:
+        raise ValueError("min_children must be >= 1")
+    scored = score_exact(queries, index, k1=k1, b=b)
+    withp = scored.join(child_parent.select("doc_id", "parent"), "doc_id")
+    agg = withp.groupBy("qid", "parent").agg(
+        F.count("*").alias("n_children"),
+        F.max("score").alias("_max"),
+        F.sum("score").alias("_sum"),
+        F.avg("score").alias("_avg"),
+    )
+    cond = F.col("n_children") >= min_children
+    if max_children:
+        cond = cond & (F.col("n_children") <= max_children)
+    agg = agg.filter(cond)
+    if score_mode == "none":
+        out = agg.select("qid", "parent", F.lit(0.0).alias("score"), "n_children")
+        order = [F.col("parent").asc()]
+    else:
+        out = agg.select(
+            "qid", "parent", F.col(f"_{score_mode}").alias("score"), "n_children"
+        )
+        order = [F.col("score").desc(), F.col("parent").asc()]
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "parent", "score", "n_children")
+    )
