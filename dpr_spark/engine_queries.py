@@ -3763,6 +3763,101 @@ def q_has_child_topk() -> Entry:
     return fn, sql
 
 
+def _tree_sql_ctes(qid: int, node, counter: list) -> Tuple[str, list]:
+    """Recursively emit one CTE per tree node (leaf = per-term BM25
+    rows; Bool = grouped/filtered union of its children) — the SQL
+    twin mirrors the engine's level fold structurally."""
+    from dpr_spark.query.booltree import Bool, T
+
+    nid = counter[0]
+    counter[0] += 1
+    name = f"n{qid}_{nid}"
+    if isinstance(node, T):
+        cte = (
+            f"{name} AS (SELECT tf.doc_id, {node.boost!r} * {_BM25_COMPONENT} AS score"
+            f" FROM tf JOIN dict USING (term) JOIN ds ON tf.doc_id = ds.doc_id"
+            f" CROSS JOIN stats WHERE tf.term = '{node.text}')"
+        )
+        return name, [cte]
+    ctes: list = []
+    tagged = []
+    for clause, children in (
+        ("must", node.must), ("should", node.should), ("must_not", node.must_not)
+    ):
+        for c in children:
+            cname, sub = _tree_sql_ctes(qid, c, counter)
+            ctes.extend(sub)
+            tagged.append(f"SELECT doc_id, '{clause}' AS clause, score FROM {cname}")
+    need_sh = node.msm if (node.must or node.msm) else 1
+    union = " UNION ALL ".join(tagged)
+    cte = (
+        f"{name} AS (SELECT doc_id, {node.boost!r} * score AS score FROM ("
+        f" SELECT doc_id,"
+        f" sum(CASE WHEN clause = 'must' THEN 1 ELSE 0 END) AS mh,"
+        f" sum(CASE WHEN clause = 'should' THEN 1 ELSE 0 END) AS sh,"
+        f" sum(CASE WHEN clause = 'must_not' THEN 1 ELSE 0 END) AS nh,"
+        f" sum(CASE WHEN clause <> 'must_not' THEN score ELSE 0 END) AS score"
+        f" FROM ({union}) GROUP BY doc_id)"
+        f" WHERE mh = {len(node.must)} AND nh = 0 AND sh >= {need_sh})"
+    )
+    ctes.append(cte)
+    return name, ctes
+
+
+def _bool_trees():
+    from dpr_spark.query.booltree import Bool, T
+
+    return [
+        (0, Bool(must=[Bool(should=[T("spark"), T("window")])],
+                 must_not=[T("batch")])),
+        (1, Bool(should=[
+                Bool(must=[T("customer"), T("join")], boost=2.0),
+                Bool(should=[T("fast"), T("scan"), T("sort")], msm=2),
+                T("table", boost=0.5),
+            ], msm=1)),
+        (2, Bool(must=[T("key")], must_not=[Bool(must=[T("spark"), T("window")])])),
+    ]
+
+
+def q_bool_tree_topk() -> Entry:
+    """Nested boolean query trees (query/booltree.py; the full Lucene
+    BooleanQuery composition — clauses are themselves queries): three
+    depth-2/3 trees with msm, boosts, and a must_not SUBTREE. The twin
+    generates one CTE per node recursively, mirroring the engine's
+    level-synchronous fold."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.booltree import bool_tree_search
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        res = bool_tree_search(spark, _bool_trees(), idx, k=10).select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    all_ctes: list = []
+    roots = []
+    for qid, root in _bool_trees():
+        name, ctes = _tree_sql_ctes(qid, root, [0])
+        all_ctes.extend(ctes)
+        roots.append(f"SELECT {qid} AS qid, doc_id, score FROM {name}")
+    sql = f"""
+    WITH {_POS_CTES}, {", ".join(all_ctes)},
+    allroots AS ({" UNION ALL ".join(roots)}),
+    ranked_t AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM allroots)
+    SELECT qid, rank, doc_id, score_r FROM ranked_t WHERE rank <= 10"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -3842,4 +3937,5 @@ def all_entries() -> Dict[str, Entry]:
         "suggest_topn": q_suggest_topn(),
         "sorted_layout_topk": q_sorted_layout_topk(),
         "has_child_topk": q_has_child_topk(),
+        "bool_tree_topk": q_bool_tree_topk(),
     }
