@@ -3858,6 +3858,82 @@ def q_bool_tree_topk() -> Entry:
     return fn, sql
 
 
+DEDUP_CLUSTER_THRESHOLD = 0.5
+
+
+def q_dedup_clusters() -> Entry:
+    """Near-dup CLUSTERING (extras/dedup.py connected_components /
+    dedup_clusters): MinHash-LSH pairs (the q_minhash_lsh pipeline,
+    est_jaccard ≥ {threshold}) -> duplicate clusters via iterative
+    min-label propagation; component = min doc_id (the canonical doc a
+    pipeline keeps). The twin replays the MinHash SQL and closes the
+    pairs transitively with a RECURSIVE CTE — exact, engine-independent
+    components."""
+    P = 2147483647
+    NUM_PERM, BANDS, RPB = 16, 4, 4
+    a = [((i * 2 + 1) * 40503) % P for i in range(1, NUM_PERM + 1)]
+    b = [((i * 7 + 3) * 69069) % P for i in range(1, NUM_PERM + 1)]
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.dedup import (
+            dedup_clusters,
+            lsh_candidate_pairs,
+            minhash_signatures,
+            portable_hash60,
+        )
+
+        docs = _docs(spark, sf_dir)
+        sig = minhash_signatures(docs, num_perm=NUM_PERM, hash_fn=portable_hash60)
+        pairs = (
+            lsh_candidate_pairs(sig, bands=BANDS, rows_per_band=RPB, hash_keys=False)
+            .filter(F.col("est_jaccard") >= DEDUP_CLUSTER_THRESHOLD)
+            .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        )
+        return dedup_clusters(docs, pairs)
+
+    from dpr_spark.functions.tokenizer import duckdb_tokenize_sql
+
+    perm_vals = ", ".join(f"({j}, {a[j]}, {b[j]})" for j in range(NUM_PERM))
+    match_terms = " + ".join(
+        f"(CASE WHEN siga[{j + 1}] = sigb[{j + 1}] THEN 1 ELSE 0 END)"
+        for j in range(NUM_PERM)
+    )
+    sql = f"""
+      WITH RECURSIVE tok AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
+      sh0 AS (SELECT DISTINCT doc_id AS doc,
+                     array_to_string(toks[i + 1 : i + 3], ' ') AS shingle
+              FROM tok, unnest(range(0, greatest(len(toks) - 3, 0) + 1)) AS t(i)),
+      sh AS (SELECT doc, shingle FROM sh0 WHERE shingle != ''),
+      sid AS (SELECT doc,
+                     ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {P} AS sid
+              FROM sh),
+      perm AS (SELECT * FROM (VALUES {perm_vals}) AS p(j, a, b)),
+      mins AS (SELECT doc, j, min((sid * a + b) % {P}) AS mv
+               FROM sid CROSS JOIN perm GROUP BY 1, 2),
+      sig AS (SELECT doc, list(mv ORDER BY j) AS sig FROM mins GROUP BY doc),
+      banded AS (SELECT doc, sig, band,
+                        array_to_string(sig[band * {RPB} + 1 : band * {RPB} + {RPB}], '_') AS key
+                 FROM sig, unnest(range(0, {BANDS})) AS t(band)),
+      cpairs AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b,
+                        x.sig AS siga, y.sig AS sigb
+                 FROM banded x JOIN banded y
+                   ON x.band = y.band AND x.key = y.key AND x.doc < y.doc),
+      dpairs AS (SELECT doc_a, doc_b FROM cpairs
+                 WHERE ({match_terms}) / {NUM_PERM}.0 >= {DEDUP_CLUSTER_THRESHOLD}),
+      edges AS (SELECT doc_a AS x, doc_b AS y FROM dpairs
+                UNION SELECT doc_b, doc_a FROM dpairs),
+      reach AS (
+        SELECT x AS node, x AS lab FROM edges
+        UNION
+        SELECT e.x, r.lab FROM edges e JOIN reach r ON e.y = r.node),
+      comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+      SELECT d.doc_id,
+             coalesce(c.component, d.doc_id) AS component,
+             (coalesce(c.component, d.doc_id) = d.doc_id) AS is_canonical
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -3938,4 +4014,5 @@ def all_entries() -> Dict[str, Entry]:
         "sorted_layout_topk": q_sorted_layout_topk(),
         "has_child_topk": q_has_child_topk(),
         "bool_tree_topk": q_bool_tree_topk(),
+        "dedup_clusters": q_dedup_clusters(),
     }

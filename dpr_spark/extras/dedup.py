@@ -347,3 +347,94 @@ def embedding_neardup(
         cosine_expr(F.col("x.v"), F.col("y.v")).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "a",
+    id_b: str = "b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(node, component) over an undirected edge list — the CLUSTERING
+    step of a dedup pipeline: near-dup PAIRS (MinHash/SimHash/Jaccard
+    output) become duplicate CLUSTERS, and `component` (= the cluster's
+    minimum node id) is the canonical document every other member
+    collapses to.
+
+    Algorithm: iterative min-label propagation (the Spark-friendly
+    special case of large-star/small-star, e.g. Kiveris et al. 2014
+    "Connected Components in MapReduce and Beyond"): each round every
+    node adopts the smallest label among itself and its neighbors;
+    convergence is checked with one count of changed labels and takes
+    ≤ graph-diameter rounds — dup clusters are shallow (pairs/stars),
+    so 2-4 rounds in practice. Each round is one join + one min-agg on
+    the EDGE list (never materializes neighborhoods), so a 10^10-edge
+    pair table shuffles only (node, label) rows.
+
+    Isolated nodes never appear (no pairs -> no row), matching the
+    dedup contract: docs absent from the output keep themselves.
+    Raises if not converged within max_iters (a pathological chain —
+    raise max_iters, or pre-collapse with exact dedup first)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+    )
+    # symmetrize once; labels start as the node id
+    edges = edges.unionByName(
+        edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        # neighbor-min in one pass: edge (x, y) proposes y's label to x
+        prop = (
+            edges.join(labels.withColumnRenamed("node", "y"), "y")
+            .select(F.col("x").alias("node"), "component")
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        new.count()
+        changed = (
+            new.join(labels.withColumnRenamed("component", "old"), "node")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    edges.unpersist()
+    raise RuntimeError(f"connected_components: not converged in {max_iters} iters")
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "a",
+    id_b: str = "b",
+) -> DataFrame:
+    """(doc_id, component, is_canonical): every doc labeled with its
+    duplicate cluster (docs in no pair are their own singleton
+    component) — the table a pipeline keeps WHERE is_canonical to
+    drop near-duplicates while retaining exactly one representative."""
+    comp = connected_components(pairs, id_a, id_b)
+    out = (
+        docs.select(F.col(id_col).alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", F.col("node")).alias("component"),
+        )
+    )
+    return out.withColumn("is_canonical", F.col(id_col) == F.col("component"))

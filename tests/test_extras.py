@@ -326,3 +326,65 @@ def test_ngrams_col_matches_python(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == ngrams(tokenize(t), n=3), t
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation == a pure-Python union-find on a graph with
+    chains, stars, a triangle, and isolated nodes."""
+    from dpr_spark.extras.dedup import connected_components, dedup_clusters
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain -> comp 1
+        (10, 11), (10, 12), (10, 13),    # star -> comp 10
+        (20, 21), (21, 22), (20, 22),    # triangle -> comp 20
+        (30, 31), (31, 30),              # dup + reversed edges
+        (5, 4),                          # joins the chain -> comp 1
+    ]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    for a, b in edges:
+        union(a, b)
+    expect = {n: find(n) for n in parent}
+    assert got == expect
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 99]], "doc_id long")
+    cl = {r.doc_id: (r.component, r.is_canonical) for r in dedup_clusters(docs, pairs).collect()}
+    assert cl[99] == (99, True)       # isolated: own singleton
+    assert cl[1] == (1, True) and cl[5] == (1, False)
+    assert cl[10] == (10, True)
+
+
+def test_dedup_clusters_over_minhash_pairs(spark, pages_pdf):
+    """End-to-end: MinHash-LSH pairs -> clusters; every pair lands in
+    one component and canonicals are the component minima."""
+    from dpr_spark.extras.dedup import dedup_clusters, minhash_dedup
+    from dpr_spark.fixtures.corpus import assign_doc_ids
+
+    pw = assign_doc_ids(pages_pdf).head(120)[["doc_id", "text"]].copy()
+    # plant near-dups: copies of doc 0 with a token tweaked
+    import pandas as pd
+    extra = pd.DataFrame(
+        {"doc_id": [9001, 9002], "text": [pw.text.iloc[0] + " tail", pw.text.iloc[0]]}
+    )
+    docs = spark.createDataFrame(pd.concat([pw, extra], ignore_index=True))
+    pairs = minhash_dedup(docs).select(
+        F.col("keep_id").alias("a"), F.col("dup_id").alias("b")
+    )
+    prows = [(r.a, r.b) for r in pairs.collect()]
+    assert any(9002 in p for p in prows), prows  # the exact copy was found
+    cl = {r.doc_id: r.component for r in dedup_clusters(docs, pairs).collect()}
+    for a, b in prows:
+        assert cl[a] == cl[b]
+    assert sum(1 for r in dedup_clusters(docs, pairs).collect() if r.is_canonical) < docs.count()
