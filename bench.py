@@ -335,7 +335,7 @@ def main() -> None:
         "analyzed_topk", "func_score_topk", "terms_agg_matches",
         "stats_agg_matches", "percolate_matches", "regexp_topk",
         "suggest_topn", "sorted_layout_topk", "has_child_topk",
-        "bool_tree_topk", "dedup_clusters",
+        "bool_tree_topk", "dedup_clusters", "significant_terms",
     ]:
         try:
             fn, _ = entries[name]

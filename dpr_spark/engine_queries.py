@@ -3934,6 +3934,54 @@ def q_dedup_clusters() -> Entry:
     return fn, sql
 
 
+def q_significant_terms() -> Entry:
+    """ES significant_terms over the match set (query/aggs.py): top-5
+    terms per query by the JLH heuristic (fg%−bg%)·(fg%/bg%), fg_count
+    = matching docs containing the term, min_fg=2. Exact — no shard
+    approximation or sampling. Rank re-derived from round(score, 6) on
+    both sides (the score is closed-form over integer counts)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import significant_terms
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = significant_terms(qdf, idx, size=5, min_fg=2).select(
+            "qid", "term", "fg_count", "bg_count",
+            F.round("score", 6).alias("score_r"),
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("term"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "term", "fg_count", "bg_count", "score_r"
+        )
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    nmatch AS (SELECT qid, count(*) AS n_matches FROM matches GROUP BY 1),
+    stats AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    fg AS (
+      SELECT m.qid, tf.term, count(*) AS fg_count
+      FROM matches m JOIN tf USING (doc_id) GROUP BY 1, 2
+      HAVING count(*) >= 2),
+    scored AS (
+      SELECT fg.qid, fg.term, fg.fg_count, dict.df AS bg_count,
+             ((fg.fg_count / nm.n_matches) - (dict.df / stats.n))
+             * ((fg.fg_count / nm.n_matches) / (dict.df / stats.n)) AS score
+      FROM fg JOIN dict USING (term) JOIN nmatch nm USING (qid)
+           CROSS JOIN stats),
+    ranked_s AS (
+      SELECT qid, term, fg_count, bg_count, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, term) AS rank
+      FROM scored)
+    SELECT qid, rank, term, fg_count, bg_count, score_r
+    FROM ranked_s WHERE rank <= 5"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -4015,4 +4063,5 @@ def all_entries() -> Dict[str, Entry]:
         "has_child_topk": q_has_child_topk(),
         "bool_tree_topk": q_bool_tree_topk(),
         "dedup_clusters": q_dedup_clusters(),
+        "significant_terms": q_significant_terms(),
     }

@@ -95,3 +95,60 @@ def terms_agg(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "qid", "value", "count", "rank"
     )
+
+
+def significant_terms(
+    queries: DataFrame,
+    index: InvertedIndex,
+    size: int = 10,
+    min_fg: int = 2,
+    salt_buckets: Optional[int] = None,
+) -> DataFrame:
+    """(qid, term, fg_count, bg_count, score, rank): terms UNUSUALLY
+    frequent in a query's match set vs the whole corpus — the ES
+    `significant_terms` aggregation with its default JLH heuristic:
+
+        score = (fg% − bg%) · (fg% / bg%)
+        fg% = fg_count / n_matches,  bg% = df / N
+
+    fg_count counts MATCHING docs containing the term (document
+    frequency within the foreground, like ES); min_fg prunes noise.
+    Exact — no shard approximation and no sampling (ES's sampler
+    aggregation is the knob it needs because a node recomputes term
+    vectors; here the postings table already holds the counts).
+
+    Scale shape: the one genuinely large step is matches ⋈ postings on
+    doc_id (every matched doc contributes its term list — the same
+    information ES pulls from term vectors); it is a co-partitioned
+    SMJ whose output collapses immediately via a map-side-combined
+    count per (qid, term_id). Background df comes from the dictionary
+    (vocab-sized, never broadcast or shuffled — fg is the small side
+    joined into it). Per-qid top-size rides the exact salted top-N.
+    Score arithmetic is a single closed-form expression over integer
+    counts — no float fold, so rank order is engine-independent."""
+    m = _matches(queries, index)
+    n_match = m.groupBy("qid").agg(F.count("*").alias("n_matches"))
+    fg = (
+        m.join(index.postings.select("doc_id", "term_id"), "doc_id")
+        .groupBy("qid", "term_id")
+        .agg(F.count("*").alias("fg_count"))
+        .filter(F.col("fg_count") >= min_fg)
+    )
+    n_docs = float(index.stats.n_docs)
+    scored = (
+        fg.join(index.dictionary.select("term_id", "term", "df"), "term_id")
+        .join(F.broadcast(n_match), "qid")
+        .withColumn("_fgr", F.col("fg_count") / F.col("n_matches"))
+        .withColumn("_bgr", F.col("df").cast("double") / F.lit(n_docs))
+        .withColumn(
+            "score",
+            (F.col("_fgr") - F.col("_bgr")) * (F.col("_fgr") / F.col("_bgr")),
+        )
+        .select("qid", "term", "fg_count", F.col("df").alias("bg_count"), "score")
+    )
+    order = [F.col("score").desc(), F.col("term").asc()]
+    top = cap_per_key(scored, ["qid"], order, size, salt_buckets=salt_buckets)
+    w = Window.partitionBy("qid").orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "qid", "term", "fg_count", "bg_count", F.col("score").alias("score"), "rank"
+    )

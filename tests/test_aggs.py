@@ -72,3 +72,44 @@ def test_terms_agg_exact_topsize(spark, index, queries_pdf, oracle):
             expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
             expect = [(i + 1, v, c) for i, (v, c) in enumerate(expect)]
             assert sorted(got[int(q.qid)]) == expect, f"salt={salt} qid={q.qid}"
+
+
+def test_significant_terms_matches_twin(spark, index, queries_pdf, oracle):
+    """JLH scores and top-5 selection vs a brute-force twin."""
+    from dpr_spark.query.aggs import significant_terms
+
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(8))
+    got = {}
+    for r in significant_terms(qdf, index, size=5, min_fg=2).collect():
+        got.setdefault(r.qid, []).append(
+            (r.rank, r.term, r.fg_count, r.bg_count, r.score)
+        )
+    N = float(oracle.N)
+    checked = 0
+    for _, q in queries_pdf.head(8).iterrows():
+        docs = _oracle_matches(oracle, q.question)
+        if not docs:
+            continue
+        fg = {}
+        for d in docs:
+            for t in set(oracle.doc_tokens[d]):
+                fg[t] = fg.get(t, 0) + 1
+        scored = []
+        for t, c in fg.items():
+            if c < 2:
+                continue
+            fgr = c / len(docs)
+            bgr = oracle.df[t] / N
+            scored.append((t, c, oracle.df[t], (fgr - bgr) * (fgr / bgr)))
+        scored.sort(key=lambda x: (-x[3], x[0]))
+        expect = [
+            (i + 1, t, c, df, sc) for i, (t, c, df, sc) in enumerate(scored[:5])
+        ]
+        actual = sorted(got.get(int(q.qid), []))
+        assert [(a[0], a[1], a[2], a[3]) for a in actual] == [
+            (e[0], e[1], e[2], e[3]) for e in expect
+        ], f"qid={q.qid}"
+        for a, e in zip(actual, expect):
+            assert a[4] == pytest.approx(e[4], rel=1e-12)
+            checked += 1
+    assert checked > 20
