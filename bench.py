@@ -336,6 +336,8 @@ def main() -> None:
         "stats_agg_matches", "percolate_matches", "regexp_topk",
         "suggest_topn", "sorted_layout_topk", "has_child_topk",
         "bool_tree_topk", "dedup_clusters", "significant_terms",
+        "histogram_agg", "date_histogram_agg", "percentiles_agg",
+        "cardinality_agg", "top_hits_agg",
     ]:
         try:
             fn, _ = entries[name]

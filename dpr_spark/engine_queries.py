@@ -3982,6 +3982,184 @@ def q_significant_terms() -> Entry:
     return fn, sql
 
 
+def q_histogram_agg() -> Entry:
+    """ES `histogram` aggregation over the match set (query/aggs.py):
+    floor(n_chars/200)*200 buckets per query with min_doc_count=0 —
+    empty buckets between the observed min and max are filled
+    (sequence+explode in Spark, generate_series in the twin)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import histogram_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        return histogram_agg(
+            qdf, idx, docs.select("doc_id", "n_chars"), "n_chars",
+            interval=200.0, min_doc_count=0,
+        ).select("qid", F.round("bucket", 6).alias("bucket"), "count")
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    counts AS (
+      SELECT m.qid, floor(d.n_chars / 200.0)::BIGINT AS b, count(*) AS cnt
+      FROM matches m JOIN documents d USING (doc_id) GROUP BY 1, 2),
+    span AS (SELECT qid, min(b) AS lo, max(b) AS hi FROM counts GROUP BY 1),
+    dense AS (
+      SELECT s.qid, gs.b
+      FROM span s, LATERAL unnest(generate_series(s.lo, s.hi)) AS gs(b))
+    SELECT d.qid, round(d.b::DOUBLE * 200.0::DOUBLE, 6) AS bucket,
+           coalesce(c.cnt, 0)::BIGINT AS count
+    FROM dense d LEFT JOIN counts c ON d.qid = c.qid AND d.b = c.b"""
+    return fn, sql
+
+
+def q_date_histogram_agg() -> Entry:
+    """ES `date_histogram` (calendar_interval=week) over the match set
+    (query/aggs.py): weekly crawl-volume per query. The page table's
+    `warc_ts` is synthesized identically in both engines (2025-01-01 +
+    doc_id%45 days — the testdata documents table carries no timestamp);
+    buckets are ISO-Monday date_trunc('week') in Spark and DuckDB."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import date_histogram_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        vals = docs.select(
+            "doc_id",
+            F.to_timestamp(
+                F.date_add(
+                    F.lit("2025-01-01").cast("date"),
+                    F.pmod("doc_id", F.lit(45)).cast("int"),
+                )
+            ).alias("warc_ts"),
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = date_histogram_agg(qdf, idx, vals, "warc_ts", unit="week")
+        return res.select(
+            "qid", F.date_format("bucket", "yyyy-MM-dd").alias("week"), "count"
+        )
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())}
+    SELECT m.qid,
+           strftime(date_trunc('week',
+                    DATE '2025-01-01' + (m.doc_id % 45)::INT), '%Y-%m-%d')
+             AS week,
+           count(*) AS count
+    FROM matches m GROUP BY 1, 2"""
+    return fn, sql
+
+
+def q_percentiles_agg() -> Entry:
+    """ES `percentiles` aggregation over the match set (query/aggs.py),
+    EXACT path: linear-interpolated quantiles of n_chars at p25/50/75/95
+    per query — Spark's exact `percentile` and DuckDB's `quantile_cont`
+    share the textbook definition, so values match at 6 dp. (The sketch
+    path — percentile_approx, the 100 TB route — is pytest-verified
+    against its rank-error bound instead.)"""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import percentiles_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = percentiles_agg(
+            qdf, idx, docs.select("doc_id", "n_chars"), "n_chars",
+            pcts=(0.25, 0.5, 0.75, 0.95),
+        )
+        return res.select("qid", "pct", F.round("value", 6).alias("value_r"))
+
+    # quantile_cont takes CONSTANT percentiles only in DuckDB — one
+    # branch per pct, unioned (each re-reads the tiny matches CTE)
+    branches = "\n    UNION ALL\n".join(
+        f"""    SELECT qid, {p}::DOUBLE AS pct,
+           round(quantile_cont(v, {p}), 6) AS value_r FROM mv GROUP BY 1"""
+        for p in (0.25, 0.5, 0.75, 0.95)
+    )
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    mv AS (SELECT m.qid, d.n_chars::DOUBLE AS v
+           FROM matches m JOIN documents d USING (doc_id))
+{branches}"""
+    return fn, sql
+
+
+def q_cardinality_agg() -> Entry:
+    """ES `cardinality` aggregation over the match set (query/aggs.py),
+    EXACT path: distinct `source` values per query via the two-level
+    (qid, value) distinct — no single task holds a query's value set.
+    (The HLL++ path — approx_count_distinct — is pytest-verified within
+    its rsd bound.)"""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import cardinality_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        return cardinality_agg(
+            qdf, idx, docs.select("doc_id", "source"), "source"
+        )
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())}
+    SELECT m.qid, count(DISTINCT d.source) AS cardinality
+    FROM matches m JOIN documents d USING (doc_id) GROUP BY 1"""
+    return fn, sql
+
+
+def q_top_hits_agg() -> Entry:
+    """ES `top_hits` inside a `terms` bucket (query/aggs.py): the top-2
+    highest-BM25 matched docs per (query, source) — "best page per
+    source for q" in one plan. Rank on round(score, 6) in both engines
+    (the cross-engine tie discipline); the per-bucket cap is the exact
+    salted two-level top-N."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import top_hits_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = top_hits_agg(
+            qdf, idx, docs.select("doc_id", "source"), "source",
+            size=2, score_round=6, salt_buckets=4,
+        )
+        return res.select(
+            "qid", "value", "rank", "doc_id",
+            F.round("score", 6).alias("score_r"),
+        )
+
+    sql = f"""
+    WITH {_BM25_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    th AS (
+      SELECT s.qid, d.source AS value, s.doc_id, round(s.score, 6) AS score_r,
+             row_number() OVER (PARTITION BY s.qid, d.source
+                                ORDER BY round(s.score, 6) DESC, s.doc_id)
+               AS rank
+      FROM scored s JOIN documents d USING (doc_id))
+    SELECT qid, value, rank, doc_id, score_r FROM th WHERE rank <= 2"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -4064,4 +4242,9 @@ def all_entries() -> Dict[str, Entry]:
         "bool_tree_topk": q_bool_tree_topk(),
         "dedup_clusters": q_dedup_clusters(),
         "significant_terms": q_significant_terms(),
+        "histogram_agg": q_histogram_agg(),
+        "date_histogram_agg": q_date_histogram_agg(),
+        "percentiles_agg": q_percentiles_agg(),
+        "cardinality_agg": q_cardinality_agg(),
+        "top_hits_agg": q_top_hits_agg(),
     }

@@ -113,3 +113,189 @@ def test_significant_terms_matches_twin(spark, index, queries_pdf, oracle):
             assert a[4] == pytest.approx(e[4], rel=1e-12)
             checked += 1
     assert checked > 20
+
+
+def test_histogram_agg_and_empty_buckets(spark, index, queries_pdf, oracle):
+    """floor(doclen/25)*25 buckets vs brute force; min_doc_count=0
+    densifies every bucket between the observed min and max."""
+    from dpr_spark.query.aggs import histogram_agg
+
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(8))
+    res = histogram_agg(qdf, index, index.docstats, "doclen", interval=25.0)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r.qid, {})[r.bucket] = r["count"]
+    for _, q in queries_pdf.head(8).iterrows():
+        docs = _oracle_matches(oracle, q.question)
+        if not docs:
+            continue
+        expect = {}
+        for d in docs:
+            b = (oracle.doclen[d] // 25) * 25.0
+            expect[b] = expect.get(b, 0) + 1
+        assert got[int(q.qid)] == expect, f"qid={q.qid}"
+
+    dense = histogram_agg(
+        qdf, index, index.docstats, "doclen", interval=25.0, min_doc_count=0
+    )
+    dgot = {}
+    for r in dense.collect():
+        dgot.setdefault(r.qid, {})[r.bucket] = r["count"]
+    for qid, buckets in got.items():
+        lo, hi = min(buckets), max(buckets)
+        full = {lo + 25.0 * i for i in range(int((hi - lo) / 25) + 1)}
+        assert set(dgot[qid]) == full, f"qid={qid} not densified"
+        for b in full:
+            assert dgot[qid][b] == buckets.get(b, 0)
+
+
+def test_date_histogram_agg(spark, index, queries_pdf, oracle):
+    """Weekly crawl-volume histogram over a warc_ts synthesized from
+    doc_id (date 2025-01-01 + doc_id%45 days) vs brute force with
+    ISO-Monday week truncation."""
+    import datetime
+
+    from dpr_spark.query.aggs import date_histogram_agg
+
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(8))
+    vals = index.docstats.select(
+        "doc_id",
+        F.to_timestamp(
+            F.date_add(F.lit("2025-01-01").cast("date"), F.pmod("doc_id", F.lit(45)).cast("int"))
+        ).alias("warc_ts"),
+    )
+    res = date_histogram_agg(qdf, index, vals, "warc_ts", unit="week")
+    got = {}
+    for r in res.collect():
+        got.setdefault(r.qid, {})[r.bucket.date()] = r["count"]
+
+    def week_of(d):
+        day = datetime.date(2025, 1, 1) + datetime.timedelta(days=d % 45)
+        return day - datetime.timedelta(days=day.weekday())
+
+    checked = 0
+    for _, q in queries_pdf.head(8).iterrows():
+        docs = _oracle_matches(oracle, q.question)
+        if not docs:
+            continue
+        expect = {}
+        for d in docs:
+            w = week_of(d)
+            expect[w] = expect.get(w, 0) + 1
+        assert got[int(q.qid)] == expect, f"qid={q.qid}"
+        checked += 1
+    assert checked >= 6
+
+
+def test_percentiles_agg_exact_and_sketch(spark, index, queries_pdf, oracle):
+    """Exact percentiles == numpy linear interpolation; the sketch path
+    (percentile_approx) is within its positive-error bound."""
+    import numpy as np
+
+    from dpr_spark.query.aggs import percentiles_agg
+
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(8))
+    pcts = (0.25, 0.5, 0.75, 0.95)
+    res = percentiles_agg(qdf, index, index.docstats, "doclen", pcts=pcts)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r.qid, {})[r.pct] = r.value
+    checked = 0
+    for _, q in queries_pdf.head(8).iterrows():
+        docs = _oracle_matches(oracle, q.question)
+        if not docs:
+            continue
+        dls = np.array(sorted(float(oracle.doclen[d]) for d in docs))
+        for p in pcts:
+            expect = float(np.percentile(dls, p * 100, method="linear"))
+            assert got[int(q.qid)][p] == pytest.approx(expect, rel=1e-12), (
+                f"qid={q.qid} p={p}"
+            )
+            checked += 1
+    assert checked >= 24
+
+    # sketch path: value must be an actually-observed value within the
+    # rank-error bound of the exact percentile rank
+    sk = percentiles_agg(
+        qdf, index, index.docstats, "doclen", pcts=(0.5,), exact=False,
+        accuracy=100,
+    )
+    for r in sk.collect():
+        docs = _oracle_matches(oracle, {
+            int(q.qid): q.question for _, q in queries_pdf.head(8).iterrows()
+        }[r.qid])
+        dls = sorted(float(oracle.doclen[d]) for d in docs)
+        n = len(dls)
+        lo = dls[max(0, int(0.5 * n) - max(1, n // 50) - 1)]
+        hi = dls[min(n - 1, int(0.5 * n) + max(1, n // 50))]
+        assert lo <= r.value <= hi, f"qid={r.qid}"
+
+
+def test_cardinality_agg(spark, index, queries_pdf, oracle):
+    """Exact two-level distinct == brute force; HLL++ within 3*rsd."""
+    from dpr_spark.query.aggs import cardinality_agg
+
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(8))
+    vals = index.docstats.select(
+        "doc_id", F.pmod(F.col("doc_id"), F.lit(37)).alias("shard")
+    )
+    got = {
+        r.qid: r.cardinality
+        for r in cardinality_agg(qdf, index, vals, "shard").collect()
+    }
+    approx = {
+        r.qid: r.cardinality
+        for r in cardinality_agg(
+            qdf, index, vals, "shard", exact=False, rsd=0.05
+        ).collect()
+    }
+    checked = 0
+    for _, q in queries_pdf.head(8).iterrows():
+        docs = _oracle_matches(oracle, q.question)
+        if not docs:
+            continue
+        expect = len({d % 37 for d in docs})
+        assert got[int(q.qid)] == expect, f"qid={q.qid}"
+        assert abs(approx[int(q.qid)] - expect) <= max(2, 0.15 * expect)
+        checked += 1
+    assert checked >= 6
+
+
+def test_top_hits_agg(spark, index, queries_pdf, oracle):
+    """Per-(query, bucket) top-2 by BM25 vs brute force over the
+    oracle's full candidate scoring; salted and plain paths agree."""
+    from dpr_spark.query.aggs import top_hits_agg
+
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(8))
+    vals = index.docstats.select(
+        "doc_id", F.pmod(F.col("doc_id"), F.lit(3)).alias("bucket")
+    )
+    for salt in (None, 4):
+        res = top_hits_agg(
+            qdf, index, vals, "bucket", size=2, salt_buckets=salt
+        )
+        got = {}
+        for r in res.collect():
+            got.setdefault((r.qid, r.value), []).append(
+                (r.rank, r.doc_id, r.score)
+            )
+        checked = 0
+        for _, q in queries_pdf.head(8).iterrows():
+            full = oracle.search(q.question, k=10**9)
+            if not full:
+                continue
+            buckets = {}
+            for d, s in full:  # already score desc, doc_id asc
+                buckets.setdefault(d % 3, []).append((d, s))
+            for b, hits in buckets.items():
+                expect = [
+                    (i + 1, d, s) for i, (d, s) in enumerate(hits[:2])
+                ]
+                actual = sorted(got[(int(q.qid), b)])
+                assert [(a[0], a[1]) for a in actual] == [
+                    (e[0], e[1]) for e in expect
+                ], f"salt={salt} qid={q.qid} bucket={b}"
+                for a, e in zip(actual, expect):
+                    assert a[2] == pytest.approx(e[2], rel=1e-9)
+                checked += 1
+        assert checked >= 15
