@@ -338,6 +338,7 @@ def main() -> None:
         "bool_tree_topk", "dedup_clusters", "significant_terms",
         "histogram_agg", "date_histogram_agg", "percentiles_agg",
         "cardinality_agg", "top_hits_agg",
+        "multi_match_best_fields", "multi_match_cross_fields",
     ]:
         try:
             fn, _ = entries[name]

@@ -4160,6 +4160,140 @@ def q_top_hits_agg() -> Entry:
     return fn, sql
 
 
+# shared fielded-corpus CTEs (title := first 3 tokens of text, same
+# derivation as q_bm25f_topk): per-field tf/df/doclen/avgdl
+_FIELDED_CTES = f"""
+tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+fdoc AS (
+  SELECT doc_id, 0 AS field_id, toks FROM tok
+  UNION ALL
+  SELECT doc_id, 1 AS field_id, list_slice(toks, 1, 3) AS toks FROM tok),
+ds AS (SELECT doc_id, field_id, len(toks) AS doclen FROM fdoc),
+stats AS (SELECT field_id, count(*)::DOUBLE AS n, avg(doclen) AS avgdl
+          FROM ds GROUP BY 1),
+tf AS (SELECT doc_id, field_id, term, count(*) AS tf
+       FROM (SELECT doc_id, field_id, unnest(toks) AS term FROM fdoc)
+       GROUP BY 1, 2, 3),
+dict AS (SELECT field_id, term, count(*) AS df FROM tf GROUP BY 1, 2),
+qt AS (SELECT * FROM (VALUES {{QTERMS}}) AS q(qid, term))
+"""
+
+_FIELD_W = "(CASE WHEN tf.field_id = 1 THEN 2.0::DOUBLE ELSE 1.0::DOUBLE END)"
+_FIELD_TFNORM = (
+    f"tf.tf * {BM25_K1 + 1.0} / (tf.tf + {BM25_K1} * "
+    f"(1.0 - {BM25_B} + {BM25_B} * ds.doclen / s.avgdl))"
+)
+
+MM_TIE = 0.3
+
+
+def q_multi_match_best_fields() -> Entry:
+    """ES multi_match best_fields / Lucene DisjunctionMaxQuery over the
+    title^2+text fielded index (query/multimatch.py): per-field BM25
+    sums, score = best field + tie_breaker·rest (tie=0.3). Rank from
+    round(score, 6) on both sides."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.fielded import build_fielded_index
+        from dpr_spark.query.multimatch import multi_match_best_fields
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", "text",
+            F.concat_ws(" ", F.slice(_tok_col(), 1, 3)).alias("title"),
+        )
+        idx = build_fielded_index(
+            spark, docs, fields=("text", "title"),
+            weights={"text": 1.0, "title": 2.0},
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = multi_match_best_fields(
+            qdf, idx, k=10, tie_breaker=MM_TIE
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = f"""
+    WITH {_FIELDED_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    fscore AS (
+      SELECT qt.qid, tf.doc_id, tf.field_id,
+             {_FIELD_W} * sum(
+               ln((s.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+               * {_FIELD_TFNORM}) AS s
+      FROM qt
+      JOIN dict ON dict.term = qt.term
+      JOIN tf ON tf.term = qt.term AND tf.field_id = dict.field_id
+      JOIN ds ON ds.doc_id = tf.doc_id AND ds.field_id = tf.field_id
+      JOIN stats s ON s.field_id = tf.field_id
+      GROUP BY 1, 2, 3),
+    agg AS (SELECT qid, doc_id, max(s) AS mx, sum(s) AS sm
+            FROM fscore GROUP BY 1, 2),
+    ranked2 AS (
+      SELECT qid, doc_id,
+             round(mx + {MM_TIE}::DOUBLE * (sm - mx), 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY round(mx + {MM_TIE}::DOUBLE * (sm - mx), 6) DESC,
+                        doc_id) AS rank
+      FROM agg)
+    SELECT qid, rank, doc_id, score_r FROM ranked2 WHERE rank <= 10"""
+    return fn, sql
+
+
+def q_multi_match_cross_fields() -> Entry:
+    """ES multi_match cross_fields / Lucene BlendedTermQuery over the
+    title^2+text fielded index (query/multimatch.py): per term idf
+    blended from max df across fields, best per-field contribution per
+    (term, doc), contributions summed. Rank from round(score, 6)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.fielded import build_fielded_index
+        from dpr_spark.query.multimatch import multi_match_cross_fields
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", "text",
+            F.concat_ws(" ", F.slice(_tok_col(), 1, 3)).alias("title"),
+        )
+        idx = build_fielded_index(
+            spark, docs, fields=("text", "title"),
+            weights={"text": 1.0, "title": 2.0},
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = multi_match_cross_fields(qdf, idx, k=10).select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = f"""
+    WITH {_FIELDED_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    bdict AS (SELECT term, max(df) AS df_b FROM dict GROUP BY 1),
+    nn AS (SELECT n FROM stats WHERE field_id = 0),
+    tcomp AS (
+      SELECT qt.qid, tf.doc_id, qt.term,
+             max({_FIELD_W}
+                 * ln((nn.n - b.df_b + 0.5) / (b.df_b + 0.5) + 1.0)
+                 * {_FIELD_TFNORM}) AS comp
+      FROM (SELECT DISTINCT qid, term FROM qt) qt
+      JOIN bdict b ON b.term = qt.term
+      JOIN tf ON tf.term = qt.term
+      JOIN ds ON ds.doc_id = tf.doc_id AND ds.field_id = tf.field_id
+      JOIN stats s ON s.field_id = tf.field_id
+      CROSS JOIN nn
+      GROUP BY 1, 2, 3),
+    scored2 AS (SELECT qid, doc_id, sum(comp) AS score
+                FROM tcomp GROUP BY 1, 2),
+    ranked2 AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored2)
+    SELECT qid, rank, doc_id, score_r FROM ranked2 WHERE rank <= 10"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -4247,4 +4381,6 @@ def all_entries() -> Dict[str, Entry]:
         "percentiles_agg": q_percentiles_agg(),
         "cardinality_agg": q_cardinality_agg(),
         "top_hits_agg": q_top_hits_agg(),
+        "multi_match_best_fields": q_multi_match_best_fields(),
+        "multi_match_cross_fields": q_multi_match_cross_fields(),
     }

@@ -577,6 +577,85 @@ class FieldedBM25Oracle:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def _component(self, field: str, term: str, doc_id: int) -> float:
+        """idf·tfnorm WITHOUT the field weight (the engine multiplies
+        w_f after the per-field fold in best_fields)."""
+        tf = self.postings[field].get(term, {}).get(doc_id, 0)
+        if tf == 0:
+            return 0.0
+        dl = self.doclen[field][doc_id]
+        return self.idf(field, term) * (
+            tf * (self.k1 + 1.0)
+            / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl[field]))
+        )
+
+    def best_fields_search(
+        self, question: str, k: int = 10, tie_breaker: float = 0.0
+    ) -> List[Tuple[int, float]]:
+        """multi_match best_fields twin (query/multimatch.py): per-field
+        BM25 sums folded ascending term, score = max_f s_f +
+        tie_breaker·(Σ_f s_f − max). Engine fold order mirrored:
+        components ascending term within a field, fields ascending."""
+        from dpr_spark.functions.analysis import analyze_query
+
+        terms = sorted(analyze_query(question, self.analyzer))
+        per_field: Dict[int, List[float]] = {}
+        for fi, f in enumerate(self.fields):
+            docs = set()
+            for t in set(terms):
+                docs.update(self.postings[f].get(t, ()))
+            for d in docs:
+                s = 0.0
+                for t in terms:  # ascending, dups double-count like qt
+                    s = s + self._component(f, t, d)
+                s = self.weights[f] * s
+                per_field.setdefault(d, [0.0] * len(self.fields))[fi] = s
+        scores = {}
+        for d, svals in per_field.items():
+            sm = 0.0
+            for s in svals:  # ascending field_id
+                sm = sm + s
+            mx = max(svals)
+            scores[d] = mx + tie_breaker * (sm - mx)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    def cross_fields_search(
+        self, question: str, k: int = 10
+    ) -> List[Tuple[int, float]]:
+        """multi_match cross_fields twin: per term, idf blended from the
+        MAX df across fields; per (term, doc) the best per-field
+        contribution (exact max); contributions sum ascending term.
+        Terms dedupe (the engine's distinct (qid, term) resolution)."""
+        from dpr_spark.functions.analysis import analyze_query
+
+        terms = sorted(set(analyze_query(question, self.analyzer)))
+        scores: Dict[int, float] = {}
+        for t in terms:
+            df_b = max(self.df[f].get(t, 0) for f in self.fields)
+            if df_b == 0:
+                continue
+            idf_b = math.log((self.N - df_b + 0.5) / (df_b + 0.5) + 1.0)
+            per_doc: Dict[int, float] = {}
+            for f in self.fields:
+                w_idf = self.weights[f] * idf_b
+                for d, tf in self.postings[f].get(t, {}).items():
+                    dl = self.doclen[f][d]
+                    cand = w_idf * (
+                        tf * (self.k1 + 1.0)
+                        / (
+                            tf
+                            + self.k1
+                            * (1.0 - self.b + self.b * dl / self.avgdl[f])
+                        )
+                    )
+                    if d not in per_doc or cand > per_doc[d]:
+                        per_doc[d] = cand
+            for d, c in per_doc.items():
+                scores[d] = scores.get(d, 0.0) + c
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
 
 def best_fragment(tokens, terms, window: int = 30):
     """Highlighter twin (query/highlight.py contract): the window-token
