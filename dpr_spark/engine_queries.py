@@ -4294,6 +4294,51 @@ def q_multi_match_cross_fields() -> Entry:
     return fn, sql
 
 
+TV_DOC_IDS = (7, 42, 105, 311, 499)
+
+
+def q_term_vectors() -> Entry:
+    """ES _termvectors with term_statistics=true (query/termvectors.py;
+    Lucene Terms getTermVector): per requested doc, every indexed term
+    with tf, corpus df, idf and ascending token positions — served from
+    the positional index tables, no retokenization. Positions compare as
+    a comma-joined string (the driver's hashable-columns rule)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.termvectors import term_vectors
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(
+            spark, docs, build_blocks=False, build_positional=True
+        )
+        res = term_vectors(spark, idx, TV_DOC_IDS)
+        return res.select(
+            "doc_id", "term", "tf", "df",
+            F.round("idf", 6).alias("idf_r"),
+            F.array_join(
+                F.transform("positions", lambda p: p.cast("string")), ","
+            ).alias("positions"),
+        )
+
+    ids = ", ".join(str(d) for d in TV_DOC_IDS)
+    sql = f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    tp AS (SELECT doc_id, unnest(toks) AS term,
+                  generate_subscripts(toks, 1) - 1 AS p
+           FROM tok),
+    dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tp GROUP BY 1),
+    stats AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    tv AS (SELECT doc_id, term, count(*) AS tf,
+                  string_agg(p::VARCHAR, ',' ORDER BY p) AS positions
+           FROM tp WHERE doc_id IN ({ids}) GROUP BY 1, 2)
+    SELECT tv.doc_id, tv.term, tv.tf, d.df,
+           round(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0), 6) AS idf_r,
+           tv.positions
+    FROM tv JOIN dict d USING (term) CROSS JOIN stats s"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -4383,4 +4428,5 @@ def all_entries() -> Dict[str, Entry]:
         "top_hits_agg": q_top_hits_agg(),
         "multi_match_best_fields": q_multi_match_best_fields(),
         "multi_match_cross_fields": q_multi_match_cross_fields(),
+        "term_vectors": q_term_vectors(),
     }
