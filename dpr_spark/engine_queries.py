@@ -4339,6 +4339,58 @@ def q_term_vectors() -> Entry:
     return fn, sql
 
 
+NEG_BOOST = 0.25
+
+
+def q_boosting_topk() -> Entry:
+    """ES `boosting` query (query/funcscore.py::search_boosting; Lucene
+    BoostingQuery): positive BM25, docs also matching the per-query
+    negative text demoted ×0.25 but KEPT (vs must_not's veto). The
+    negative for query i is query i+1's text — deterministic in both
+    engines. Rank from round(score, 6)."""
+    negs = [
+        (qid, BENCH_QUERIES[(i + 1) % len(BENCH_QUERIES)][1])
+        for i, (qid, _) in enumerate(BENCH_QUERIES)
+    ]
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.funcscore import search_boosting
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        ndf = spark.createDataFrame(negs, "qid int, neg_question string")
+        res = search_boosting(
+            qdf, idx, ndf, negative_boost=NEG_BOOST, k=10
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    neg_pairs = []
+    for qid, q in negs:
+        for t in sorted(set(tokenize(q))):
+            neg_pairs.append(f"({qid}, '{t}')")
+    sql = f"""
+    WITH {_BM25_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    nqt AS (SELECT * FROM (VALUES {", ".join(neg_pairs)}) AS n(qid, term)),
+    nm AS (SELECT DISTINCT nqt.qid, tf.doc_id FROM nqt JOIN tf USING (term)),
+    boosted AS (
+      SELECT s.qid, s.doc_id,
+             CASE WHEN nm.doc_id IS NOT NULL
+                  THEN s.score * {NEG_BOOST}::DOUBLE ELSE s.score END AS score
+      FROM scored s LEFT JOIN nm ON nm.qid = s.qid AND nm.doc_id = s.doc_id),
+    ranked_b AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM boosted)
+    SELECT qid, rank, doc_id, score_r FROM ranked_b WHERE rank <= 10"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -4429,4 +4481,5 @@ def all_entries() -> Dict[str, Entry]:
         "multi_match_best_fields": q_multi_match_best_fields(),
         "multi_match_cross_fields": q_multi_match_cross_fields(),
         "term_vectors": q_term_vectors(),
+        "boosting_topk": q_boosting_topk(),
     }

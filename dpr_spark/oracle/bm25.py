@@ -225,6 +225,33 @@ class BM25Oracle:
         ranked = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def boosting_search(
+        self,
+        question: str,
+        neg_question: str,
+        negative_boost: float = 0.2,
+        k: int = 10,
+    ) -> List[Tuple[int, float]]:
+        """Boosting-query twin (query/funcscore.py::search_boosting):
+        BM25 over all positive matches; docs matching ANY negative term
+        are demoted by ×negative_boost (kept, not vetoed)."""
+        from dpr_spark.functions.analysis import analyze_query
+
+        terms = analyze_query(question, self.analyzer)
+        scores: Dict[int, float] = {}
+        for t in terms:
+            for d in self.postings.get(t, ()):
+                scores[d] = scores.get(d, 0.0) + self.score_one(t, d)
+        neg = set()
+        for t in analyze_query(neg_question, self.analyzer):
+            neg.update(self.postings.get(t, ()))
+        out = {
+            d: (s * negative_boost if d in neg else s)
+            for d, s in scores.items()
+        }
+        ranked = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def dismax_search(
         self,
         clauses: Sequence[Tuple[str, float]],

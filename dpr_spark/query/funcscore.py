@@ -146,3 +146,59 @@ def search_function_score(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "doc_id", "score")
     )
+
+
+def search_boosting(
+    queries: DataFrame,
+    index: InvertedIndex,
+    negative: DataFrame,
+    negative_boost: float = 0.2,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """ES `boosting` query / Lucene BoostingQuery: the positive query
+    scores normally; any matched doc that ALSO matches the negative
+    query keeps its rank eligibility but is demoted — final score =
+    bm25 · negative_boost for negative matches, bm25 otherwise. Unlike
+    must_not (a hard veto, query/boolquery.py), boosting keeps the doc.
+
+    `queries`: (qid, question) positive queries.
+    `negative`: (qid, neg_question) — per-query negative text, analyzed
+    with the index's analyzer like any query.
+
+    Scale shape: the positive side is the probe-in-place exact scorer;
+    the negative side resolves through the same broadcast-into-
+    dictionary discipline and produces a (qid, doc_id) match-flag set
+    over candidate docs only, merged with one narrow left join before
+    the top-k. WAND pruning stays sound per side but is skipped here —
+    the demotion re-orders after scoring (same reason as
+    function_score)."""
+    if not 0.0 < negative_boost <= 1.0:
+        raise ValueError("negative_boost must be in (0, 1]")
+    from dpr_spark.query.scorer import query_terms, top_k
+
+    pos = score_exact(queries, index, k1=k1, b=b)
+    nq = negative.select("qid", F.col("neg_question").alias("question"))
+    nt = query_terms(nq, analyzer=index.analyzer)
+    resolved = index.dictionary.select("term", "term_id").join(
+        F.broadcast(nt.select("term").distinct()), "term", "left_semi"
+    )
+    nt = nt.join(F.broadcast(resolved), "term")
+    neg_matches = (
+        index.postings.join(
+            F.broadcast(nt.select("qid", "term_id").distinct()), "term_id"
+        )
+        .select("qid", "doc_id")
+        .distinct()
+        .withColumn("_neg", F.lit(True))
+    )
+    scored = pos.join(neg_matches, ["qid", "doc_id"], "left").select(
+        "qid",
+        "doc_id",
+        F.when(F.col("_neg").isNotNull(),
+               F.col("score") * F.lit(float(negative_boost)))
+        .otherwise(F.col("score"))
+        .alias("score"),
+    )
+    return top_k(scored, k)

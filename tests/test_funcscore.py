@@ -99,3 +99,54 @@ def test_decay_param_validation():
         decay_expr(F.lit(1.0), "exp", 0.0, scale=1.0, decay=1.5)
     with pytest.raises(ValueError):
         decay_expr(F.lit(1.0), "nope", 0.0, scale=1.0)
+
+
+def test_boosting_query_matches_oracle(spark, index, queries_pdf, oracle):
+    """search_boosting vs BM25Oracle.boosting_search: demoted docs keep
+    rank eligibility at score × negative_boost."""
+    from dpr_spark.query.funcscore import search_boosting
+
+    qs = queries_pdf.head(10)
+    qdf = spark.createDataFrame(qs[["qid", "question"]])
+    # negative text per query: the NEXT query's text (deterministic,
+    # guaranteed to overlap some docs)
+    negs = [
+        (int(q.qid), qs.iloc[(i + 1) % len(qs)].question)
+        for i, (_, q) in enumerate(qs.iterrows())
+    ]
+    ndf = spark.createDataFrame(negs, "qid long, neg_question string")
+    got = {}
+    for r in search_boosting(qdf, index, ndf, negative_boost=0.2, k=10).collect():
+        got.setdefault(r.qid, []).append((r.rank, r.doc_id, r.score))
+    checked = 0
+    for (qid, neg), (_, q) in zip(negs, qs.iterrows()):
+        exp = oracle.boosting_search(q.question, neg, negative_boost=0.2, k=10)
+        actual = sorted(got.get(qid, []))
+        assert [a[1] for a in actual] == [d for d, _ in exp], f"qid={qid}"
+        for a, (_, es) in zip(actual, exp):
+            assert a[2] == pytest.approx(es, rel=1e-12)
+        checked += len(exp)
+    assert checked > 50
+
+
+def test_boosting_demotes_not_vetoes(spark, index, queries_pdf, oracle):
+    """A doc matching the negative query stays in results (vs must_not)
+    and every demoted score is exactly base × negative_boost."""
+    from dpr_spark.query.funcscore import search_boosting
+    from dpr_spark.query.scorer import search
+
+    q = queries_pdf.iloc[0]
+    qdf = spark.createDataFrame([(0, q.question)], "qid long, question string")
+    # negative = the positive itself: EVERY match demotes
+    ndf = spark.createDataFrame([(0, q.question)], "qid long, neg_question string")
+    base = {r.doc_id: r.score for r in search(qdf, index, k=10).collect()}
+    demoted = {
+        r.doc_id: r.score
+        for r in search_boosting(qdf, index, ndf, negative_boost=0.5, k=10).collect()
+    }
+    assert set(demoted) == set(base)  # nothing vetoed
+    for d, s in demoted.items():
+        assert s == pytest.approx(base[d] * 0.5, rel=1e-12)
+
+    with pytest.raises(ValueError):
+        search_boosting(qdf, index, ndf, negative_boost=0.0)
