@@ -339,7 +339,7 @@ def main() -> None:
         "histogram_agg", "date_histogram_agg", "percentiles_agg",
         "cardinality_agg", "top_hits_agg",
         "multi_match_best_fields", "multi_match_cross_fields",
-        "term_vectors", "boosting_topk",
+        "term_vectors", "boosting_topk", "phrase_suggest",
     ]:
         try:
             fn, _ = entries[name]

@@ -4391,6 +4391,122 @@ def q_boosting_topk() -> Entry:
     return fn, sql
 
 
+# misspelled variants of the bench queries (one corrupted token each);
+# tokens are pre-tokenized literals so both engines see identical input
+PS_QUERIES = [
+    (0, "spark windw agg"),
+    (1, "custmer join order"),
+    (2, "fast scan filtr"),
+    (3, "the big tble"),
+]
+
+
+def q_phrase_suggest() -> Entry:
+    """ES `phrase` suggester (query/phrasesuggest.py): whole-query
+    did-you-mean — per-position 1-edit candidates from the dictionary
+    (dist ASC, df DESC, term ASC, top-3), one substitution per
+    suggestion, scored with a stupid-backoff bigram LM (alpha=0.4,
+    Laplace unigrams) over the corpus token stream; top-3 per query by
+    (round(score, 6) DESC, suggestion ASC)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.phrasesuggest import build_bigram_lm, suggest_phrases
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        lm = build_bigram_lm(docs)
+        res = suggest_phrases(
+            spark, PS_QUERIES, idx, lm,
+            max_edits=1, per_term=3, topn=3, alpha=0.4, prefix_len=1,
+        ).select("qid", "suggestion", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score_r"), F.asc("suggestion")
+        )
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "suggestion", "score_r"
+        )
+
+    # literals shared by fn (via tokenize) and the twin
+    qpos_vals, pair_vals, head_vals, sub_vals = [], [], [], []
+    for qid, q in PS_QUERIES:
+        toks = tokenize(q)
+        head_vals.append(f"({qid}, '{toks[0]}')")
+        for i, t in enumerate(toks):
+            qpos_vals.append(f"({qid}, {i + 1}, '{t}')")
+            pre = " ".join(toks[:i])
+            suf = " ".join(toks[i + 1 :])
+            sub_vals.append(f"({qid}, {i + 1}, '{pre}', '{suf}')")
+        for j in range(1, len(toks)):
+            pair_vals.append(f"({qid}, {j}, '{toks[j - 1]}', '{toks[j]}')")
+    sql = f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    uni AS (SELECT w, count(*) AS c
+            FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY 1),
+    bi AS (SELECT w1, w2, count(*) AS c FROM (
+             SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+                    unnest(list_slice(toks, 2, len(toks))) AS w2
+             FROM tok WHERE len(toks) >= 2) GROUP BY 1, 2),
+    consts AS (SELECT sum(c)::DOUBLE AS tt,
+                      count(*)::DOUBLE AS vv FROM uni),
+    dict AS (SELECT term, count(DISTINCT doc_id) AS df
+             FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1),
+    qpos AS (SELECT * FROM (VALUES {", ".join(qpos_vals)})
+             AS q(qid, pos, token)),
+    pairs AS (SELECT * FROM (VALUES {", ".join(pair_vals)})
+              AS p(qid, j, w1, w2)),
+    heads AS (SELECT * FROM (VALUES {", ".join(head_vals)}) AS h(qid, h)),
+    subs AS (SELECT * FROM (VALUES {", ".join(sub_vals)})
+             AS s(qid, pos, pre, suf)),
+    cand0 AS (
+      SELECT q.qid, q.pos, d.term AS cand,
+             row_number() OVER (PARTITION BY q.qid, q.pos
+               ORDER BY levenshtein(d.term, q.token), d.df DESC, d.term) AS r
+      FROM qpos q JOIN dict d
+        ON substr(d.term, 1, 1) = substr(q.token, 1, 1)
+       AND levenshtein(d.term, q.token) = 1),
+    cand AS (SELECT qid, pos, cand FROM cand0 WHERE r <= 3
+             UNION ALL SELECT qid, 1, token FROM qpos WHERE pos = 1),
+    lp_head AS (
+      SELECT c.qid, c.pos, c.cand,
+             ln((coalesce(u.c, 0) + 1.0) / (k.tt + k.vv)) AS lp
+      FROM cand c JOIN heads h USING (qid) CROSS JOIN consts k
+      LEFT JOIN uni u
+        ON u.w = CASE WHEN c.pos = 1 THEN c.cand ELSE h.h END),
+    sp AS (
+      SELECT c.qid, c.pos, c.cand, p.j,
+             CASE WHEN p.j = c.pos THEN c.cand ELSE p.w1 END AS w1,
+             CASE WHEN p.j = c.pos - 1 THEN c.cand ELSE p.w2 END AS w2
+      FROM cand c JOIN pairs p USING (qid)),
+    lp_pairs AS (
+      SELECT sp.qid, sp.pos, sp.cand,
+             CASE WHEN coalesce(b.c, 0) > 0
+                  THEN ln(b.c::DOUBLE / u1.c::DOUBLE)
+                  ELSE ln(0.4::DOUBLE * (coalesce(u2.c, 0) + 1.0)
+                          / (k.tt + k.vv)) END AS lp
+      FROM sp CROSS JOIN consts k
+      LEFT JOIN bi b ON b.w1 = sp.w1 AND b.w2 = sp.w2
+      LEFT JOIN uni u1 ON u1.w = sp.w1
+      LEFT JOIN uni u2 ON u2.w = sp.w2),
+    sugscore AS (
+      SELECT qid, pos, cand, sum(lp) AS score
+      FROM (SELECT * FROM lp_head UNION ALL SELECT * FROM lp_pairs)
+      GROUP BY 1, 2, 3),
+    sugtext AS (
+      SELECT g.qid,
+             trim(s.pre || ' ' || g.cand || ' ' || s.suf) AS suggestion,
+             max(g.score) AS score
+      FROM sugscore g JOIN subs s ON s.qid = g.qid AND s.pos = g.pos
+      GROUP BY 1, 2),
+    ranked_ps AS (
+      SELECT qid, suggestion, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY round(score, 6) DESC, suggestion) AS rank
+      FROM sugtext)
+    SELECT qid, rank, suggestion, score_r FROM ranked_ps WHERE rank <= 3"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -4482,4 +4598,5 @@ def all_entries() -> Dict[str, Entry]:
         "multi_match_cross_fields": q_multi_match_cross_fields(),
         "term_vectors": q_term_vectors(),
         "boosting_topk": q_boosting_topk(),
+        "phrase_suggest": q_phrase_suggest(),
     }

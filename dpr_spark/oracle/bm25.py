@@ -733,3 +733,75 @@ def top_k_hits(per_question_hits: Iterable[List[bool]], n_docs: int) -> List[int
         if best is not None:
             out[best:] = [v + 1 for v in out[best:]]
     return out
+
+
+def phrase_suggest_twin(
+    doc_tokens,
+    df,
+    question: str,
+    max_edits: int = 1,
+    per_term: int = 3,
+    topn: int = 3,
+    alpha: float = 0.4,
+    prefix_len: int = 1,
+):
+    """Pure-Python twin of query/phrasesuggest.py::suggest_phrases:
+    stupid-backoff bigram LM over `doc_tokens` (dict doc_id -> raw
+    token list), candidates from the `df` dictionary (term -> doc
+    frequency), one substitution per suggestion, ordered log fold.
+    -> [(rank, suggestion, score)]."""
+    from dpr_spark.functions.normalize import normalize_question
+    from dpr_spark.functions.tokenizer import tokenize
+
+    uni: Dict[str, int] = {}
+    bi: Dict[Tuple[str, str], int] = {}
+    for toks in doc_tokens.values():
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    T, V = sum(uni.values()), len(uni)
+    t_v = float(T + V)
+
+    def uni_prob(w):
+        return (uni.get(w, 0) + 1.0) / t_v
+
+    toks = tokenize(normalize_question(question))
+    if not toks:
+        return []
+    # candidates per position: (dist ASC, df DESC, term ASC) capped
+    cands = []  # (pos 1-based, cand)
+    for i, tok in enumerate(toks):
+        pool = []
+        for term, d in df.items():
+            if prefix_len > 0 and term[:prefix_len] != tok[:prefix_len]:
+                continue
+            dist = _levenshtein(term, tok, max_edits)
+            if 1 <= dist <= max_edits:
+                pool.append((dist, -d, term))
+        pool.sort()
+        for _, _, term in pool[:per_term]:
+            cands.append((i + 1, term))
+    cands.append((1, toks[0]))  # the original phrase competes
+
+    def score_phrase(ws):
+        lp = 0.0
+        lp = lp + math.log(uni_prob(ws[0]))  # j=0 head
+        for a, b in zip(ws, ws[1:]):  # j ascending
+            cb = bi.get((a, b), 0)
+            if cb > 0:
+                lp = lp + math.log(cb / uni[a])
+            else:
+                lp = lp + math.log(alpha * uni_prob(b))
+        return lp
+
+    best: Dict[str, float] = {}
+    for pos, cand in cands:
+        ws = list(toks)
+        ws[pos - 1] = cand
+        s = " ".join(ws)
+        sc = score_phrase(ws)
+        if s not in best or sc > best[s]:
+            best[s] = sc
+    ranked = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:topn]
+    return [(i + 1, s, sc) for i, (s, sc) in enumerate(ranked)]
