@@ -251,15 +251,60 @@ class SnapshotCatalog:
 
     # ------------------------------------------------------------ maintain
 
+    # ------------------------------------------------------------- PIT
+
+    def open_pit(self, pit_id: Optional[str] = None) -> dict:
+        """Open a point-in-time handle pinned to the CURRENT snapshot —
+        the ES `_pit` contract: searches through the handle keep reading
+        this snapshot while the live index moves on, and `expire` will
+        not reclaim a pinned snapshot until the PIT closes. Returns
+        {"pit_id", "snapshot_id"}."""
+        meta = self._read_meta()
+        if meta["current"] is None:
+            raise ValueError("no current snapshot to pin")
+        pid = pit_id or uuid.uuid4().hex[:16]
+        pits = meta.setdefault("pits", {})
+        if pid in pits:
+            raise ValueError(f"pit {pid!r} already open")
+        pits[pid] = meta["current"]
+        # same compare-parent fence as _publish: a commit that landed
+        # since our read would be clobbered by this meta rewrite
+        fresh = self._read_meta()
+        if fresh["current"] != meta["current"]:
+            raise ConcurrentCommitError(
+                "snapshot published while opening the PIT — retry"
+            )
+        self._commit_meta(meta)
+        return {"pit_id": pid, "snapshot_id": meta["current"]}
+
+    def close_pit(self, pit_id: str) -> None:
+        meta = self._read_meta()
+        pits = meta.get("pits", {})
+        if pit_id not in pits:
+            raise KeyError(f"pit {pit_id!r} not open")
+        del pits[pit_id]
+        self._commit_meta(meta)
+
+    def pits(self) -> Dict[str, int]:
+        """{pit_id: pinned snapshot_id} of open handles."""
+        return dict(self._read_meta().get("pits", {}))
+
     def expire(self, keep_last: int = 2) -> List[str]:
         """Drop all but the newest `keep_last` snapshots and delete data
         files no retained snapshot references (Iceberg expire_snapshots).
+        Snapshots pinned by an open PIT are retained regardless of age.
         Returns the deleted file paths."""
         meta = self._read_meta()
         snaps = sorted(meta["snapshots"], key=lambda s: s["snapshot_id"])
         if len(snaps) <= keep_last:
             return []
-        kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
+        pinned = set(meta.get("pits", {}).values())
+        kept = snaps[-keep_last:] + [
+            s for s in snaps[:-keep_last] if s["snapshot_id"] in pinned
+        ]
+        dropped = [s for s in snaps[:-keep_last] if s["snapshot_id"] not in pinned]
+        if not dropped:
+            return []
         if meta["current"] not in {s["snapshot_id"] for s in kept}:
             raise ValueError("refusing to expire the current snapshot")
         live = {f for s in kept for fl in s["manifest"].values() for f in fl}
@@ -268,7 +313,7 @@ class SnapshotCatalog:
         )
         # publish the shrunk metadata FIRST; only then delete files — a
         # crash between the two leaks files but never breaks a reader
-        meta["snapshots"] = kept
+        meta["snapshots"] = sorted(kept, key=lambda s: s["snapshot_id"])
         self._commit_meta(meta)
         for f in dead:
             self._delete_file(f)

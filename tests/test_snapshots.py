@@ -166,3 +166,57 @@ def test_concurrent_commit_fenced(spark, tmp_path):
     assert meta["current"] == s2
     assert [s["snapshot_id"] for s in meta["snapshots"]] == [s1, s2]
     assert w1.read("t").count() == 3
+
+
+def test_pit_pins_snapshot_through_expire_and_search(spark, cat, pages_df):
+    """ES point-in-time: an open PIT keeps its snapshot readable (and
+    rank-stable) across later commits AND expiry; closing it releases
+    the pin and the next expire reclaims the files."""
+    from dpr_spark.index.build import build_index
+    from dpr_spark.query.scorer import search
+
+    v1_pages = pages_df.limit(120)
+    idx1 = build_index(spark, v1_pages)
+    s1 = snapshot_index(cat, idx1, timestamp_ms=1000)
+    pit = cat.open_pit()
+    assert pit["snapshot_id"] == s1
+
+    # live index moves on twice (expire keeps only the newest w/o pins)
+    idx2 = build_index(spark, pages_df.limit(200))
+    snapshot_index(cat, idx2, timestamp_ms=2000)
+    idx3 = build_index(spark, pages_df.limit(260))
+    snapshot_index(cat, idx3, timestamp_ms=3000)
+    dead = cat.expire(keep_last=1)
+    kept_ids = {s["snapshot_id"] for s in cat.history()}
+    assert s1 in kept_ids, "pinned snapshot must survive expire"
+    assert len(kept_ids) == 2  # newest + pinned; the middle one dropped
+    assert dead  # the unpinned middle snapshot's files were reclaimed
+
+    qdf = spark.createDataFrame([(0, "the spark window")], ["qid", "question"])
+    pinned_idx = load_index_at(cat, snapshot_id=pit["snapshot_id"])
+    got_pit = [
+        (r.rank, r.doc_id)
+        for r in search(qdf, pinned_idx, k=5).orderBy("rank").collect()
+    ]
+    got_v1 = [
+        (r.rank, r.doc_id)
+        for r in search(qdf, idx1, k=5).orderBy("rank").collect()
+    ]
+    assert got_pit == got_v1  # PIT reads v1 exactly, not the live index
+
+    cat.close_pit(pit["pit_id"])
+    assert cat.pits() == {}
+    cat.expire(keep_last=1)
+    assert {s["snapshot_id"] for s in cat.history()} != kept_ids
+    with pytest.raises(ValueError):
+        cat._resolve(snapshot_id=s1)
+
+
+def test_pit_double_open_and_unknown_close(spark, cat):
+    cat.commit({"t": _df(spark, 0, 5)})
+    pit = cat.open_pit(pit_id="p1")
+    with pytest.raises(ValueError):
+        cat.open_pit(pit_id="p1")
+    with pytest.raises(KeyError):
+        cat.close_pit("nope")
+    cat.close_pit(pit["pit_id"])
