@@ -340,6 +340,7 @@ def main() -> None:
         "cardinality_agg", "top_hits_agg",
         "multi_match_best_fields", "multi_match_cross_fields",
         "term_vectors", "boosting_topk", "phrase_suggest",
+        "hybrid_rrf_topk",
     ]:
         try:
             fn, _ = entries[name]

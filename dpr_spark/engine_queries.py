@@ -4507,6 +4507,87 @@ def q_phrase_suggest() -> Entry:
     return fn, sql
 
 
+def q_hybrid_rrf_topk() -> Entry:
+    """Hybrid BM25 + vector retrieval fused with Reciprocal Rank Fusion
+    (query/hybrid.py; ES 8.x `rrf` retriever, DPR paper §6.2's
+    BM25+dense fusion): BM25 top-100 over documents + cosine top-100
+    over the aligned embeddings table (vec_id == doc_id; query vector =
+    embedding of vec_id == qid), score = Σ 1/(60 + rank). Both input
+    rankings use the rounded-key rank discipline, so ranks — hence the
+    exact RRF floats — are engine-identical."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.query.hybrid import rrf_fuse
+
+        text = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= 100).select(
+            "qid", "rank", "doc_id"
+        )
+        e = _emb(spark, sf_dir).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        qids = [qid for qid, _ in BENCH_QUERIES]
+        qv = e.filter(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        )
+        dot = F.aggregate(
+            F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nrm = lambda c: F.sqrt(
+            F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0),
+                        lambda acc, x: acc + x)
+        )
+        pairs = F.broadcast(qv).crossJoin(e).select(
+            "qid", "vec_id",
+            F.round(dot / (nrm(F.col("qv")) * nrm(F.col("v"))), 6).alias("cos_r"),
+        )
+        wv = Window.partitionBy("qid").orderBy(F.desc("cos_r"), F.asc("vec_id"))
+        vec = (
+            pairs.withColumn("rank", F.row_number().over(wv))
+            .filter(F.col("rank") <= 100)
+            .select("qid", "rank", F.col("vec_id").alias("doc_id"))
+        )
+        res = rrf_fuse([text, vec], k=10, k_rrf=60)
+        return res.select(
+            "qid", "rank", "doc_id", F.round("score", 6).alias("score_r")
+        )
+
+    qid_list = ", ".join(str(q) for q, _ in BENCH_QUERIES)
+    sql = f"""
+    WITH {_BM25_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    t_rank AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= 100),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qid_list})),
+    vpairs AS (
+      SELECT qv.qid, e.vec_id,
+             round(list_dot_product(qv.qv, e.v)
+                   / (sqrt(list_dot_product(qv.qv, qv.qv))
+                      * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_r
+      FROM qv CROSS JOIN e),
+    v_rank AS (
+      SELECT qid, vec_id AS doc_id, rank FROM (
+        SELECT qid, vec_id, cos_r,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cos_r DESC, vec_id) AS rank
+        FROM vpairs) WHERE rank <= 100),
+    contribs AS (
+      SELECT qid, doc_id, 1.0::DOUBLE / (60.0::DOUBLE + rank::DOUBLE) AS c
+      FROM t_rank
+      UNION ALL
+      SELECT qid, doc_id, 1.0::DOUBLE / (60.0::DOUBLE + rank::DOUBLE) AS c
+      FROM v_rank),
+    fused AS (SELECT qid, doc_id, sum(c) AS score
+              FROM contribs GROUP BY 1, 2),
+    ranked_h AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY score DESC, doc_id) AS rank
+      FROM fused)
+    SELECT qid, rank, doc_id, score_r FROM ranked_h WHERE rank <= 10"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -4599,4 +4680,5 @@ def all_entries() -> Dict[str, Entry]:
         "term_vectors": q_term_vectors(),
         "boosting_topk": q_boosting_topk(),
         "phrase_suggest": q_phrase_suggest(),
+        "hybrid_rrf_topk": q_hybrid_rrf_topk(),
     }
