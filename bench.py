@@ -340,7 +340,7 @@ def main() -> None:
         "cardinality_agg", "top_hits_agg",
         "multi_match_best_fields", "multi_match_cross_fields",
         "term_vectors", "boosting_topk", "phrase_suggest",
-        "hybrid_rrf_topk",
+        "hybrid_rrf_topk", "range_agg", "composite_agg",
     ]:
         try:
             fn, _ = entries[name]

@@ -4588,6 +4588,94 @@ def q_hybrid_rrf_topk() -> Entry:
     return fn, sql
 
 
+RANGE_AGG_RANGES = [(None, 400.0), (400.0, 800.0), (700.0, None), (99999.0, None)]
+
+
+def q_range_agg() -> Entry:
+    """ES `range` aggregation over the match set (query/aggs.py):
+    explicit [lo, hi) buckets of n_chars per query — unbounded edges,
+    an overlapping range, and an empty range emitting 0 (the range list
+    is the schema)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import range_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        return range_agg(
+            qdf, idx, docs.select("doc_id", "n_chars"), "n_chars",
+            RANGE_AGG_RANGES,
+        )
+
+    rng_vals = ", ".join(
+        f"('{'*' if lo is None else lo}-{'*' if hi is None else hi}', "
+        f"{'NULL::DOUBLE' if lo is None else repr(lo) + '::DOUBLE'}, "
+        f"{'NULL::DOUBLE' if hi is None else repr(hi) + '::DOUBLE'})"
+        for lo, hi in RANGE_AGG_RANGES
+    )
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    mv AS (SELECT m.qid, d.n_chars::DOUBLE AS v
+           FROM matches m JOIN documents d USING (doc_id)),
+    keys AS (SELECT DISTINCT qid FROM mv),
+    rng AS (SELECT * FROM (VALUES {rng_vals}) r(range_key, lo, hi)),
+    grid AS (SELECT k.qid, r.range_key, r.lo, r.hi
+             FROM keys k CROSS JOIN rng r)
+    SELECT g.qid, g.range_key, count(mv.v) AS count
+    FROM grid g LEFT JOIN mv
+      ON mv.qid = g.qid
+     AND (g.lo IS NULL OR mv.v >= g.lo)
+     AND (g.hi IS NULL OR mv.v < g.hi)
+    GROUP BY 1, 2"""
+    return fn, sql
+
+
+COMPOSITE_AFTER = {"source": "src12", "lang": "en"}
+
+
+def q_composite_agg() -> Entry:
+    """ES `composite` aggregation (query/aggs.py): two-source (source,
+    lang) bucket tuples in NATURAL key order, page 2 of size 8 after
+    the cursor ('src12', 'en') — the aggregation analog of search_after
+    (deep bucket pagination; the after-key predicate prunes before the
+    per-qid window)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import composite_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        return composite_agg(
+            qdf, idx, docs.select("doc_id", "source", "lang"),
+            ["source", "lang"], size=8, after=COMPOSITE_AFTER,
+        )
+
+    a_src, a_lang = COMPOSITE_AFTER["source"], COMPOSITE_AFTER["lang"]
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    counts AS (
+      SELECT m.qid, d.source, d.lang, count(*) AS count
+      FROM matches m JOIN documents d USING (doc_id) GROUP BY 1, 2, 3),
+    filtered AS (
+      SELECT * FROM counts
+      WHERE source > '{a_src}' OR (source = '{a_src}' AND lang > '{a_lang}')),
+    paged AS (
+      SELECT qid, source, lang, count,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY source ASC, lang ASC) AS rn
+      FROM filtered)
+    SELECT qid, source, lang, count FROM paged WHERE rn <= 8"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -4681,4 +4769,6 @@ def all_entries() -> Dict[str, Entry]:
         "boosting_topk": q_boosting_topk(),
         "phrase_suggest": q_phrase_suggest(),
         "hybrid_rrf_topk": q_hybrid_rrf_topk(),
+        "range_agg": q_range_agg(),
+        "composite_agg": q_composite_agg(),
     }

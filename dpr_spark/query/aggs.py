@@ -25,7 +25,7 @@ top-N (extras/domains.cap_per_key), so a query matching 10^8 docs with
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -322,4 +322,96 @@ def top_hits_agg(
     w = Window.partitionBy("qid", "value").orderBy(*order)
     return top.withColumn("rank", F.row_number().over(w)).select(
         "qid", "value", "rank", "doc_id", "score"
+    )
+
+
+def range_agg(
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    field: str,
+    ranges: Sequence[tuple],
+) -> DataFrame:
+    """(qid, range_key, count) — ES `range` aggregation over the match
+    set: explicit [lo, hi) buckets; None = unbounded. A doc lands in
+    EVERY range containing its value (ES ranges may overlap). Empty
+    ranges emit count 0 (the ES contract — the range list is the
+    schema), via a per-qid range cross that is ranges-sized, never
+    doc-sized."""
+    m = _matches(queries, index).join(
+        doc_values.select("doc_id", field), "doc_id"
+    )
+    v = F.col(field).cast("double")
+    rows = []
+    for lo, hi in ranges:
+        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        rows.append((key, lo, hi))
+    counts = None
+    for key, lo, hi in rows:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (v >= F.lit(float(lo)))
+        if hi is not None:
+            cond = cond & (v < F.lit(float(hi)))
+        c = m.filter(cond).groupBy("qid").agg(F.count("*").alias("count"))
+        c = c.select("qid", F.lit(key).alias("range_key"), "count")
+        counts = c if counts is None else counts.unionByName(c)
+    # densify: every (matched qid, range) appears, zero-filled
+    qids = m.select("qid").distinct()
+    keys = qids.crossJoin(
+        qids.sparkSession.createDataFrame(
+            [(k,) for k, _, _ in rows], "range_key string"
+        )
+    )
+    return (
+        keys.join(counts, ["qid", "range_key"], "left")
+        .fillna(0, ["count"])
+        .select("qid", "range_key", "count")
+    )
+
+
+def composite_agg(
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    fields: Sequence[str],
+    size: int = 10,
+    after: Optional[dict] = None,
+) -> DataFrame:
+    """(qid, <fields...>, count) — ES `composite` aggregation: bucket
+    tuples ordered by their NATURAL KEY (fields ascending, NOT count),
+    paged `size` at a time with an exclusive `after` key — the
+    aggregation analog of search_after (deep bucket pagination without
+    re-ranking shards).
+
+    `after`: {field: value} of the last bucket of the previous page
+    (same for every query — the ES cursor contract is per-request).
+
+    Scale shape: counts aggregate map-side on (qid, *fields); the
+    after-key predicate is a lexicographic tuple comparison PUSHED as a
+    filter before the per-qid window, so page N+1 aggregates the same
+    shuffle but sorts only surviving buckets."""
+    cols = list(fields)
+    m = _matches(queries, index).join(
+        doc_values.select("doc_id", *cols), "doc_id"
+    )
+    counts = m.groupBy("qid", *cols).agg(F.count("*").alias("count"))
+    if after:
+        # lexicographic (f1, f2, ...) > (a1, a2, ...)
+        pred = None
+        for i, c in enumerate(cols):
+            eq = None
+            for prev in cols[:i]:
+                e = F.col(prev) == F.lit(after[prev])
+                eq = e if eq is None else (eq & e)
+            gt = F.col(c) > F.lit(after[c])
+            term = gt if eq is None else (eq & gt)
+            pred = term if pred is None else (pred | term)
+        counts = counts.filter(pred)
+    w = Window.partitionBy("qid").orderBy(*[F.asc(c) for c in cols])
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= size)
+        .drop("_rn")
+        .select("qid", *cols, "count")
     )

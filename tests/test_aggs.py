@@ -299,3 +299,70 @@ def test_top_hits_agg(spark, index, queries_pdf, oracle):
                     assert a[2] == pytest.approx(e[2], rel=1e-9)
                 checked += 1
         assert checked >= 15
+
+
+def test_range_agg(spark, index, queries_pdf, oracle):
+    """Explicit [lo, hi) ranges incl. unbounded and overlapping; empty
+    ranges emit 0 (the range list is the schema)."""
+    from dpr_spark.query.aggs import range_agg
+
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(8))
+    ranges = [(None, 50.0), (50.0, 100.0), (80.0, None), (10000.0, None)]
+    res = range_agg(qdf, index, index.docstats, "doclen", ranges)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r.qid, {})[r.range_key] = r["count"]
+    checked = 0
+    for _, q in queries_pdf.head(8).iterrows():
+        docs = _oracle_matches(oracle, q.question)
+        if not docs:
+            continue
+        dls = [float(oracle.doclen[d]) for d in docs]
+        expect = {
+            "*-50.0": sum(1 for v in dls if v < 50),
+            "50.0-100.0": sum(1 for v in dls if 50 <= v < 100),
+            "80.0-*": sum(1 for v in dls if v >= 80),
+            "10000.0-*": 0,
+        }
+        assert got[int(q.qid)] == expect, f"qid={q.qid}"
+        checked += 1
+    assert checked >= 6
+
+
+def test_composite_agg_pages_cover_all_buckets(spark, index, queries_pdf, oracle):
+    """Two-source composite (bucket5, bucket3): pages of 4 walked with
+    the after-key reconstruct the full natural-key-ordered bucket list
+    exactly."""
+    from dpr_spark.query.aggs import composite_agg
+
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(6))
+    vals = index.docstats.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(5)).alias("b5"),
+        F.pmod(F.col("doc_id"), F.lit(3)).alias("b3"),
+    )
+    # walk pages until exhausted (cursor shared across queries — the ES
+    # per-request contract; use qid 0's last bucket as the cursor and
+    # verify against that query)
+    q0 = queries_pdf.head(6).iloc[0]
+    docs = _oracle_matches(oracle, q0.question)
+    assert docs
+    expect_counts = {}
+    for d in docs:
+        key = (d % 5, d % 3)
+        expect_counts[key] = expect_counts.get(key, 0) + 1
+    expect = sorted(expect_counts.items())
+
+    after, walked = None, []
+    for _ in range(20):
+        page = composite_agg(
+            qdf, index, vals, ["b5", "b3"], size=4, after=after
+        )
+        rows = [r for r in page.collect() if r.qid == int(q0.qid)]
+        if not rows:
+            break
+        rows.sort(key=lambda r: (r.b5, r.b3))
+        walked.extend(((r.b5, r.b3), r["count"]) for r in rows)
+        last = rows[-1]
+        after = {"b5": last.b5, "b3": last.b3}
+    assert walked == expect
