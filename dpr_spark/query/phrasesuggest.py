@@ -210,9 +210,13 @@ def suggest_phrases(
 
     hscore = (
         heads_sub.join(
-            lm.unigrams.join(
-                F.broadcast(heads_sub.select(F.col("w")).distinct()), "w"
-            ).withColumnRenamed("c", "cu"),
+            # the semi-joined unigram slice is query-bounded — broadcast
+            # it (the left side of a left join can't be the build side)
+            F.broadcast(
+                lm.unigrams.join(
+                    F.broadcast(heads_sub.select(F.col("w")).distinct()), "w"
+                ).withColumnRenamed("c", "cu")
+            ),
             "w",
             "left",
         )

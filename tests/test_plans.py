@@ -297,3 +297,83 @@ def test_rm3_postings_probed_in_place(spark, index, pages_df):
     plan = _explain(rm3_search(spark, qdf, index, docs, k=5))
     assert "hashpartitioning(term_id" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_aggs_match_set_probes_postings_in_place(spark, index, queries_df):
+    """Match-set aggregations (query/aggs.py): the postings table is
+    probed with the broadcast query-term set — no exchange on term_id —
+    and the doc-values join does not broadcast the postings side."""
+    from dpr_spark.query.aggs import stats_agg
+
+    plan = _explain(stats_agg(queries_df, index, index.docstats, "doclen"))
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(term_id" not in plan
+
+
+def test_multimatch_broadcasts_query_side_only(spark, fielded_index_plans, queries_df):
+    """multi_match (query/multimatch.py): the resolved query-term set
+    broadcasts into the fielded postings probe; the dictionary/postings
+    never appear as the broadcast side."""
+    from dpr_spark.query.multimatch import multi_match_cross_fields
+
+    plan = _explain(multi_match_cross_fields(queries_df, fielded_index_plans, k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(term_id" not in plan
+
+
+@pytest.fixture(scope="module")
+def fielded_index_plans(spark, pages_df):
+    from dpr_spark.index.fielded import build_fielded_index
+
+    docs = pages_df.selectExpr(
+        "xxhash64(url) AS doc_id", "url", "text", "substr(text, 1, 30) AS title"
+    )
+    return build_fielded_index(
+        spark, docs, fields=("text", "title"),
+        weights={"text": 1.0, "title": 2.0},
+    )
+
+
+def test_hybrid_fusion_no_corpus_shuffle(spark, index, queries_df):
+    """RRF fusion (query/hybrid.py) aggregates query×depth-sized
+    rankings: the fused plan must contain no exchange keyed on term_id
+    (the corpus-sized tables never re-shuffle for fusion)."""
+    from dpr_spark.query.hybrid import hybrid_search_rrf
+
+    emb = index.docstats.select(
+        "doc_id",
+        F.array(*[(F.col("doc_id") % (i + 3)).cast("double") for i in range(4)]).alias("v"),
+    ).withColumnRenamed("doc_id", "vec_id").withColumnRenamed("v", "embedding")
+    qvecs = spark.createDataFrame(
+        [(0, [1.0, 2.0, 1.0, 0.5])], "qid long, qv array<double>"
+    )
+    plan = _explain(
+        hybrid_search_rrf(queries_df.limit(1), index, emb, qvecs, k=5, depth=20)
+    )
+    assert "hashpartitioning(term_id" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_phrase_suggest_lm_never_broadcasts(spark, index, pages_df):
+    """Phrase suggester (query/phrasesuggest.py): the bigram/unigram LM
+    tables are the big side — every LM join must broadcast the
+    query-sized candidate/pair set, never the LM; the dictionary scan
+    carries the pushed StartsWith prefix filter."""
+    from dpr_spark.query.phrasesuggest import build_bigram_lm, suggest_phrases
+
+    lm = build_bigram_lm(pages_df.selectExpr("text"))
+    # materialize the cached LM first: its BUILD aggregation legitimately
+    # shuffles on (w1, w2); the QUERY plan must not
+    lm.bigrams.count()
+    lm.unigrams.count()
+    df = suggest_phrases(
+        spark, [(0, "the spark windw")], index, lm, max_edits=1, topn=3
+    )
+    plan = _explain(df)
+    assert "BroadcastHashJoin" in plan
+    # every LM lookup joins with the query-sized side broadcast — a
+    # SortMergeJoin would mean the LM got shuffled against candidates
+    # (the remaining (w1,w2) exchanges are the cached LM build and the
+    # tiny candidate-distinct, both query- or build-side, not the join)
+    assert "SortMergeJoin" not in plan
+    assert "StartsWith" in plan
