@@ -17,7 +17,16 @@ oracle_sql()    -> DuckDB twins for EVERY entry — len(oracle_sql()) ==
                    paging, sort-by-field, index merge, multi-segment
                    search, explain, synonyms, minimum_should_match +
                    range filters, field collapsing, live/purged deletes,
-                   and two-stage rescoring — every one DuckDB-twinned.
+                   two-stage rescoring, dismax, function-score,
+                   percolator, regexp, suggesters (completion + bigram-LM
+                   phrase), has_child, nested bool trees, the ES
+                   aggregation family (significant terms, histogram,
+                   date_histogram, percentiles, cardinality, top_hits,
+                   range, composite), multi_match best/cross_fields,
+                   term vectors, boosting queries, and hybrid BM25+vector
+                   RRF — every one DuckDB-twinned (the exact count is
+                   len(queries()), asserted == len(oracle_sql()) in
+                   tests/test_entry.py).
 """
 
 from __future__ import annotations
