@@ -4676,6 +4676,106 @@ def q_composite_agg() -> Entry:
     return fn, sql
 
 
+def q_ann_filtered_topk() -> Entry:
+    """Filtered vector search (extras/ann.py; ES `knn` with `filter`):
+    cosine top-10 restricted to label IN (2, 5) — a PRE-filter (every
+    result satisfies it; the predicate reaches the parquet scan), not a
+    post-filter that could return < k. Queries = vec_id 0..4."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.ann import brute_cosine_topk
+
+        e = _emb(spark, sf_dir)
+        q = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        )
+        res = brute_cosine_topk(
+            e, q, k=10, filter_expr=F.col("label").isin([2, 5])
+        )
+        # rounded re-rank (driver float discipline)
+        out = res.select(
+            "qid", "vec_id", F.round("cosine", 6).alias("cos_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("cos_r"), F.asc("vec_id"))
+        return out.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "vec_id", "cos_r"
+        )
+
+    sql = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE label IN (2, 5)),
+    q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.qid, e.vec_id,
+             round(list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_r
+      FROM q CROSS JOIN e),
+    ranked_f AS (
+      SELECT qid, vec_id, cos_r,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cos_r DESC, vec_id) AS rank
+      FROM pairs)
+    SELECT qid, rank, vec_id, cos_r FROM ranked_f WHERE rank <= 10"""
+    return fn, sql
+
+
+def q_matched_queries_topk() -> Entry:
+    """ES `matched_queries` (query/boolquery.py::matched_queries):
+    BM25 top-10 where each hit carries the sorted names of the named
+    clauses ('head' = first query token, 'tail' = the rest) with ≥1
+    term in the doc; '' when none. Annotation probes postings doubly
+    restricted (broadcast named term_ids + broadcast top-k semi-join)."""
+    named = []
+    for qid, q in BENCH_QUERIES:
+        toks = tokenize(q)
+        named.append((qid, "head", toks[0]))
+        if len(toks) > 1:
+            named.append((qid, "tail", " ".join(toks[1:])))
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.boolquery import matched_queries
+        from dpr_spark.query.scorer import search
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search(qdf, idx, k=10)
+        out = matched_queries(spark, res, named, idx)
+        w = Window.partitionBy("qid").orderBy(
+            F.desc(F.round("score", 6)), F.asc("doc_id")
+        )
+        return out.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", F.round("score", 6).alias("score_r"),
+            "matched_queries",
+        )
+
+    nrows = []
+    for qid, name, text in named:
+        for t in sorted(set(tokenize(text))):
+            nrows.append(f"({qid}, '{name}', '{t}')")
+    sql = f"""
+    WITH {_BM25_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    topk AS (SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10),
+    nterms AS (SELECT * FROM (VALUES {", ".join(nrows)}) n(qid, name, term)),
+    hits AS (
+      SELECT DISTINCT t.qid, t.doc_id, n.name
+      FROM topk t JOIN nterms n ON n.qid = t.qid
+      JOIN tf ON tf.doc_id = t.doc_id AND tf.term = n.term),
+    names AS (
+      SELECT qid, doc_id,
+             string_agg(DISTINCT name, ',' ORDER BY name) AS matched_queries
+      FROM hits GROUP BY 1, 2)
+    SELECT t.qid, t.rank, t.doc_id, t.score_r,
+           coalesce(n.matched_queries, '') AS matched_queries
+    FROM topk t LEFT JOIN names n
+      ON n.qid = t.qid AND n.doc_id = t.doc_id"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -4771,4 +4871,6 @@ def all_entries() -> Dict[str, Entry]:
         "hybrid_rrf_topk": q_hybrid_rrf_topk(),
         "range_agg": q_range_agg(),
         "composite_agg": q_composite_agg(),
+        "ann_filtered_topk": q_ann_filtered_topk(),
+        "matched_queries_topk": q_matched_queries_topk(),
     }

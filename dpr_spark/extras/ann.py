@@ -30,10 +30,19 @@ def brute_cosine_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qv",
+    filter_expr=None,
 ) -> DataFrame:
     """Exact top-k: broadcast queries x scan embeddings; ties by id.
     At scale this is one pass over the corpus (queries broadcast), the
-    same shape FAISS Flat gives the reference."""
+    same shape FAISS Flat gives the reference.
+
+    filter_expr: optional Catalyst predicate over `emb`'s columns — the
+    ES `knn.filter` contract (PRE-filter: all k results satisfy it, vs
+    post-filtering which can return < k). Applied before the projection
+    so Catalyst pushes it into the parquet scan (asserted in
+    tests/test_plans.py)."""
+    if filter_expr is not None:
+        emb = emb.filter(filter_expr)
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),

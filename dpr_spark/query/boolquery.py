@@ -424,3 +424,58 @@ def prefix_search(
         F.sum(_component(index.stats.avgdl, k1, b)).alias("score")
     )
     return _topk(scored, k)
+
+
+def matched_queries(
+    spark: SparkSession,
+    results: DataFrame,
+    named: Sequence[Tuple[int, str, str]],
+    index: InvertedIndex,
+) -> DataFrame:
+    """results + a `matched_queries` column — the ES per-hit
+    `matched_queries` response field (bool clauses carrying `_name`):
+    for every result row, the sorted comma-joined names of the named
+    clauses with ≥1 term present in the doc ('' when none).
+
+    `named`: (qid, name, clause_text) rows; clause text tokenizes with
+    the standard chain (set semantics per clause, like bool_search).
+
+    Scale shape: named terms resolve via the broadcast-into-dictionary
+    contract; the postings probe is DOUBLY restricted — broadcast named
+    term_ids AND a broadcast left-semi on the top-k (qid, doc_id) result
+    set — so annotation touches candidate rows only, never re-scoring
+    and never a corpus-sized join."""
+    from dpr_spark.functions.tokenizer import tokenize
+
+    rows = []
+    for qid, name, text in named:
+        for t in sorted(set(tokenize(text))):
+            rows.append((qid, name, t))
+    if not rows:
+        raise ValueError("no tokenizable named clauses")
+    nt = spark.createDataFrame(rows, "qid long, name string, term string")
+    resolved = index.dictionary.select("term", "term_id").join(
+        F.broadcast(nt.select("term").distinct()), "term", "left_semi"
+    )
+    nt = nt.join(F.broadcast(resolved), "term")
+    hits = (
+        index.postings.join(
+            F.broadcast(nt.select("qid", "name", "term_id").distinct()),
+            "term_id",
+        )
+        .join(
+            F.broadcast(results.select("qid", "doc_id").distinct()),
+            ["qid", "doc_id"],
+            "left_semi",
+        )
+        .select("qid", "doc_id", "name")
+        .distinct()
+    )
+    names = hits.groupBy("qid", "doc_id").agg(
+        F.array_join(F.array_sort(F.collect_set("name")), ",").alias(
+            "matched_queries"
+        )
+    )
+    return results.join(F.broadcast(names), ["qid", "doc_id"], "left").fillna(
+        {"matched_queries": ""}
+    )

@@ -388,3 +388,34 @@ def test_dedup_clusters_over_minhash_pairs(spark, pages_pdf):
     for a, b in prows:
         assert cl[a] == cl[b]
     assert sum(1 for r in dedup_clusters(docs, pairs).collect() if r.is_canonical) < docs.count()
+
+
+def test_brute_cosine_filtered_prefilter_semantics(spark):
+    """ES knn.filter: every one of the k results satisfies the filter
+    (pre-filter), and ranks equal brute force over the filtered subset."""
+    import numpy as np
+
+    from dpr_spark.extras.ann import brute_cosine_topk
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    vecs = {i: rng.standard_normal(8) for i in range(60)}
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], "even" if i % 2 == 0 else "odd")
+         for i, v in vecs.items()],
+        "vec_id long, embedding array<double>, label string",
+    )
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[7]])], "qid long, qv array<double>"
+    )
+    res = brute_cosine_topk(
+        emb, q, k=5, filter_expr=F.col("label") == "even"
+    ).collect()
+    assert len(res) == 5 and all(r.vec_id % 2 == 0 for r in res)
+    qv = vecs[7]
+    cos = sorted(
+        ((i, float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v))))
+         for i, v in vecs.items() if i % 2 == 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [r.vec_id for r in sorted(res, key=lambda r: r.rank)] == [i for i, _ in cos]

@@ -342,3 +342,55 @@ def test_index_save_load_roundtrip_with_positions(
         spark, loaded, loaded.positions, [(0, phrase)], k=10
     ).collect()
     _check_topk(rows, expect, "phrase_loaded")
+
+
+def test_matched_queries_annotation(spark, index, queries_pdf, oracle):
+    """ES matched_queries: each top-k hit carries the sorted names of
+    named clauses with >=1 term in the doc, '' when none — vs brute
+    force over oracle postings."""
+    from dpr_spark.functions.tokenizer import tokenize
+    from dpr_spark.query.boolquery import matched_queries
+    from dpr_spark.query.scorer import search
+
+    qs = queries_pdf.head(6)
+    qdf = spark.createDataFrame(qs[["qid", "question"]])
+    results = search(qdf, index, k=10)
+    # two named clauses per query: first token / remaining tokens
+    named = []
+    for _, q in qs.iterrows():
+        toks = tokenize(q.question)
+        named.append((int(q.qid), "head", toks[0]))
+        if len(toks) > 1:
+            named.append((int(q.qid), "tail", " ".join(toks[1:])))
+    out = matched_queries(spark, results, named, index)
+    got = {(r.qid, r.doc_id): r.matched_queries for r in out.collect()}
+    assert len(got) == results.count()
+    checked = 0
+    for _, q in qs.iterrows():
+        qid = int(q.qid)
+        toks = tokenize(q.question)
+        groups = {"head": {toks[0]}, "tail": set(toks[1:])}
+        for d, _s in oracle.search(q.question, k=10):
+            names = sorted(
+                n for n, ts in groups.items()
+                if ts and any(d in oracle.postings.get(t, {}) for t in ts)
+            )
+            assert got[(qid, d)] == ",".join(names), f"qid={qid} doc={d}"
+            checked += 1
+    assert checked >= 40
+
+
+def test_matched_queries_empty_for_unnamed_docs(spark, index, queries_pdf):
+    """A named clause matching NO result doc yields '' annotations, and
+    rows/columns of the input survive unchanged."""
+    from dpr_spark.query.boolquery import matched_queries
+    from dpr_spark.query.scorer import search
+
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(2))
+    results = search(qdf, index, k=5)
+    named = [(int(r.qid), "ghost", "zzzznonexistenttoken") for r in qdf.collect()]
+    out = matched_queries(spark, results, named, index)
+    rows = out.collect()
+    assert len(rows) == results.count()
+    assert all(r.matched_queries == "" for r in rows)
+    assert set(out.columns) == set(results.columns) | {"matched_queries"}
