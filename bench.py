@@ -341,7 +341,7 @@ def main() -> None:
         "multi_match_best_fields", "multi_match_cross_fields",
         "term_vectors", "boosting_topk", "phrase_suggest",
         "hybrid_rrf_topk", "range_agg", "composite_agg",
-        "ann_filtered_topk", "matched_queries_topk",
+        "ann_filtered_topk", "matched_queries_topk", "query_string_topk",
     ]:
         try:
             fn, _ = entries[name]

@@ -4776,6 +4776,186 @@ def q_matched_queries_topk() -> Entry:
     return fn, sql
 
 
+QS_QUERIES = [
+    (0, '+spark "window agg"'),
+    (1, 'customer -"slow query" join'),
+    (2, "fast filt* scan"),
+    (3, "windo~ agg"),
+    (4, "+table -merge sort"),
+]
+QS_EXP = 8
+
+
+def q_query_string_topk() -> Entry:
+    """Lucene query-string language (query/querystring.py): `+must`,
+    `-must_not`, `"phrases"`, `glob*`, `fuzzy~` clauses compiled onto
+    the engine's term/expansion/phrase machinery in ONE scoring pass.
+    The twin regenerates every clause's SQL from the SAME parse:
+    expansion windows (dist ASC / df DESC / term ASC for fuzzy, df DESC
+    / term ASC for globs, cap {QS_EXP}), phrase adjacency via start-
+    position grouping, must coverage counted over distinct clause ids,
+    must_not as NOT EXISTS."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.querystring import query_string_search
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(
+            spark, docs, build_blocks=False, build_positional=True
+        )
+        res = query_string_search(
+            spark, QS_QUERIES, idx, positions=idx.positions,
+            k=10, max_expansions=QS_EXP,
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    from dpr_spark.query.boolquery import wildcard_regex
+    from dpr_spark.query.querystring import parse_query_string
+
+    term_v, fuzzy_v, wild_v, phrase_v, nmust_v = [], [], [], [], []
+    for qid, q in QS_QUERIES:
+        clauses = parse_query_string(q)
+        nmust_v.append(
+            f"({qid}, {sum(1 for c in clauses if c.occur == 'must')})"
+        )
+        for c in clauses:
+            if c.kind == "term":
+                term_v.append(f"({qid}, {c.cid}, '{c.occur}', '{c.text}')")
+            elif c.kind == "fuzzy":
+                fuzzy_v.append(
+                    f"({qid}, {c.cid}, '{c.occur}', '{c.text}', {c.edits})"
+                )
+            elif c.kind == "wildcard":
+                wild_v.append(
+                    f"({qid}, {c.cid}, '{c.occur}', '{wildcard_regex(c.text)}')"
+                )
+            else:
+                for off, t in enumerate(c.text.split(" ")):
+                    phrase_v.append(
+                        f"({qid}, {c.cid}, '{c.occur}', {off}, '{t}')"
+                    )
+    parts = []
+    if term_v:
+        parts.append(f"""
+    pterms AS (SELECT * FROM (VALUES {", ".join(term_v)})
+               p(qid, cid, occur, term)),
+    c_term AS (
+      SELECT p.qid, p.cid, p.occur, tf.doc_id,
+             sum({_BM25_COMPONENT}) AS contrib
+      FROM pterms p JOIN dict ON dict.term = p.term
+      JOIN tf ON tf.term = p.term
+      JOIN ds ON ds.doc_id = tf.doc_id CROSS JOIN stats
+      GROUP BY 1, 2, 3, 4)""")
+    if fuzzy_v:
+        parts.append(f"""
+    fz AS (SELECT * FROM (VALUES {", ".join(fuzzy_v)})
+           f(qid, cid, occur, token, edits)),
+    fexp AS (
+      SELECT f.qid, f.cid, f.occur, d.term,
+             1.0 - levenshtein(d.term, f.token)::DOUBLE
+                   / greatest(length(f.token), length(d.term))::DOUBLE
+               AS boost,
+             row_number() OVER (PARTITION BY f.qid, f.cid
+               ORDER BY levenshtein(d.term, f.token), d.df DESC, d.term)
+               AS r
+      FROM fz f JOIN dict d
+        ON substr(d.term, 1, 1) = substr(f.token, 1, 1)
+       AND levenshtein(d.term, f.token) <= f.edits),
+    c_fuzzy AS (
+      SELECT e.qid, e.cid, e.occur, tf.doc_id,
+             sum(e.boost * {_BM25_COMPONENT}) AS contrib
+      FROM (SELECT * FROM fexp WHERE r <= {QS_EXP}) e
+      JOIN dict ON dict.term = e.term JOIN tf ON tf.term = e.term
+      JOIN ds ON ds.doc_id = tf.doc_id CROSS JOIN stats
+      GROUP BY 1, 2, 3, 4)""")
+    if wild_v:
+        parts.append(f"""
+    wc AS (SELECT * FROM (VALUES {", ".join(wild_v)})
+           w(qid, cid, occur, rx)),
+    wexp AS (
+      SELECT w.qid, w.cid, w.occur, d.term,
+             row_number() OVER (PARTITION BY w.qid, w.cid
+               ORDER BY d.df DESC, d.term) AS r
+      FROM wc w JOIN dict d ON regexp_matches(d.term, w.rx)),
+    c_wild AS (
+      SELECT e.qid, e.cid, e.occur, tf.doc_id,
+             sum({_BM25_COMPONENT}) AS contrib
+      FROM (SELECT * FROM wexp WHERE r <= {QS_EXP}) e
+      JOIN dict ON dict.term = e.term JOIN tf ON tf.term = e.term
+      JOIN ds ON ds.doc_id = tf.doc_id CROSS JOIN stats
+      GROUP BY 1, 2, 3, 4)""")
+    if phrase_v:
+        parts.append(f"""
+    phq AS (SELECT * FROM (VALUES {", ".join(phrase_v)})
+            q(qid, cid, occur, off, term)),
+    phn AS (SELECT qid, cid, occur, count(*) AS n_off
+            FROM phq GROUP BY 1, 2, 3),
+    phidf AS (
+      SELECT q.qid, q.cid,
+             sum(ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0))
+               AS idf_sum,
+             count(*) AS n_res
+      FROM phq q JOIN dict USING (term) CROSS JOIN stats GROUP BY 1, 2),
+    phok AS (SELECT i.qid, i.cid, i.idf_sum
+             FROM phidf i JOIN phn n ON n.qid = i.qid AND n.cid = i.cid
+             WHERE i.n_res = n.n_off),
+    phcand AS (
+      SELECT q.qid, q.cid, pos.doc_id, pos.p - q.off AS start,
+             count(*) AS n_hit
+      FROM phq q JOIN pos USING (term) GROUP BY 1, 2, 3, 4),
+    phpf AS (
+      SELECT c.qid, c.cid, c.doc_id, count(*) AS pf
+      FROM phcand c JOIN phn n ON n.qid = c.qid AND n.cid = c.cid
+      WHERE c.n_hit = n.n_off GROUP BY 1, 2, 3),
+    c_phrase AS (
+      SELECT pf.qid, pf.cid, n.occur, pf.doc_id,
+             k.idf_sum * pf.pf * {BM25_K1 + 1.0}
+             / (pf.pf + {BM25_K1}
+                * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl))
+               AS contrib
+      FROM phpf pf
+      JOIN phok k ON k.qid = pf.qid AND k.cid = pf.cid
+      JOIN phn n ON n.qid = pf.qid AND n.cid = pf.cid
+      JOIN ds ON pf.doc_id = ds.doc_id CROSS JOIN stats)""")
+    union = "\n      UNION ALL\n".join(
+        f"      SELECT * FROM c_{name}"
+        for name, v in (
+            ("term", term_v), ("fuzzy", fuzzy_v),
+            ("wild", wild_v), ("phrase", phrase_v),
+        )
+        if v
+    )
+    sql = f"""
+    WITH {_POS_CTES},{",".join(parts)},
+    contribs AS (
+{union}),
+    nmust AS (SELECT * FROM (VALUES {", ".join(nmust_v)}) n(qid, n_must)),
+    per_doc AS (
+      SELECT qid, doc_id, sum(contrib) AS score,
+             count(DISTINCT CASE WHEN occur = 'must' THEN cid END)
+               AS must_hits
+      FROM contribs WHERE occur != 'must_not' GROUP BY 1, 2),
+    ok AS (
+      SELECT p.qid, p.doc_id, p.score
+      FROM per_doc p JOIN nmust USING (qid)
+      WHERE p.must_hits = nmust.n_must
+        AND NOT EXISTS (
+          SELECT 1 FROM contribs v
+          WHERE v.occur = 'must_not'
+            AND v.qid = p.qid AND v.doc_id = p.doc_id)),
+    ranked_qs AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM ok)
+    SELECT qid, rank, doc_id, score_r FROM ranked_qs WHERE rank <= 10"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -4873,4 +5053,5 @@ def all_entries() -> Dict[str, Entry]:
         "composite_agg": q_composite_agg(),
         "ann_filtered_topk": q_ann_filtered_topk(),
         "matched_queries_topk": q_matched_queries_topk(),
+        "query_string_topk": q_query_string_topk(),
     }

@@ -805,3 +805,78 @@ def phrase_suggest_twin(
             best[s] = sc
     ranked = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:topn]
     return [(i + 1, s, sc) for i, (s, sc) in enumerate(ranked)]
+
+
+def query_string_twin(oracle, s: str, k: int = 10, max_expansions: int = 8):
+    """Pure-Python twin of query/querystring.py::query_string_search
+    over a BM25Oracle: same parse (shared parser — deterministic pure
+    Python), same expansion ranking, phrase pf-scoring, must/must_not
+    constraints. -> [(doc_id, score)] top-k."""
+    import re as _re
+
+    from dpr_spark.query.boolquery import wildcard_regex
+    from dpr_spark.query.querystring import parse_query_string
+
+    clauses = parse_query_string(s)
+    contribs: Dict[int, Dict[int, float]] = {}  # doc -> cid -> contrib
+    matched_cids: Dict[int, set] = {}  # doc -> set(cid)
+    veto: set = set()
+    n_must = sum(1 for c in clauses if c.occur == "must")
+    for c in clauses:
+        matched: Dict[int, float] = {}
+        if c.kind == "term":
+            for d in oracle.postings.get(c.text, ()):
+                matched[d] = oracle.score_one(c.text, d)
+        elif c.kind == "fuzzy":
+            pool = []
+            for term, dfv in oracle.df.items():
+                if term[:1] != c.text[:1]:
+                    continue
+                dist = _levenshtein(term, c.text, c.edits)
+                if 0 <= dist <= c.edits:
+                    pool.append((dist, -dfv, term))
+            pool.sort()
+            for dist, _, term in pool[:max_expansions]:
+                boost = 1.0 - dist / max(len(c.text), len(term))
+                for d in oracle.postings[term]:
+                    matched[d] = matched.get(d, 0.0) + boost * oracle.score_one(
+                        term, d
+                    )
+        elif c.kind == "wildcard":
+            rx = _re.compile(wildcard_regex(c.text))
+            cand = sorted(
+                (t for t in oracle.postings if rx.match(t)),
+                key=lambda t: (-oracle.df[t], t),
+            )[:max_expansions]
+            for term in cand:
+                for d in oracle.postings[term]:
+                    matched[d] = matched.get(d, 0.0) + oracle.score_one(term, d)
+        else:  # phrase
+            toks = c.text.split(" ")
+            if all(t in oracle.postings for t in toks):
+                idf_sum = sum(oracle.idf(t) for t in toks)
+                for d in oracle.postings[toks[0]]:
+                    dt = oracle.doc_tokens[d]
+                    pf = sum(
+                        1
+                        for i in range(len(dt) - len(toks) + 1)
+                        if dt[i : i + len(toks)] == toks
+                    )
+                    if pf:
+                        matched[d] = oracle._score_pf(pf, d, idf_sum)
+        if c.occur == "must_not":
+            veto.update(matched)
+            continue
+        for d, v in matched.items():
+            contribs.setdefault(d, {})[c.cid] = v
+            if c.occur == "must":
+                matched_cids.setdefault(d, set()).add(c.cid)
+    scores = {}
+    for d, by_cid in contribs.items():
+        if d in veto:
+            continue
+        if len(matched_cids.get(d, ())) != n_must:
+            continue
+        scores[d] = sum(by_cid.values())
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
