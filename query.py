@@ -53,6 +53,15 @@ def main(argv=None) -> None:
                     help="treat each question as an anchored regex over the "
                          "term dictionary (RegexpQuery rewrite; --engine "
                          "exact/segments result schema)")
+    ap.add_argument("--query-string", action="store_true",
+                    help='parse questions as the +must -not "phrase" glob* '
+                         "fuzzy~N query-string language "
+                         "(query/querystring.py; phrases need a "
+                         "positional index)")
+    ap.add_argument("--phrase-suggest", type=int, default=None, metavar="N",
+                    help="top-N whole-query did-you-mean suggestions from "
+                         "the bigram LM over --pages "
+                         "(query/phrasesuggest.py)")
     ap.add_argument("--suggest", type=int, default=None, metavar="N",
                     help="autocomplete mode: treat each question as a prefix; "
                          "emit the top-N df-weighted vocabulary completions")
@@ -190,8 +199,35 @@ def main(argv=None) -> None:
         spark.stop()
         return
 
+    if args.phrase_suggest:
+        if not args.pages:
+            raise SystemExit("--phrase-suggest needs --pages (the bigram "
+                             "LM counts the raw corpus token stream)")
+        from dpr_spark.query.phrasesuggest import build_bigram_lm, suggest_phrases
+
+        lm = build_bigram_lm(spark.read.parquet(args.pages).selectExpr("text"))
+        qs = [(int(r.qid), r.question)
+              for r in queries.select("qid", "question").collect()]
+        t0 = time.perf_counter()
+        sugg = suggest_phrases(spark, qs, idx, lm, topn=args.phrase_suggest).persist()
+        n_res = sugg.count()
+        wall = time.perf_counter() - t0
+        sugg.write.mode("overwrite").parquet(os.path.join(args.out, "phrase_suggestions"))
+        print(f"phrase-suggested for {len(qs)} queries ({n_res} rows) "
+              f"in {wall:.2f}s [phrase-suggest]")
+        spark.stop()
+        return
+
     t0 = time.perf_counter()
-    if args.regexp:
+    if args.query_string:
+        from dpr_spark.query.querystring import query_string_search
+
+        qs = [(int(r.qid), r.question)
+              for r in queries.select("qid", "question").collect()]
+        results = query_string_search(
+            spark, qs, idx, positions=idx.positions, k=args.k
+        )
+    elif args.regexp:
         from dpr_spark.query.boolquery import regexp_search
 
         patterns = [
@@ -309,7 +345,9 @@ def main(argv=None) -> None:
     wall = time.perf_counter() - t0
     n_q = queries.count()
     results.write.mode("overwrite").parquet(os.path.join(args.out, "results"))
-    if args.regexp:
+    if args.query_string:
+        engine_label = "query-string"
+    elif args.regexp:
         engine_label = "regexp"
     elif args.boost:
         engine_label = "exact+boost"

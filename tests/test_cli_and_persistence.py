@@ -257,3 +257,62 @@ def test_cli_search_after_and_sort_by(tmp_path, pages_pdf, queries_pdf):
     for _, g in srt.sort_values(["qid", "rank"]).groupby("qid"):
         ts = list(g.ts)
         assert ts == sorted(ts, reverse=True)
+
+
+def test_cli_query_string_and_phrase_suggest(tmp_path, pages_pdf, queries_pdf):
+    """--query-string parses operators (incl. a phrase needing the
+    positional index); --phrase-suggest emits whole-query corrections."""
+    from dpr_spark.fixtures.corpus import write_queries_tsv
+    from dpr_spark.functions.tokenizer import tokenize
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(pages_pdf[["url", "text"]].head(120), preserve_index=False),
+        pages_path,
+    )
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    out1 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "build_index.py"),
+         "--pages", pages_path, "--out", str(tmp_path / "idx"), "--positional"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out1.returncode == 0, out1.stderr[-2000:]
+
+    toks = tokenize(pages_pdf["text"].iloc[0])
+    qs = queries_pdf.head(2).copy()
+    qs.loc[qs.index[0], "question"] = f'+{toks[0]} "{toks[1]} {toks[2]}" th*'
+    qs.loc[qs.index[1], "question"] = f"{toks[3]} -{toks[4]}"
+    write_queries_tsv(str(tmp_path / "qs.tsv"), qs)
+    out2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "query.py"),
+         "--index", str(tmp_path / "idx"), "--queries", str(tmp_path / "qs.tsv"),
+         "--k", "5", "--out", str(tmp_path / "run_qs"), "--query-string"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "[query-string]" in out2.stdout
+    import pyarrow.parquet as _pq
+
+    assert _pq.read_table(str(tmp_path / "run_qs" / "results")).num_rows > 0
+
+    bad = queries_pdf.head(1).copy()
+    w = max(tokenize(bad["question"].iloc[0]), key=len)
+    bad.loc[bad.index[0], "question"] = bad["question"].iloc[0].replace(
+        w, w[0] + w[2:], 1
+    )
+    write_queries_tsv(str(tmp_path / "ps.tsv"), bad)
+    out3 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "query.py"),
+         "--index", str(tmp_path / "idx"), "--queries", str(tmp_path / "ps.tsv"),
+         "--out", str(tmp_path / "run_ps"), "--phrase-suggest", "3",
+         "--pages", pages_path],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out3.returncode == 0, out3.stderr[-2000:]
+    assert "[phrase-suggest]" in out3.stdout
+    assert _pq.read_table(
+        str(tmp_path / "run_ps" / "phrase_suggestions")
+    ).num_rows > 0
