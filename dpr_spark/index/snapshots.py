@@ -381,3 +381,55 @@ def load_index_at(
         id_strategy=props.get("id_strategy"),
         positions=catalog.read("positions", snapshot_id=sid) if has_pos else None,
     )
+
+
+class AliasRegistry:
+    """ES-style index aliases over snapshot catalogs: a tiny JSON map
+    alias -> {workdir, snapshot_id|None} with the same atomic
+    tmp+rename publish as the catalog meta. `None` snapshot pins
+    nothing — readers follow the target catalog's CURRENT snapshot, so
+    a zero-downtime reindex is: build v2 into a NEW catalog, then one
+    atomic `set()` — in-flight readers keep their already-resolved
+    snapshot (snapshot isolation), new resolves see v2. A pinned
+    snapshot_id makes the alias a stable named view (like an ES alias
+    onto a frozen index)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def _read(self) -> dict:
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def _write(self, m: dict) -> None:
+        tmp = self.path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self.path)
+
+    def set(self, alias: str, workdir: str, snapshot_id: Optional[int] = None) -> None:
+        m = self._read()
+        m[alias] = {"workdir": workdir, "snapshot_id": snapshot_id}
+        self._write(m)
+
+    def drop(self, alias: str) -> None:
+        m = self._read()
+        if alias not in m:
+            raise KeyError(f"alias {alias!r} not defined")
+        del m[alias]
+        self._write(m)
+
+    def aliases(self) -> dict:
+        return self._read()
+
+    def resolve(self, spark: SparkSession, alias: str):
+        """-> the InvertedIndex the alias points at right now."""
+        m = self._read()
+        if alias not in m:
+            raise KeyError(f"alias {alias!r} not defined")
+        t = m[alias]
+        cat = SnapshotCatalog(spark, t["workdir"])
+        return load_index_at(cat, snapshot_id=t.get("snapshot_id"))

@@ -220,3 +220,43 @@ def test_pit_double_open_and_unknown_close(spark, cat):
     with pytest.raises(KeyError):
         cat.close_pit("nope")
     cat.close_pit(pit["pit_id"])
+
+
+def test_alias_zero_downtime_reindex(spark, tmp_path, pages_df):
+    """ES alias swap: readers through the alias see v1, one atomic set()
+    repoints to a NEW catalog (reindex), pinned aliases stay frozen."""
+    from dpr_spark.index.build import build_index
+    from dpr_spark.index.snapshots import AliasRegistry
+    from dpr_spark.query.scorer import search
+
+    reg = AliasRegistry(str(tmp_path / "aliases.json"))
+    cat1 = SnapshotCatalog(spark, str(tmp_path / "cat_v1"))
+    idx1 = build_index(spark, pages_df.limit(100))
+    s1 = snapshot_index(cat1, idx1, timestamp_ms=1000)
+    reg.set("web", str(tmp_path / "cat_v1"))
+    reg.set("web-frozen", str(tmp_path / "cat_v1"), snapshot_id=s1)
+
+    qdf = spark.createDataFrame([(0, "the spark window")], ["qid", "question"])
+    r1 = [(r.rank, r.doc_id) for r in search(qdf, reg.resolve(spark, "web"), k=5)
+          .orderBy("rank").collect()]
+
+    # reindex: v2 in a brand-new catalog; one atomic repoint
+    cat2 = SnapshotCatalog(spark, str(tmp_path / "cat_v2"))
+    idx2 = build_index(spark, pages_df.limit(220))
+    snapshot_index(cat2, idx2, timestamp_ms=2000)
+    reg.set("web", str(tmp_path / "cat_v2"))
+
+    r2 = [(r.rank, r.doc_id) for r in search(qdf, reg.resolve(spark, "web"), k=5)
+          .orderBy("rank").collect()]
+    frozen = [(r.rank, r.doc_id) for r in
+              search(qdf, reg.resolve(spark, "web-frozen"), k=5)
+              .orderBy("rank").collect()]
+    assert frozen == r1          # pinned alias is a stable named view
+    assert r2 != r1              # live alias serves the reindexed corpus
+
+    assert set(reg.aliases()) == {"web", "web-frozen"}
+    reg.drop("web-frozen")
+    with pytest.raises(KeyError):
+        reg.resolve(spark, "web-frozen")
+    with pytest.raises(KeyError):
+        reg.drop("nope")
