@@ -4956,6 +4956,47 @@ def q_query_string_topk() -> Entry:
     return fn, sql
 
 
+def q_has_parent_topk() -> Entry:
+    """ES `has_parent` (query/joinquery.py::has_parent_search; the other
+    direction of has_child): top-10 CHILD docs whose parent (the decade
+    leader doc_id − doc_id%10, a real indexed doc) matches the query —
+    each child inherits its parent's BM25 score. Rank from
+    round(score, 6) then doc_id."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.joinquery import has_parent_search
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        cp = docs.select(
+            "doc_id",
+            (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(10))).alias("parent"),
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = has_parent_search(qdf, idx, cp, score=True, k=10).select(
+            "qid", "doc_id", "parent", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "parent", "score_r"
+        )
+
+    sql = f"""
+    WITH {_BM25_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    kids AS (SELECT doc_id, doc_id - doc_id % 10 AS parent FROM documents),
+    joined AS (
+      SELECT s.qid, k.doc_id, k.parent, s.score
+      FROM scored s JOIN kids k ON k.parent = s.doc_id),
+    ranked_p AS (
+      SELECT qid, doc_id, parent, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM joined)
+    SELECT qid, rank, doc_id, parent, score_r FROM ranked_p WHERE rank <= 10"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -5054,4 +5095,5 @@ def all_entries() -> Dict[str, Entry]:
         "ann_filtered_topk": q_ann_filtered_topk(),
         "matched_queries_topk": q_matched_queries_topk(),
         "query_string_topk": q_query_string_topk(),
+        "has_parent_topk": q_has_parent_topk(),
     }

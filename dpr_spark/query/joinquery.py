@@ -82,3 +82,44 @@ def has_child_search(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "parent", "score", "n_children")
     )
+
+
+def has_parent_search(
+    queries: DataFrame,
+    index: InvertedIndex,
+    child_parent: DataFrame,
+    score: bool = True,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(qid, rank, doc_id, parent, score): top-k CHILD docs whose parent
+    matches the query — the ES `has_parent` query (Lucene join module,
+    the other direction of has_child): a child's score is its parent's
+    BM25 score (score=True) or 0 with doc_id-ordered ranks (ES
+    score=false, filter context). Parents are ordinary indexed docs;
+    `child_parent` is (doc_id, parent) with `parent` a doc_id.
+
+    Scale shape: parents score through the ordinary probe-in-place
+    plan; only MATCHING parents (candidate-sized) join the child map —
+    a narrow join on the parent key with no forced strategy: the child
+    map is corpus-sized at web scale and must never broadcast, while
+    the matched-parent side ranges from tiny (selective query → AQE
+    broadcasts it) to huge (stopword query → SMJ co-partitioned on the
+    key), so Catalyst/AQE picks per query."""
+    parents = score_exact(queries, index, k1=k1, b=b).withColumnRenamed(
+        "doc_id", "parent"
+    )
+    kids = child_parent.select("doc_id", "parent").join(parents, "parent")
+    if score:
+        out = kids.select("qid", "doc_id", "parent", "score")
+        order = [F.col("score").desc(), F.col("doc_id").asc()]
+    else:
+        out = kids.select("qid", "doc_id", "parent", F.lit(0.0).alias("score"))
+        order = [F.col("doc_id").asc()]
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "parent", "score")
+    )

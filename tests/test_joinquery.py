@@ -95,3 +95,43 @@ def test_has_child_validation(spark, index):
         has_child_search(q, index, cp, score_mode="best")
     with pytest.raises(ValueError, match="min_children"):
         has_child_search(q, index, cp, min_children=0)
+
+
+def test_has_parent_matches_twin(spark, index, queries_pdf, oracle):
+    """has_parent (score=true/false) vs brute force: children inherit
+    their parent's BM25 score; filter mode ranks by doc_id."""
+    from dpr_spark.query.joinquery import has_parent_search
+
+    # parent of doc d = the decade leader d - d%10 (a real indexed doc)
+    cp = index.docstats.select(
+        "doc_id",
+        (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(10))).alias("parent"),
+    )
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(5))
+    for score in (True, False):
+        res = has_parent_search(qdf, index, cp, score=score, k=15)
+        got = {}
+        for r in res.collect():
+            got.setdefault(r.qid, []).append((r.rank, r.doc_id, r.parent, r.score))
+        checked = 0
+        for _, q in queries_pdf.head(5).iterrows():
+            pscores = dict(oracle.search(q.question, k=10**9))
+            kids = []
+            for d in oracle.doc_tokens:
+                p = d - d % 10
+                if p in pscores:
+                    kids.append((d, p, pscores[p]))
+            if score:
+                kids.sort(key=lambda t: (-t[2], t[0]))
+            else:
+                kids.sort(key=lambda t: t[0])
+                kids = [(d, p, 0.0) for d, p, _ in kids]
+            expect = [(i + 1, d, p, s) for i, (d, p, s) in enumerate(kids[:15])]
+            actual = sorted(got.get(int(q.qid), []))
+            assert [(a[0], a[1], a[2]) for a in actual] == [
+                (e[0], e[1], e[2]) for e in expect
+            ], f"score={score} qid={q.qid}"
+            for a, e in zip(actual, expect):
+                assert a[3] == pytest.approx(e[3], rel=1e-12)
+            checked += len(expect)
+        assert checked >= 50
