@@ -4997,6 +4997,66 @@ def q_has_parent_topk() -> Entry:
     return fn, sql
 
 
+def q_inner_hits() -> Entry:
+    """ES has_child `inner_hits` (query/joinquery.py): for each of the
+    top-3 parents (score_mode=max over children, parent = doc_id%25),
+    the 2 best-scoring matching children. Both the parent selection and
+    the child ranking use round(score, 6) in both engines."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.joinquery import (
+            has_child_inner_hits,
+            has_child_search,
+        )
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        cp = docs.select(
+            "doc_id", F.pmod(F.col("doc_id"), F.lit(25)).alias("parent")
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        allp = has_child_search(qdf, idx, cp, score_mode="max", k=1000)
+        wp = Window.partitionBy("qid").orderBy(
+            F.desc(F.round("score", 6)), F.asc("parent")
+        )
+        parents = (
+            allp.withColumn("_r", F.row_number().over(wp))
+            .filter(F.col("_r") <= 3)
+            .select("qid", "parent")
+        )
+        res = has_child_inner_hits(
+            qdf, idx, cp, parents, size=2, score_round=6, salt_buckets=4
+        )
+        return res.select(
+            "qid", "parent", "rank", "doc_id",
+            F.round("score", 6).alias("score_r"),
+        )
+
+    sql = f"""
+    WITH {_BM25_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    cp AS (SELECT doc_id, doc_id % 25 AS parent FROM documents),
+    withp AS (SELECT s.qid, s.doc_id, c.parent, s.score
+              FROM scored s JOIN cp c USING (doc_id)),
+    pmax AS (SELECT qid, parent, max(score) AS pscore
+             FROM withp GROUP BY 1, 2),
+    parents AS (
+      SELECT qid, parent FROM (
+        SELECT qid, parent,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY round(pscore, 6) DESC, parent) AS r
+        FROM pmax) WHERE r <= 3),
+    inner_h AS (
+      SELECT w.qid, w.parent, w.doc_id, round(w.score, 6) AS score_r,
+             row_number() OVER (PARTITION BY w.qid, w.parent
+               ORDER BY round(w.score, 6) DESC, w.doc_id) AS rank
+      FROM withp w JOIN parents p
+        ON p.qid = w.qid AND p.parent = w.parent)
+    SELECT qid, parent, rank, doc_id, score_r
+    FROM inner_h WHERE rank <= 2"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -5096,4 +5156,5 @@ def all_entries() -> Dict[str, Entry]:
         "matched_queries_topk": q_matched_queries_topk(),
         "query_string_topk": q_query_string_topk(),
         "has_parent_topk": q_has_parent_topk(),
+        "inner_hits": q_inner_hits(),
     }

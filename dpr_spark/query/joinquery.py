@@ -123,3 +123,41 @@ def has_parent_search(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "doc_id", "parent", "score")
     )
+
+
+def has_child_inner_hits(
+    queries: DataFrame,
+    index: InvertedIndex,
+    child_parent: DataFrame,
+    parents_topk: DataFrame,
+    size: int = 3,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    salt_buckets=None,
+    score_round: int = 0,
+) -> DataFrame:
+    """(qid, parent, rank, doc_id, score): the ES `inner_hits` block of
+    a has_child query — for each RANKED parent (the has_child_search
+    output), the `size` best-scoring matching children, score desc then
+    doc_id.
+
+    Scale shape: children re-score through the probe-in-place plan (the
+    same candidate rows the parent fold consumed); the ranked-parent
+    set is top-k-sized and broadcasts into it; the per-(qid, parent)
+    top-size is the exact salted two-level cap."""
+    from dpr_spark.extras.domains import cap_per_key
+
+    scored = score_exact(queries, index, k1=k1, b=b).join(
+        child_parent.select("doc_id", "parent"), "doc_id"
+    )
+    keep = parents_topk.select("qid", "parent").distinct()
+    mine = scored.join(F.broadcast(keep), ["qid", "parent"], "left_semi")
+    # score_round>0 ranks on round(score, d) — the cross-engine tie
+    # discipline for oracle entries; 0 ranks on the raw float
+    key = F.round("score", score_round) if score_round else F.col("score")
+    order = [key.desc(), F.col("doc_id").asc()]
+    top = cap_per_key(mine, ["qid", "parent"], order, size, salt_buckets)
+    w = Window.partitionBy("qid", "parent").orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "qid", "parent", "rank", "doc_id", "score"
+    )

@@ -135,3 +135,37 @@ def test_has_parent_matches_twin(spark, index, queries_pdf, oracle):
                 assert a[3] == pytest.approx(e[3], rel=1e-12)
             checked += len(expect)
         assert checked >= 50
+
+
+def test_has_child_inner_hits(spark, index, queries_pdf, oracle):
+    """inner_hits: per ranked parent, the top-2 matching children equal
+    brute force over the oracle's full scoring."""
+    from dpr_spark.query.joinquery import has_child_inner_hits, has_child_search
+
+    cp = index.docstats.select(
+        "doc_id", F.pmod(F.col("doc_id"), F.lit(7)).alias("parent")
+    )
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(4))
+    parents = has_child_search(qdf, index, cp, score_mode="max", k=3)
+    inner = has_child_inner_hits(qdf, index, cp, parents, size=2)
+    got = {}
+    for r in inner.collect():
+        got.setdefault((r.qid, r.parent), []).append((r.rank, r.doc_id, r.score))
+    pk = {(r.qid, r.parent) for r in parents.collect()}
+    assert set(got) == pk  # exactly the ranked parents get inner hits
+    checked = 0
+    for _, q in queries_pdf.head(4).iterrows():
+        full = oracle.search(q.question, k=10**9)
+        by_parent = {}
+        for d, s in full:  # score desc, doc_id asc already
+            by_parent.setdefault(d % 7, []).append((d, s))
+        for (qid, p), hits in got.items():
+            if qid != int(q.qid):
+                continue
+            expect = [(i + 1, d, s) for i, (d, s) in enumerate(by_parent[p][:2])]
+            actual = sorted(hits)
+            assert [(a[0], a[1]) for a in actual] == [(e[0], e[1]) for e in expect]
+            for a, e in zip(actual, expect):
+                assert a[2] == pytest.approx(e[2], rel=1e-12)
+            checked += 1
+    assert checked >= 8
