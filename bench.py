@@ -342,7 +342,7 @@ def main() -> None:
         "term_vectors", "boosting_topk", "phrase_suggest",
         "hybrid_rrf_topk", "range_agg", "composite_agg",
         "ann_filtered_topk", "matched_queries_topk", "query_string_topk",
-        "has_parent_topk", "inner_hits",
+        "has_parent_topk", "inner_hits", "metric_aggs_misc",
     ]:
         try:
             fn, _ = entries[name]

@@ -5057,6 +5057,57 @@ def q_inner_hits() -> Entry:
     return fn, sql
 
 
+def q_metric_aggs_misc() -> Entry:
+    """ES `weighted_avg` + `value_count` + `missing` over the match set
+    (query/aggs.py): Σ(n_chars·w)/Σ(w) with w = doc_id%5+1, and
+    non-null/missing counts of a field defined only for doc_id%3 != 0."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import (
+            value_count_missing_agg,
+            weighted_avg_agg,
+        )
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        vals = docs.select(
+            "doc_id",
+            F.col("n_chars").cast("double").alias("v"),
+            (F.pmod("doc_id", F.lit(5)) + 1).cast("double").alias("w"),
+        )
+        wa = weighted_avg_agg(qdf, idx, vals, "v", "w").select(
+            "qid", F.round("weighted_avg", 6).alias("weighted_avg_r")
+        )
+        sparse = vals.filter(F.pmod("doc_id", F.lit(3)) != 0).select(
+            "doc_id", "v"
+        )
+        vc = value_count_missing_agg(qdf, idx, sparse, "v")
+        return wa.join(vc, "qid").select(
+            "qid", "weighted_avg_r", "value_count", "missing"
+        )
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    mv AS (SELECT m.qid, m.doc_id, d.n_chars::DOUBLE AS v,
+                  (m.doc_id % 5 + 1)::DOUBLE AS w
+           FROM matches m JOIN documents d USING (doc_id)),
+    wa AS (SELECT qid, round(sum(v * w) / sum(w), 6) AS weighted_avg_r
+           FROM mv GROUP BY 1),
+    vc AS (SELECT qid,
+                  sum(CASE WHEN doc_id % 3 != 0 THEN 1 ELSE 0 END)::BIGINT
+                    AS value_count,
+                  sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
+                    AS missing
+           FROM mv GROUP BY 1)
+    SELECT wa.qid, wa.weighted_avg_r, vc.value_count, vc.missing
+    FROM wa JOIN vc USING (qid)"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -5157,4 +5208,5 @@ def all_entries() -> Dict[str, Entry]:
         "query_string_topk": q_query_string_topk(),
         "has_parent_topk": q_has_parent_topk(),
         "inner_hits": q_inner_hits(),
+        "metric_aggs_misc": q_metric_aggs_misc(),
     }

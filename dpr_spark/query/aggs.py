@@ -415,3 +415,43 @@ def composite_agg(
         .drop("_rn")
         .select("qid", *cols, "count")
     )
+
+
+def weighted_avg_agg(
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    value_field: str,
+    weight_field: str,
+) -> DataFrame:
+    """(qid, weighted_avg) — ES `weighted_avg`: Σ(v·w)/Σ(w) over the
+    match set (docs with NULL value or weight are skipped, the ES
+    missing-default contract)."""
+    m = _matches(queries, index).join(
+        doc_values.select("doc_id", value_field, weight_field), "doc_id"
+    )
+    v = F.col(value_field).cast("double")
+    w = F.col(weight_field).cast("double")
+    ok = m.filter(v.isNotNull() & w.isNotNull())
+    return ok.groupBy("qid").agg(
+        (F.sum(v * w) / F.sum(w)).alias("weighted_avg")
+    )
+
+
+def value_count_missing_agg(
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    field: str,
+) -> DataFrame:
+    """(qid, value_count, missing) — ES `value_count` + `missing` in one
+    pass: non-null values of `field` over the match set, and matched
+    docs lacking the field (left join → NULL)."""
+    m = _matches(queries, index).join(
+        doc_values.select("doc_id", field), "doc_id", "left"
+    )
+    c = F.col(field)
+    return m.groupBy("qid").agg(
+        F.count(c).alias("value_count"),
+        F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("missing"),
+    )

@@ -366,3 +366,36 @@ def test_composite_agg_pages_cover_all_buckets(spark, index, queries_pdf, oracle
         last = rows[-1]
         after = {"b5": last.b5, "b3": last.b3}
     assert walked == expect
+
+
+def test_weighted_avg_and_value_count_missing(spark, index, queries_pdf, oracle):
+    from dpr_spark.query.aggs import value_count_missing_agg, weighted_avg_agg
+
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(8))
+    # value = doclen, weight = (doc_id%5)+1; field missing for doc_id%3==0
+    vals = index.docstats.select(
+        "doc_id",
+        F.col("doclen").cast("double").alias("v"),
+        (F.pmod("doc_id", F.lit(5)) + 1).cast("double").alias("w"),
+    )
+    wa = {
+        r.qid: r.weighted_avg
+        for r in weighted_avg_agg(qdf, index, vals, "v", "w").collect()
+    }
+    sparse = vals.filter(F.pmod("doc_id", F.lit(3)) != 0).select("doc_id", "v")
+    vc = {
+        r.qid: (r.value_count, r.missing)
+        for r in value_count_missing_agg(qdf, index, sparse, "v").collect()
+    }
+    checked = 0
+    for _, q in queries_pdf.head(8).iterrows():
+        docs = _oracle_matches(oracle, q.question)
+        if not docs:
+            continue
+        num = sum(oracle.doclen[d] * ((d % 5) + 1) for d in docs)
+        den = sum((d % 5) + 1 for d in docs)
+        assert wa[int(q.qid)] == pytest.approx(num / den, rel=1e-12)
+        present = sum(1 for d in docs if d % 3 != 0)
+        assert vc[int(q.qid)] == (present, len(docs) - present)
+        checked += 1
+    assert checked >= 6
