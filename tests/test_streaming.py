@@ -98,3 +98,42 @@ def test_streaming_refresh_into_snapshot_catalog(spark, tmp_path):
     r.start(str(src), PAGES_SCHEMA).awaitTermination(120)
     assert len(cat.history()) == 2
     assert r.delta_doc_terms().count() == n1 + 2
+
+
+def test_streaming_percolator_alerts(spark, tmp_path):
+    """Standing queries alert on matching pages per micro-batch;
+    a resumed stream processes only NEW files (no duplicate alerts)."""
+    from dpr_spark.query.percolate import PercolatorQuery, percolate_py
+    from dpr_spark.streaming.alerts import StreamingPercolator
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    batch1 = [("u1", "alpha beta gamma"), ("u2", "beta delta"), ("u3", "zeta")]
+    _write_batch(str(src / "b1.parquet"), batch1)
+
+    queries = [
+        PercolatorQuery(0, must=("alpha",)),
+        PercolatorQuery(1, should=("delta", "zeta"), msm=1),
+        PercolatorQuery(2, must=("beta",), must_not=("gamma",)),
+    ]
+    p = StreamingPercolator(spark, queries, str(tmp_path / "alerts"))
+    p.start(str(src), PAGES_SCHEMA).awaitTermination(120)
+
+    got = {(r.url, r.pqid) for r in p.alerts().collect()}
+    expect = set()
+    for url, text in batch1:
+        for pqid in percolate_py(text, queries):
+            expect.add((url, pqid))
+    assert got == expect and got  # u1->0, u2->1 & 2, u3->1
+
+    # second batch: checkpoint resume — only the new file alerts
+    batch2 = [("u4", "alpha zeta"), ("u5", "nothing matches here")]
+    _write_batch(str(src / "b2.parquet"), batch2)
+    p.start(str(src), PAGES_SCHEMA).awaitTermination(120)
+    got2 = {(r.url, r.pqid) for r in p.alerts().collect()}
+    expect2 = set(expect)
+    for url, text in batch2:
+        for pqid in percolate_py(text, queries):
+            expect2.add((url, pqid))
+    assert got2 == expect2
+    assert len([1 for r in p.alerts().collect()]) == len(got2)  # no dupes
