@@ -4722,6 +4722,60 @@ def q_ann_filtered_topk() -> Entry:
     return fn, sql
 
 
+def q_ann_ivf_topk() -> Entry:
+    """IVF coarse-quantized vector search (extras/ann.py::ivf_cosine_topk;
+    FAISS IVF-flat analog, reference faiss_indexers.py): nlist=8 sampled
+    centroids (every (N//8)-th vector by id — iters=0 so the quantizer is
+    SQL-replayable; k-means training is pytest-gated separately), corpus
+    assigned to its nearest list by rounded cosine, queries (vec_id 0..4)
+    probe their nprobe=2 nearest lists, exact rounded-cosine re-rank
+    inside the candidates. Candidates come from a broadcast equi-join on
+    list_id — the corpus is never cross-joined."""
+    NLIST, NPROBE, K = 8, 2, 10
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.ann import ivf_cosine_topk, sampled_centroids
+
+        e = _emb(spark, sf_dir)
+        cent = sampled_centroids(e, nlist=NLIST)
+        q = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        return ivf_cosine_topk(e, q, cent, k=K, nprobe=NPROBE, rank_round=6).select(
+            "qid", "rank", "vec_id", F.round("cosine", 6).alias("cos_r")
+        )
+
+    sql = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (SELECT greatest((max(vec_id) + 1) // {NLIST}, 1) AS md FROM e),
+    c AS (SELECT (e.vec_id // m.md)::INT AS cid, e.v AS cv
+          FROM e, m WHERE e.vec_id % m.md = 0 AND e.vec_id // m.md < {NLIST}),
+    sim AS (SELECT e.vec_id, e.v, c.cid,
+                   round(list_dot_product(e.v, c.cv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cs
+            FROM e CROSS JOIN c),
+    assigned AS (SELECT vec_id, v, cid AS list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, cid) AS rn
+        FROM sim) WHERE rn = 1),
+    probes AS (SELECT vec_id AS qid, v AS qv, cid AS list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, cid) AS rn
+        FROM sim WHERE vec_id < 5) WHERE rn <= {NPROBE}),
+    cand AS (SELECT p.qid, a.vec_id,
+                    round(list_dot_product(p.qv, a.v)
+                          / (sqrt(list_dot_product(p.qv, p.qv))
+                             * sqrt(list_dot_product(a.v, a.v))), 6) AS cos_r
+             FROM probes p JOIN assigned a USING (list_id)),
+    ranked AS (SELECT qid, vec_id, cos_r,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY cos_r DESC, vec_id) AS rank
+               FROM cand)
+    SELECT qid, rank, vec_id, cos_r FROM ranked WHERE rank <= {K}"""
+    return fn, sql
+
+
 def q_matched_queries_topk() -> Entry:
     """ES `matched_queries` (query/boolquery.py::matched_queries):
     BM25 top-10 where each hit carries the sorted names of the named
@@ -5204,6 +5258,7 @@ def all_entries() -> Dict[str, Entry]:
         "range_agg": q_range_agg(),
         "composite_agg": q_composite_agg(),
         "ann_filtered_topk": q_ann_filtered_topk(),
+        "ann_ivf_topk": q_ann_ivf_topk(),
         "matched_queries_topk": q_matched_queries_topk(),
         "query_string_topk": q_query_string_topk(),
         "has_parent_topk": q_has_parent_topk(),

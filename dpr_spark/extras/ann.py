@@ -9,6 +9,7 @@ reference's search_knn is exact dot-product over an in-RAM matrix,
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -138,6 +139,151 @@ def lsh_cosine_topk(
     cand = F.broadcast(q).join(e, "bucket").select(
         "qid", "vec_id", cosine_expr(F.col("qv"), F.col("v")).alias("cosine")
     ).dropDuplicates(["qid", "vec_id"])
+    sort_score = (
+        F.round("cosine", rank_round) if rank_round is not None else F.col("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(sort_score), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path.
+#
+# FAISS IVF (the reference's at-scale option next to Flat/HNSW,
+# /root/reference/dpr/indexer/faiss_indexers.py) partitions the corpus
+# into nlist Voronoi cells around centroid vectors; a query probes only
+# the nprobe nearest cells and re-ranks exactly inside them. Spark-first
+# shape: centroids are TINY (nlist x dim floats) and live on the driver /
+# in a broadcast closure; cell assignment is one Arrow-batched pass over
+# the corpus (pandas_udf, no shuffle); the query->cell probe list is the
+# same kernel over the (small) query set; candidate selection is a
+# broadcast equi-join on list_id — the corpus is never cross-joined.
+# At 100 TB the assignment is written once at index time (a column in the
+# embeddings table, partition/bucket by list_id) and queries touch only
+# the probed buckets' files.
+# ---------------------------------------------------------------------------
+
+
+def sampled_centroids(emb: DataFrame, nlist: int, id_col: str = "vec_id",
+                      vec_col: str = "embedding", sample_mod: int | None = None) -> np.ndarray:
+    """Deterministic coarse quantizer without training: every
+    (max_id+1)//nlist-th vector by id is a centroid (IVF-flat with
+    sampled centroids — iters=0). Replayable in plain SQL, which the
+    driver's DuckDB oracle does."""
+    if sample_mod is None:
+        max_id = emb.agg(F.max(id_col)).first()[0]
+        sample_mod = max(1, (int(max_id) + 1) // nlist)
+    rows = (
+        emb.filter((F.col(id_col) % sample_mod == 0) & (F.col(id_col) / sample_mod < nlist))
+        .select(id_col, vec_col).collect()
+    )
+    rows.sort(key=lambda r: r[0])
+    return np.array([r[1] for r in rows], dtype=np.float64)
+
+
+def train_centroids(emb: DataFrame, nlist: int, iters: int = 5, seed: int = 42,
+                    sample_n: int = 100_000, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> np.ndarray:
+    """Spherical k-means on a bounded sample (driver-side numpy — the
+    standard IVF training shape: FAISS also trains its quantizer on a
+    sample, then assigns the full corpus distributed). The sample is
+    capped at sample_n rows so driver memory is bounded regardless of
+    corpus size; assignment of the FULL corpus happens in ivf_assign."""
+    n = emb.count()
+    frac = min(1.0, sample_n / max(n, 1))
+    sample = emb.sample(fraction=frac, seed=seed) if frac < 1.0 else emb
+    x = np.array([r[0] for r in sample.select(vec_col).collect()], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=nlist, replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(nlist):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def _cosine_matrix(vecs: np.ndarray, cent: np.ndarray, decimals: int = 6) -> np.ndarray:
+    """Rounded cosine of every vector against every centroid — rounding
+    makes the argmax/top-nprobe selection replayable across engines
+    (same protocol as the rank_round ranking everywhere else)."""
+    vn = np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    cn = np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return np.round((vecs @ cent.T) / (vn * cn.T), decimals)
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding",
+               out_col: str = "list_id") -> DataFrame:
+    """Assign every vector to its nearest centroid (rounded cosine, ties
+    to the lowest centroid id — np.argmax takes the first max). One
+    Arrow-batched map pass; the centroid matrix rides in the UDF closure
+    (nlist x dim — a few MB even at nlist=65536, well under the 2 GB
+    broadcast ceiling)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def best_list(v: pd.Series) -> pd.Series:
+        vecs = np.stack(v.to_numpy()).astype(np.float64)
+        return pd.Series(np.argmax(_cosine_matrix(vecs, cent), axis=1).astype(np.int32))
+
+    return emb.withColumn(out_col, best_list(F.col(vec_col)))
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+    rank_round: int | None = None,
+) -> DataFrame:
+    """IVF search: corpus rows are assigned to their nearest centroid's
+    inverted list; each query probes its nprobe nearest lists and
+    re-ranks exactly (Catalyst cosine fold) inside the candidates.
+    Candidate selection is list_id equi-join with the (tiny) exploded
+    query-probe side broadcast — never a corpus cross-join."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    nprobe = min(nprobe, len(cent))
+
+    @pandas_udf("array<int>")
+    def probe_lists(v: pd.Series) -> pd.Series:
+        vecs = np.stack(v.to_numpy()).astype(np.float64)
+        sims = _cosine_matrix(vecs, cent)
+        # top-nprobe by (rounded cosine desc, centroid id asc): stable
+        # lexsort on (-sim, id); id asc is implicit in stable sort order.
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    e = ivf_assign(
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+        ),
+        cent, vec_col="v",
+    )
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.transform(qvec_col, lambda x: x.cast("double")).alias("qv"),
+    ).withColumn("list_id", F.explode(probe_lists(F.col("qv"))))
+    cand = F.broadcast(q).join(e, "list_id").select(
+        "qid", "vec_id", cosine_expr(F.col("qv"), F.col("v")).alias("cosine")
+    )
     sort_score = (
         F.round("cosine", rank_round) if rank_round is not None else F.col("cosine")
     )

@@ -419,3 +419,76 @@ def test_brute_cosine_filtered_prefilter_semantics(spark):
         key=lambda t: (-t[1], t[0]),
     )[:5]
     assert [r.vec_id for r in sorted(res, key=lambda r: r.rank)] == [i for i, _ in cos]
+
+
+def test_ivf_assign_matches_numpy_twin(spark):
+    from dpr_spark.extras.ann import ivf_assign, train_centroids
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((120, 16)).astype("float32")
+    e = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    cent = train_centroids(e, nlist=6, iters=3, seed=9)
+    got = {
+        r.vec_id: r.list_id
+        for r in ivf_assign(
+            e.selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as embedding"),
+            cent,
+        ).collect()
+    }
+    vf = vecs.astype(np.float64)
+    sims = np.round(
+        (vf @ cent.T)
+        / (np.linalg.norm(vf, axis=1, keepdims=True) * np.linalg.norm(cent, axis=1)),
+        6,
+    )
+    want = {i: int(np.argmax(sims[i])) for i in range(120)}
+    assert got == want
+
+
+def test_ivf_recall_vs_brute_and_candidate_bound(spark):
+    from dpr_spark.extras.ann import brute_cosine_topk, ivf_cosine_topk, train_centroids
+
+    rng = np.random.default_rng(8)
+    # 5 gaussian clusters so the quantizer has real structure to find
+    centers = rng.standard_normal((5, 16)) * 4
+    vecs = np.concatenate(
+        [centers[i % 5] + rng.standard_normal(16) * 0.5 for i in range(300)]
+    ).reshape(300, 16).astype("float32")
+    e = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    q = spark.createDataFrame(
+        [(j, vecs[j].tolist()) for j in range(4)], "qid long, qv array<float>"
+    )
+    cent = train_centroids(e, nlist=5, iters=5, seed=3)
+    brute = {(r.qid, r.vec_id) for r in brute_cosine_topk(e, q, k=10).collect()}
+    got = ivf_cosine_topk(e, q, cent, k=10, nprobe=2).collect()
+    approx = {(r.qid, r.vec_id) for r in got}
+    # clustered data + nprobe=2/5 lists: the true neighbors live in the
+    # query's own cell; require near-perfect recall here
+    assert len(brute & approx) / len(brute) >= 0.9
+    # every query returns exactly k and ranks are 1..k
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, 11)) for v in by_q.values())
+
+
+def test_ivf_sampled_centroids_deterministic(spark):
+    from dpr_spark.extras.ann import ivf_cosine_topk, sampled_centroids
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((100, 8)).astype("float32")
+    e = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    cent = sampled_centroids(e, nlist=4)
+    assert cent.shape == (4, 8)
+    # sample_mod = 100//4 = 25 -> centroids are rows 0, 25, 50, 75
+    vf = vecs.astype(np.float64)
+    assert np.allclose(cent, vf[[0, 25, 50, 75]])
+    q = spark.createDataFrame([(0, vecs[0].tolist())], "qid long, qv array<float>")
+    top = ivf_cosine_topk(e, q, cent, k=3, nprobe=1).orderBy("rank").collect()
+    assert top[0].vec_id == 0  # self lives in the probed cell
