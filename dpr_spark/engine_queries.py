@@ -4058,6 +4058,67 @@ def q_date_histogram_agg() -> Entry:
     return fn, sql
 
 
+def q_pipeline_aggs() -> Entry:
+    """ES pipeline aggregations (query/aggs.py::pipeline_metrics +
+    bucket_sort): weekly date_histogram per query -> derivative,
+    cumulative_sum, moving 3-bucket unweighted average -> bucket_sort
+    keeps each query's top-5 weeks by count (ties by week). All metric
+    math is integer-derived (counts), so both engines agree bit-exactly;
+    weeks order lexicographically == chronologically."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import bucket_sort, date_histogram_agg, pipeline_metrics
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        vals = docs.select(
+            "doc_id",
+            F.to_timestamp(
+                F.date_add(
+                    F.lit("2025-01-01").cast("date"),
+                    F.pmod("doc_id", F.lit(45)).cast("int"),
+                )
+            ).alias("warc_ts"),
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        hist = date_histogram_agg(qdf, idx, vals, "warc_ts", unit="week").select(
+            "qid", F.date_format("bucket", "yyyy-MM-dd").alias("week"), "count"
+        )
+        met = pipeline_metrics(hist, order_col="week", window=3)
+        return bucket_sort(met, sort_col="count", tiebreak_col="week", size=5)
+
+    sql = f"""
+    WITH {{MATCH}},
+    hist AS (
+      SELECT m.qid,
+             strftime(date_trunc('week',
+                      DATE '2025-01-01' + (m.doc_id % 45)::INT), '%Y-%m-%d')
+               AS week,
+             count(*) AS count
+      FROM matches m GROUP BY 1, 2),
+    met AS (
+      SELECT qid, week, count,
+             coalesce(count::DOUBLE - lag(count::DOUBLE) OVER
+                        (PARTITION BY qid ORDER BY week), 0.0::DOUBLE) AS deriv,
+             sum(count) OVER (PARTITION BY qid ORDER BY week
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                             )::BIGINT AS cum,
+             round(avg(count::DOUBLE) OVER (PARTITION BY qid ORDER BY week
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+               AS mov_avg
+      FROM hist),
+    cut AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY count DESC, week) AS rn
+      FROM met)
+    SELECT qid, week, count, deriv, cum, mov_avg FROM cut WHERE rn <= 5"""
+    sql = sql.replace("{MATCH}", _MATCH_CTES.replace("{QTERMS}", _qterm_values_sql()))
+    return fn, sql
+
+
 def q_percentiles_agg() -> Entry:
     """ES `percentiles` aggregation over the match set (query/aggs.py),
     EXACT path: linear-interpolated quantiles of n_chars at p25/50/75/95
@@ -5247,6 +5308,7 @@ def all_entries() -> Dict[str, Entry]:
         "histogram_agg": q_histogram_agg(),
         "date_histogram_agg": q_date_histogram_agg(),
         "percentiles_agg": q_percentiles_agg(),
+        "pipeline_aggs": q_pipeline_aggs(),
         "cardinality_agg": q_cardinality_agg(),
         "top_hits_agg": q_top_hits_agg(),
         "multi_match_best_fields": q_multi_match_best_fields(),

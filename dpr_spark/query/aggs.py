@@ -455,3 +455,68 @@ def value_count_missing_agg(
         F.count(c).alias("value_count"),
         F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("missing"),
     )
+
+
+def pipeline_metrics(
+    buckets: DataFrame,
+    partition_col: str = "qid",
+    order_col: str = "bucket",
+    count_col: str = "count",
+    window: int = 3,
+) -> DataFrame:
+    """ES pipeline aggregations — `derivative`, `cumulative_sum` and
+    `moving_fn` (unweightedAvg over a trailing `window` buckets) —
+    computed over a parent histogram's bucket series. One window pass,
+    partitioned by query: no shuffle beyond the parent aggregation's own
+    partitioning, and the state per query is the bucket series itself
+    (bounded by the histogram's bucket count, never by doc count).
+    ES omits the first bucket's derivative; we emit 0.0 there so the
+    column is non-null (driver hash discipline).
+
+    Buckets with no matching docs are absent from the parent series
+    (min_doc_count=1 semantics): lag/window operate over PRESENT buckets
+    in order, exactly as ES does with min_doc_count >= 1."""
+    w = Window.partitionBy(partition_col).orderBy(order_col)
+    cnt = F.col(count_col).cast("double")
+    deriv = F.coalesce(cnt - F.lag(cnt).over(w), F.lit(0.0))
+    cum = F.sum(cnt).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    mov = F.avg(cnt).over(w.rowsBetween(-(window - 1), 0))
+    return buckets.select(
+        partition_col,
+        order_col,
+        count_col,
+        deriv.alias("deriv"),
+        cum.cast("long").alias("cum"),
+        F.round(mov, 6).alias("mov_avg"),
+    )
+
+
+def bucket_sort(
+    buckets: DataFrame,
+    partition_col: str = "qid",
+    sort_col: str = "count",
+    tiebreak_col: str = "bucket",
+    size: int = 3,
+    ascending: bool = False,
+) -> DataFrame:
+    """ES `bucket_sort` pipeline: truncate each query's bucket list to
+    the top `size` buckets by a metric (ties broken by the bucket key so
+    the cut is deterministic). Applied AFTER sibling pipeline metrics,
+    matching ES's pipeline ordering."""
+    key = F.asc(sort_col) if ascending else F.desc(sort_col)
+    w = Window.partitionBy(partition_col).orderBy(key, F.asc(tiebreak_col))
+    return (
+        buckets.withColumn("_bs_rn", F.row_number().over(w))
+        .filter(F.col("_bs_rn") <= size)
+        .drop("_bs_rn")
+    )
+
+
+def bucket_selector(
+    buckets: DataFrame,
+    predicate,
+) -> DataFrame:
+    """ES `bucket_selector` pipeline: drop buckets failing a predicate
+    over their metrics (a Catalyst boolean expression — pushed into the
+    parent agg's output scan, no extra pass)."""
+    return buckets.filter(predicate)

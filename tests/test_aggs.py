@@ -399,3 +399,26 @@ def test_weighted_avg_and_value_count_missing(spark, index, queries_pdf, oracle)
         assert vc[int(q.qid)] == (present, len(docs) - present)
         checked += 1
     assert checked >= 6
+
+
+def test_pipeline_metrics_and_bucket_tools(spark):
+    from pyspark.sql import functions as F
+    from dpr_spark.query.aggs import bucket_selector, bucket_sort, pipeline_metrics
+
+    rows = [(0, "a", 4), (0, "b", 10), (0, "c", 1), (1, "a", 2), (1, "b", 2)]
+    b = spark.createDataFrame(rows, "qid int, bucket string, count long")
+    met = {
+        (r.qid, r.bucket): (r.deriv, r.cum, r.mov_avg)
+        for r in pipeline_metrics(b, window=2).collect()
+    }
+    assert met[(0, "a")] == (0.0, 4, 4.0)
+    assert met[(0, "b")] == (6.0, 14, 7.0)     # (4+10)/2
+    assert met[(0, "c")] == (-9.0, 15, 5.5)    # (10+1)/2
+    assert met[(1, "b")] == (0.0, 4, 2.0)
+    top = {(r.qid, r.bucket) for r in bucket_sort(b, size=1).collect()}
+    assert top == {(0, "b"), (1, "a")}  # qid 1 ties 2/2 -> bucket key breaks
+    kept = {
+        (r.qid, r.bucket)
+        for r in bucket_selector(b, F.col("count") >= 4).collect()
+    }
+    assert kept == {(0, "a"), (0, "b")}
