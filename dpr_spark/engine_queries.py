@@ -2242,6 +2242,220 @@ def q_span_near_topk() -> Entry:
     return fn, sql
 
 
+SPAN_FIRST_N = 30
+
+
+def q_span_first_topk() -> Entry:
+    """Lucene SpanFirstQuery top-10 (query/phrase.py
+    span_first_search_index): the span-near contract with qualifying end
+    positions restricted to the document's first SPAN_FIRST_N tokens
+    (lead-paragraph matching). Engine positions are 0-based, DuckDB's
+    generate_subscripts 1-based, so p < N becomes p <= N in the twin."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.phrase import build_positions, span_first_search_index
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        pos = build_positions(docs, idx.dictionary)
+        res = span_first_search_index(
+            spark, idx, pos, SPAN_QUERIES, window=SPAN_WINDOW,
+            first_n=SPAN_FIRST_N, k=10,
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    from dpr_spark.query.phrase import _near_terms
+
+    term_values = ", ".join(
+        f"({qid}, '{t}')" for qid, _off, t in _near_terms(SPAN_QUERIES)
+    )
+    W = SPAN_WINDOW
+    sql = f"""
+    WITH {_POS_CTES},
+    q AS (SELECT * FROM (VALUES {term_values}) AS q(qid, term)),
+    qn AS (SELECT qid, count(*) AS n_terms FROM q GROUP BY 1),
+    idf AS (
+      SELECT q.qid,
+             sum(ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)) AS idf_sum,
+             count(*) AS n_res
+      FROM q JOIN dict USING (term) CROSS JOIN stats GROUP BY 1),
+    idf_ok AS (SELECT idf.qid, idf.idf_sum FROM idf JOIN qn USING (qid)
+               WHERE idf.n_res = qn.n_terms),
+    hits AS (SELECT q.qid, pos.doc_id, q.term, pos.p
+             FROM q JOIN pos USING (term)),
+    ends AS (SELECT DISTINCT qid, doc_id, p FROM hits
+             WHERE p <= {SPAN_FIRST_N}),
+    covered AS (
+      SELECT e.qid, e.doc_id, e.p, count(DISTINCT h.term) AS nt
+      FROM ends e JOIN hits h ON h.qid = e.qid AND h.doc_id = e.doc_id
+           AND h.p <= e.p AND h.p > e.p - {W}
+      GROUP BY 1, 2, 3),
+    pf AS (
+      SELECT c.qid, c.doc_id, count(*) AS pf
+      FROM covered c JOIN qn USING (qid) WHERE c.nt = qn.n_terms
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT pf.qid, pf.doc_id,
+             idf_ok.idf_sum * pf.pf * {BM25_K1 + 1.0}
+             / (pf.pf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl))
+             AS score
+      FROM pf JOIN idf_ok USING (qid)
+           JOIN ds ON pf.doc_id = ds.doc_id CROSS JOIN stats),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
+SPAN_OR_QUERIES = [
+    (0, [["spark", "stream"], ["window"]]),
+    (1, [["customer", "vector"], ["join", "group"]]),
+    (2, [["fast", "slow"], ["scan"], ["filter"]]),
+    (3, [["hash"], ["zzznope"]]),  # whole clause OOV -> no rows
+]
+
+
+def q_span_or_topk() -> Entry:
+    """SpanOr-inside-SpanNear top-10 (query/phrase.py
+    span_or_near_search_index): every clause (an OR over alternative
+    terms) must appear within a SPAN_WINDOW-token span; clause positions
+    are the union over alternatives, clause idf the max."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.phrase import build_positions, span_or_near_search_index
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        pos = build_positions(docs, idx.dictionary)
+        res = span_or_near_search_index(
+            spark, idx, pos, SPAN_OR_QUERIES, window=SPAN_WINDOW, k=10
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    term_values = ", ".join(
+        f"({qid}, {off}, '{t}')"
+        for qid, clauses in SPAN_OR_QUERIES
+        for off, alts in enumerate(clauses)
+        for t in alts
+    )
+    W = SPAN_WINDOW
+    sql = f"""
+    WITH {_POS_CTES},
+    q AS (SELECT * FROM (VALUES {term_values}) AS q(qid, off, term)),
+    qn AS (SELECT qid, count(DISTINCT off) AS n_clauses FROM q GROUP BY 1),
+    cidf AS (
+      SELECT q.qid, q.off,
+             max(ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)) AS cidf
+      FROM q JOIN dict USING (term) CROSS JOIN stats GROUP BY 1, 2),
+    idf AS (SELECT qid, sum(cidf) AS idf_sum, count(*) AS n_res
+            FROM cidf GROUP BY 1),
+    idf_ok AS (SELECT idf.qid, idf.idf_sum FROM idf JOIN qn USING (qid)
+               WHERE idf.n_res = qn.n_clauses),
+    hits AS (SELECT DISTINCT q.qid, pos.doc_id, q.off, pos.p
+             FROM q JOIN pos USING (term)),
+    ends AS (SELECT DISTINCT qid, doc_id, p FROM hits),
+    covered AS (
+      SELECT e.qid, e.doc_id, e.p, count(DISTINCT h.off) AS nc
+      FROM ends e JOIN hits h ON h.qid = e.qid AND h.doc_id = e.doc_id
+           AND h.p <= e.p AND h.p > e.p - {W}
+      GROUP BY 1, 2, 3),
+    pf AS (
+      SELECT c.qid, c.doc_id, count(*) AS pf
+      FROM covered c JOIN qn USING (qid) WHERE c.nc = qn.n_clauses
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT pf.qid, pf.doc_id,
+             idf_ok.idf_sum * pf.pf * {BM25_K1 + 1.0}
+             / (pf.pf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl))
+             AS score
+      FROM pf JOIN idf_ok USING (qid)
+           JOIN ds ON pf.doc_id = ds.doc_id CROSS JOIN stats),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
+SPAN_NOT_QUERIES = [
+    (0, "window", "agg"),
+    (1, "join", "customer"),
+    (2, "scan", "zzznope"),  # unresolvable exclude = plain term query
+    (3, "zzznope", "scan"),  # unresolvable include -> no rows
+]
+SPAN_NOT_DIST = 3
+
+
+def q_span_not_topk() -> Entry:
+    """Lucene SpanNotQuery top-10 (query/phrase.py
+    span_not_search_index): include-term occurrences survive only when
+    no exclude occurrence is within SPAN_NOT_DIST tokens; tf = surviving
+    occurrences, idf = the include term's."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.phrase import build_positions, span_not_search_index
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        pos = build_positions(docs, idx.dictionary)
+        res = span_not_search_index(
+            spark, idx, pos, SPAN_NOT_QUERIES, dist=SPAN_NOT_DIST, k=10
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    qv = ", ".join(
+        f"({qid}, '{inc}', '{exc}')" for qid, inc, exc in SPAN_NOT_QUERIES
+    )
+    D = SPAN_NOT_DIST
+    sql = f"""
+    WITH {_POS_CTES},
+    q AS (SELECT * FROM (VALUES {qv}) AS q(qid, inc, exc)),
+    qi AS (SELECT q.qid, q.inc, q.exc,
+                  ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0) AS idf_sum
+           FROM q JOIN dict ON dict.term = q.inc CROSS JOIN stats),
+    ip AS (SELECT qi.qid, pos.doc_id, pos.p FROM qi JOIN pos ON pos.term = qi.inc),
+    ep AS (SELECT qi.qid, pos.doc_id, pos.p FROM qi JOIN pos ON pos.term = qi.exc),
+    surv AS (
+      SELECT i.qid, i.doc_id, count(*) AS pf
+      FROM ip i
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ep e
+        WHERE e.qid = i.qid AND e.doc_id = i.doc_id
+          AND abs(e.p - i.p) <= {D})
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT s.qid, s.doc_id,
+             qi.idf_sum * s.pf * {BM25_K1 + 1.0}
+             / (s.pf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl))
+             AS score
+      FROM surv s JOIN qi USING (qid)
+           JOIN ds ON s.doc_id = ds.doc_id CROSS JOIN stats),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 RM3_FB_DOCS_E, RM3_FB_TERMS_E, RM3_ALPHA_E = 5, 8, 0.5
 
 
@@ -5274,6 +5488,9 @@ def all_entries() -> Dict[str, Entry]:
         "mlt_topk": q_mlt_topk(),
         "rm3_topk": q_rm3_topk(),
         "span_near_topk": q_span_near_topk(),
+        "span_first_topk": q_span_first_topk(),
+        "span_or_topk": q_span_or_topk(),
+        "span_not_topk": q_span_not_topk(),
         "facet_counts": q_facet_counts(),
         "wildcard_topk": q_wildcard_topk(),
         "spell_suggest": q_spell_suggest(),

@@ -372,6 +372,105 @@ class BM25Oracle:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def span_first_search(
+        self, query: str, k: int = 10, window: int = 8, first_n: int = 50
+    ) -> List[Tuple[int, float]]:
+        """SpanFirst twin: span_near ends restricted to the document's
+        first first_n tokens (0-based p < first_n)."""
+        terms = sorted(set(tokenize(normalize_question(query))))
+        if not terms or any(t not in self.postings for t in terms):
+            return []
+        idf_sum = sum(self.idf(t) for t in terms)
+        docs = set(self.postings[terms[0]])
+        for t in terms[1:]:
+            docs &= set(self.postings[t])
+        scores: Dict[int, float] = {}
+        for d in docs:
+            pos = {
+                t: [i for i, tok in enumerate(self.doc_tokens[d]) if tok == t]
+                for t in terms
+            }
+            ends = sorted({p for ps in pos.values() for p in ps})
+            pf = sum(
+                1
+                for p in ends
+                if p < first_n
+                and all(any(p - window < x <= p for x in pos[t]) for t in terms)
+            )
+            if pf:
+                scores[d] = self._score_pf(pf, d, idf_sum)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    def span_or_near_search(
+        self, clauses: List[List[str]], k: int = 10, window: int = 8
+    ) -> List[Tuple[int, float]]:
+        """SpanOr-inside-SpanNear twin: each clause is a list of
+        alternative terms; every clause needs SOME alternative within
+        the window; clause positions = union over resolved alternatives;
+        clause idf = max over resolved alternatives."""
+        resolved = []
+        for alts in clauses:
+            toks = sorted(
+                {t for a in alts for t in tokenize(normalize_question(a))}
+            )
+            got = [t for t in toks if t in self.postings]
+            if not got:
+                return []
+            resolved.append(got)
+        idf_sum = sum(max(self.idf(t) for t in got) for got in resolved)
+        docsets = [
+            set().union(*(self.postings[t] for t in got)) for got in resolved
+        ]
+        docs = set.intersection(*docsets)
+        scores: Dict[int, float] = {}
+        for d in docs:
+            dt = self.doc_tokens[d]
+            cpos = [
+                sorted({i for i, tok in enumerate(dt) if tok in got})
+                for got in resolved
+            ]
+            ends = sorted({p for ps in cpos for p in ps})
+            pf = sum(
+                1
+                for p in ends
+                if all(any(p - window < x <= p for x in ps) for ps in cpos)
+            )
+            if pf:
+                scores[d] = self._score_pf(pf, d, idf_sum)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    def span_not_search(
+        self, include: str, exclude: str, k: int = 10, dist: int = 3
+    ) -> List[Tuple[int, float]]:
+        """SpanNot twin: include occurrences with no exclude occurrence
+        within dist tokens (|e - p| <= dist kills the occurrence); an
+        unresolvable exclude excludes nothing."""
+        it = tokenize(normalize_question(include))
+        et = tokenize(normalize_question(exclude))
+        if not it or it[0] not in self.postings:
+            return []
+        inc = it[0]
+        exc = et[0] if et else None
+        idf_sum = self.idf(inc)
+        scores: Dict[int, float] = {}
+        for d in self.postings[inc]:
+            dt = self.doc_tokens[d]
+            ipos = [i for i, tok in enumerate(dt) if tok == inc]
+            epos = (
+                [i for i, tok in enumerate(dt) if tok == exc] if exc else []
+            )
+            pf = sum(
+                1
+                for p in ipos
+                if all(abs(e - p) > dist for e in epos)
+            )
+            if pf:
+                scores[d] = self._score_pf(pf, d, idf_sum)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def rm3_search(
         self,
         question: str,

@@ -582,3 +582,191 @@ def phrase_search_index(
     grouped, idf_sums = _index_plumbing(spark, index, positions, qrows)
     matched = _verify_and_count(grouped)
     return _topk(_score_phrases(matched, idf_sums, index.stats.avgdl, k1, b), k)
+
+
+def _verify_and_count_first(grouped: DataFrame, window: int, first_n: int) -> DataFrame:
+    """SpanFirstQuery verify: like the unordered near contract but only
+    END positions inside the document's first `first_n` tokens qualify
+    (Lucene SpanFirstQuery(match, end) — spans ending past the boundary
+    don't count). Positions are 0-based: p < first_n."""
+    s = F.col("structs")
+    ends = F.array_distinct(
+        F.flatten(F.transform(s, lambda x: x["positions"]))
+    )
+    covered = F.filter(
+        ends,
+        lambda p: (p < F.lit(first_n))
+        & F.forall(
+            s,
+            lambda x: F.exists(
+                x["positions"], lambda y: (y <= p) & (y > p - F.lit(window))
+            ),
+        ),
+    )
+    return (
+        grouped.withColumn("pf", F.size(covered))
+        .filter(F.col("pf") > 0)
+        .select("qid", "doc_id", "doclen", "pf")
+    )
+
+
+def span_first_search_index(
+    spark: SparkSession,
+    index,
+    positions: DataFrame,
+    queries: Sequence[Tuple[int, str]],
+    window: int = 8,
+    first_n: int = 50,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Lucene SpanFirstQuery top-k over a prebuilt positional index:
+    the query's distinct terms must co-occur within a `window`-token
+    span ENDING inside the document's first `first_n` tokens (lead-
+    paragraph matching). tf = qualifying end count; same candidate
+    plumbing, scoring and OOV semantics as span_near_search_index."""
+    qrows = _near_terms(queries, analyzer=getattr(index, "analyzer", None))
+    if not qrows:
+        raise ValueError("no tokenizable queries")
+    grouped, idf_sums = _index_plumbing(spark, index, positions, qrows)
+    matched = _verify_and_count_first(grouped, window, first_n)
+    return _topk(_score_phrases(matched, idf_sums, index.stats.avgdl, k1, b), k)
+
+
+def span_or_near_search_index(
+    spark: SparkSession,
+    index,
+    positions: DataFrame,
+    queries: Sequence[Tuple[int, Sequence[Sequence[str]]]],
+    window: int = 8,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """SpanOr-inside-SpanNear (Lucene SpanNearQuery over SpanOrQuery
+    clauses): queries are [(qid, [clause...])] where each clause is a
+    list of alternative terms; a document matches where EVERY clause has
+    SOME alternative inside a `window`-token span. Alternative position
+    lists are merged per clause before the window verify (SpanOr = the
+    union of its sub-spans); clause idf = MAX idf among its resolved
+    alternatives (deterministic; Lucene SpanOr takes the wrapping
+    query's boost rather than summing). A clause with NO resolved
+    alternative makes the query unmatchable (same OOV contract as the
+    other span searchers)."""
+    from dpr_spark.functions.analysis import analyze_query
+
+    analyzer = getattr(index, "analyzer", None)
+    rows: List[Tuple[int, int, str]] = []
+    for qid, clauses in queries:
+        for off, alts in enumerate(clauses):
+            for alt in alts:
+                for t in analyze_query(alt, analyzer):
+                    rows.append((qid, off, t))
+    if not rows:
+        raise ValueError("no tokenizable queries")
+    qdf = spark.createDataFrame(
+        rows, "qid long, off int, term string"
+    ).dropDuplicates()
+    qterms = index.dictionary.select("term", "term_id", "idf").join(
+        F.broadcast(qdf), "term"
+    )
+    n_off_all = (
+        qdf.select("qid", "off").distinct()
+        .groupBy("qid").agg(F.count("*").alias("n_off"))
+    )
+    idf_sums = (
+        qterms.groupBy("qid", "off").agg(F.max("idf").alias("cidf"))
+        .groupBy("qid")
+        .agg(F.sum("cidf").alias("idf_sum"), F.count("*").alias("n_res"))
+        .join(F.broadcast(n_off_all), "qid")
+        .filter(F.col("n_res") == F.col("n_off"))
+        .select("qid", "idf_sum")
+    )
+    qsel = F.broadcast(qterms.select("qid", "off", "term_id"))
+    merged = (
+        positions.join(qsel, "term_id")
+        .groupBy("qid", "doc_id", "doclen", "off")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("positions")))
+            ).alias("positions")
+        )
+    )
+    grouped = (
+        merged.groupBy("qid", "doc_id", "doclen")
+        .agg(
+            F.collect_list(F.struct("off", "positions")).alias("structs"),
+            F.count("*").alias("n_have"),
+        )
+        .join(F.broadcast(n_off_all), "qid")
+        .filter(F.col("n_have") == F.col("n_off"))
+        .select("qid", "doc_id", "doclen", "structs")
+    )
+    matched = _verify_and_count_near(grouped, window)
+    return _topk(_score_phrases(matched, idf_sums, index.stats.avgdl, k1, b), k)
+
+
+def span_not_search_index(
+    spark: SparkSession,
+    index,
+    positions: DataFrame,
+    queries: Sequence[Tuple[int, str, str]],
+    dist: int = 3,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Lucene SpanNotQuery top-k: queries are [(qid, include, exclude)]
+    single terms; an include occurrence counts only when NO exclude
+    occurrence sits within `dist` tokens of it (pre/post exclusion,
+    |e - p| <= dist). tf = surviving include occurrences; idf = the
+    include term's idf; an unresolvable exclude term simply excludes
+    nothing (Lucene: SpanNot with an empty exclusion matches the
+    include span)."""
+    from dpr_spark.functions.analysis import analyze_query
+
+    analyzer = getattr(index, "analyzer", None)
+    rows = []
+    for qid, inc, exc in queries:
+        it = analyze_query(inc, analyzer)
+        et = analyze_query(exc, analyzer)
+        if it:
+            rows.append((qid, it[0], et[0] if et else None))
+    if not rows:
+        raise ValueError("no tokenizable queries")
+    qdf = spark.createDataFrame(rows, "qid long, inc string, exc string")
+    dic = index.dictionary.select("term", "term_id", "idf")
+    inc_t = dic.join(
+        F.broadcast(qdf.select("qid", F.col("inc").alias("term"))), "term"
+    )
+    exc_t = dic.select("term", "term_id").join(
+        F.broadcast(
+            qdf.filter(F.col("exc").isNotNull()).select(
+                "qid", F.col("exc").alias("term")
+            )
+        ),
+        "term",
+    )
+    idf_sums = inc_t.select("qid", F.col("idf").alias("idf_sum"))
+    ipos = positions.join(
+        F.broadcast(inc_t.select("qid", "term_id")), "term_id"
+    ).select("qid", "doc_id", "doclen", F.col("positions").alias("ipos"))
+    epos = positions.join(
+        F.broadcast(exc_t.select("qid", "term_id")), "term_id"
+    ).select("qid", "doc_id", F.col("positions").alias("epos"))
+    joined = ipos.join(epos, ["qid", "doc_id"], "left").withColumn(
+        "epos", F.coalesce("epos", F.array().cast("array<int>"))
+    )
+    surviving = F.filter(
+        F.col("ipos"),
+        lambda p: F.forall(
+            F.col("epos"), lambda e: F.abs(e - p) > F.lit(dist)
+        ),
+    )
+    matched = (
+        joined.withColumn("pf", F.size(surviving))
+        .filter(F.col("pf") > 0)
+        .select("qid", "doc_id", "doclen", "pf")
+    )
+    return _topk(_score_phrases(matched, idf_sums, index.stats.avgdl, k1, b), k)

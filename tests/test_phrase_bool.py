@@ -394,3 +394,82 @@ def test_matched_queries_empty_for_unnamed_docs(spark, index, queries_pdf):
     assert len(rows) == results.count()
     assert all(r.matched_queries == "" for r in rows)
     assert set(out.columns) == set(results.columns) | {"matched_queries"}
+
+
+def test_span_first_vs_oracle(spark, index, positions, oracle):
+    from dpr_spark.query.phrase import span_first_search_index
+
+    doc_ids = sorted(oracle.doc_tokens)
+    queries = []
+    for i, d in enumerate(doc_ids[:5]):
+        toks = oracle.doc_tokens[d]
+        if len(toks) >= 12:
+            queries.append((i, f"{toks[1]} {toks[6]}"))
+    queries.append((9, "zzzunseen thing"))
+    for first_n in (4, 10, 10_000):
+        expect = {
+            qid: oracle.span_first_search(q, k=20, window=8, first_n=first_n)
+            for qid, q in queries
+        }
+        rows = span_first_search_index(
+            spark, index, positions, queries, window=8, first_n=first_n, k=20
+        ).collect()
+        _check_topk(rows, expect, f"span_first_n{first_n}")
+    # unbounded first_n must equal plain span_near
+    from dpr_spark.query.phrase import span_near_search_index
+
+    a = {(r.qid, r.doc_id, round(r.score, 9)) for r in rows}
+    b = {
+        (r.qid, r.doc_id, round(r.score, 9))
+        for r in span_near_search_index(
+            spark, index, positions, queries, window=8, k=20
+        ).collect()
+    }
+    assert a == b
+
+
+def test_span_or_near_vs_oracle(spark, index, positions, oracle):
+    from dpr_spark.query.phrase import span_or_near_search_index
+
+    doc_ids = sorted(oracle.doc_tokens)
+    toks0 = oracle.doc_tokens[doc_ids[0]]
+    toks1 = oracle.doc_tokens[doc_ids[1]]
+    queries = [
+        # clause 1 = OR of two real terms, clause 2 = one real term
+        (0, [[toks0[1], toks1[2]], [toks0[5]]]),
+        # one alternative is OOV -> clause still resolves through the other
+        (1, [[toks0[1], "zzzunseen"], [toks0[3]]]),
+        # a whole clause OOV -> no rows
+        (2, [[toks0[1]], ["zzzunseen"]]),
+    ]
+    expect = {
+        qid: oracle.span_or_near_search(cl, k=20, window=8)
+        for qid, cl in queries
+    }
+    rows = span_or_near_search_index(
+        spark, index, positions, queries, window=8, k=20
+    ).collect()
+    _check_topk(rows, expect, "span_or_near")
+    assert not [r for r in rows if r.qid == 2]
+
+
+def test_span_not_vs_oracle(spark, index, positions, oracle):
+    from dpr_spark.query.phrase import span_not_search_index
+
+    doc_ids = sorted(oracle.doc_tokens)
+    toks0 = oracle.doc_tokens[doc_ids[0]]
+    queries = [
+        (0, toks0[1], toks0[2]),       # exclude right next to an include
+        (1, toks0[1], "zzzunseen"),    # unresolvable exclude = plain term
+        (2, "zzzunseen", toks0[1]),    # unresolvable include = no rows
+    ]
+    for dist in (0, 3, 10):
+        expect = {
+            qid: oracle.span_not_search(inc, exc, k=20, dist=dist)
+            for qid, inc, exc in queries
+        }
+        rows = span_not_search_index(
+            spark, index, positions, queries, dist=dist, k=20
+        ).collect()
+        _check_topk(rows, expect, f"span_not_d{dist}")
+    assert not [r for r in rows if r.qid == 2]
