@@ -2456,6 +2456,104 @@ def q_span_not_topk() -> Entry:
     return fn, sql
 
 
+MPP_MAX_EXP = 4
+# search-as-you-type fixtures: prefix "s" has 6 dictionary candidates,
+# so the MPP_MAX_EXP=4 term-order cap genuinely truncates; plus a
+# single-token query, an OOV exact term, and a zero-expansion prefix
+MPP_QUERIES = [
+    (0, "the s"),      # cap: scan, slow, small, sort (spark/stream cut)
+    (1, "hash j"),     # hash + join
+    (2, "group c"),    # group + {column, customer}
+    (3, "data st"),    # data + stream
+    (4, "w"),          # single-token prefix -> window
+    (5, "zzznope s"),  # OOV exact term -> no rows
+    (6, "the zzz"),    # zero expansions -> no rows
+]
+
+
+def q_match_phrase_prefix() -> Entry:
+    """ES match_phrase_prefix top-10 (query/phrase.py
+    match_phrase_prefix_search_index): last token expands to the first
+    MPP_MAX_EXP dictionary terms in term order; earlier tokens keep
+    exact adjacency over merged last-offset positions; idf = exact sum
+    + max over expansions."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.phrase import (
+            build_positions,
+            match_phrase_prefix_search_index,
+        )
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        pos = build_positions(docs, idx.dictionary)
+        res = match_phrase_prefix_search_index(
+            spark, idx, pos, MPP_QUERIES, max_expansions=MPP_MAX_EXP, k=10
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    erows, prows = [], []
+    for qid, text in MPP_QUERIES:
+        toks = tokenize(text)
+        for off, t in enumerate(toks[:-1]):
+            erows.append(f"({qid}, {off}, '{t}')")
+        prows.append(f"({qid}, {len(toks) - 1}, '{toks[-1]}')")
+    sql = f"""
+    WITH {_POS_CTES},
+    eq AS (SELECT * FROM (VALUES {", ".join(erows)}) AS eq(qid, off, term)),
+    pq AS (SELECT * FROM (VALUES {", ".join(prows)}) AS pq(qid, off, prefix)),
+    xq AS (SELECT qid, off, term FROM (
+             SELECT pq.qid, pq.off, dict.term,
+                    row_number() OVER (PARTITION BY pq.qid
+                                       ORDER BY dict.term) AS r
+             FROM pq JOIN dict ON starts_with(dict.term, pq.prefix))
+           WHERE r <= {MPP_MAX_EXP}),
+    qn AS (SELECT pq.qid, coalesce(en.n, 0) AS n_exact
+           FROM pq LEFT JOIN (SELECT qid, count(*) AS n FROM eq
+                              GROUP BY 1) en USING (qid)),
+    eidf AS (
+      SELECT eq.qid,
+             sum(ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)) AS e_idf,
+             count(*) AS n_res
+      FROM eq JOIN dict USING (term) CROSS JOIN stats GROUP BY 1),
+    xidf AS (
+      SELECT xq.qid,
+             max(ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)) AS x_idf
+      FROM xq JOIN dict USING (term) CROSS JOIN stats GROUP BY 1),
+    idf_ok AS (
+      SELECT qn.qid, coalesce(e.e_idf, 0.0::DOUBLE) + x.x_idf AS idf_sum
+      FROM qn LEFT JOIN eidf e USING (qid) JOIN xidf x USING (qid)
+      WHERE coalesce(e.n_res, 0) = qn.n_exact),
+    allq AS (SELECT qid, off, term FROM eq
+             UNION ALL SELECT qid, off, term FROM xq),
+    cand AS (
+      SELECT allq.qid, pos.doc_id, pos.p - allq.off AS start,
+             count(DISTINCT allq.off) AS n_hit
+      FROM allq JOIN pos USING (term) GROUP BY 1, 2, 3),
+    nf AS (SELECT qid, n_exact + 1 AS n_off FROM qn),
+    pf AS (
+      SELECT cand.qid, cand.doc_id, count(*) AS pf
+      FROM cand JOIN nf USING (qid) WHERE cand.n_hit = nf.n_off GROUP BY 1, 2),
+    scored AS (
+      SELECT pf.qid, pf.doc_id,
+             idf_ok.idf_sum * pf.pf * {BM25_K1 + 1.0}
+             / (pf.pf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl))
+             AS score
+      FROM pf JOIN idf_ok USING (qid)
+           JOIN ds ON pf.doc_id = ds.doc_id CROSS JOIN stats),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 RM3_FB_DOCS_E, RM3_FB_TERMS_E, RM3_ALPHA_E = 5, 8, 0.5
 
 
@@ -5491,6 +5589,7 @@ def all_entries() -> Dict[str, Entry]:
         "span_first_topk": q_span_first_topk(),
         "span_or_topk": q_span_or_topk(),
         "span_not_topk": q_span_not_topk(),
+        "match_phrase_prefix": q_match_phrase_prefix(),
         "facet_counts": q_facet_counts(),
         "wildcard_topk": q_wildcard_topk(),
         "spell_suggest": q_spell_suggest(),

@@ -165,6 +165,45 @@ class BM25Oracle:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def match_phrase_prefix_search(
+        self, query: str, k: int = 10, max_expansions: int = 16
+    ) -> List[Tuple[int, float]]:
+        """match_phrase_prefix twin: last token is a prefix, expanded
+        to the first max_expansions dictionary terms in TERM ORDER;
+        exact adjacency with the last position matching ANY expansion;
+        idf = exact-position sum + max over expansions; OOV exact term
+        or zero expansions -> no matches."""
+        toks = tokenize(normalize_question(query))
+        if not toks:
+            return []
+        head, pre = toks[:-1], toks[-1]
+        if any(t not in self.postings for t in head):
+            return []
+        exp = sorted(t for t in self.postings if t.startswith(pre))
+        exp = exp[:max_expansions]
+        if not exp:
+            return []
+        idf_sum = sum(self.idf(t) for t in head) + max(self.idf(t) for t in exp)
+        expset = set(exp)
+        n = len(toks)
+        cand = (
+            set(self.postings[head[0]])
+            if head
+            else {d for t in exp for d in self.postings[t]}
+        )
+        scores: Dict[int, float] = {}
+        for d in cand:
+            dt = self.doc_tokens[d]
+            pf = sum(
+                1
+                for i in range(len(dt) - n + 1)
+                if dt[i : i + n - 1] == head and dt[i + n - 1] in expset
+            )
+            if pf:
+                scores[d] = self._score_pf(pf, d, idf_sum)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def bool_search(
         self,
         must: Sequence[str],

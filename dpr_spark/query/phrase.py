@@ -770,3 +770,95 @@ def span_not_search_index(
         .select("qid", "doc_id", "doclen", "pf")
     )
     return _topk(_score_phrases(matched, idf_sums, index.stats.avgdl, k1, b), k)
+
+
+def match_phrase_prefix_search_index(
+    spark: SparkSession,
+    index,
+    positions: DataFrame,
+    queries: Sequence[Tuple[int, str]],
+    max_expansions: int = 16,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """ES ``match_phrase_prefix`` (Lucene MultiPhraseQuery with a
+    prefix-expanded last position — the search-as-you-type query) over
+    a prebuilt positional index.
+
+    Contract: the query's LAST analyzed token is a prefix, expanded to
+    the first `max_expansions` dictionary terms in TERM ORDER (the
+    Lucene TermEnum contract ES documents for this query); earlier
+    tokens keep exact-phrase adjacency. Last-offset positions are the
+    union over expanded terms (MultiPhraseQuery position semantics);
+    idf = sum of the exact offsets' idfs + MAX idf among expansions
+    (the same clause contract as SpanOr). A query with an OOV exact
+    term or zero expansions matches nothing. Expansion selection is a
+    string sort — no float ties, so a SQL twin selects the identical
+    set.
+
+    Scale shape: the prefix reaches the dictionary scan as a pushable
+    StartsWith (terms, not docs — same pruning as expand_prefix); the
+    positions table is probed in place with the tiny resolved offset
+    set broadcast; the only added shuffle vs exact phrase is the
+    per-(qid, doc, off) union of expansion position lists, which
+    co-partitions with the final (qid, doc) group."""
+    analyzer = getattr(index, "analyzer", None)
+    qrows, _ = _phrase_offsets(queries, analyzer=analyzer)
+    if not qrows:
+        raise ValueError("no tokenizable queries")
+    last_off = {}
+    for qid, off, _t in qrows:
+        last_off[qid] = max(off, last_off.get(qid, -1))
+    erows = [r for r in qrows if r[1] != last_off[r[0]]]
+    prows = [r for r in qrows if r[1] == last_off[r[0]]]
+    edf = spark.createDataFrame(erows, "qid long, off int, term string")
+    pdf = spark.createDataFrame(prows, "qid long, off int, prefix string")
+
+    dic = index.dictionary.select("term", "term_id", "idf")
+    eterms = dic.join(F.broadcast(edf), "term")
+    # StartsWith pushes into the dictionary scan (test_plans asserts)
+    xcand = F.broadcast(pdf).join(dic, F.col("term").startswith(F.col("prefix")))
+    wx = Window.partitionBy("qid").orderBy(F.asc("term"))
+    xterms = (
+        xcand.withColumn("_r", F.row_number().over(wx))
+        .filter(F.col("_r") <= max_expansions)
+        .drop("_r")
+    )
+    qn = (
+        pdf.select("qid")
+        .join(edf.groupBy("qid").agg(F.count("*").alias("n_exact")), "qid", "left")
+        .select("qid", F.coalesce("n_exact", F.lit(0)).alias("n_exact"))
+    )
+    exact_idf = eterms.groupBy("qid").agg(
+        F.sum("idf").alias("e_idf"), F.count("*").alias("n_res")
+    )
+    exp_idf = xterms.groupBy("qid").agg(F.max("idf").alias("x_idf"))
+    idf_sums = (
+        qn.join(exact_idf, "qid", "left")
+        .join(exp_idf, "qid")  # inner: zero expansions -> unmatchable
+        .filter(F.coalesce("n_res", F.lit(0)) == F.col("n_exact"))
+        .select(
+            "qid",
+            (F.coalesce("e_idf", F.lit(0.0)) + F.col("x_idf")).alias("idf_sum"),
+        )
+    )
+    ecand = positions.join(
+        F.broadcast(eterms.select("qid", "off", "term_id")), "term_id"
+    ).select("qid", "doc_id", "doclen", F.struct("off", "positions").alias("st"))
+    merged = (
+        positions.join(
+            F.broadcast(xterms.select("qid", "off", "term_id")), "term_id"
+        )
+        .groupBy("qid", "doc_id", "doclen", "off")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("positions")))
+            ).alias("positions")
+        )
+        .select("qid", "doc_id", "doclen", F.struct("off", "positions").alias("st"))
+    )
+    n_off = qn.select("qid", (F.col("n_exact") + F.lit(1)).alias("n_off"))
+    grouped = _single_pass_grouped(ecand.unionByName(merged), n_off)
+    matched = _verify_and_count(grouped)
+    return _topk(_score_phrases(matched, idf_sums, index.stats.avgdl, k1, b), k)

@@ -40,10 +40,17 @@ def main(argv=None) -> None:
     ap.add_argument("--queries", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--k", type=int, default=100)
-    ap.add_argument("--engine", choices=["exact", "segments", "blockmax", "phrase"],
+    ap.add_argument("--engine", choices=["exact", "segments", "blockmax", "phrase",
+                                         "phrase_prefix"],
                     default="segments",
-                    help="'phrase' treats each question as an exact phrase "
-                         "(requires an index built with --positional)")
+                    help="'phrase' treats each question as an exact phrase; "
+                         "'phrase_prefix' additionally expands the LAST token "
+                         "as a prefix (ES match_phrase_prefix / "
+                         "search-as-you-type; both need an index built with "
+                         "--positional)")
+    ap.add_argument("--max-expansions", type=int, default=16,
+                    help="dictionary terms the phrase_prefix last token "
+                         "expands to (term order, Lucene TermEnum contract)")
     ap.add_argument("--eval", action="store_true")
     ap.add_argument("--similarity", choices=["bm25", "classic", "lmdirichlet"],
                     default="bm25",
@@ -124,10 +131,14 @@ def main(argv=None) -> None:
     if args.delta_dir:
         from dpr_spark.streaming.refresh import StreamingIndexRefresher
 
-        if args.engine in ("blockmax", "phrase"):
-            raise SystemExit("--delta-dir serves exact/segments only (a live "
-                             "delta invalidates block/positional layouts); "
-                             "compact() the delta to restore them")
+        if args.engine == "blockmax":
+            raise SystemExit("--delta-dir cannot serve blockmax (a live delta "
+                             "invalidates the compressed block layout); "
+                             "compact() the delta to restore it")
+        if args.engine in ("phrase", "phrase_prefix") and idx.positions is None:
+            raise SystemExit("--delta-dir phrase engines need a POSITIONAL "
+                             "base index (the delta then carries fresh "
+                             "positions, streaming/refresh.py NRT contract)")
         idx = StreamingIndexRefresher(spark, args.delta_dir).fresh_index(idx)
 
     if args.serve:
@@ -286,6 +297,17 @@ def main(argv=None) -> None:
         # boundary as the term-resolution wave payload)
         phrases = [(r.qid, r.question) for r in queries.select("qid", "question").collect()]
         results = phrase_search_index(spark, idx, idx.positions, phrases, k=args.k)
+    elif args.engine == "phrase_prefix":
+        from dpr_spark.query.phrase import match_phrase_prefix_search_index
+
+        if idx.positions is None:
+            raise SystemExit("--engine phrase_prefix needs positional postings; "
+                             "rebuild the index with build_index.py --positional")
+        phrases = [(r.qid, r.question) for r in queries.select("qid", "question").collect()]
+        results = match_phrase_prefix_search_index(
+            spark, idx, idx.positions, phrases,
+            max_expansions=args.max_expansions, k=args.k,
+        )
     elif args.engine == "segments":
         from dpr_spark.query.wand import build_impact_segments, search_segments
 
@@ -322,7 +344,7 @@ def main(argv=None) -> None:
 
         results = search(queries, idx, k=args.k, deletes=deletes)
     if args.rm3:
-        if args.engine == "phrase":
+        if args.engine in ("phrase", "phrase_prefix"):
             raise SystemExit("--rm3 expands term queries, not phrases")
         if not args.pages:
             raise SystemExit("--rm3 requires --pages (feedback docs' text)")

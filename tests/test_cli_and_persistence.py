@@ -88,6 +88,23 @@ def test_cli_build_and_query(tmp_path, pages_pdf, queries_pdf):
     nrows = _pq.read_table(str(tmp_path / "run_phrase" / "results")).num_rows
     assert nrows > 0
 
+    # phrase_prefix engine: the bigram with its last token truncated
+    # still matches via the prefix expansion (superset of exact phrase)
+    t0, t1 = bigram.split(" ")
+    ph.loc[ph.index[0], "question"] = f"{t0} {t1[: max(1, len(t1) - 1)]}"
+    write_queries_tsv(str(tmp_path / "qa_mpp.tsv"), ph)
+    out3b = subprocess.run(
+        [sys.executable, os.path.join(REPO, "query.py"),
+         "--index", str(tmp_path / "idx"),
+         "--queries", str(tmp_path / "qa_mpp.tsv"),
+         "--k", "5", "--out", str(tmp_path / "run_mpp"),
+         "--engine", "phrase_prefix", "--max-expansions", "8"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out3b.returncode == 0, out3b.stderr[-2000:]
+    nrows = _pq.read_table(str(tmp_path / "run_mpp" / "results")).num_rows
+    assert nrows > 0
+
     # RM3 expansion layered over the segments engine
     out4 = subprocess.run(
         [sys.executable, os.path.join(REPO, "query.py"),

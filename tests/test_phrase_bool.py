@@ -473,3 +473,59 @@ def test_span_not_vs_oracle(spark, index, positions, oracle):
         ).collect()
         _check_topk(rows, expect, f"span_not_d{dist}")
     assert not [r for r in rows if r.qid == 2]
+
+
+def _mpp_cases(oracle):
+    """match_phrase_prefix cases off real doc slices: take a 2-3 token
+    slice and truncate the last token to its first 1-2 chars; plus a
+    single-char bare prefix, an OOV head, and a dead prefix."""
+    doc_ids = sorted(oracle.doc_tokens)
+    out = []
+    for i, d in enumerate(doc_ids[:5]):
+        toks = oracle.doc_tokens[d]
+        if len(toks) >= 6:
+            n = 2 + (i % 2)
+            start = (5 * i) % (len(toks) - n)
+            sl = toks[start : start + n]
+            cut = max(1, len(sl[-1]) - 1 - (i % 2))
+            out.append(" ".join(sl[:-1] + [sl[-1][:cut]]))
+    any_tok = oracle.doc_tokens[doc_ids[0]][0]
+    out.append(any_tok[0])  # bare 1-char prefix, no exact head
+    out.append(f"zzzunseen {any_tok[0]}")  # OOV head -> no rows
+    out.append(f"{any_tok} zzz")  # dead prefix -> no rows
+    return list(enumerate(out))
+
+
+@pytest.mark.parametrize("max_exp", [2, 16])
+def test_match_phrase_prefix_vs_oracle(
+    spark, index, positions, oracle, max_exp
+):
+    from dpr_spark.query.phrase import match_phrase_prefix_search_index
+
+    cases = _mpp_cases(oracle)
+    expect = {
+        qid: oracle.match_phrase_prefix_search(q, 10, max_expansions=max_exp)
+        for qid, q in cases
+    }
+    assert sum(len(v) for v in expect.values()) > 0
+    rows = match_phrase_prefix_search_index(
+        spark, index, positions, cases, max_expansions=max_exp, k=10
+    ).collect()
+    _check_topk(rows, expect, f"mpp_{max_exp}")
+
+
+def test_match_phrase_prefix_exact_term_superset(spark, index, positions, oracle):
+    """A full-token 'prefix' must rank every exact-phrase match (the
+    expansion set contains the exact term, so matches are a superset
+    and scores use the max-idf clause contract)."""
+    from dpr_spark.query.phrase import match_phrase_prefix_search_index
+
+    doc_ids = sorted(oracle.doc_tokens)
+    toks = oracle.doc_tokens[doc_ids[0]]
+    phrase = " ".join(toks[:2])
+    exact_docs = {d for d, _s in oracle.phrase_search(phrase, 10**9)}
+    rows = match_phrase_prefix_search_index(
+        spark, index, positions, [(0, phrase)], max_expansions=10**6, k=10**9
+    ).collect()
+    got_docs = {r.doc_id for r in rows}
+    assert exact_docs <= got_docs
