@@ -2554,6 +2554,72 @@ def q_match_phrase_prefix() -> Entry:
     return fn, sql
 
 
+MBP_MAX_EXP = 4
+# match_bool_prefix fixtures: clauses are OPTIONAL, so an OOV head or a
+# dead prefix still returns rows via the other clauses (the cases that
+# differentiate this from match_phrase_prefix's conjunctive contract)
+MBP_QUERIES = [
+    (0, "data s"),     # expansion cap truncates (6 s-terms, cap 4)
+    (1, "hash j"),
+    (2, "group c"),
+    (3, "w"),          # bare prefix = plain prefix query
+    (4, "zzznope s"),  # OOV head token -> still rows (should, not must)
+    (5, "the zzz"),    # dead prefix -> still rows via 'the'
+    (6, "zzza zzzb"),  # nothing resolves -> no rows
+]
+
+
+def q_match_bool_prefix() -> Entry:
+    """ES match_bool_prefix top-10 (query/boolquery.py
+    match_bool_prefix_search): distinct head tokens as optional term
+    clauses + highest-df prefix expansion of the last token; BM25 sum
+    over matched clauses, no adjacency."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.boolquery import match_bool_prefix_search
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        res = match_bool_prefix_search(
+            spark, MBP_QUERIES, idx, k=10, max_expansions=MBP_MAX_EXP
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    trows, prows = [], []
+    for qid, text in MBP_QUERIES:
+        toks = tokenize(text)
+        for t in sorted(set(toks[:-1])):
+            trows.append(f"({qid}, '{t}')")
+        prows.append(f"({qid}, '{toks[-1]}')")
+    sql = f"""
+    WITH {_POS_CTES},
+    tq AS (SELECT * FROM (VALUES {", ".join(trows)}) AS tq(qid, term)),
+    p AS (SELECT * FROM (VALUES {", ".join(prows)}) AS p(qid, prefix)),
+    exp AS (
+      SELECT p.qid, d.term,
+             row_number() OVER (PARTITION BY p.qid
+                                ORDER BY d.df DESC, d.term) AS r
+      FROM p JOIN dict d ON starts_with(d.term, p.prefix)),
+    allt AS (SELECT qid, term FROM tq
+             UNION ALL SELECT qid, term FROM exp WHERE r <= {MBP_MAX_EXP}),
+    scored AS (
+      SELECT allt.qid, tf.doc_id, sum({_BM25_COMPONENT}) AS score
+      FROM allt JOIN dict USING (term) JOIN tf USING (term)
+           JOIN ds ON tf.doc_id = ds.doc_id CROSS JOIN stats
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 RM3_FB_DOCS_E, RM3_FB_TERMS_E, RM3_ALPHA_E = 5, 8, 0.5
 
 
@@ -5590,6 +5656,7 @@ def all_entries() -> Dict[str, Entry]:
         "span_or_topk": q_span_or_topk(),
         "span_not_topk": q_span_not_topk(),
         "match_phrase_prefix": q_match_phrase_prefix(),
+        "match_bool_prefix": q_match_bool_prefix(),
         "facet_counts": q_facet_counts(),
         "wildcard_topk": q_wildcard_topk(),
         "spell_suggest": q_spell_suggest(),

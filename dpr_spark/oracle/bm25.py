@@ -667,6 +667,32 @@ class BM25Oracle:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def match_bool_prefix_search(
+        self, query: str, k: int = 10, max_expansions: int = 16
+    ) -> List[Tuple[int, float]]:
+        """match_bool_prefix twin: distinct head tokens are optional
+        term clauses, the last token a highest-df prefix expansion
+        (prefix_search rewrite); score = BM25 sum over matched clauses
+        (a head term re-selected by the expansion double-counts, as two
+        ES clauses would)."""
+        toks = tokenize(normalize_question(query))
+        if not toks:
+            return []
+        head = sorted(set(toks[:-1]))
+        exp = sorted(
+            (t for t in self.postings if t.startswith(toks[-1])),
+            key=lambda t: (-self.df[t], t),
+        )[:max_expansions]
+        scores: Dict[int, float] = {}
+        for t in head:
+            for d in self.postings.get(t, ()):
+                scores[d] = scores.get(d, 0.0) + self.score_one(t, d)
+        for t in exp:
+            for d in self.postings[t]:
+                scores[d] = scores.get(d, 0.0) + self.score_one(t, d)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
 
 @dataclass
 class FieldedBM25Oracle:

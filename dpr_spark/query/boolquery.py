@@ -426,6 +426,63 @@ def prefix_search(
     return _topk(scored, k)
 
 
+def match_bool_prefix_search(
+    spark: SparkSession,
+    queries: Sequence[Tuple[int, str]],
+    index: InvertedIndex,
+    k: int = DEFAULT_TOP_K,
+    max_expansions: int = 16,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """ES ``match_bool_prefix``: every analyzed token becomes an
+    optional (SHOULD) term clause except the LAST, which is a
+    PrefixQuery expanded to the `max_expansions` highest-df dictionary
+    terms (the same rewrite contract as prefix_search); score = BM25
+    sum over all matched clauses, tokens may appear anywhere (the
+    no-adjacency sibling of match_phrase_prefix). Head tokens are
+    deduplicated (one SHOULD clause per distinct term); a head term
+    re-selected by the expansion double-counts, as two ES clauses
+    would. Plan shape: clause terms and the prefix both broadcast into
+    the dictionary scan (StartsWith pushes down); the postings probe
+    and (qid, doc) sum are the plain bool-query plan."""
+    from dpr_spark.functions.normalize import normalize_question
+    from dpr_spark.functions.tokenizer import tokenize as _tok
+
+    analyzer = getattr(index, "analyzer", None)
+    trows: List[Tuple[int, str]] = []
+    prows: List[Tuple[int, str]] = []
+    for qid, text in queries:
+        # ORDERED analysis (analyze_query sorts, which would reassign
+        # the last-token prefix role)
+        toks = _tok(normalize_question(text))
+        if analyzer is not None:
+            toks = analyzer.analyze_tokens(toks)
+        if not toks:
+            continue
+        for t in sorted(set(toks[:-1])):
+            trows.append((qid, t))
+        prows.append((qid, toks[-1]))
+    if not prows:
+        raise ValueError("no tokenizable queries")
+    tdf = spark.createDataFrame(trows, "qid long, term string")
+    pdf = spark.createDataFrame(prows, "qid long, prefix string")
+    qt_terms = (
+        index.dictionary.select("term", "term_id", "idf")
+        .join(F.broadcast(tdf), "term")
+        .select("qid", "term_id", "idf")
+    )
+    qt_pre = expand_prefix(index, pdf, max_expansions).select(
+        "qid", "term_id", "idf"
+    )
+    qt = qt_terms.unionByName(qt_pre)
+    joined = index.postings.join(F.broadcast(qt), "term_id")
+    scored = joined.groupBy("qid", "doc_id").agg(
+        F.sum(_component(index.stats.avgdl, k1, b)).alias("score")
+    )
+    return _topk(scored, k)
+
+
 def matched_queries(
     spark: SparkSession,
     results: DataFrame,

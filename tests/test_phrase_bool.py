@@ -529,3 +529,23 @@ def test_match_phrase_prefix_exact_term_superset(spark, index, positions, oracle
     ).collect()
     got_docs = {r.doc_id for r in rows}
     assert exact_docs <= got_docs
+
+
+@pytest.mark.parametrize("max_exp", [3, 16])
+def test_match_bool_prefix_vs_oracle(spark, index, oracle, max_exp):
+    from dpr_spark.query.boolquery import match_bool_prefix_search
+
+    cases = _mpp_cases(oracle)  # same shapes; bool semantics differ on
+    # the OOV-head and dead-prefix cases (optional clauses still match)
+    expect = {
+        qid: oracle.match_bool_prefix_search(q, 10, max_expansions=max_exp)
+        for qid, q in cases
+    }
+    assert sum(len(v) for v in expect.values()) > 0
+    # the OOV-head case must return rows here (unlike match_phrase_prefix)
+    oov_qid = next(qid for qid, q in cases if q.startswith("zzzunseen "))
+    assert len(expect[oov_qid]) > 0
+    rows = match_bool_prefix_search(
+        spark, cases, index, max_expansions=max_exp, k=10
+    ).collect()
+    _check_topk(rows, expect, f"mbp_{max_exp}")
