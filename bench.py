@@ -343,6 +343,7 @@ def main() -> None:
         "hybrid_rrf_topk", "range_agg", "composite_agg",
         "ann_filtered_topk", "matched_queries_topk", "query_string_topk",
         "has_parent_topk", "inner_hits", "metric_aggs_misc",
+        "match_phrase_prefix", "match_bool_prefix", "ann_ivfpq_topk",
     ]:
         try:
             fn, _ = entries[name]

@@ -5215,6 +5215,102 @@ def q_ann_ivf_topk() -> Entry:
     return fn, sql
 
 
+def q_ann_ivfpq_topk() -> Entry:
+    """IVF-PQ vector search (extras/ann.py::ivfpq_cosine_topk; FAISS
+    IVFPQ analog): nlist=8 sampled centroids + m_sub=8 x nbits=4
+    sampled codebooks (both SQL-replayable — every (N//2^nbits)-th
+    vector's subvectors); corpus PQ-encoded by integerized squared-L2
+    argmin; queries probe nprobe=2 lists, ADC-score candidates from
+    codes alone (integer micro-unit table sums — order-independent, so
+    bit-exact cross-engine), shortlist 50, exact rounded-cosine refine
+    to top-10. The result carries both the exact cosine and the ADC
+    integer so the twin checks the approximate path, not just the
+    refine."""
+    NLIST, NPROBE, K, NCODE, REFINE = 8, 2, 10, 16, 50
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.ann import (
+            ivfpq_cosine_topk,
+            sampled_centroids,
+            sampled_pq_codebooks,
+        )
+
+        e = _emb(spark, sf_dir)
+        cent = sampled_centroids(e, nlist=NLIST)
+        books = sampled_pq_codebooks(e, m_sub=8, nbits=4)
+        q = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        return ivfpq_cosine_topk(
+            e, q, cent, books, k=K, nprobe=NPROBE, refine=REFINE, rank_round=6
+        ).select(
+            "qid", "rank", "vec_id", F.round("cosine", 6).alias("cos_r"), "adc"
+        )
+
+    sql = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (SELECT greatest((max(vec_id) + 1) // {NLIST}, 1) AS md FROM e),
+    c AS (SELECT (e.vec_id // m.md)::INT AS cid, e.v AS cv
+          FROM e, m WHERE e.vec_id % m.md = 0 AND e.vec_id // m.md < {NLIST}),
+    sim AS (SELECT e.vec_id, e.v, c.cid,
+                   round(list_dot_product(e.v, c.cv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cs
+            FROM e CROSS JOIN c),
+    assigned AS (SELECT vec_id, v, cid AS list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, cid) AS rn
+        FROM sim) WHERE rn = 1),
+    probes AS (SELECT vec_id AS qid, v AS qv, cid AS list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, cid) AS rn
+        FROM sim WHERE vec_id < 5) WHERE rn <= {NPROBE}),
+    m2 AS (SELECT greatest((max(vec_id) + 1) // {NCODE}, 1) AS md FROM e),
+    cb AS (SELECT (e.vec_id // m2.md)::INT AS cj, r.s::INT AS s,
+                  e.v[r.s * 8 + 1 : r.s * 8 + 8] AS cw
+           FROM e, m2, range(8) r(s)
+           WHERE e.vec_id % m2.md = 0 AND e.vec_id // m2.md < {NCODE}),
+    enc AS (SELECT vec_id, s, cj FROM (
+        SELECT e.vec_id, cb.s, cb.cj,
+               row_number() OVER (PARTITION BY e.vec_id, cb.s ORDER BY
+                 floor((list_dot_product(e.v[cb.s * 8 + 1 : cb.s * 8 + 8],
+                                         e.v[cb.s * 8 + 1 : cb.s * 8 + 8])
+                        - 2 * list_dot_product(e.v[cb.s * 8 + 1 : cb.s * 8 + 8],
+                                               cb.cw)
+                        + list_dot_product(cb.cw, cb.cw))
+                       * 1000000.0::DOUBLE + 0.5::DOUBLE), cb.cj) AS rn
+        FROM e CROSS JOIN cb) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+    dtab AS (SELECT q.qid, cb.s, cb.cj,
+                    CAST(floor(list_dot_product(q.qv[cb.s * 8 + 1 : cb.s * 8 + 8],
+                                                cb.cw)
+                               * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS t
+             FROM q CROSS JOIN cb),
+    cand AS (SELECT DISTINCT p.qid, a.vec_id
+             FROM probes p JOIN assigned a USING (list_id)),
+    adct AS (SELECT cand.qid, cand.vec_id, CAST(sum(d.t) AS BIGINT) AS adc
+             FROM cand JOIN enc ON enc.vec_id = cand.vec_id
+                  JOIN dtab d ON d.qid = cand.qid AND d.s = enc.s
+                                 AND d.cj = enc.cj
+             GROUP BY 1, 2),
+    short AS (SELECT qid, vec_id, adc FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY adc DESC, vec_id) AS rn
+        FROM adct) WHERE rn <= {REFINE}),
+    exact AS (SELECT s.qid, s.vec_id, s.adc,
+                     round(list_dot_product(q.qv, e.v)
+                           / (sqrt(list_dot_product(q.qv, q.qv))
+                              * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_r
+              FROM short s JOIN q ON q.qid = s.qid
+                   JOIN e ON e.vec_id = s.vec_id),
+    ranked AS (SELECT qid, vec_id, cos_r, adc,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY cos_r DESC, vec_id) AS rank
+               FROM exact)
+    SELECT qid, rank, vec_id, cos_r, adc FROM ranked WHERE rank <= {K}"""
+    return fn, sql
+
+
 def q_matched_queries_topk() -> Entry:
     """ES `matched_queries` (query/boolquery.py::matched_queries):
     BM25 top-10 where each hit carries the sorted names of the named
@@ -5704,6 +5800,7 @@ def all_entries() -> Dict[str, Entry]:
         "composite_agg": q_composite_agg(),
         "ann_filtered_topk": q_ann_filtered_topk(),
         "ann_ivf_topk": q_ann_ivf_topk(),
+        "ann_ivfpq_topk": q_ann_ivfpq_topk(),
         "matched_queries_topk": q_matched_queries_topk(),
         "query_string_topk": q_query_string_topk(),
         "has_parent_topk": q_has_parent_topk(),

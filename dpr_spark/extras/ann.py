@@ -293,3 +293,214 @@ def ivf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "vec_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the memory-bound scale path (FAISS IVFPQ analog,
+# /root/reference/dpr/indexer/faiss_indexers.py uses the same family).
+#
+# Product quantization stores each vector as m_sub codes of nbits bits
+# (here 8 codes x 4 bits = 4 bytes) instead of dim float32s (256 bytes
+# at dim=64) — the 64x compression that lets a 100 TB embedding corpus
+# serve from RAM/flash. Search is asymmetric distance computation (ADC):
+# the query precomputes a tiny table of sub-dot-products against every
+# codeword; a candidate's approximate score is a table-lookup sum over
+# its codes — no float vector is ever touched until the exact refine of
+# the shortlist. Spark-first shape: codebooks are tiny driver/closure
+# arrays; encoding is one Arrow pass at index time (a codes column next
+# to list_id — bucket both and queries scan only probed buckets' codes);
+# ADC is a pure-Catalyst aggregate over the codes array against a
+# broadcast per-query table, so the per-candidate hot loop is JVM
+# codegen, not Python. ADC tables are INTEGER micro-units
+# (floor(dot*1e6 + 0.5)) — integer sums are order-independent, so the
+# fold is bit-exact across engines and the DuckDB twin replays it.
+# ---------------------------------------------------------------------------
+
+
+def sampled_pq_codebooks(
+    emb: DataFrame,
+    m_sub: int = 8,
+    nbits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+) -> np.ndarray:
+    """Deterministic codebooks without training: the 2^nbits sampled
+    vectors of sampled_centroids, each split into m_sub subvectors —
+    codebook[s][j] = subvector s of sample j. Replayable in plain SQL
+    (the driver's DuckDB twin does). Returns (m_sub, 2^nbits, subdim)."""
+    ncode = 1 << nbits
+    base = sampled_centroids(emb, ncode, id_col, vec_col, sample_mod)
+    dim = base.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
+    return np.ascontiguousarray(
+        base.reshape(len(base), m_sub, sub).transpose(1, 0, 2)
+    )
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m_sub: int = 8,
+    nbits: int = 8,
+    iters: int = 5,
+    seed: int = 42,
+    sample_n: int = 100_000,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Per-subspace k-means (FAISS ProductQuantizer training analog) on
+    a bounded sample — driver-side numpy like train_centroids; the full
+    corpus is encoded distributed in pq_encode."""
+    ncode = 1 << nbits
+    n = emb.count()
+    frac = min(1.0, sample_n / max(n, 1))
+    sample = emb.sample(fraction=frac, seed=seed) if frac < 1.0 else emb
+    x = np.array([r[0] for r in sample.select(vec_col).collect()], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_sub, ncode, sub), dtype=np.float64)
+    for s in range(m_sub):
+        xs = x[:, s * sub : (s + 1) * sub]
+        cent = xs[rng.choice(len(xs), size=min(ncode, len(xs)), replace=False)]
+        if len(cent) < ncode:  # degenerate tiny sample: pad by repeat
+            cent = np.resize(cent, (ncode, sub))
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ncode):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def _micro(x: np.ndarray) -> np.ndarray:
+    """floor(x*1e6 + 0.5) — the engine's shared 6dp integerization
+    (round-half-up, identical spelling in the DuckDB twins)."""
+    return np.floor(x * 1e6 + 0.5).astype(np.int64)
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """PQ-encode every vector: per subspace, the code minimizing the
+    integerized squared L2 distance (expanded form vv - 2·vc + cc in
+    micro-units; ties to the lowest code) — one Arrow-batched pass, the
+    codebooks ride in the closure (m_sub · 2^nbits · subdim floats)."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m_sub, ncode, sub = books.shape
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        vecs = np.stack(v.to_numpy()).astype(np.float64)
+        n = len(vecs)
+        codes = np.empty((n, m_sub), dtype=np.int32)
+        for s in range(m_sub):
+            xs = vecs[:, s * sub : (s + 1) * sub]
+            vv = np.einsum("ij,ij->i", xs, xs)[:, None]
+            vc = xs @ books[s].T
+            cc = np.einsum("ij,ij->i", books[s], books[s])[None, :]
+            d2 = _micro(vv - 2.0 * vc + cc)
+            codes[:, s] = np.argmin(d2, axis=1)  # first min = lowest code
+        return pd.Series(list(codes))
+
+    return emb.withColumn(out_col, encode(F.col(vec_col)))
+
+
+def ivfpq_cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    refine: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+    rank_round: int | None = None,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ search: probe nprobe inverted lists (coarse quantizer),
+    ADC-score candidates from their PQ codes alone (integer micro-unit
+    table-lookup sum — pure Catalyst codegen over the codes array),
+    shortlist `refine` per query, then exact-cosine re-rank the
+    shortlist for the final top-k. Only the shortlist's float vectors
+    are ever fetched — at rest the scan reads (list_id, codes), the
+    compressed 1-4% of the embedding bytes.
+
+    `encoded` short-circuits assignment+encoding with a prebuilt
+    (vec_id, v, list_id, codes) table — the at-rest index-time product."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m_sub, ncode, sub = books.shape
+    nprobe = min(nprobe, len(cent))
+
+    @pandas_udf("array<int>")
+    def probe_lists(v: pd.Series) -> pd.Series:
+        vecs = np.stack(v.to_numpy()).astype(np.float64)
+        sims = _cosine_matrix(vecs, cent)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    @pandas_udf("array<long>")
+    def adc_table(v: pd.Series) -> pd.Series:
+        """Per query: dtab[s*ncode + j] = micro(dot(q_s, codebook[s][j]))
+        — m_sub·2^nbits longs, broadcast-joined onto candidates."""
+        vecs = np.stack(v.to_numpy()).astype(np.float64)
+        n = len(vecs)
+        tabs = np.empty((n, m_sub * ncode), dtype=np.int64)
+        for s in range(m_sub):
+            qs = vecs[:, s * sub : (s + 1) * sub]
+            tabs[:, s * ncode : (s + 1) * ncode] = _micro(qs @ books[s].T)
+        return pd.Series(list(tabs))
+
+    if encoded is None:
+        base = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+        )
+        encoded = pq_encode(ivf_assign(base, cent, vec_col="v"), books, vec_col="v")
+
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.transform(qvec_col, lambda x: x.cast("double")).alias("qv"),
+    )
+    q = q.withColumn("dtab", adc_table(F.col("qv"))).withColumn(
+        "list_id", F.explode(probe_lists(F.col("qv")))
+    )
+    cand = F.broadcast(q).join(encoded, "list_id")
+    adc = F.expr(
+        f"aggregate(transform(codes, (c, s) -> element_at(dtab, s * {ncode} + c + 1)), "
+        f"cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    cand = cand.withColumn("adc", adc)
+    ws = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("vec_id"))
+    short = cand.withColumn("_r", F.row_number().over(ws)).filter(
+        F.col("_r") <= refine
+    )
+    exact = short.select(
+        "qid", "vec_id", "adc", cosine_expr(F.col("qv"), F.col("v")).alias("cosine")
+    )
+    sort_score = (
+        F.round("cosine", rank_round) if rank_round is not None else F.col("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(sort_score), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cosine", "adc")
+    )

@@ -492,3 +492,147 @@ def test_ivf_sampled_centroids_deterministic(spark):
     q = spark.createDataFrame([(0, vecs[0].tolist())], "qid long, qv array<float>")
     top = ivf_cosine_topk(e, q, cent, k=3, nprobe=1).orderBy("rank").collect()
     assert top[0].vec_id == 0  # self lives in the probed cell
+
+
+def test_pq_encode_matches_numpy_twin(spark):
+    from dpr_spark.extras.ann import pq_encode, train_pq_codebooks, _micro
+
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((200, 16)).astype("float32")
+    e = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    books = train_pq_codebooks(e, m_sub=4, nbits=3, iters=3, seed=5)
+    assert books.shape == (4, 8, 4)
+    ed = e.selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) as embedding"
+    )
+    got = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(ed, books, vec_col="embedding").collect()
+    }
+    vf = vecs.astype(np.float64)
+    for i in range(200):
+        exp = []
+        for s in range(4):
+            xs = vf[i, s * 4 : (s + 1) * 4]
+            d2 = _micro(
+                (xs @ xs)
+                - 2.0 * (books[s] @ xs)
+                + np.einsum("ij,ij->i", books[s], books[s])
+            )
+            exp.append(int(np.argmin(d2)))
+        assert got[i] == exp, f"vec {i}"
+
+
+def test_ivfpq_full_probe_full_refine_equals_brute(spark):
+    """nprobe=nlist and refine>=corpus: the exact refine sees every
+    vector, so IVF-PQ must return EXACTLY the brute-force top-k (the
+    approximation only narrows candidates, never rescoring)."""
+    from dpr_spark.extras.ann import (
+        brute_cosine_topk,
+        ivfpq_cosine_topk,
+        sampled_centroids,
+        sampled_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((120, 16)).astype("float32")
+    e = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(j, vecs[j].tolist()) for j in range(3)], "qid long, qv array<float>"
+    )
+    cent = sampled_centroids(e, nlist=4)
+    books = sampled_pq_codebooks(e, m_sub=4, nbits=3)
+    brute = [
+        (r.qid, r.rank, r.vec_id)
+        for r in brute_cosine_topk(e, q, k=8).orderBy("qid", "rank").collect()
+    ]
+    got = [
+        (r.qid, r.rank, r.vec_id)
+        for r in ivfpq_cosine_topk(
+            e, q, cent, books, k=8, nprobe=4, refine=1000
+        ).orderBy("qid", "rank").collect()
+    ]
+    assert got == brute
+
+
+def test_ivfpq_recall_and_shapes(spark):
+    """Clustered data, trained quantizers, narrow probe + shortlist:
+    high recall vs brute force, exact k rows per query, ADC column
+    populated and descending-consistent with its shortlist role."""
+    from dpr_spark.extras.ann import (
+        brute_cosine_topk,
+        ivfpq_cosine_topk,
+        train_centroids,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((5, 16)) * 4
+    vecs = np.concatenate(
+        [centers[i % 5] + rng.standard_normal(16) * 0.5 for i in range(300)]
+    ).reshape(300, 16).astype("float32")
+    e = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(j, vecs[j].tolist()) for j in range(4)], "qid long, qv array<float>"
+    )
+    cent = train_centroids(e, nlist=5, iters=5, seed=3)
+    books = train_pq_codebooks(e, m_sub=4, nbits=4, iters=4, seed=7)
+    brute = {(r.qid, r.vec_id) for r in brute_cosine_topk(e, q, k=10).collect()}
+    got = ivfpq_cosine_topk(
+        e, q, cent, books, k=10, nprobe=2, refine=60
+    ).collect()
+    approx = {(r.qid, r.vec_id) for r in got}
+    assert len(brute & approx) / len(brute) >= 0.9
+    by_q = {}
+    for r in got:
+        assert r.adc is not None
+        by_q.setdefault(r.qid, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, 11)) for v in by_q.values())
+
+
+def test_trained_pq_beats_sampled_quantization_error(spark):
+    """Training must reduce mean squared quantization error vs the
+    deterministic sampled codebooks on clustered data."""
+    from dpr_spark.extras.ann import (
+        pq_encode,
+        sampled_pq_codebooks,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(29)
+    centers = rng.standard_normal((6, 16)) * 3
+    vecs = np.concatenate(
+        [centers[i % 6] + rng.standard_normal(16) * 0.4 for i in range(240)]
+    ).reshape(240, 16).astype("float32")
+    e = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    ed = e.selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) as embedding"
+    )
+    vf = vecs.astype(np.float64)
+
+    def mse(books):
+        codes = {
+            r.vec_id: list(r.codes)
+            for r in pq_encode(ed, books, vec_col="embedding").collect()
+        }
+        err = 0.0
+        for i in range(len(vf)):
+            rec = np.concatenate([books[s][codes[i][s]] for s in range(4)])
+            err += float(((vf[i] - rec) ** 2).sum())
+        return err / len(vf)
+
+    sampled = mse(sampled_pq_codebooks(e, m_sub=4, nbits=4))
+    trained = mse(train_pq_codebooks(e, m_sub=4, nbits=4, iters=5, seed=11))
+    assert trained < sampled
