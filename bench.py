@@ -344,6 +344,8 @@ def main() -> None:
         "ann_filtered_topk", "matched_queries_topk", "query_string_topk",
         "has_parent_topk", "inner_hits", "metric_aggs_misc",
         "match_phrase_prefix", "match_bool_prefix", "ann_ivfpq_topk",
+        "filters_agg", "adjacency_matrix", "rare_terms_agg",
+        "multi_terms_agg", "global_agg",
     ]:
         try:
             fn, _ = entries[name]

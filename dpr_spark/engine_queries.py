@@ -3910,6 +3910,187 @@ def q_stats_agg_matches() -> Entry:
     return fn, sql
 
 
+def q_filters_agg() -> Entry:
+    """ES `filters` aggregation (query/aggs.py::filters_agg): named
+    buckets english/long/web0 + `_other_` over each query's match set —
+    one conditional-sum pass, no per-filter scan."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import filters_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        return filters_agg(
+            qdf, idx, docs.select("doc_id", "lang", "source", "n_chars"),
+            [
+                ("english", F.col("lang") == "en"),
+                ("long", F.col("n_chars") >= 300),
+                ("web0", F.col("source") == "src0"),
+            ],
+            other_bucket=True,
+        )
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    j AS (SELECT m.qid, d.lang, d.n_chars, d.source
+          FROM matches m JOIN documents d USING (doc_id)),
+    wide AS (SELECT qid,
+        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS english,
+        sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS longb,
+        sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS web0,
+        sum(CASE WHEN NOT (coalesce(lang = 'en', FALSE)
+                           OR coalesce(n_chars >= 300, FALSE)
+                           OR coalesce(source = 'src0', FALSE))
+            THEN 1 ELSE 0 END) AS otherb
+      FROM j GROUP BY 1)
+    SELECT qid, 'english' AS bucket, english AS count FROM wide
+    UNION ALL SELECT qid, 'long', longb FROM wide
+    UNION ALL SELECT qid, 'web0', web0 FROM wide
+    UNION ALL SELECT qid, '_other_', otherb FROM wide"""
+    return fn, sql
+
+
+def q_adjacency_matrix() -> Entry:
+    """ES `adjacency_matrix` (query/aggs.py::adjacency_matrix_agg):
+    per-filter and pairwise-intersection buckets (key 'a&b'), empty
+    buckets omitted — n(n+1)/2 conditional sums in one pass."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import adjacency_matrix_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        return adjacency_matrix_agg(
+            qdf, idx, docs.select("doc_id", "lang", "n_chars"),
+            [
+                ("en", F.col("lang") == "en"),
+                ("long", F.col("n_chars") >= 300),
+                ("zh", F.col("lang") == "zh"),
+            ],
+        )
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    j AS (SELECT m.qid, d.lang, d.n_chars
+          FROM matches m JOIN documents d USING (doc_id)),
+    wide AS (SELECT qid,
+        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS b_en,
+        sum(CASE WHEN lang = 'en' AND n_chars >= 300 THEN 1 ELSE 0 END) AS b_en_long,
+        sum(CASE WHEN lang = 'en' AND lang = 'zh' THEN 1 ELSE 0 END) AS b_en_zh,
+        sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS b_long,
+        sum(CASE WHEN n_chars >= 300 AND lang = 'zh' THEN 1 ELSE 0 END) AS b_long_zh,
+        sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS b_zh
+      FROM j GROUP BY 1),
+    longf AS (
+      SELECT qid, 'en' AS bucket, b_en AS count FROM wide
+      UNION ALL SELECT qid, 'en&long', b_en_long FROM wide
+      UNION ALL SELECT qid, 'en&zh', b_en_zh FROM wide
+      UNION ALL SELECT qid, 'long', b_long FROM wide
+      UNION ALL SELECT qid, 'long&zh', b_long_zh FROM wide
+      UNION ALL SELECT qid, 'zh', b_zh FROM wide)
+    SELECT qid, bucket, count FROM longf WHERE count > 0"""
+    return fn, sql
+
+
+def q_rare_terms_agg() -> Entry:
+    """ES `rare_terms` (query/aggs.py::rare_terms_agg): source buckets
+    with match-set doc count <= 2 — the exact long tail, no
+    CuckooFilter approximation."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import rare_terms_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        return rare_terms_agg(
+            qdf, idx, docs.select("doc_id", "source"), "source", max_doc_count=2
+        )
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    counts AS (
+      SELECT m.qid, d.source AS value, count(*) AS count
+      FROM matches m JOIN documents d USING (doc_id) GROUP BY 1, 2)
+    SELECT qid, value, count FROM counts WHERE count <= 2"""
+    return fn, sql
+
+
+def q_multi_terms_agg() -> Entry:
+    """ES `multi_terms` (query/aggs.py::multi_terms_agg): composite
+    (lang, source) buckets, top-5 per query by count desc then keys
+    asc — exact global counts, salted top-N."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import multi_terms_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        return multi_terms_agg(
+            qdf, idx, docs.select("doc_id", "lang", "source"),
+            ["lang", "source"], size=5, salt_buckets=4,
+        )
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    counts AS (
+      SELECT m.qid, d.lang, d.source, count(*) AS count
+      FROM matches m JOIN documents d USING (doc_id) GROUP BY 1, 2, 3),
+    ranked AS (
+      SELECT qid, lang, source, count,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY count DESC, lang ASC, source ASC) AS rank
+      FROM counts)
+    SELECT qid, lang, source, count, rank FROM ranked WHERE rank <= 5"""
+    return fn, sql
+
+
+def q_global_agg() -> Entry:
+    """ES `global` bucket (query/aggs.py::global_agg): per-query
+    match-set n/sum of n_chars next to the corpus-wide n/avg — the
+    results-vs-everything comparison, one broadcast corpus aggregate."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import global_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = global_agg(qdf, idx, docs.select("doc_id", "n_chars"), "n_chars")
+        return res.select(
+            "qid", "n", F.round("sum", 6).alias("sum_v"),
+            "g_n", F.round("g_avg", 6).alias("g_avg_v"),
+        )
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    per AS (SELECT m.qid, count(*) AS n,
+                   round(sum(d.n_chars::DOUBLE), 6) AS sum_v
+            FROM matches m JOIN documents d USING (doc_id) GROUP BY 1),
+    g AS (SELECT count(*) AS g_n, round(avg(n_chars::DOUBLE), 6) AS g_avg_v
+          FROM documents)
+    SELECT per.qid, per.n, per.sum_v, g.g_n, g.g_avg_v FROM per CROSS JOIN g"""
+    return fn, sql
+
+
 def q_percolate_matches() -> Entry:
     """Percolator / reverse search (query/percolate.py; ES percolate,
     Lucene Monitor): six standing subscriptions evaluated against every
@@ -5776,6 +5957,11 @@ def all_entries() -> Dict[str, Entry]:
         "func_score_topk": q_func_score_topk(),
         "terms_agg_matches": q_terms_agg_matches(),
         "stats_agg_matches": q_stats_agg_matches(),
+        "filters_agg": q_filters_agg(),
+        "adjacency_matrix": q_adjacency_matrix(),
+        "rare_terms_agg": q_rare_terms_agg(),
+        "multi_terms_agg": q_multi_terms_agg(),
+        "global_agg": q_global_agg(),
         "percolate_matches": q_percolate_matches(),
         "regexp_topk": q_regexp_topk(),
         "suggest_topn": q_suggest_topn(),

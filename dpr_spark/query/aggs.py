@@ -520,3 +520,127 @@ def bucket_selector(
     over their metrics (a Catalyst boolean expression — pushed into the
     parent agg's output scan, no extra pass)."""
     return buckets.filter(predicate)
+
+
+def filters_agg(
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    filters: Sequence,
+    other_bucket: bool = False,
+) -> DataFrame:
+    """ES `filters` aggregation: named-filter buckets over the match
+    set. `filters` is [(name, Column-over-doc_values)]; other_bucket
+    adds ES's `_other_` bucket (docs matching NO filter; a null
+    predicate counts as non-matching, per ES filter context). All
+    buckets come out of ONE groupBy(qid) pass as conditional sums —
+    adding a filter adds a column, not a scan."""
+    m = _matches(queries, index).join(doc_values, "doc_id")
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).alias(name) for name, cond in filters
+    ]
+    names = [n for n, _ in filters]
+    if other_bucket:
+        none = None
+        for _n, cond in filters:
+            hit = F.when(cond, True).otherwise(False)  # null -> False
+            none = hit if none is None else (none | hit)
+        aggs.append(F.sum(F.when(~none, 1).otherwise(0)).alias("_other_"))
+        names.append("_other_")
+    wide = m.groupBy("qid").agg(*aggs)
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
+    return wide.selectExpr(
+        "qid", f"stack({len(names)}, {stack}) as (bucket, count)"
+    )
+
+
+def global_agg(
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    field: str,
+) -> DataFrame:
+    """ES `global` bucket: the corpus-wide stats of `field` attached
+    next to each query's match-set stats (the DSL's escape hatch from
+    query scope — 'my results vs everything'). The global side is ONE
+    corpus aggregate broadcast-crossed onto the per-qid rows."""
+    matched = stats_agg(queries, index, doc_values, field)
+    c = F.col(field).cast("double")
+    g = doc_values.agg(
+        F.count("*").alias("g_n"),
+        F.sum(c).alias("g_sum"),
+        F.avg(c).alias("g_avg"),
+    )
+    return matched.crossJoin(F.broadcast(g))
+
+
+def adjacency_matrix_agg(
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    filters: Sequence,
+) -> DataFrame:
+    """ES `adjacency_matrix`: one bucket per named filter and per
+    pairwise intersection (key 'a&b' in the caller's filter order, the
+    ES key contract). n filters -> n(n+1)/2 conditional sums in ONE
+    groupBy pass — the cost is the match-set scan, not the pair count
+    (ES caps n at 100 for the same reason). Empty buckets are omitted,
+    like ES."""
+    m = _matches(queries, index).join(doc_values, "doc_id")
+    names = [n for n, _ in filters]
+    conds = dict(filters)
+    keys, aggs = [], []
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            key = a if a == b else f"{a}&{b}"
+            cond = conds[a] if a == b else (conds[a] & conds[b])
+            keys.append(key)
+            aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(key))
+    wide = m.groupBy("qid").agg(*aggs)
+    stack = ", ".join(f"'{k}', `{k}`" for k in keys)
+    return wide.selectExpr(
+        "qid", f"stack({len(keys)}, {stack}) as (bucket, count)"
+    ).filter(F.col("count") > 0)
+
+
+def rare_terms_agg(
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    field: str,
+    max_doc_count: int = 1,
+) -> DataFrame:
+    """ES `rare_terms`: the long-tail buckets whose match-set doc count
+    is <= max_doc_count — the tail a terms agg's top-N misses. EXACT
+    (no CuckooFilter false positives): the groupBy is the same shuffle
+    terms_agg already pays; the tail filter happens post-aggregation on
+    (qid, value, count) rows, which are bounded by distinct values, not
+    docs."""
+    m = _matches(queries, index).join(
+        doc_values.select("doc_id", F.col(field).alias("value")), "doc_id"
+    )
+    counts = m.groupBy("qid", "value").agg(F.count("*").alias("count"))
+    return counts.filter(F.col("count") <= max_doc_count)
+
+
+def multi_terms_agg(
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    fields: Sequence[str],
+    size: int = 10,
+    salt_buckets: Optional[int] = None,
+) -> DataFrame:
+    """ES `multi_terms`: composite-key buckets over the match set,
+    top-`size` per query by count desc then key values asc — exact
+    global counts, same salted top-N discipline as terms_agg."""
+    m = _matches(queries, index).join(
+        doc_values.select("doc_id", *fields), "doc_id"
+    )
+    counts = m.groupBy("qid", *fields).agg(F.count("*").alias("count"))
+    order = [F.col("count").desc()] + [F.col(f).asc() for f in fields]
+    top = cap_per_key(counts, ["qid"], order, size, salt_buckets=salt_buckets)
+    w = Window.partitionBy("qid").orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "qid", *fields, "count", "rank"
+    )

@@ -422,3 +422,91 @@ def test_pipeline_metrics_and_bucket_tools(spark):
         for r in bucket_selector(b, F.col("count") >= 4).collect()
     }
     assert kept == {(0, "a"), (0, "b")}
+
+
+def test_filters_and_adjacency_and_global(spark, index, queries_pdf, oracle):
+    """filters_agg / adjacency_matrix_agg / global_agg vs pure-Python
+    twins over index.docstats doclen predicates."""
+    from dpr_spark.query.aggs import (
+        adjacency_matrix_agg,
+        filters_agg,
+        global_agg,
+    )
+
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(8))
+    dv = index.docstats  # (doc_id, doclen)
+    med = sorted(oracle.doclen.values())[len(oracle.doclen) // 2]
+    filt = [
+        ("short", F.col("doclen") < med),
+        ("exact", F.col("doclen") == med),
+    ]
+
+    res = filters_agg(qdf, index, dv, filt, other_bucket=True).collect()
+    got = {(r.qid, r.bucket): r["count"] for r in res}
+    for _, q in queries_pdf.head(8).iterrows():
+        docs = _oracle_matches(oracle, q.question)
+        if not docs:
+            continue
+        qid = int(q.qid)
+        short = sum(1 for d in docs if oracle.doclen[d] < med)
+        exact = sum(1 for d in docs if oracle.doclen[d] == med)
+        other = sum(1 for d in docs if oracle.doclen[d] > med)
+        assert got[(qid, "short")] == short
+        assert got[(qid, "exact")] == exact
+        assert got[(qid, "_other_")] == other
+
+    adj = adjacency_matrix_agg(qdf, index, dv, filt).collect()
+    gadj = {(r.qid, r.bucket): r["count"] for r in adj}
+    for _, q in queries_pdf.head(8).iterrows():
+        docs = _oracle_matches(oracle, q.question)
+        qid = int(q.qid)
+        short = sum(1 for d in docs if oracle.doclen[d] < med)
+        both = 0  # short & exact is contradictory -> always omitted
+        assert (qid, "short&exact") not in gadj
+        if short:
+            assert gadj[(qid, "short")] == short
+
+    g = global_agg(qdf, index, dv, "doclen").collect()
+    n_corpus = len(oracle.doclen)
+    avg_corpus = sum(oracle.doclen.values()) / n_corpus
+    for r in g:
+        assert r.g_n == n_corpus
+        assert r.g_avg == pytest.approx(avg_corpus)
+        docs = _oracle_matches(oracle, queries_pdf.iloc[int(r.qid)].question) \
+            if int(r.qid) < len(queries_pdf) else None
+        # per-qid stats already covered by test_stats_agg
+
+
+def test_rare_and_multi_terms(spark, index, queries_pdf, oracle):
+    from dpr_spark.query.aggs import multi_terms_agg, rare_terms_agg
+
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(8))
+    # categorical doc value: doclen parity + doclen % 3
+    dv = index.docstats.select(
+        "doc_id",
+        (F.col("doclen") % 2).alias("par"),
+        (F.col("doclen") % 3).alias("mod3"),
+    )
+    rare = rare_terms_agg(qdf, index, dv, "par", max_doc_count=3).collect()
+    grare = {(r.qid, r.value): r["count"] for r in rare}
+    multi = multi_terms_agg(qdf, index, dv, ["par", "mod3"], size=3).collect()
+    gmulti = {}
+    for r in multi:
+        gmulti.setdefault(r.qid, []).append((r.rank, r.par, r.mod3, r["count"]))
+    for _, q in queries_pdf.head(8).iterrows():
+        docs = _oracle_matches(oracle, q.question)
+        qid = int(q.qid)
+        from collections import Counter
+
+        par = Counter(oracle.doclen[d] % 2 for d in docs)
+        for v, c in par.items():
+            if c <= 3:
+                assert grare[(qid, v)] == c
+            else:
+                assert (qid, v) not in grare
+        pairs = Counter((oracle.doclen[d] % 2, oracle.doclen[d] % 3) for d in docs)
+        exp = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        gotl = sorted(gmulti.get(qid, []))
+        assert len(gotl) == len(exp)
+        for (rank, p, m3, c), ((ep, em), ec) in zip(gotl, exp):
+            assert (p, m3, c) == (ep, em, ec), f"qid={qid} rank={rank}"
