@@ -4091,6 +4091,92 @@ def q_global_agg() -> Entry:
     return fn, sql
 
 
+def q_rank_eval() -> Entry:
+    """ES `_rank_eval` (eval/rankeval.py): precision@10, recall@10, RR,
+    DCG@10, nDCG@10, ERR@10 of the BM25 ranking against graded
+    judgments derived from the data (rel = distinct query terms in the
+    doc − 1, so single-term docs are non-relevant). ERR's rank-ordered
+    fold uses dyadic R values, bit-exact vs DuckDB's windowed
+    product()."""
+    K = 10
+
+    def fn(spark, sf_dir):
+        from dpr_spark.eval.rankeval import rank_eval
+
+        ranked = _bm25_ranked(spark, sf_dir)
+        tok = _tokenized(spark, sf_dir)
+        tf = (
+            tok.select("doc_id", F.explode("toks").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        qt = _qterms_df(spark)
+        qrels = (
+            qt.join(tf, "term")
+            .groupBy("qid", "doc_id")
+            .agg((F.count("*") - F.lit(1)).alias("rel"))
+        )
+        res = rank_eval(ranked.select("qid", "rank", "doc_id"), qrels, k=K)
+        return res.select(
+            "qid", "retrieved",
+            F.round("precision_k", 6).alias("precision_k"),
+            F.round("recall_k", 6).alias("recall_k"),
+            F.round("rr", 6).alias("rr"),
+            F.round("dcg_k", 6).alias("dcg_k"),
+            F.round("ndcg_k", 6).alias("ndcg_k"),
+            F.round("err_k", 6).alias("err_k"),
+        )
+
+    sql = f"""
+    WITH {_BM25_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    topk AS (SELECT qid, rank, doc_id FROM ranked WHERE rank <= {K}),
+    qrels AS (SELECT qt.qid, tf.doc_id, count(*) - 1 AS rel
+              FROM qt JOIN tf USING (term) GROUP BY 1, 2),
+    j AS (SELECT t.qid, t.rank, coalesce(q.rel, 0) AS rel
+          FROM topk t LEFT JOIN qrels q
+               ON q.qid = t.qid AND q.doc_id = t.doc_id),
+    hit AS (SELECT qid, rank, rel,
+                   (pow(2.0::DOUBLE, rel) - 1.0::DOUBLE)
+                     / log2(rank + 1.0::DOUBLE) AS dg,
+                   (pow(2.0::DOUBLE, rel) - 1.0::DOUBLE) / 8.0::DOUBLE AS rp
+            FROM j),
+    errt AS (SELECT qid, rank, rp,
+                    coalesce(product(1.0::DOUBLE - rp)
+                             OVER (PARTITION BY qid ORDER BY rank
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 1.0::DOUBLE) AS pfx
+             FROM hit),
+    base AS (SELECT qid, count(*) AS retrieved,
+                    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS rel_hits,
+                    min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+                    sum(dg) AS dcg FROM hit GROUP BY 1),
+    errs AS (SELECT qid, sum(rp * pfx / rank) AS err FROM errt GROUP BY 1),
+    nrel AS (SELECT qid, count(*) AS n_rel FROM qrels WHERE rel > 0 GROUP BY 1),
+    ideal AS (SELECT qid,
+                     sum((pow(2.0::DOUBLE, rel) - 1.0::DOUBLE)
+                         / log2(irank + 1.0::DOUBLE)) AS idcg
+              FROM (SELECT qid, rel, doc_id,
+                           row_number() OVER (PARTITION BY qid
+                                              ORDER BY rel DESC, doc_id) AS irank
+                    FROM qrels WHERE rel > 0)
+              WHERE irank <= {K} GROUP BY 1)
+    SELECT b.qid, b.retrieved,
+           round(b.rel_hits::DOUBLE / b.retrieved, 6) AS precision_k,
+           round(CASE WHEN coalesce(n.n_rel, 0) > 0
+                      THEN b.rel_hits::DOUBLE / n.n_rel
+                      ELSE 0.0::DOUBLE END, 6) AS recall_k,
+           round(CASE WHEN b.first_rel IS NOT NULL
+                      THEN 1.0::DOUBLE / b.first_rel
+                      ELSE 0.0::DOUBLE END, 6) AS rr,
+           round(b.dcg, 6) AS dcg_k,
+           round(CASE WHEN coalesce(i.idcg, 0.0::DOUBLE) > 0
+                      THEN b.dcg / i.idcg ELSE 0.0::DOUBLE END, 6) AS ndcg_k,
+           round(e.err, 6) AS err_k
+    FROM base b LEFT JOIN nrel n USING (qid) LEFT JOIN ideal i USING (qid)
+         JOIN errs e USING (qid)"""
+    return fn, sql
+
+
 def q_percolate_matches() -> Entry:
     """Percolator / reverse search (query/percolate.py; ES percolate,
     Lucene Monitor): six standing subscriptions evaluated against every
@@ -5962,6 +6048,7 @@ def all_entries() -> Dict[str, Entry]:
         "rare_terms_agg": q_rare_terms_agg(),
         "multi_terms_agg": q_multi_terms_agg(),
         "global_agg": q_global_agg(),
+        "rank_eval": q_rank_eval(),
         "percolate_matches": q_percolate_matches(),
         "regexp_topk": q_regexp_topk(),
         "suggest_topn": q_suggest_topn(),
