@@ -345,7 +345,7 @@ def main() -> None:
         "has_parent_topk", "inner_hits", "metric_aggs_misc",
         "match_phrase_prefix", "match_bool_prefix", "ann_ivfpq_topk",
         "filters_agg", "adjacency_matrix", "rare_terms_agg",
-        "multi_terms_agg", "global_agg", "rank_eval",
+        "multi_terms_agg", "global_agg", "rank_eval", "sliced_scroll",
     ]:
         try:
             fn, _ = entries[name]

@@ -1183,6 +1183,47 @@ def q_search_after_page2() -> Entry:
     return fn, sql
 
 
+def q_sliced_scroll() -> Entry:
+    """ES sliced scroll (query/paging.py::search_sliced): two parallel
+    slices (doc_id % 2) each rank their own doc partition top-5 per
+    query on the segments engine; the twin re-ranks the BM25 scores
+    within each slice. The slice filter sits at the postings iterator,
+    so each slice pays only its share (tests/test_paging.py)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.paging import search_sliced
+        from dpr_spark.query.wand import build_impact_segments
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        seg = build_impact_segments(idx, num_buckets=8).persist()
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        out = None
+        for s in (0, 1):
+            page = search_sliced(spark, qdf, idx, seg, s, 2, k=5).select(
+                "qid", F.lit(s).alias("slice_id"), "doc_id",
+                F.round("score", 6).alias("score_r"),
+            )
+            out = page if out is None else out.unionByName(page)
+        w = Window.partitionBy("qid", "slice_id").orderBy(
+            F.desc("score_r"), F.asc("doc_id")
+        )
+        return out.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "slice_id", "rank", "doc_id", "score_r"
+        )
+
+    sql = f"""
+    WITH {_BM25_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    sliced AS (
+      SELECT qid, doc_id % 2 AS slice_id, doc_id, score_r,
+             row_number() OVER (PARTITION BY qid, doc_id % 2
+                                ORDER BY score_r DESC, doc_id) AS rank
+      FROM ranked)
+    SELECT qid, slice_id, rank, doc_id, score_r FROM sliced WHERE rank <= 5"""
+    return fn, sql
+
+
 def q_sort_by_field_topk() -> Entry:
     """Sort-by-field result mode (query/paging.py; Lucene Sort(SortField)
     over doc values): top-10 MATCHES of each query (any-term OR
@@ -6026,6 +6067,7 @@ def all_entries() -> Dict[str, Entry]:
         "bm25f_topk": q_bm25f_topk(),
         "span_ordered_topk": q_span_ordered_topk(),
         "search_after_page2": q_search_after_page2(),
+        "sliced_scroll": q_sliced_scroll(),
         "sort_by_field_topk": q_sort_by_field_topk(),
         "merged_index_topk": q_merged_index_topk(),
         "explain_topk": q_explain_topk(),

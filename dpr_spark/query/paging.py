@@ -292,3 +292,29 @@ def search_sorted_layout(
     for pdf in parts:
         pdf.unpersist()
     return res
+
+
+def search_sliced(
+    spark: SparkSession,
+    queries: DataFrame,
+    index: InvertedIndex,
+    segments: DataFrame,
+    slice_id: int,
+    slice_max: int,
+    k: int = DEFAULT_TOP_K,
+    cursors: Optional[Dict[int, Cursor]] = None,
+    resolve: str = "auto",
+) -> DataFrame:
+    """ES sliced scroll (`slice: {id, max}`): an independent ranking of
+    the doc partition doc_id % max == id, so `max` workers drain one
+    result set in parallel — each slice pages with its OWN search_after
+    cursors. The slice predicate applies at the postings iterator
+    (before pruning and the per-bucket heap), so a slice pays only its
+    share, and the union of all slices' pages is exactly the unsliced
+    ranking re-partitioned by doc_id % max (tests/test_paging.py)."""
+    if not 0 <= slice_id < slice_max:
+        raise ValueError("need 0 <= slice_id < slice_max")
+    return search_segments(
+        spark, queries, index, segments, k=k, resolve=resolve,
+        cursors=cursors, doc_slice=(slice_id, slice_max),
+    )

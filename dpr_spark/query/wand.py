@@ -358,6 +358,7 @@ def _search_partition(
     stats: dict = None,
     cursors: Optional[dict] = None,
     deleted: Optional[np.ndarray] = None,
+    doc_slice: Optional[Tuple[int, int]] = None,
 ) -> Iterator[pd.DataFrame]:
     if not qterms:
         return
@@ -374,6 +375,18 @@ def _search_partition(
     term_ids = np.concatenate(t_chunks) if len(t_chunks) > 1 else t_chunks[0]
     doc_ids = np.concatenate(d_chunks) if len(d_chunks) > 1 else d_chunks[0]
     impacts = np.concatenate(i_chunks) if len(i_chunks) > 1 else i_chunks[0]
+    if doc_slice is not None:
+        # ES sliced scroll: this call owns docs with doc_id % max == id;
+        # the filter sits at the postings iterator (like liveDocs) so
+        # pruning and the heap only ever see the slice's docs
+        sid, smax = doc_slice
+        keep = (doc_ids % smax) == sid
+        if not keep.all():
+            term_ids, doc_ids, impacts = (
+                term_ids[keep], doc_ids[keep], impacts[keep]
+            )
+        if not len(term_ids):
+            return
     if deleted is not None and len(deleted):
         # liveDocs at the postings iterator (Lucene): tombstoned rows
         # drop here, so pruning, cursors and top-k never see them
@@ -516,6 +529,7 @@ def search_segments(
     resolve: str = "auto",
     cursors: Optional[Dict[int, Tuple[float, int]]] = None,
     deletes=None,
+    doc_slice: Optional[Tuple[int, int]] = None,
 ) -> DataFrame:
     """results(qid, rank, doc_id, score) — bit-identical to the exact
     scorer, one postings pass per wave, no postings shuffle. Queries ship
@@ -532,7 +546,13 @@ def search_segments(
 
     deletes: optional tombstone set — a (doc_id) DataFrame or a sorted
     int64 numpy array — applied at the postings iterator in every bucket
-    (Lucene liveDocs); term statistics stay stale until purge_deletes."""
+    (Lucene liveDocs); term statistics stay stale until purge_deletes.
+
+    doc_slice: optional (slice_id, slice_max) — ES sliced-scroll
+    partitioning: this call ranks only docs with doc_id % max == id,
+    applied at the postings iterator like deletes, so max parallel
+    scrollers each pay only their share of the heap work and their
+    union is exactly the unsliced ranking re-partitioned."""
     if deletes is not None and not isinstance(deletes, np.ndarray):
         from dpr_spark.index.deletes import deletes_array
 
@@ -549,6 +569,7 @@ def search_segments(
                 it, bc.value, k,
                 cursors=bcur.value if bcur else None,
                 deleted=bdel.value if bdel else None,
+                doc_slice=doc_slice,
             )
 
         return run

@@ -343,3 +343,51 @@ def test_sorted_layout_matches_unsorted(spark, index, queries_df, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "range_id" in plan.split("PartitionFilters")[1][:200], plan
+
+
+def test_sliced_scroll_union_equals_unsliced(spark, index, segments, queries_df):
+    """The union of all slices' full rankings is EXACTLY the unsliced
+    ranking re-partitioned by doc_id % max; each slice pages with its
+    own cursors like any ranking."""
+    from dpr_spark.query.paging import cursors_from_page, search_sliced
+    from dpr_spark.query.wand import search_segments
+
+    MAX = 3
+    big = 10**6  # effectively unbounded k for this corpus
+    full = {
+        (r.qid, r.doc_id): r.score
+        for r in search_segments(spark, queries_df, index, segments, k=big).collect()
+    }
+    merged = {}
+    for s in range(MAX):
+        rows = search_sliced(
+            spark, queries_df, index, segments, s, MAX, k=big
+        ).collect()
+        for r in rows:
+            assert r.doc_id % MAX == s  # slice owns its partition
+            merged[(r.qid, r.doc_id)] = r.score
+    assert merged == full
+
+    # per-slice paging: page2 of slice 0 = slice-0 ranking ranks 6..10
+    s0 = search_sliced(spark, queries_df, index, segments, 0, MAX, k=big)
+    expect = {}
+    for r in s0.collect():
+        expect.setdefault(r.qid, []).append((r.rank, r.doc_id, r.score))
+    page1 = search_sliced(spark, queries_df, index, segments, 0, MAX, k=5)
+    cursors = cursors_from_page(page1)
+    page2 = search_sliced(
+        spark, queries_df, index, segments, 0, MAX, k=5, cursors=cursors
+    ).collect()
+    got2 = {}
+    for r in page2:
+        got2.setdefault(r.qid, []).append((r.rank, r.doc_id, r.score))
+    for qid, rows in got2.items():
+        exp = [x for x in sorted(expect[qid]) if 6 <= x[0] <= 10]
+        assert sorted(rows) == [(r - 5, d, s) for r, d, s in exp], f"qid={qid}"
+
+
+def test_sliced_scroll_rejects_bad_slice(spark, index, segments, queries_df):
+    from dpr_spark.query.paging import search_sliced
+
+    with pytest.raises(ValueError):
+        search_sliced(spark, queries_df, index, segments, 2, 2)
