@@ -25,7 +25,7 @@ with a `startswith` filter (Catalyst pushes the resulting
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -163,15 +163,35 @@ def bool_search(
 
 
 def expand_prefix(
-    index: InvertedIndex, prefixes: DataFrame, max_expansions: int = 16
+    index: InvertedIndex,
+    prefixes: DataFrame,
+    max_expansions: int = 16,
+    scan_prefixes: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """prefixes(qid, prefix) -> (qid, term, term_id, idf): the
     `max_expansions` highest-df dictionary terms per prefix (ties by
     term ASC). The dictionary is the small side at any scale (terms,
     not docs) but still distributed: the rank is a per-qid window over
-    only the prefix-matching rows."""
+    only the prefix-matching rows.
+
+    scan_prefixes: the prefix LITERALS when the caller has them (it
+    almost always does — they arrived as query strings). They become a
+    pushable OR-of-StringStartsWith on the dictionary scan (the
+    FST-seek analog; same discipline as fuzzy/wildcard literal
+    pruning), a superset filter the join condition then exacts. An
+    empty-string prefix disables the filter (full scan — the honest
+    cost of that query)."""
+    dic = index.dictionary.select("term", "term_id", "idf", "df")
+    if scan_prefixes is not None:
+        lits = sorted(set(scan_prefixes))
+        if lits and all(p for p in lits):
+            flt = None
+            for p in lits:
+                c = F.col("term").startswith(p)
+                flt = c if flt is None else (flt | c)
+            dic = dic.filter(flt)
     cand = F.broadcast(prefixes).join(
-        index.dictionary.select("term", "term_id", "idf", "df"),
+        dic,
         F.col("term").startswith(F.col("prefix")),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("df"), F.asc("term"))
@@ -418,7 +438,10 @@ def prefix_search(
     pdf = spark.createDataFrame(
         [(qid, p.lower()) for qid, p in prefixes], "qid long, prefix string"
     )
-    qt = expand_prefix(index, pdf, max_expansions)
+    qt = expand_prefix(
+        index, pdf, max_expansions,
+        scan_prefixes=[p.lower() for _q, p in prefixes],
+    )
     joined = index.postings.join(F.broadcast(qt.select("qid", "term_id", "idf")), "term_id")
     scored = joined.groupBy("qid", "doc_id").agg(
         F.sum(_component(index.stats.avgdl, k1, b)).alias("score")
@@ -472,9 +495,9 @@ def match_bool_prefix_search(
         .join(F.broadcast(tdf), "term")
         .select("qid", "term_id", "idf")
     )
-    qt_pre = expand_prefix(index, pdf, max_expansions).select(
-        "qid", "term_id", "idf"
-    )
+    qt_pre = expand_prefix(
+        index, pdf, max_expansions, scan_prefixes=[p for _q, p in prows]
+    ).select("qid", "term_id", "idf")
     qt = qt_terms.unionByName(qt_pre)
     joined = index.postings.join(F.broadcast(qt), "term_id")
     scored = joined.groupBy("qid", "doc_id").agg(

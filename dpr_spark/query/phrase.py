@@ -817,8 +817,17 @@ def match_phrase_prefix_search_index(
 
     dic = index.dictionary.select("term", "term_id", "idf")
     eterms = dic.join(F.broadcast(edf), "term")
-    # StartsWith pushes into the dictionary scan (test_plans asserts)
-    xcand = F.broadcast(pdf).join(dic, F.col("term").startswith(F.col("prefix")))
+    # literal OR-of-StartsWith pushes into the dictionary scan
+    # (test_plans asserts) — superset filter, the join condition exacts
+    xdic = dic
+    lits = sorted({p for _q, _o, p in prows})
+    if lits and all(lits):
+        flt = None
+        for p in lits:
+            c = F.col("term").startswith(p)
+            flt = c if flt is None else (flt | c)
+        xdic = dic.filter(flt)
+    xcand = F.broadcast(pdf).join(xdic, F.col("term").startswith(F.col("prefix")))
     wx = Window.partitionBy("qid").orderBy(F.asc("term"))
     xterms = (
         xcand.withColumn("_r", F.row_number().over(wx))

@@ -50,9 +50,17 @@ def suggest_completions(
         if mode == "prefix"
         else F.col("term").contains(F.col("prefix"))
     )
-    cand = F.broadcast(pdf).join(
-        index.dictionary.select("term", F.col("df").alias("weight")), cond
-    )
+    dic = index.dictionary.select("term", F.col("df").alias("weight"))
+    if mode == "prefix":
+        # literal OR-of-StartsWith reaches the dictionary scan (the
+        # FST-seek analog; infix has no pushable literal — full scan is
+        # that mode's honest cost)
+        flt = None
+        for p in sorted({p for _q, p in rows}):
+            c = F.col("term").startswith(p)
+            flt = c if flt is None else (flt | c)
+        dic = dic.filter(flt)
+    cand = F.broadcast(pdf).join(dic, cond)
     w = Window.partitionBy("qid").orderBy(F.desc("weight"), F.asc("term"))
     return (
         cand.withColumn("rank", F.row_number().over(w))

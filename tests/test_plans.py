@@ -377,3 +377,78 @@ def test_phrase_suggest_lm_never_broadcasts(spark, index, pages_df):
     # tiny candidate-distinct, both query- or build-side, not the join)
     assert "SortMergeJoin" not in plan
     assert "StartsWith" in plan
+
+
+def test_prefix_search_pushes_literals_to_dictionary_scan(spark, stored_index):
+    """expand_prefix's literal superset filter: the prefix reaches the
+    parquet dictionary scan as StringStartsWith — no full-vocab
+    nested loop for prefix queries."""
+    from dpr_spark.query.boolquery import prefix_search
+
+    plan = _explain(prefix_search(spark, [(0, "wo")], stored_index, k=5))
+    assert "StringStartsWith(term,wo)" in plan, plan
+
+
+def test_match_phrase_prefix_pushes_literal(spark, stored_index):
+    from dpr_spark.query.phrase import (
+        build_positions,
+        match_phrase_prefix_search_index,
+    )
+
+    pos = build_positions(
+        stored_index.docstats.select(
+            "doc_id", F.lit("word one word").alias("text")
+        ),
+        stored_index.dictionary,
+    )
+    plan = _explain(
+        match_phrase_prefix_search_index(
+            spark, stored_index, pos, [(0, "word wo")], k=5
+        )
+    )
+    assert "StringStartsWith(term,wo)" in plan, plan
+
+
+def test_match_bool_prefix_pushes_literal(spark, stored_index):
+    from dpr_spark.query.boolquery import match_bool_prefix_search
+
+    plan = _explain(
+        match_bool_prefix_search(spark, [(0, "word wo")], stored_index, k=5)
+    )
+    assert "StringStartsWith(term,wo)" in plan, plan
+
+
+def test_suggest_pushes_literal(spark, stored_index):
+    from dpr_spark.query.suggest import suggest_completions
+
+    plan = _explain(suggest_completions(spark, [(0, "wo")], stored_index, n=5))
+    assert "StringStartsWith(term,wo)" in plan, plan
+
+
+def test_ivfpq_no_corpus_crossjoin_and_codegen_adc(spark):
+    """IVF-PQ plan shape: candidates come from a broadcast equi-join on
+    list_id (never a corpus cross join), and the ADC fold is Catalyst
+    codegen over the codes array (no Python in the per-candidate path)."""
+    import numpy as np
+
+    from dpr_spark.extras.ann import (
+        ivfpq_cosine_topk,
+        sampled_centroids,
+        sampled_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(31)
+    vecs = rng.standard_normal((64, 16)).astype("float32")
+    e = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(0, vecs[0].tolist())], "qid long, qv array<float>"
+    )
+    cent = sampled_centroids(e, nlist=4)
+    books = sampled_pq_codebooks(e, m_sub=4, nbits=3)
+    plan = _explain(ivfpq_cosine_topk(e, q, cent, books, k=5, nprobe=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "aggregate(" in plan  # the Catalyst ADC fold
