@@ -346,6 +346,9 @@ def main() -> None:
         "match_phrase_prefix", "match_bool_prefix", "ann_ivfpq_topk",
         "filters_agg", "adjacency_matrix", "rare_terms_agg",
         "multi_terms_agg", "global_agg", "rank_eval", "sliced_scroll",
+        "ann_ivf_topk", "pipeline_aggs", "span_first_topk",
+        "span_or_topk", "span_not_topk", "pagerank_topk",
+        "anchor_bm25f_topk",
     ]:
         try:
             fn, _ = entries[name]

@@ -6005,6 +6005,170 @@ def q_metric_aggs_misc() -> Entry:
     return fn, sql
 
 
+# ---------------------------------------------------------------------------
+# link graph: fixed-point PageRank + anchor-text field (extras/graph.py)
+# ---------------------------------------------------------------------------
+
+_LINK_CTES = f"""t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+      z AS (SELECT doc_id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS i FROM t),
+      sh AS (SELECT DISTINCT a.doc_id,
+                    a.tok || ' ' || b.tok || ' ' || c.tok AS anchor
+             FROM z a JOIN z b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                      JOIN z c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+      rare AS (SELECT anchor FROM sh
+               GROUP BY anchor HAVING count(*) BETWEEN 2 AND 3),
+      hits AS (SELECT sh.anchor, sh.doc_id FROM sh JOIN rare USING (anchor)),
+      triples AS (SELECT anchor, src, dst FROM (
+          SELECT anchor,
+                 lag(doc_id) OVER (PARTITION BY anchor ORDER BY doc_id) AS src,
+                 doc_id AS dst FROM hits) WHERE src IS NOT NULL)"""
+
+
+def q_pagerank_topk() -> Entry:
+    """Fixed-point PageRank over the content link graph
+    (extras/graph.py): edges between consecutive docs sharing a rare
+    3-token shingle, 5 power iterations in int64 arithmetic (rank
+    scaled by 1e12, integer division everywhere) — integer sums
+    commute, so the result is bit-identical across partitionings and
+    engines; the twin unrolls the same iterations as chained CTEs.
+    Top-20 by (rank desc, doc_id) — the tiebreak matters because every
+    no-inlink node holds the identical teleport-only rank."""
+    n_iter, scale = 5, 10**12
+    tele = (scale * 15) // 100
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.graph import pagerank, shingle_edges
+
+        docs = _docs(spark, sf_dir)
+        edges = shingle_edges(docs).select("src", "dst").distinct()
+        pr = pagerank(docs.select("doc_id"), edges, n_iter=n_iter, scale=scale)
+        w = Window.orderBy(F.desc("pr"), F.asc("node"))
+        return (
+            pr.withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <= 20)
+            .select("pos", F.col("node").alias("doc_id"), "pr")
+        )
+
+    parts = [
+        f"""
+      WITH {_LINK_CTES},
+      edges AS (SELECT DISTINCT src, dst FROM triples),
+      nodes AS (SELECT doc_id AS node FROM documents),
+      outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      r0 AS (SELECT node, {scale}::BIGINT AS rank FROM nodes)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+      d{i} AS (SELECT (coalesce(sum(r.rank), 0)
+                       // (SELECT n FROM nn))::BIGINT AS dsh
+               FROM r{i - 1} r LEFT JOIN outdeg o ON r.node = o.src
+               WHERE o.od IS NULL),
+      r{i} AS (SELECT n.node,
+                 ({tele} + (85 * (coalesce(s.s, 0)
+                                  + (SELECT dsh FROM d{i}))) // 100)::BIGINT
+                   AS rank
+               FROM nodes n LEFT JOIN (
+                 SELECT e.dst AS node, (sum(r.rank // o.od))::BIGINT AS s
+                 FROM r{i - 1} r JOIN edges e ON r.node = e.src
+                                 JOIN outdeg o ON o.src = e.src
+                 GROUP BY e.dst) s ON s.node = n.node)"""
+        )
+    parts.append(
+        f"""
+      SELECT pos, doc_id, pr FROM (
+        SELECT node AS doc_id, rank AS pr,
+               row_number() OVER (ORDER BY rank DESC, node) AS pos
+        FROM r{n_iter})
+      WHERE pos <= 20"""
+    )
+    return fn, "".join(parts)
+
+
+def q_anchor_bm25f_topk() -> Entry:
+    """Anchor-text ranking: each link's shingle becomes anchor text on
+    the TARGET doc (the web-search signal: what other pages say about
+    you), indexed as a second field of the fielded index and scored
+    1.0*BM25_text + 1.5*BM25_anchor. Engine: extras/graph.shingle_edges
+    + index/fielded.py; per-field avgdl counts anchor-less docs at
+    length 0 in both engines. tf over the anchor field is a token
+    multiset, so concat order is irrelevant cross-engine."""
+    W_TEXT, W_ANCHOR = 1.0, 1.5
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.graph import shingle_edges
+        from dpr_spark.index.fielded import build_fielded_index, search_fielded
+
+        docs = _docs(spark, sf_dir)
+        anch = (
+            shingle_edges(docs)
+            .groupBy("dst")
+            .agg(F.concat_ws(" ", F.collect_list("anchor")).alias("anchor"))
+            .withColumnRenamed("dst", "doc_id")
+        )
+        fdocs = (
+            docs.select("doc_id", "text")
+            .join(anch, "doc_id", "left")
+            .withColumn("anchor", F.coalesce("anchor", F.lit("")))
+        )
+        idx = build_fielded_index(
+            spark, fdocs, fields=("text", "anchor"),
+            weights={"text": W_TEXT, "anchor": W_ANCHOR},
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search_fielded(qdf, idx, k=10).select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = f"""
+      WITH {_LINK_CTES},
+      atok AS (SELECT dst AS doc_id, unnest(string_split(anchor, ' ')) AS term
+               FROM triples),
+      ds AS (SELECT doc_id, 0 AS field_id, len(toks) AS doclen FROM t
+             UNION ALL
+             SELECT d.doc_id, 1 AS field_id, coalesce(a.c, 0) AS doclen
+             FROM documents d LEFT JOIN (
+               SELECT doc_id, count(*) AS c FROM atok GROUP BY doc_id) a
+             USING (doc_id)),
+      stats AS (SELECT field_id, count(*)::DOUBLE AS n, avg(doclen) AS avgdl
+                FROM ds GROUP BY 1),
+      tf AS (SELECT doc_id, 0 AS field_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+             GROUP BY doc_id, term
+             UNION ALL
+             SELECT doc_id, 1 AS field_id, term, count(*) AS tf
+             FROM atok GROUP BY doc_id, term),
+      dict AS (SELECT field_id, term, count(*) AS df FROM tf GROUP BY 1, 2),
+      qt AS (SELECT * FROM (VALUES {{QTERMS}}) AS q(qid, term)),
+      scored AS (
+        SELECT qt.qid, tf.doc_id,
+               sum((CASE WHEN tf.field_id = 1 THEN {W_ANCHOR} ELSE {W_TEXT} END)
+                   * ln((s.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                   * tf.tf * {BM25_K1 + 1.0}
+                   / (tf.tf + {BM25_K1}
+                      * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / s.avgdl))
+               ) AS score
+        FROM qt
+        JOIN dict ON dict.term = qt.term
+        JOIN tf ON tf.term = qt.term AND tf.field_id = dict.field_id
+        JOIN ds ON ds.doc_id = tf.doc_id AND ds.field_id = tf.field_id
+        JOIN stats s ON s.field_id = tf.field_id
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT qid, doc_id, round(score, 6) AS score_r,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY round(score, 6) DESC, doc_id) AS rank
+        FROM scored)
+      SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql.replace("{QTERMS}", _qterm_values_sql())
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -6121,4 +6285,6 @@ def all_entries() -> Dict[str, Entry]:
         "has_parent_topk": q_has_parent_topk(),
         "inner_hits": q_inner_hits(),
         "metric_aggs_misc": q_metric_aggs_misc(),
+        "pagerank_topk": q_pagerank_topk(),
+        "anchor_bm25f_topk": q_anchor_bm25f_topk(),
     }
