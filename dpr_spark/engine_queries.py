@@ -1627,6 +1627,38 @@ def q_phrase_topk() -> Entry:
     return fn, sql
 
 
+def q_phrase_topk_shingled() -> Entry:
+    """Exact-phrase top-10 via the 2-shingle positional index
+    (query/shingled.py; ES index_phrases / Lucene CommonGrams shape):
+    candidate generation and adjacency verification run on bigram
+    postings (pairwise-adjacency pre-verified, far rarer than the
+    unigrams), scoring reuses the base index's unigram idf sums and
+    norms — bit-identical to phrase_topk, so the twin IS phrase_topk's
+    SQL."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.shingled import (
+            build_shingle_index,
+            phrase_search_shingled,
+        )
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(
+            spark, docs, build_blocks=False, build_positional=False
+        )
+        sidx = build_shingle_index(spark, docs)
+        res = phrase_search_shingled(
+            spark, idx, sidx, PHRASE_QUERIES, k=10
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    return fn, q_phrase_topk()[1]
+
+
 RESCORE_WINDOW, RESCORE_WEIGHT, RESCORE_K = 10, 0.5, 20
 
 
@@ -6285,6 +6317,7 @@ def all_entries() -> Dict[str, Entry]:
         "has_parent_topk": q_has_parent_topk(),
         "inner_hits": q_inner_hits(),
         "metric_aggs_misc": q_metric_aggs_misc(),
+        "phrase_topk_shingled": q_phrase_topk_shingled(),
         "pagerank_topk": q_pagerank_topk(),
         "anchor_bm25f_topk": q_anchor_bm25f_topk(),
     }

@@ -1,0 +1,252 @@
+"""Indexed-phrase acceleration: a positional index over 2-token
+shingles (ES ``index_phrases: true`` / Lucene CommonGramsFilter shape).
+
+Why: on a web corpus most phrase queries are stopword phrases ("the big
+table"), and the unigram positional path must intersect the stopwords'
+posting lists — the conjunction barely filters, so the verify stage
+ships huge position arrays. A bigram's document frequency is the
+frequency of the *pair*, orders of magnitude rarer than its parts, so
+the same conjunction over shingles touches a sliver of the postings: an
+n-term phrase becomes an (n-1)-shingle conjunction whose candidates are
+already adjacency-verified pairwise.
+
+Results are BIT-IDENTICAL to ``phrase.phrase_search_index``: a start
+position p survives the shingle fold iff gram_i sits at p+i for every
+i, i.e. iff tok[p+i] == t_i for all offsets — exactly the unigram
+phrase predicate — and scoring reuses the base index's unigram idf
+sums, doclen norms, and avgdl (the shingle table carries the UNIGRAM
+doclen precisely so the norm is unchanged). tests/test_shingled.py
+asserts rank- and bit-identity against the unigram engine.
+
+Scale shape: the shingle table is (gram_id, doc_id, tf, doclen,
+positions), term-keyed like the base positional postings; the gram
+dictionary join at build time is a plain equi-join (a web-scale bigram
+vocabulary is NOT broadcastable — AQE upgrades it to broadcast when it
+is small); at query time the handful of query grams broadcasts into
+the dictionary scan, never the reverse. Storage trades ~2x the
+positional index for phrase latency — exactly the trade ES documents
+for index_phrases.
+
+Limits (documented, enforced): shingling assumes consecutive token
+positions, so analyzed indexes (stopword removal creates position
+gaps) and single-term phrases fall back to the unigram path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dpr_spark import BM25_B, BM25_K1, DEFAULT_TOP_K
+from dpr_spark.query.phrase import (
+    _choose_two_pass,
+    _conjunctive_docs,
+    _grouped_structs,
+    _phrase_offsets,
+    _score_phrases,
+    _single_pass_grouped,
+    _topk,
+    _verify_and_count,
+)
+
+SHINGLE_POS_SCHEMA = (
+    "doc_id long, doclen int, gram string, tf int, positions array<int>"
+)
+
+
+def gram_positions_batch(
+    texts, pat, n: int = 2, vocab: Optional[frozenset] = None
+) -> Optional[tuple]:
+    """Vectorized tokenize + per-(doc, gram) position-list grouping —
+    the shingle twin of ``phrase.positions_batch``. A gram's position
+    is its FIRST token's index; doclen stays the unigram token count
+    (the BM25 norm must not change)."""
+    tok_lists = [pat.findall(t) if t is not None else [] for t in texts]
+    unilens = np.fromiter(
+        (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+    )
+    gram_lists = []
+    for toks in tok_lists:
+        if len(toks) < n:
+            gram_lists.append([])
+            continue
+        low = [t.lower() for t in toks]
+        gram_lists.append(
+            [" ".join(low[i : i + n]) for i in range(len(low) - n + 1)]
+        )
+    lens = np.fromiter(
+        (len(g) for g in gram_lists), dtype=np.int64, count=len(gram_lists)
+    )
+    total = int(lens.sum())
+    if total == 0:
+        return None
+    flat = pd.Series([g for gs in gram_lists for g in gs], dtype="object")
+    codes, grams = pd.factorize(flat, sort=False)
+    codes = codes.astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(gram_lists), dtype=np.int64), lens)
+    starts = np.zeros(len(gram_lists), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    pos = np.arange(total, dtype=np.int64) - starts[doc_idx]
+    if vocab is not None:
+        keep_codes = np.flatnonzero(pd.Series(grams).isin(vocab).to_numpy())
+        mask = np.isin(codes, keep_codes)
+        if not mask.any():
+            return None
+        codes, doc_idx, pos = codes[mask], doc_idx[mask], pos[mask]
+    key = (doc_idx << np.int64(32)) | codes
+    order = np.argsort(key, kind="stable")
+    skey = key[order]
+    spos = pos[order].astype(np.int32)
+    ukey, first = np.unique(skey, return_index=True)
+    counts = np.diff(np.append(first, len(skey)))
+    u_doc = (ukey >> np.int64(32)).astype(np.int64)
+    u_code = (ukey & np.int64(0xFFFFFFFF)).astype(np.int64)
+    pos_lists = np.split(spos, np.cumsum(counts)[:-1])
+    return u_doc, unilens, grams.take(u_code), counts.astype(np.int64), pos_lists
+
+
+def doc_gram_positions(
+    docs: DataFrame, n: int = 2, vocab: Optional[Sequence[str]] = None
+) -> DataFrame:
+    """docs(doc_id, text) -> (doc_id, doclen, gram, tf, positions) in one
+    Arrow pass; doclen is the unigram token count."""
+    from dpr_spark.functions.tokenizer import _compiled_fast
+
+    vset = frozenset(vocab) if vocab is not None else None
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pat = _compiled_fast()
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = gram_positions_batch(pdf["text"], pat, n=n, vocab=vset)
+            if out is None:
+                continue
+            u_doc, unilens, grams, tfs, pos_lists = out
+            doc_ids = pdf["doc_id"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids[u_doc],
+                    "doclen": unilens[u_doc].astype(np.int32),
+                    "gram": grams,
+                    "tf": tfs.astype(np.int32),
+                    "positions": pos_lists,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, SHINGLE_POS_SCHEMA)
+
+
+@dataclass
+class ShingleIndex:
+    n: int
+    grams: DataFrame  # (gram, gram_id, df)
+    positions: DataFrame  # (gram_id, doc_id, doclen, tf, positions)
+
+
+def build_shingle_index(spark: SparkSession, docs: DataFrame, n: int = 2) -> ShingleIndex:
+    """Shingle positional postings + gram dictionary. The gram->id join
+    is a plain equi-join (bigram vocabulary of a web corpus is far past
+    broadcast size; AQE broadcasts when it isn't)."""
+    from dpr_spark.plans.ids import assign_dense_ids
+
+    pos = doc_gram_positions(docs, n=n)
+    dfreq = pos.groupBy("gram").agg(F.count("*").alias("df"))
+    grams = assign_dense_ids(dfreq, "gram", "gram_id")
+    positions = pos.join(grams.select("gram", "gram_id"), "gram").select(
+        "gram_id", "doc_id", "doclen", "tf", "positions"
+    )
+    return ShingleIndex(n=n, grams=grams, positions=positions)
+
+
+def _gram_rows(qrows, n: int):
+    """(qid, off, term) offset rows -> (qid, off, gram) shingle rows.
+    Raises when any phrase has <n terms or non-consecutive offsets
+    (analyzer position gaps) — callers fall back to the unigram path."""
+    by_q: dict = {}
+    for qid, off, term in qrows:
+        by_q.setdefault(qid, []).append((off, term))
+    grows = []
+    for qid, pairs in by_q.items():
+        pairs.sort()
+        offs = [o for o, _ in pairs]
+        if len(pairs) < n or offs != list(range(len(pairs))):
+            raise ValueError(
+                f"phrase qid={qid} not shingle-able (needs >= {n} consecutive "
+                "tokens); use phrase_search_index"
+            )
+        toks = [t for _, t in pairs]
+        for i in range(len(toks) - n + 1):
+            grows.append((qid, i, " ".join(toks[i : i + n])))
+    return grows
+
+
+def phrase_search_shingled(
+    spark: SparkSession,
+    index,
+    sidx: ShingleIndex,
+    phrases: Sequence[Tuple[int, str]],
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Exact-phrase top-k over the shingle index — bit-identical to
+    ``phrase_search_index`` (same pf, same unigram idf sums, same norm)
+    with candidate generation and adjacency verification running on the
+    (far rarer) shingles. OOV handling matches the unigram engine: a
+    query with an out-of-vocabulary unigram is dropped from idf_sums; a
+    missing shingle simply produces no conjunction survivors."""
+    if getattr(index, "analyzer", None) is not None:
+        raise ValueError(
+            "shingled phrase search needs gap-free positions; analyzed "
+            "indexes use phrase_search_index"
+        )
+    qrows, _ = _phrase_offsets(phrases)
+    if not qrows:
+        raise ValueError("no tokenizable phrases")
+    grows = _gram_rows(qrows, sidx.n)
+
+    # unigram idf sums from the base dictionary — the scoring contract
+    qdf = spark.createDataFrame(qrows, "qid long, off int, term string")
+    n_off_all = qdf.groupBy("qid").agg(F.count("*").alias("n_off"))
+    idf_sums = (
+        index.dictionary.select("term", "idf")
+        .join(F.broadcast(qdf), "term")
+        .groupBy("qid")
+        .agg(F.sum("idf").alias("idf_sum"), F.count("*").alias("n_res"))
+        .join(n_off_all, "qid")
+        .filter(F.col("n_res") == F.col("n_off"))
+        .select("qid", "idf_sum")
+    )
+
+    gdf = spark.createDataFrame(grows, "qid long, off int, gram string")
+    gsel = sidx.grams.select("gram", "gram_id", "df").join(F.broadcast(gdf), "gram")
+    qsel = F.broadcast(gsel.select("qid", "off", "gram_id"))
+    cand = sidx.positions.join(qsel, "gram_id").select(
+        "qid", "doc_id", "doclen", F.struct("off", "positions").alias("st")
+    )
+    g_off = gdf.groupBy("qid").agg(F.count("*").alias("n_off"))
+    df_rows = [
+        (r["qid"], r["n_off"], r["min_df"], r["sum_df"])
+        for r in gsel.groupBy("qid")
+        .agg(
+            F.count("*").alias("n_off"),
+            F.min("df").alias("min_df"),
+            F.sum("df").alias("sum_df"),
+        )
+        .collect()
+    ]
+    if _choose_two_pass(df_rows):
+        light = sidx.positions.join(qsel, "gram_id").select(
+            "qid", "doc_id", "doclen", "off"
+        )
+        grouped = _grouped_structs(cand, _conjunctive_docs(light, g_off))
+    else:
+        grouped = _single_pass_grouped(cand, g_off)
+    matched = _verify_and_count(grouped)
+    return _topk(_score_phrases(matched, idf_sums, index.stats.avgdl, k1, b), k)
