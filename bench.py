@@ -348,7 +348,7 @@ def main() -> None:
         "multi_terms_agg", "global_agg", "rank_eval", "sliced_scroll",
         "ann_ivf_topk", "pipeline_aggs", "span_first_topk",
         "span_or_topk", "span_not_topk", "pagerank_topk",
-        "anchor_bm25f_topk", "phrase_topk_shingled",
+        "anchor_bm25f_topk", "phrase_topk_shingled", "rank_feature_topk",
     ]:
         try:
             fn, _ = entries[name]

@@ -6057,34 +6057,15 @@ _LINK_CTES = f"""t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
                  doc_id AS dst FROM hits) WHERE src IS NOT NULL)"""
 
 
-def q_pagerank_topk() -> Entry:
-    """Fixed-point PageRank over the content link graph
-    (extras/graph.py): edges between consecutive docs sharing a rare
-    3-token shingle, 5 power iterations in int64 arithmetic (rank
-    scaled by 1e12, integer division everywhere) — integer sums
-    commute, so the result is bit-identical across partitionings and
-    engines; the twin unrolls the same iterations as chained CTEs.
-    Top-20 by (rank desc, doc_id) — the tiebreak matters because every
-    no-inlink node holds the identical teleport-only rank."""
-    n_iter, scale = 5, 10**12
+PAGERANK_ITERS, PAGERANK_SCALE = 5, 10**12
+
+
+def _pagerank_ctes(n_iter: int = PAGERANK_ITERS, scale: int = PAGERANK_SCALE) -> str:
+    """Chained-CTE unrolled fixed-point PageRank over the link edges —
+    shared by the pagerank entry and the rank-feature boost twin."""
     tele = (scale * 15) // 100
-
-    def fn(spark, sf_dir):
-        from dpr_spark.extras.graph import pagerank, shingle_edges
-
-        docs = _docs(spark, sf_dir)
-        edges = shingle_edges(docs).select("src", "dst").distinct()
-        pr = pagerank(docs.select("doc_id"), edges, n_iter=n_iter, scale=scale)
-        w = Window.orderBy(F.desc("pr"), F.asc("node"))
-        return (
-            pr.withColumn("pos", F.row_number().over(w))
-            .filter(F.col("pos") <= 20)
-            .select("pos", F.col("node").alias("doc_id"), "pr")
-        )
-
     parts = [
-        f"""
-      WITH {_LINK_CTES},
+        f"""{_LINK_CTES},
       edges AS (SELECT DISTINCT src, dst FROM triples),
       nodes AS (SELECT doc_id AS node FROM documents),
       outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
@@ -6108,15 +6089,46 @@ def q_pagerank_topk() -> Entry:
                                  JOIN outdeg o ON o.src = e.src
                  GROUP BY e.dst) s ON s.node = n.node)"""
         )
-    parts.append(
+    return "".join(parts)
+
+
+_PAGERANK_CTES = _pagerank_ctes()
+
+
+def q_pagerank_topk() -> Entry:
+    """Fixed-point PageRank over the content link graph
+    (extras/graph.py): edges between consecutive docs sharing a rare
+    3-token shingle, 5 power iterations in int64 arithmetic (rank
+    scaled by 1e12, integer division everywhere) — integer sums
+    commute, so the result is bit-identical across partitionings and
+    engines; the twin unrolls the same iterations as chained CTEs.
+    Top-20 by (rank desc, doc_id) — the tiebreak matters because every
+    no-inlink node holds the identical teleport-only rank."""
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.graph import pagerank, shingle_edges
+
+        docs = _docs(spark, sf_dir)
+        edges = shingle_edges(docs).select("src", "dst").distinct()
+        pr = pagerank(
+            docs.select("doc_id"), edges,
+            n_iter=PAGERANK_ITERS, scale=PAGERANK_SCALE,
+        )
+        w = Window.orderBy(F.desc("pr"), F.asc("node"))
+        return (
+            pr.withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <= 20)
+            .select("pos", F.col("node").alias("doc_id"), "pr")
+        )
+
+    return fn, (
         f"""
+      WITH {_PAGERANK_CTES}
       SELECT pos, doc_id, pr FROM (
         SELECT node AS doc_id, rank AS pr,
                row_number() OVER (ORDER BY rank DESC, node) AS pos
-        FROM r{n_iter})
+        FROM r{PAGERANK_ITERS})
       WHERE pos <= 20"""
     )
-    return fn, "".join(parts)
 
 
 def q_anchor_bm25f_topk() -> Entry:
@@ -6199,6 +6211,57 @@ def q_anchor_bm25f_topk() -> Entry:
         FROM scored)
       SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
     return fn, sql.replace("{QTERMS}", _qterm_values_sql())
+
+
+def q_rank_feature_topk() -> Entry:
+    """Rank-feature boost (ES rank_feature query / web-search authority
+    prior): BM25 x ln(1 + pagerank), boost_mode=multiply over every
+    matched doc — the classic query-independent authority signal folded
+    into relevance via the function-score machinery (funcscore.py).
+    The pagerank doc-values come from the fixed-point engine
+    (extras/graph.py), so the boost input is bit-identical cross-engine
+    and only the final float product needs the 6-dp rounded rank."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.graph import pagerank, shingle_edges
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.funcscore import search_function_score
+
+        docs = _docs(spark, sf_dir)
+        edges = shingle_edges(docs).select("src", "dst").distinct()
+        pr = pagerank(
+            docs.select("doc_id"), edges,
+            n_iter=PAGERANK_ITERS, scale=PAGERANK_SCALE,
+        ).withColumnRenamed("node", "doc_id")
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search_function_score(
+            qdf, idx, pr, "pr",
+            lambda c: F.log1p(c.cast("double") / F.lit(float(PAGERANK_SCALE))),
+            k=10,
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = f"""
+    WITH {_BM25_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    {_PAGERANK_CTES},
+    rf AS (
+      SELECT s.qid, s.doc_id,
+             s.score * ln(1.0 + r{PAGERANK_ITERS}.rank
+                                / {float(PAGERANK_SCALE)!r}) AS score
+      FROM scored s JOIN r{PAGERANK_ITERS} ON r{PAGERANK_ITERS}.node = s.doc_id),
+    ranked_rf AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM rf)
+    SELECT qid, rank, doc_id, score_r FROM ranked_rf WHERE rank <= 10"""
+    return fn, sql
 
 
 def all_entries() -> Dict[str, Entry]:
@@ -6320,4 +6383,5 @@ def all_entries() -> Dict[str, Entry]:
         "phrase_topk_shingled": q_phrase_topk_shingled(),
         "pagerank_topk": q_pagerank_topk(),
         "anchor_bm25f_topk": q_anchor_bm25f_topk(),
+        "rank_feature_topk": q_rank_feature_topk(),
     }
