@@ -423,12 +423,24 @@ def _near_terms(queries: Sequence[Tuple[int, str]], analyzer=None):
     return rows
 
 
+# largest resolved-id set pushed into the positions scan as an IN
+# filter: small enough for a sane plan, large enough for every real
+# phrase/span wave (ids are per distinct query TERM, not per doc)
+MAX_SCAN_PRUNE_IDS = 4096
+
+
 def _index_plumbing(spark: SparkSession, index, positions: DataFrame, qrows):
     """Shared candidate plumbing for positional-index searchers:
     (qid, off, term) rows -> (grouped structs per (qid, doc) for docs
     matching EVERY offset, per-qid idf sums for fully-resolved queries).
     Includes the cost-based single/two-pass selection priced from exact
-    dictionary df stats."""
+    dictionary df stats.
+
+    The one dictionary-resolution job collects (qid, off, term_id, df)
+    — per (query, offset), the same payload the pass-pricer already
+    shipped — and its distinct term_ids are pushed into the positions
+    scan as an IN filter: on the at-rest parquet layout (sorted by
+    term_id) that is row-group skipping, the .pos-seek analog."""
     qdf = spark.createDataFrame(qrows, "qid long, off int, term string")
     # offset rows broadcast INTO the dictionary scan, never the reverse
     qterms = index.dictionary.select("term", "term_id", "idf", "df").join(
@@ -443,23 +455,29 @@ def _index_plumbing(spark: SparkSession, index, positions: DataFrame, qrows):
         .filter(F.col("n_res") == F.col("n_off"))
         .select("qid", "idf_sum")
     )
-    qsel = F.broadcast(qterms.select("qid", "off", "term_id"))
-    cand = positions.join(qsel, "term_id").select(
-        "qid", "doc_id", "doclen", F.struct("off", "positions").alias("st")
-    )
+    rows = qterms.select("qid", "off", "term_id", "df").collect()
     # exact-stats pass selection: the dictionary's df column prices the
     # single-pass (all arrays) vs two-pass (arrayless probe + survivor
     # arrays) shuffle volumes before anything runs
-    df_rows = [
-        (r["qid"], r["n_off"], r["min_df"], r["sum_df"])
-        for r in qterms.groupBy("qid")
-        .agg(
-            F.count("*").alias("n_off"),
-            F.min("df").alias("min_df"),
-            F.sum("df").alias("sum_df"),
+    agg: dict = {}
+    for r in rows:
+        a = agg.setdefault(r["qid"], [0, None, 0])
+        a[0] += 1
+        a[1] = r["df"] if a[1] is None else min(a[1], r["df"])
+        a[2] += r["df"]
+    df_rows = [(q, a[0], a[1], a[2]) for q, a in agg.items()]
+    ids = sorted({r["term_id"] for r in rows})
+    if 0 < len(ids) <= MAX_SCAN_PRUNE_IDS:
+        positions = positions.filter(F.col("term_id").isin(ids))
+    qsel = F.broadcast(
+        spark.createDataFrame(
+            [(r["qid"], r["off"], r["term_id"]) for r in rows],
+            "qid long, off int, term_id long",
         )
-        .collect()
-    ]
+    )
+    cand = positions.join(qsel, "term_id").select(
+        "qid", "doc_id", "doclen", F.struct("off", "positions").alias("st")
+    )
     if _choose_two_pass(df_rows):
         light = positions.join(qsel, "term_id").select(
             "qid", "doc_id", "doclen", "off"

@@ -226,23 +226,35 @@ def phrase_search_shingled(
 
     gdf = spark.createDataFrame(grows, "qid long, off int, gram string")
     gsel = sidx.grams.select("gram", "gram_id", "df").join(F.broadcast(gdf), "gram")
-    qsel = F.broadcast(gsel.select("qid", "off", "gram_id"))
-    cand = sidx.positions.join(qsel, "gram_id").select(
+    # one gram-dictionary resolution job: prices the pass selection AND
+    # pushes the resolved gram_ids into the positions scan (row-group
+    # skipping on the at-rest sorted layout — see phrase._index_plumbing)
+    rows = gsel.select("qid", "off", "gram_id", "df").collect()
+    agg: dict = {}
+    for r in rows:
+        a = agg.setdefault(r["qid"], [0, None, 0])
+        a[0] += 1
+        a[1] = r["df"] if a[1] is None else min(a[1], r["df"])
+        a[2] += r["df"]
+    df_rows = [(q, a[0], a[1], a[2]) for q, a in agg.items()]
+    from dpr_spark.query.phrase import MAX_SCAN_PRUNE_IDS
+
+    positions = sidx.positions
+    ids = sorted({r["gram_id"] for r in rows})
+    if 0 < len(ids) <= MAX_SCAN_PRUNE_IDS:
+        positions = positions.filter(F.col("gram_id").isin(ids))
+    qsel = F.broadcast(
+        spark.createDataFrame(
+            [(r["qid"], r["off"], r["gram_id"]) for r in rows],
+            "qid long, off int, gram_id long",
+        )
+    )
+    cand = positions.join(qsel, "gram_id").select(
         "qid", "doc_id", "doclen", F.struct("off", "positions").alias("st")
     )
     g_off = gdf.groupBy("qid").agg(F.count("*").alias("n_off"))
-    df_rows = [
-        (r["qid"], r["n_off"], r["min_df"], r["sum_df"])
-        for r in gsel.groupBy("qid")
-        .agg(
-            F.count("*").alias("n_off"),
-            F.min("df").alias("min_df"),
-            F.sum("df").alias("sum_df"),
-        )
-        .collect()
-    ]
     if _choose_two_pass(df_rows):
-        light = sidx.positions.join(qsel, "gram_id").select(
+        light = positions.join(qsel, "gram_id").select(
             "qid", "doc_id", "doclen", "off"
         )
         grouped = _grouped_structs(cand, _conjunctive_docs(light, g_off))

@@ -452,3 +452,50 @@ def test_ivfpq_no_corpus_crossjoin_and_codegen_adc(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "aggregate(" in plan  # the Catalyst ADC fold
+
+
+def test_phrase_pushes_resolved_ids_into_stored_positions_scan(spark, tmp_path):
+    """The dictionary-resolution collect feeds the positions scan an
+    In(term_id, ...) filter: on the at-rest sorted layout that is
+    row-group skipping — the .pos-seek analog (phrase._index_plumbing)."""
+    from dpr_spark.index.build import build_index_from_docs
+    from dpr_spark.query.phrase import build_positions, phrase_search_index
+
+    docs = spark.createDataFrame(
+        [(i, "word one word two") for i in range(20)], "doc_id long, text string"
+    )
+    idx = build_index_from_docs(spark, docs, build_blocks=False)
+    pos = build_positions(docs, idx.dictionary)
+    path = str(tmp_path / "pos")
+    pos.write.parquet(path)
+    stored = spark.read.parquet(path)
+    df = phrase_search_index(spark, idx, stored, [(0, "word one")], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(term_id" in plan
+    assert df.count() > 0  # the filter prunes the scan, not the results
+
+
+def test_shingled_pushes_resolved_gram_ids_into_stored_scan(spark, tmp_path):
+    from dpr_spark.index.build import build_index_from_docs
+    from dpr_spark.query.shingled import (
+        ShingleIndex,
+        build_shingle_index,
+        phrase_search_shingled,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "word one word two") for i in range(20)], "doc_id long, text string"
+    )
+    idx = build_index_from_docs(spark, docs, build_blocks=False)
+    sidx = build_shingle_index(spark, docs)
+    path = str(tmp_path / "gpos")
+    sidx.positions.write.parquet(path)
+    stored = ShingleIndex(
+        n=2, grams=sidx.grams, positions=spark.read.parquet(path)
+    )
+    # a 3-token phrase resolves 2 grams -> a genuine In (a single id
+    # folds to EqualTo, which also pushes)
+    df = phrase_search_shingled(spark, idx, stored, [(0, "word one word")], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(gram_id" in plan
+    assert df.count() > 0
