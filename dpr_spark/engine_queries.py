@@ -6041,17 +6041,20 @@ def q_metric_aggs_misc() -> Entry:
 # link graph: fixed-point PageRank + anchor-text field (extras/graph.py)
 # ---------------------------------------------------------------------------
 
-_LINK_CTES = f"""t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
-      z AS (SELECT doc_id, unnest(toks) AS tok,
+# AS MATERIALIZED: DuckDB otherwise inlines a CTE per reference, which
+# goes exponential across the chained graph iterations (measured: >2min
+# -> 0.2s on the hits twin)
+_LINK_CTES = f"""t AS MATERIALIZED (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+      z AS MATERIALIZED (SELECT doc_id, unnest(toks) AS tok,
                    generate_subscripts(toks, 1) AS i FROM t),
-      sh AS (SELECT DISTINCT a.doc_id,
+      sh AS MATERIALIZED (SELECT DISTINCT a.doc_id,
                     a.tok || ' ' || b.tok || ' ' || c.tok AS anchor
              FROM z a JOIN z b ON b.doc_id = a.doc_id AND b.i = a.i + 1
                       JOIN z c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
-      rare AS (SELECT anchor FROM sh
+      rare AS MATERIALIZED (SELECT anchor FROM sh
                GROUP BY anchor HAVING count(*) BETWEEN 2 AND 3),
-      hits AS (SELECT sh.anchor, sh.doc_id FROM sh JOIN rare USING (anchor)),
-      triples AS (SELECT anchor, src, dst FROM (
+      hits AS MATERIALIZED (SELECT sh.anchor, sh.doc_id FROM sh JOIN rare USING (anchor)),
+      triples AS MATERIALIZED (SELECT anchor, src, dst FROM (
           SELECT anchor,
                  lag(doc_id) OVER (PARTITION BY anchor ORDER BY doc_id) AS src,
                  doc_id AS dst FROM hits) WHERE src IS NOT NULL)"""
@@ -6066,20 +6069,20 @@ def _pagerank_ctes(n_iter: int = PAGERANK_ITERS, scale: int = PAGERANK_SCALE) ->
     tele = (scale * 15) // 100
     parts = [
         f"""{_LINK_CTES},
-      edges AS (SELECT DISTINCT src, dst FROM triples),
-      nodes AS (SELECT doc_id AS node FROM documents),
-      outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
-      nn AS (SELECT count(*) AS n FROM nodes),
-      r0 AS (SELECT node, {scale}::BIGINT AS rank FROM nodes)"""
+      edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM triples),
+      nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+      outdeg AS MATERIALIZED (SELECT src, count(*) AS od FROM edges GROUP BY src),
+      nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+      r0 AS MATERIALIZED (SELECT node, {scale}::BIGINT AS rank FROM nodes)"""
     ]
     for i in range(1, n_iter + 1):
         parts.append(
             f""",
-      d{i} AS (SELECT (coalesce(sum(r.rank), 0)
+      d{i} AS MATERIALIZED (SELECT (coalesce(sum(r.rank), 0)
                        // (SELECT n FROM nn))::BIGINT AS dsh
                FROM r{i - 1} r LEFT JOIN outdeg o ON r.node = o.src
                WHERE o.od IS NULL),
-      r{i} AS (SELECT n.node,
+      r{i} AS MATERIALIZED (SELECT n.node,
                  ({tele} + (85 * (coalesce(s.s, 0)
                                   + (SELECT dsh FROM d{i}))) // 100)::BIGINT
                    AS rank
@@ -6172,7 +6175,7 @@ def q_anchor_bm25f_topk() -> Entry:
 
     sql = f"""
       WITH {_LINK_CTES},
-      atok AS (SELECT dst AS doc_id, unnest(string_split(anchor, ' ')) AS term
+      atok AS MATERIALIZED (SELECT dst AS doc_id, unnest(string_split(anchor, ' ')) AS term
                FROM triples),
       ds AS (SELECT doc_id, 0 AS field_id, len(toks) AS doclen FROM t
              UNION ALL
@@ -6211,6 +6214,113 @@ def q_anchor_bm25f_topk() -> Entry:
         FROM scored)
       SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
     return fn, sql.replace("{QTERMS}", _qterm_values_sql())
+
+
+def q_hits_topk() -> Entry:
+    """Fixed-point HITS hubs/authorities over the content link graph
+    (extras/graph.py::hits, Kleinberg 1999): 3 iterations, integer
+    max-normalization (scale 1e6) so scores are bit-identical
+    cross-engine; top-10 authorities and top-10 hubs, tie-broken by
+    doc_id (edge-less nodes all score 0)."""
+    from dpr_spark.extras.graph import HITS_SCALE
+
+    n_iter = 3
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.graph import hits, shingle_edges
+
+        docs = _docs(spark, sf_dir)
+        edges = shingle_edges(docs).select("src", "dst").distinct()
+        res = hits(docs.select("doc_id"), edges, n_iter=n_iter)
+        wa = Window.orderBy(F.desc("auth"), F.asc("node"))
+        wh = Window.orderBy(F.desc("hub"), F.asc("node"))
+        top_a = res.withColumn("rank", F.row_number().over(wa)).select(
+            F.lit("auth").alias("kind"), "rank",
+            F.col("node").alias("doc_id"), F.col("auth").alias("score"),
+        )
+        top_h = res.withColumn("rank", F.row_number().over(wh)).select(
+            F.lit("hub").alias("kind"), "rank",
+            F.col("node").alias("doc_id"), F.col("hub").alias("score"),
+        )
+        return top_a.unionByName(top_h).filter(F.col("rank") <= 10)
+
+    parts = [
+        f"""
+      WITH {_LINK_CTES},
+      edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM triples),
+      nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+      h0 AS MATERIALIZED (SELECT node, {HITS_SCALE}::BIGINT AS hub FROM nodes)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+      asum{i} AS MATERIALIZED (SELECT e.dst AS node, sum(h.hub) AS s
+                  FROM h{i - 1} h JOIN edges e ON h.node = e.src
+                  GROUP BY e.dst),
+      a{i} AS MATERIALIZED (SELECT n.node,
+                 (coalesce(sa.s, 0) * {HITS_SCALE}
+                  // (SELECT greatest(max(s), 1) FROM asum{i}))::BIGINT AS auth
+               FROM nodes n LEFT JOIN asum{i} sa ON sa.node = n.node),
+      hsum{i} AS MATERIALIZED (SELECT e.src AS node, sum(a.auth) AS s
+                  FROM a{i} a JOIN edges e ON a.node = e.dst
+                  GROUP BY e.src),
+      h{i} AS MATERIALIZED (SELECT n.node,
+                 (coalesce(sh.s, 0) * {HITS_SCALE}
+                  // (SELECT greatest(max(s), 1) FROM hsum{i}))::BIGINT AS hub
+               FROM nodes n LEFT JOIN hsum{i} sh ON sh.node = n.node)"""
+        )
+    parts.append(
+        f"""
+      SELECT kind, rank, doc_id, score FROM (
+        SELECT 'auth' AS kind,
+               row_number() OVER (ORDER BY auth DESC, node) AS rank,
+               node AS doc_id, auth AS score FROM a{n_iter}
+        UNION ALL
+        SELECT 'hub' AS kind,
+               row_number() OVER (ORDER BY hub DESC, node) AS rank,
+               node AS doc_id, hub AS score FROM h{n_iter})
+      WHERE rank <= 10"""
+    )
+    return fn, "".join(parts)
+
+
+def q_link_graph_stats() -> Entry:
+    """Link-graph shape summary: node/edge/dangling counts and degree
+    maxima — the numbers a crawl-pipeline operator reads before running
+    anything iterative over the graph."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.graph import shingle_edges
+
+        docs = _docs(spark, sf_dir)
+        edges = shingle_edges(docs).select("src", "dst").distinct().persist()
+        nodes = docs.select("doc_id")
+        outd = edges.groupBy("src").agg(F.count("*").alias("d"))
+        ind = edges.groupBy("dst").agg(F.count("*").alias("d"))
+        n_nodes = nodes.count()
+        n_edges = edges.count()
+        dangling = nodes.join(outd, nodes.doc_id == outd.src, "left_anti").count()
+        max_out = outd.agg(F.coalesce(F.max("d"), F.lit(0))).collect()[0][0]
+        max_in = ind.agg(F.coalesce(F.max("d"), F.lit(0))).collect()[0][0]
+        edges.unpersist()
+        return spark.createDataFrame(
+            [(n_nodes, n_edges, dangling, int(max_out), int(max_in))],
+            "n_nodes long, n_edges long, n_dangling long, max_out long, max_in long",
+        )
+
+    sql = f"""
+      WITH {_LINK_CTES},
+      edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM triples),
+      outd AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
+      ind AS MATERIALIZED (SELECT dst, count(*) AS d FROM edges GROUP BY dst)
+      SELECT (SELECT count(*) FROM documents)::BIGINT AS n_nodes,
+             (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+             (SELECT count(*) FROM documents d
+              WHERE NOT EXISTS (SELECT 1 FROM outd o WHERE o.src = d.doc_id)
+             )::BIGINT AS n_dangling,
+             (SELECT coalesce(max(d), 0) FROM outd)::BIGINT AS max_out,
+             (SELECT coalesce(max(d), 0) FROM ind)::BIGINT AS max_in"""
+    return fn, sql
 
 
 def q_rank_feature_topk() -> Entry:
@@ -6384,4 +6494,6 @@ def all_entries() -> Dict[str, Entry]:
         "pagerank_topk": q_pagerank_topk(),
         "anchor_bm25f_topk": q_anchor_bm25f_topk(),
         "rank_feature_topk": q_rank_feature_topk(),
+        "hits_topk": q_hits_topk(),
+        "link_graph_stats": q_link_graph_stats(),
     }

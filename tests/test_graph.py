@@ -109,3 +109,41 @@ def test_shingle_edges_short_docs_no_error(spark):
         [(1, "one two"), (2, "one two"), (3, "")], "doc_id long, text string"
     )
     assert shingle_edges(docs, n=3).count() == 0
+
+
+def _py_hits(nodes, pairs, n_iter=3, scale=None):
+    from dpr_spark.extras.graph import HITS_SCALE
+
+    scale = scale or HITS_SCALE
+    hub = {v: scale for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(n_iter):
+        s = collections.Counter()
+        for u, v in pairs:
+            s[v] += hub[u]
+        m = max(max(s.values(), default=0), 1)
+        auth = {v: (s[v] * scale) // m for v in nodes}
+        s = collections.Counter()
+        for u, v in pairs:
+            s[u] += auth[v]
+        m = max(max(s.values(), default=0), 1)
+        hub = {v: (s[v] * scale) // m for v in nodes}
+    return hub, auth
+
+
+def test_hits_matches_integer_twin_bitexact(spark):
+    from dpr_spark.extras.graph import hits
+
+    nodes = list(range(8))
+    pairs = [(0, 3), (1, 3), (2, 3), (3, 4), (0, 4), (5, 6)]
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+    edf = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r.node: (r.hub, r.auth) for r in hits(ndf, edf).collect()}
+    hub, auth = _py_hits(nodes, pairs)
+    assert got == {v: (hub[v], auth[v]) for v in nodes}
+    # node 3 has the most in-links from good hubs; node 0 links to both
+    # strong authorities
+    assert got[3][1] == max(a for _, a in got.values())
+    assert got[0][0] == max(h for h, _ in got.values())
+    # edge-less node scores zero on both axes
+    assert got[7] == (0, 0)
