@@ -349,7 +349,7 @@ def main() -> None:
         "ann_ivf_topk", "pipeline_aggs", "span_first_topk",
         "span_or_topk", "span_not_topk", "pagerank_topk",
         "anchor_bm25f_topk", "phrase_topk_shingled", "rank_feature_topk",
-        "hits_topk", "link_graph_stats",
+        "hits_topk", "link_graph_stats", "sibling_pipeline_aggs",
     ]:
         try:
             fn, _ = entries[name]

@@ -4837,6 +4837,76 @@ def q_pipeline_aggs() -> Entry:
     return fn, sql
 
 
+def q_sibling_pipeline_aggs() -> Entry:
+    """ES sibling + normalize pipeline aggregations (query/aggs.py::
+    sibling_bucket_metrics, normalize_agg): weekly date_histogram per
+    query -> per-bucket percent_of_sum share, joined with the per-query
+    avg/sum/min/max/stats_bucket summary. All inputs are counts, so the
+    divisions are integer-derived and bit-identical cross-engine."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import (
+            date_histogram_agg,
+            normalize_agg,
+            sibling_bucket_metrics,
+        )
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        vals = docs.select(
+            "doc_id",
+            F.to_timestamp(
+                F.date_add(
+                    F.lit("2025-01-01").cast("date"),
+                    F.pmod("doc_id", F.lit(45)).cast("int"),
+                )
+            ).alias("warc_ts"),
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        hist = date_histogram_agg(qdf, idx, vals, "warc_ts", unit="week").select(
+            "qid", F.date_format("bucket", "yyyy-MM-dd").alias("week"), "count"
+        )
+        shares = normalize_agg(hist, method="percent_of_sum")
+        sib = sibling_bucket_metrics(hist)
+        return shares.join(sib, "qid").select(
+            "qid", "week", "count", F.col("share").alias("share_r"),
+            F.col("avg_bucket").alias("avg_bucket_r"),
+            "sum_bucket", "min_bucket", "max_bucket", "n_buckets",
+        )
+
+    sql = f"""
+    WITH {{MATCH}},
+    hist AS (
+      SELECT m.qid,
+             strftime(date_trunc('week',
+                      DATE '2025-01-01' + (m.doc_id % 45)::INT), '%Y-%m-%d')
+               AS week,
+             count(*) AS count
+      FROM matches m GROUP BY 1, 2),
+    shares AS (
+      SELECT qid, week, count,
+             round(count::DOUBLE
+                   / sum(count::DOUBLE) OVER (PARTITION BY qid), 6) AS share_r
+      FROM hist),
+    sib AS (
+      SELECT qid,
+             round(avg(count::DOUBLE), 6) AS avg_bucket_r,
+             sum(count)::BIGINT AS sum_bucket,
+             min(count)::BIGINT AS min_bucket,
+             max(count)::BIGINT AS max_bucket,
+             count(*)::BIGINT AS n_buckets
+      FROM hist GROUP BY qid)
+    SELECT s.qid, s.week, s.count, s.share_r,
+           b.avg_bucket_r, b.sum_bucket, b.min_bucket, b.max_bucket,
+           b.n_buckets
+    FROM shares s JOIN sib b USING (qid)"""
+    sql = sql.replace("{MATCH}", _MATCH_CTES.replace("{QTERMS}", _qterm_values_sql()))
+    return fn, sql
+
+
 def q_percentiles_agg() -> Entry:
     """ES `percentiles` aggregation over the match set (query/aggs.py),
     EXACT path: linear-interpolated quantiles of n_chars at p25/50/75/95
@@ -6472,6 +6542,7 @@ def all_entries() -> Dict[str, Entry]:
         "date_histogram_agg": q_date_histogram_agg(),
         "percentiles_agg": q_percentiles_agg(),
         "pipeline_aggs": q_pipeline_aggs(),
+        "sibling_pipeline_aggs": q_sibling_pipeline_aggs(),
         "cardinality_agg": q_cardinality_agg(),
         "top_hits_agg": q_top_hits_agg(),
         "multi_match_best_fields": q_multi_match_best_fields(),

@@ -512,6 +512,54 @@ def bucket_sort(
     )
 
 
+def sibling_bucket_metrics(
+    buckets: DataFrame,
+    partition_col: str = "qid",
+    value_col: str = "count",
+) -> DataFrame:
+    """ES sibling pipeline aggregations — `avg_bucket`, `sum_bucket`,
+    `min_bucket`, `max_bucket`, `stats_bucket` — one row per query
+    summarizing the parent histogram's bucket metric. One grouped pass;
+    state per query is five scalars."""
+    return buckets.groupBy(partition_col).agg(
+        F.round(F.avg(F.col(value_col).cast("double")), 6).alias("avg_bucket"),
+        F.sum(value_col).cast("long").alias("sum_bucket"),
+        F.min(value_col).cast("long").alias("min_bucket"),
+        F.max(value_col).cast("long").alias("max_bucket"),
+        F.count("*").cast("long").alias("n_buckets"),
+    )
+
+
+def normalize_agg(
+    buckets: DataFrame,
+    partition_col: str = "qid",
+    value_col: str = "count",
+    method: str = "percent_of_sum",
+    out_col: str = "share",
+) -> DataFrame:
+    """ES `normalize` pipeline aggregation: rescale each bucket's metric
+    within its query. percent_of_sum = v / Σv; mean = (v-min)/(max-min)
+    (ES's rescale_0_1 uses the same denominator). A window over the
+    parent's partitioning — no extra shuffle."""
+    w = Window.partitionBy(partition_col)
+    v = F.col(value_col).cast("double")
+    if method == "percent_of_sum":
+        expr = v / F.sum(v).over(w)
+    elif method == "rescale_0_1":
+        rng = F.max(v).over(w) - F.min(v).over(w)
+        expr = F.when(rng == 0, F.lit(0.0)).otherwise((v - F.min(v).over(w)) / rng)
+    else:
+        raise ValueError(f"unknown normalize method {method!r}")
+    return buckets.withColumn(out_col, F.round(expr, 6))
+
+
+def bucket_script(buckets: DataFrame, expr, out_col: str = "value") -> DataFrame:
+    """ES `bucket_script` pipeline: a per-bucket metric computed from
+    the bucket's sibling metrics (a Catalyst expression — stays inside
+    the parent aggregation's scan, no pass of its own)."""
+    return buckets.withColumn(out_col, expr)
+
+
 def bucket_selector(
     buckets: DataFrame,
     predicate,

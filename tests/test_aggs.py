@@ -510,3 +510,36 @@ def test_rare_and_multi_terms(spark, index, queries_pdf, oracle):
         assert len(gotl) == len(exp)
         for (rank, p, m3, c), ((ep, em), ec) in zip(gotl, exp):
             assert (p, m3, c) == (ep, em, ec), f"qid={qid} rank={rank}"
+
+
+def test_sibling_normalize_and_bucket_script(spark):
+    """avg/sum/min/max/stats_bucket siblings, percent_of_sum /
+    rescale_0_1 normalize, and a bucket_script expression — hand graph."""
+    import pyspark.sql.functions as F
+
+    from dpr_spark.query.aggs import (
+        bucket_script,
+        normalize_agg,
+        sibling_bucket_metrics,
+    )
+
+    buckets = spark.createDataFrame(
+        [(0, "w1", 2), (0, "w2", 6), (0, "w3", 4), (1, "w1", 5)],
+        "qid int, bucket string, count long",
+    )
+    sib = {r.qid: r for r in sibling_bucket_metrics(buckets, "qid").collect()}
+    assert (sib[0].avg_bucket, sib[0].sum_bucket, sib[0].min_bucket,
+            sib[0].max_bucket, sib[0].n_buckets) == (4.0, 12, 2, 6, 3)
+    assert sib[1].n_buckets == 1 and sib[1].avg_bucket == 5.0
+
+    pos = {(r.qid, r.bucket): r.share
+           for r in normalize_agg(buckets, "qid").collect()}
+    assert pos[(0, "w2")] == 0.5 and pos[(1, "w1")] == 1.0
+
+    r01 = {(r.qid, r.bucket): r.share
+           for r in normalize_agg(buckets, "qid", method="rescale_0_1").collect()}
+    assert r01[(0, "w1")] == 0.0 and r01[(0, "w2")] == 1.0 and r01[(0, "w3")] == 0.5
+    assert r01[(1, "w1")] == 0.0  # zero-range partition pins to 0
+
+    bs = bucket_script(buckets, F.col("count") * 2, out_col="doubled")
+    assert {(r.qid, r.bucket): r.doubled for r in bs.collect()}[(0, "w2")] == 12
