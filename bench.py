@@ -350,6 +350,7 @@ def main() -> None:
         "span_or_topk", "span_not_topk", "pagerank_topk",
         "anchor_bm25f_topk", "phrase_topk_shingled", "rank_feature_topk",
         "hits_topk", "link_graph_stats", "sibling_pipeline_aggs",
+        "diversified_sampler",
     ]:
         try:
             fn, _ = entries[name]

@@ -4907,6 +4907,45 @@ def q_sibling_pipeline_aggs() -> Entry:
     return fn, sql
 
 
+def q_diversified_sampler() -> Entry:
+    """ES diversified_sampler -> terms (query/aggs.py::sampler_agg): per
+    query, cap matches at 2 docs per source, take the 30 best by
+    (round(score,6) DESC, doc_id), count the sample per source. The
+    deterministic total order makes the sample itself — not just the
+    counts — identical cross-engine."""
+    SHARD, PER_VALUE = 30, 2
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import sampler_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        return sampler_agg(
+            qdf, idx, docs.select("doc_id", "source"), "source",
+            shard_size=SHARD, max_docs_per_value=PER_VALUE,
+        )
+
+    sql = f"""
+    WITH {_BM25_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    dv AS (SELECT s.qid, s.doc_id, round(s.score, 6) AS sr, d.source AS value
+           FROM scored s JOIN documents d USING (doc_id)),
+    capped AS (
+      SELECT *, row_number() OVER (PARTITION BY qid, value
+                                   ORDER BY sr DESC, doc_id) AS rnv
+      FROM dv),
+    samp AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY sr DESC, doc_id) AS rn
+      FROM capped WHERE rnv <= {PER_VALUE})
+    SELECT qid, value, count(*) AS count
+    FROM samp WHERE rn <= {SHARD} GROUP BY 1, 2"""
+    return fn, sql
+
+
 def q_percentiles_agg() -> Entry:
     """ES `percentiles` aggregation over the match set (query/aggs.py),
     EXACT path: linear-interpolated quantiles of n_chars at p25/50/75/95
@@ -6543,6 +6582,7 @@ def all_entries() -> Dict[str, Entry]:
         "percentiles_agg": q_percentiles_agg(),
         "pipeline_aggs": q_pipeline_aggs(),
         "sibling_pipeline_aggs": q_sibling_pipeline_aggs(),
+        "diversified_sampler": q_diversified_sampler(),
         "cardinality_agg": q_cardinality_agg(),
         "top_hits_agg": q_top_hits_agg(),
         "multi_match_best_fields": q_multi_match_best_fields(),

@@ -325,6 +325,64 @@ def top_hits_agg(
     )
 
 
+def sampler_agg(
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    field: str,
+    shard_size: int = 100,
+    max_docs_per_value: Optional[int] = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_round: int = 6,
+    salt_buckets: Optional[int] = None,
+) -> DataFrame:
+    """(qid, value, count) — ES `sampler` / `diversified_sampler`:
+    downstream aggregation restricted to each query's `shard_size`
+    best-scoring matches; the diversified form first caps docs per
+    `field` value (max_docs_per_value) so one dominant site cannot fill
+    the sample. Deterministic: the cut orders by (round(score,
+    score_round) DESC, doc_id) — a total order, so the sample is a
+    function of the data, not of shard layout (ES samples per shard;
+    at 100 TB run the same two-level cap with salt_buckets).
+
+    The aggregation over the sample here is a terms count per value —
+    the common sampler body; callers wanting a different body can take
+    `sample_docs` below."""
+    sample = sample_docs(
+        queries, index, doc_values, field, shard_size, max_docs_per_value,
+        k1=k1, b=b, score_round=score_round, salt_buckets=salt_buckets,
+    )
+    return sample.groupBy("qid", "value").agg(F.count("*").alias("count"))
+
+
+def sample_docs(
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    field: str,
+    shard_size: int = 100,
+    max_docs_per_value: Optional[int] = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_round: int = 6,
+    salt_buckets: Optional[int] = None,
+) -> DataFrame:
+    """The sampler's selection stage: (qid, doc_id, value, score) rows
+    surviving the (optional) per-value diversity cap and the per-query
+    top-shard_size cut. Both cuts are the exact salted two-level cap."""
+    from dpr_spark.query.scorer import score_exact
+
+    s = score_exact(queries, index, k1=k1, b=b).join(
+        doc_values.select("doc_id", F.col(field).alias("value")), "doc_id"
+    )
+    key = F.round("score", score_round) if score_round else F.col("score")
+    order = [key.desc(), F.col("doc_id").asc()]
+    if max_docs_per_value is not None:
+        s = cap_per_key(s, ["qid", "value"], order, max_docs_per_value, salt_buckets)
+    return cap_per_key(s, ["qid"], order, shard_size, salt_buckets)
+
+
 def range_agg(
     queries: DataFrame,
     index: InvertedIndex,

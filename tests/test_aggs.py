@@ -543,3 +543,46 @@ def test_sibling_normalize_and_bucket_script(spark):
 
     bs = bucket_script(buckets, F.col("count") * 2, out_col="doubled")
     assert {(r.qid, r.bucket): r.doubled for r in bs.collect()}[(0, "w2")] == 12
+
+
+def test_sampler_and_diversified_sampler(spark, index, oracle, queries_pdf):
+    """Plain sampler == top-shard_size counts; diversified caps each
+    value's docs before the cut — verified against the BM25 oracle."""
+    from dpr_spark.query.aggs import sample_docs
+
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(4))
+    vals = index.docstats.select(
+        "doc_id", (F.col("doc_id") % 3).cast("string").alias("source")
+    )
+    plain = sample_docs(qdf, index, vals, "source", shard_size=10)
+    div = sample_docs(
+        qdf, index, vals, "source", shard_size=10, max_docs_per_value=2
+    )
+    gp, gd = {}, {}
+    for r in plain.collect():
+        gp.setdefault(r.qid, []).append((r.doc_id, r.value))
+    for r in div.collect():
+        gd.setdefault(r.qid, []).append((r.doc_id, r.value))
+    for _, q in queries_pdf.head(4).iterrows():
+        qid = int(q.qid)
+        ranked = [
+            (d, str(d % 3))
+            for d, s in sorted(
+                oracle.search(q.question, 10**9),
+                key=lambda ds: (-round(ds[1], 6), ds[0]),
+            )
+        ]
+        assert sorted(gp.get(qid, [])) == sorted(ranked[:10])
+        # diversified: walk the ranking keeping <= 2 per value, stop at 10
+        kept, seen = [], {}
+        for d, v in ranked:
+            if seen.get(v, 0) < 2:
+                seen[v] = seen.get(v, 0) + 1
+                kept.append((d, v))
+            if len(kept) == 10:
+                break
+        assert sorted(gd.get(qid, [])) == sorted(kept)
+        # the diversity cap holds
+        from collections import Counter
+
+        assert all(c <= 2 for c in Counter(v for _, v in gd.get(qid, [])).values())
