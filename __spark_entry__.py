@@ -23,8 +23,12 @@ oracle_sql()    -> DuckDB twins for EVERY entry — len(oracle_sql()) ==
                    aggregation family (significant terms, histogram,
                    date_histogram, percentiles, cardinality, top_hits,
                    range, composite), multi_match best/cross_fields,
-                   term vectors, boosting queries, and hybrid BM25+vector
-                   RRF — every one DuckDB-twinned (the exact count is
+                   term vectors, boosting queries, hybrid BM25+vector
+                   RRF, the content link graph (fixed-point PageRank,
+                   HITS, anchor-text BM25F, rank-feature boost), the
+                   index_phrases shingle engine, sibling/normalize
+                   pipeline aggs, diversified_sampler, and terms_set —
+                   every one DuckDB-twinned (the exact count is
                    len(queries()), asserted == len(oracle_sql()) in
                    tests/test_entry.py).
 """

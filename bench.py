@@ -350,7 +350,7 @@ def main() -> None:
         "span_or_topk", "span_not_topk", "pagerank_topk",
         "anchor_bm25f_topk", "phrase_topk_shingled", "rank_feature_topk",
         "hits_topk", "link_graph_stats", "sibling_pipeline_aggs",
-        "diversified_sampler",
+        "diversified_sampler", "terms_set_topk",
     ]:
         try:
             fn, _ = entries[name]

@@ -4837,6 +4837,59 @@ def q_pipeline_aggs() -> Entry:
     return fn, sql
 
 
+def q_terms_set_topk() -> Entry:
+    """ES terms_set query (query/boolquery.py::terms_set_search): each
+    doc declares its own minimum_should_match in a stored field (here
+    msm = 1 + doc_id % 3, the same derivation in both engines); a doc
+    matches when it hits at least that many of the query's terms, and
+    scores the BM25 sum over the matched terms."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.boolquery import terms_set_search
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        vals = docs.select(
+            "doc_id", (F.lit(1) + F.pmod("doc_id", F.lit(3))).alias("msm")
+        )
+        res = terms_set_search(spark, BENCH_QUERIES, idx, vals, "msm", k=10)
+        return res.select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        ).withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+            ),
+        ).select("qid", "rank", "doc_id", "score_r")
+
+    sql = f"""
+    WITH {_BM25_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    hitcnt AS (
+      SELECT qt.qid, tf.doc_id, count(*) AS n_hits,
+             sum(ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                 * tf.tf * {BM25_K1 + 1.0}
+                 / (tf.tf + {BM25_K1}
+                    * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl))
+             ) AS score
+      FROM qt JOIN dict USING (term) JOIN tf USING (term)
+           JOIN ds ON tf.doc_id = ds.doc_id CROSS JOIN stats
+      GROUP BY 1, 2),
+    ts AS (
+      SELECT h.qid, h.doc_id, h.score
+      FROM hitcnt h JOIN documents d ON d.doc_id = h.doc_id
+      WHERE h.n_hits >= 1 + d.doc_id % 3),
+    ranked_ts AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM ts)
+    SELECT qid, rank, doc_id, score_r FROM ranked_ts WHERE rank <= 10"""
+    return fn, sql
+
+
 def q_sibling_pipeline_aggs() -> Entry:
     """ES sibling + normalize pipeline aggregations (query/aggs.py::
     sibling_bucket_metrics, normalize_agg): weekly date_histogram per
@@ -6583,6 +6636,7 @@ def all_entries() -> Dict[str, Entry]:
         "pipeline_aggs": q_pipeline_aggs(),
         "sibling_pipeline_aggs": q_sibling_pipeline_aggs(),
         "diversified_sampler": q_diversified_sampler(),
+        "terms_set_topk": q_terms_set_topk(),
         "cardinality_agg": q_cardinality_agg(),
         "top_hits_agg": q_top_hits_agg(),
         "multi_match_best_fields": q_multi_match_best_fields(),

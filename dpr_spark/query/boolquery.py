@@ -559,3 +559,54 @@ def matched_queries(
     return results.join(F.broadcast(names), ["qid", "doc_id"], "left").fillna(
         {"matched_queries": ""}
     )
+
+
+def terms_set_search(
+    spark: SparkSession,
+    queries: Sequence[Tuple[int, str]],
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    msm_field: str,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """ES `terms_set` query: every query term is a SHOULD clause, but
+    the per-document minimum number of matching terms comes from a
+    STORED field (minimum_should_match_field) — "match if you satisfy
+    as many terms as this doc declares it needs". Unclamped, like ES: a
+    doc whose field demands more matches than the query's resolved term
+    count can never match it.
+
+    Plan shape: the usual probe-in-place postings join + per-(qid, doc)
+    count/sum; the msm doc-values join touches only candidate rows,
+    never the corpus."""
+    from dpr_spark.functions.tokenizer import tokenize
+
+    rows = []
+    for qid, q in queries:
+        for t in sorted(set(tokenize(q))):
+            rows.append((qid, t))
+    if not rows:
+        raise ValueError("no tokenizable queries")
+    qdf = spark.createDataFrame(rows, "qid long, term string")
+    qt = index.dictionary.select("term", "term_id", "idf").join(
+        F.broadcast(qdf), "term"
+    )
+    joined = index.postings.join(
+        F.broadcast(qt.select("qid", "term_id", "idf")), "term_id"
+    )
+    per_doc = joined.groupBy("qid", "doc_id").agg(
+        F.sum(_component(index.stats.avgdl, k1, b)).alias("score"),
+        F.count("*").alias("n_hits"),
+    )
+    vals = doc_values.select("doc_id", F.col(msm_field).alias("_msm"))
+    survivors = per_doc.join(vals, "doc_id").filter(
+        F.col("n_hits") >= F.col("_msm")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )

@@ -119,3 +119,37 @@ def test_range_filter_context(spark, index, oracle):
     got_q1 = {r.doc_id: r.score for r in got if r.qid == 1}
     exp_q1 = {d: s for (q, d), s in base.items() if q == 1}
     assert got_q1 == exp_q1
+
+
+def test_terms_set_per_doc_msm(spark):
+    """terms_set: each doc's own msm field gates the match; a doc
+    demanding more matches than the query has terms never matches."""
+    import pyspark.sql.functions as F
+
+    from dpr_spark.index.build import build_index_from_docs
+    from dpr_spark.query.boolquery import terms_set_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),   # msm will be 1 -> matches on 1 hit
+            (2, "alpha beta filler"),  # msm 2 -> needs 2 hits
+            (3, "alpha dddd eeee"),    # msm 3 -> needs all 3 (has 1)
+            (4, "zzz yyy xxx"),        # msm 1 but zero hits
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index_from_docs(spark, docs, build_blocks=False)
+    vals = docs.select("doc_id", F.col("doc_id").cast("int").alias("msm"))
+    got = {
+        r.doc_id: r.rank
+        for r in terms_set_search(
+            spark, [(0, "alpha beta gamma")], idx, vals, "msm"
+        ).collect()
+    }
+    assert set(got) == {1, 2}  # doc3 needs 3 hits, has 1; doc4 has 0
+    # a doc demanding 4 matches of a 3-term query is unsatisfiable
+    vals4 = docs.select("doc_id", F.lit(4).alias("msm"))
+    assert (
+        terms_set_search(spark, [(0, "alpha beta gamma")], idx, vals4, "msm").count()
+        == 0
+    )
