@@ -117,9 +117,13 @@ def pagerank(
         raise ValueError("pagerank: empty node set")
     teleport = (scale * (damping_den - damping_num)) // damping_den
 
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
-    # edges carry their source's out-degree once, reused every iteration
-    edges_od = edges.select("src", "dst").join(outdeg, "src").persist()
+    # all three reused across iterations (outdeg by the dangling scan,
+    # edges_od by the contribution join; edges feeds both derivations) —
+    # persist or the ENTIRE edge-derivation lineage re-runs per
+    # iteration per consumer
+    edges = edges.select("src", "dst").persist()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od")).persist()
+    edges_od = edges.join(outdeg, "src").persist()
 
     ranks = base.withColumn("rank", F.lit(scale).cast("long")).localCheckpoint()
     for _ in range(n_iter):
@@ -144,6 +148,8 @@ def pagerank(
         )
         ranks = ranks.localCheckpoint()
     edges_od.unpersist()
+    outdeg.unpersist()
+    edges.unpersist()
     return ranks.select("node", F.col("rank").alias("pr"))
 
 
@@ -176,6 +182,9 @@ def hits(
     """
     node_col = nodes.columns[0]
     base = nodes.select(F.col(node_col).alias("node")).distinct()
+    # the edge table feeds two joins per iteration — persist or the
+    # whole derivation lineage re-runs each time (the pagerank rule)
+    edges = edges.select("src", "dst").persist()
     hub = base.withColumn("hub", F.lit(scale).cast("long")).localCheckpoint()
     auth = None
     for _ in range(n_iter):
@@ -183,6 +192,7 @@ def hits(
             hub.join(edges, hub["node"] == edges["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("s"))
+            .persist()
         )
         amax = a.agg(F.coalesce(F.max("s"), F.lit(0)).alias("m")).collect()[0]["m"]
         amax = max(int(amax), 1)
@@ -190,10 +200,12 @@ def hits(
             "node",
             F.expr(f"coalesce(s, 0L) * {scale}L div {amax}L").alias("auth"),
         ).localCheckpoint()
+        a.unpersist()
         h = (
             auth.join(edges, auth["node"] == edges["dst"])
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("auth").alias("s"))
+            .persist()
         )
         hmax = h.agg(F.coalesce(F.max("s"), F.lit(0)).alias("m")).collect()[0]["m"]
         hmax = max(int(hmax), 1)
@@ -201,4 +213,6 @@ def hits(
             "node",
             F.expr(f"coalesce(s, 0L) * {scale}L div {hmax}L").alias("hub"),
         ).localCheckpoint()
+        h.unpersist()
+    edges.unpersist()
     return hub.join(auth, "node").select("node", "hub", "auth")
