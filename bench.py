@@ -351,6 +351,7 @@ def main() -> None:
         "anchor_bm25f_topk", "phrase_topk_shingled", "rank_feature_topk",
         "hits_topk", "link_graph_stats", "sibling_pipeline_aggs",
         "diversified_sampler", "terms_set_topk",
+        "geo_distance_topk", "geotile_grid_agg",
     ]:
         try:
             fn, _ = entries[name]

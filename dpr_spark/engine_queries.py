@@ -4837,6 +4837,116 @@ def q_pipeline_aggs() -> Entry:
     return fn, sql
 
 
+GEO_LAT_SQL = "(-60.0::DOUBLE + ((doc_id * 7919) % 12000)::DOUBLE / 100.0::DOUBLE)"
+GEO_LON_SQL = "(-150.0::DOUBLE + ((doc_id * 104729) % 30000)::DOUBLE / 100.0::DOUBLE)"
+
+GEO_QUERIES = [
+    (0, 10.0, 20.0, 3000.0),
+    (1, -45.5, -120.25, 2500.0),
+    (2, 55.25, 140.0, 2000.0),
+    (3, 0.0, 0.0, 4000.0),
+]
+
+
+def _doc_geo(spark, sf_dir):
+    """Deterministic per-doc coordinates (integer-derived doubles, so
+    both engines hold bit-identical lat/lon): lat in [-60, 60), lon in
+    [-150, 150) — clear of the mercator cut and the antimeridian."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.lit(-60.0) + F.pmod(F.col("doc_id") * 7919, F.lit(12000)) / F.lit(100.0)).alias("lat"),
+        (F.lit(-150.0) + F.pmod(F.col("doc_id") * 104729, F.lit(30000)) / F.lit(100.0)).alias("lon"),
+    )
+
+
+def q_geo_distance_topk() -> Entry:
+    """ES geo_distance query + sort-by-_geo_distance (query/geo.py):
+    per-query bounding-box prefilter (a pushed-down range predicate —
+    Lucene's BKD box visit), exact haversine on survivors, nearest
+    first. Distances round to 6 dp before the radius test and the rank
+    so last-ulp trig differences can't flip either."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.query.geo import geo_distance_search
+
+        geo = _doc_geo(spark, sf_dir)
+        return geo_distance_search(spark, GEO_QUERIES, geo, k=10).select(
+            "qid", "rank", "doc_id", F.col("dist").alias("dist_r")
+        )
+
+    qvals = ", ".join(
+        f"({qid}, {lat!r}::DOUBLE, {lon!r}::DOUBLE, {r!r}::DOUBLE)"
+        for qid, lat, lon, r in GEO_QUERIES
+    )
+    sql = f"""
+    WITH geo AS (SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon
+                 FROM documents),
+    gq AS (SELECT * FROM (VALUES {qvals}) AS q(qid, qlat, qlon, radius)),
+    hav AS (
+      SELECT gq.qid, geo.doc_id,
+             round(2.0::DOUBLE * 6371.0088::DOUBLE * asin(sqrt(
+               sin(radians(geo.lat - gq.qlat) / 2.0::DOUBLE)
+                 * sin(radians(geo.lat - gq.qlat) / 2.0::DOUBLE)
+               + cos(radians(gq.qlat)) * cos(radians(geo.lat))
+                 * sin(radians(geo.lon - gq.qlon) / 2.0::DOUBLE)
+                 * sin(radians(geo.lon - gq.qlon) / 2.0::DOUBLE)
+             )), 6) AS dist
+      FROM gq JOIN geo ON TRUE),
+    hits_g AS (SELECT * FROM hav JOIN gq USING (qid) WHERE dist <= radius),
+    ranked_g AS (
+      SELECT qid, doc_id, dist AS dist_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dist, doc_id) AS rank
+      FROM hits_g)
+    SELECT qid, rank, doc_id, dist_r FROM ranked_g WHERE rank <= 10"""
+    return fn, sql
+
+
+def q_geotile_grid_agg() -> Entry:
+    """ES geotile_grid aggregation over the match set (query/geo.py):
+    slippy-map tiles at zoom 5, top-5 tiles per query by doc count
+    (ties by tile coords). Tile indices are floor() of the mercator
+    transform on bit-identical inputs — integer cross-engine."""
+    ZOOM, SIZE = 5, 5
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import _matches
+        from dpr_spark.query.geo import geotile_grid_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        pts = _matches(qdf, idx).join(_doc_geo(spark, sf_dir), "doc_id")
+        return geotile_grid_agg(pts, zoom=ZOOM, size=SIZE)
+
+    n = 1 << ZOOM
+    sql = f"""
+    WITH {{MATCH}},
+    geo AS (SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon
+            FROM documents),
+    tiles AS (
+      SELECT m.qid,
+             floor((geo.lon + 180.0::DOUBLE) / 360.0::DOUBLE
+                   * {n}.0::DOUBLE)::BIGINT AS tile_x,
+             floor((1.0::DOUBLE
+                    - ln(tan(radians(geo.lat))
+                         + 1.0::DOUBLE / cos(radians(geo.lat))) / pi())
+                   / 2.0::DOUBLE * {n}.0::DOUBLE)::BIGINT AS tile_y
+      FROM matches m JOIN geo USING (doc_id)),
+    counts AS (SELECT qid, tile_x, tile_y, count(*) AS count
+               FROM tiles GROUP BY 1, 2, 3),
+    ranked_t AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY count DESC, tile_x, tile_y) AS rank
+      FROM counts)
+    SELECT qid, rank, tile_x, tile_y, count FROM ranked_t WHERE rank <= {SIZE}"""
+    sql = sql.replace("{MATCH}", _MATCH_CTES.replace("{QTERMS}", _qterm_values_sql()))
+    return fn, sql
+
+
 def q_terms_set_topk() -> Entry:
     """ES terms_set query (query/boolquery.py::terms_set_search): each
     doc declares its own minimum_should_match in a stored field (here
@@ -6637,6 +6747,8 @@ def all_entries() -> Dict[str, Entry]:
         "sibling_pipeline_aggs": q_sibling_pipeline_aggs(),
         "diversified_sampler": q_diversified_sampler(),
         "terms_set_topk": q_terms_set_topk(),
+        "geo_distance_topk": q_geo_distance_topk(),
+        "geotile_grid_agg": q_geotile_grid_agg(),
         "cardinality_agg": q_cardinality_agg(),
         "top_hits_agg": q_top_hits_agg(),
         "multi_match_best_fields": q_multi_match_best_fields(),

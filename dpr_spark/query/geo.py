@@ -1,0 +1,141 @@
+"""Geo queries over per-doc (lat, lon) doc-values: `geo_distance`
+search (ES geo_distance query + sort-by-_geo_distance) and the
+`geotile_grid` aggregation (slippy-map tile buckets).
+
+Scale shape: the distance search NEVER computes haversine over the
+corpus — a per-query bounding box (a pure range predicate on lat/lon,
+pushed into the parquet scan when the geo table is at rest, and a
+partition-pruning key when it is lat-bucketed) prefilters candidates;
+the exact haversine runs on the survivors only. This is exactly
+Lucene's two-phase geo: BKD-tree box visit, then exact distance
+verify. The tile aggregation is integer math after one projective
+transform — a groupBy on (tile_x, tile_y) with map-side combine.
+
+Float discipline: distances are doubles (JVM and DuckDB trig can
+differ in the last ulp), so rankings order by round(dist, 6) like
+every float ranking in the suite. Tile indices are floor() of the
+transform — exact for any input not within ~1e-15 of a tile boundary.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dpr_spark import DEFAULT_TOP_K
+
+EARTH_RADIUS_KM = 6371.0088
+KM_PER_DEG_LAT = math.pi * EARTH_RADIUS_KM / 180.0  # ~111.195
+
+
+def haversine_km(lat1, lon1, lat2, lon2):
+    """Great-circle distance in km, pure Catalyst column math."""
+    dphi = F.radians(lat2 - lat1) / 2
+    dlam = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlam) * F.sin(dlam)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def geo_distance_search(
+    spark: SparkSession,
+    queries: Sequence[Tuple[int, float, float, float]],
+    doc_geo: DataFrame,
+    k: int = DEFAULT_TOP_K,
+    dist_round: int = 6,
+) -> DataFrame:
+    """queries: (qid, lat, lon, radius_km) -> (qid, rank, doc_id, dist)
+    for docs within radius, nearest first (ties by doc_id).
+
+    The broadcast query row carries its own bounding box; the join
+    condition is the BOX (range predicates the optimizer can use), and
+    haversine runs only on box survivors."""
+    rows = []
+    for qid, lat, lon, radius in queries:
+        dlat = radius / KM_PER_DEG_LAT
+        # shrink-proof longitude width at the box's widest latitude
+        wide = min(90.0, max(abs(lat) + dlat, 0.0))
+        coslat = math.cos(math.radians(wide))
+        dlon = 180.0 if coslat <= 1e-9 else min(180.0, radius / (KM_PER_DEG_LAT * coslat))
+        rows.append(
+            (qid, float(lat), float(lon), float(radius),
+             lat - dlat, lat + dlat, lon - dlon, lon + dlon)
+        )
+    qdf = spark.createDataFrame(
+        rows,
+        "qid long, qlat double, qlon double, radius double, "
+        "lat_lo double, lat_hi double, lon_lo double, lon_hi double",
+    )
+    # per-query boxes are join-side values and cannot push into the
+    # scan; the wave's literal ENVELOPE (union of boxes) can — at rest
+    # that is row-group skipping on a lat/lon-sorted geo table
+    doc_geo = doc_geo.filter(
+        (F.col("lat") >= F.lit(min(r[4] for r in rows)))
+        & (F.col("lat") <= F.lit(max(r[5] for r in rows)))
+        & (F.col("lon") >= F.lit(min(r[6] for r in rows)))
+        & (F.col("lon") <= F.lit(max(r[7] for r in rows)))
+    )
+    boxed = doc_geo.join(
+        F.broadcast(qdf),
+        (F.col("lat") >= F.col("lat_lo"))
+        & (F.col("lat") <= F.col("lat_hi"))
+        & (F.col("lon") >= F.col("lon_lo"))
+        & (F.col("lon") <= F.col("lon_hi")),
+    )
+    dist = haversine_km(F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon"))
+    hits = boxed.withColumn("dist", F.round(dist, dist_round)).filter(
+        F.col("dist") <= F.col("radius")
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("doc_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "dist")
+    )
+
+
+def geotile_cols(lat, lon, zoom: int):
+    """(tile_x, tile_y) at `zoom` — the OSM slippy-map transform ES's
+    geotile_grid uses. Pure column math; y clamps at the mercator cut
+    like ES (abs(lat) <= 85.05112878 assumed by callers)."""
+    n = float(1 << zoom)
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("long")
+    latr = F.radians(lat)
+    y = F.floor(
+        (F.lit(1.0) - F.log(F.tan(latr) + F.lit(1.0) / F.cos(latr)) / F.lit(math.pi))
+        / F.lit(2.0)
+        * F.lit(n)
+    ).cast("long")
+    return x, y
+
+
+def geotile_grid_agg(
+    points: DataFrame,
+    zoom: int = 5,
+    size: int = 5,
+    partition_col: str = "qid",
+) -> DataFrame:
+    """points(qid, doc_id, lat, lon) -> top `size` tiles per query by
+    doc count (ties by tile coords) — ES geotile_grid. One groupBy with
+    map-side combine; the window runs over tile-count rows, never
+    docs."""
+    x, y = geotile_cols(F.col("lat"), F.col("lon"), zoom)
+    counts = (
+        points.withColumn("tile_x", x)
+        .withColumn("tile_y", y)
+        .groupBy(partition_col, "tile_x", "tile_y")
+        .agg(F.count("*").alias("count"))
+    )
+    w = Window.partitionBy(partition_col).orderBy(
+        F.desc("count"), F.asc("tile_x"), F.asc("tile_y")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= size)
+        .select(partition_col, "rank", "tile_x", "tile_y", "count")
+    )
