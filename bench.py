@@ -352,6 +352,7 @@ def main() -> None:
         "hits_topk", "link_graph_stats", "sibling_pipeline_aggs",
         "diversified_sampler", "terms_set_topk",
         "geo_distance_topk", "geotile_grid_agg",
+        "distance_feature_topk", "auto_date_histogram",
     ]:
         try:
             fn, _ = entries[name]

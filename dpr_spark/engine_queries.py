@@ -4947,6 +4947,131 @@ def q_geotile_grid_agg() -> Entry:
     return fn, sql
 
 
+DF_ORIGIN_LAT, DF_ORIGIN_LON, DF_PIVOT_KM, DF_BOOST = 10.0, 20.0, 1500.0, 2.0
+
+
+def q_distance_feature_topk() -> Entry:
+    """ES distance_feature query: BM25 + boost * pivot/(pivot + dist)
+    — docs near the origin rise without geo being a filter. Engine:
+    funcscore's sum boost_mode with the haversine column (query/geo.py)
+    as the doc value; twin recomputes the identical formula over the
+    shared BM25 CTEs. dist rounds to 6 dp before the boost so the trig
+    ulp can't move the 6-dp-rounded final score across a tie."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.funcscore import search_function_score
+        from dpr_spark.query.geo import haversine_km
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        geo = _doc_geo(spark, sf_dir).select(
+            "doc_id",
+            F.round(
+                haversine_km(
+                    F.lit(DF_ORIGIN_LAT), F.lit(DF_ORIGIN_LON),
+                    F.col("lat"), F.col("lon"),
+                ),
+                6,
+            ).alias("dist"),
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search_function_score(
+            qdf, idx, geo, "dist",
+            lambda c: F.lit(DF_BOOST) * F.lit(DF_PIVOT_KM) / (F.lit(DF_PIVOT_KM) + c),
+            boost_mode="sum", k=10,
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = f"""
+    WITH {_BM25_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    geo AS (SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon
+            FROM documents),
+    dist AS (
+      SELECT doc_id,
+             round(2.0::DOUBLE * 6371.0088::DOUBLE * asin(sqrt(
+               sin(radians(lat - {DF_ORIGIN_LAT!r}) / 2.0::DOUBLE)
+                 * sin(radians(lat - {DF_ORIGIN_LAT!r}) / 2.0::DOUBLE)
+               + cos(radians({DF_ORIGIN_LAT!r}::DOUBLE)) * cos(radians(lat))
+                 * sin(radians(lon - {DF_ORIGIN_LON!r}) / 2.0::DOUBLE)
+                 * sin(radians(lon - {DF_ORIGIN_LON!r}) / 2.0::DOUBLE)
+             )), 6) AS dist
+      FROM geo),
+    boosted AS (
+      SELECT s.qid, s.doc_id,
+             s.score + {DF_BOOST!r}::DOUBLE * {DF_PIVOT_KM!r}::DOUBLE
+                       / ({DF_PIVOT_KM!r}::DOUBLE + d.dist) AS score
+      FROM scored s JOIN dist d USING (doc_id)),
+    ranked_df AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM boosted)
+    SELECT qid, rank, doc_id, score_r FROM ranked_df WHERE rank <= 10"""
+    return fn, sql
+
+
+def q_auto_date_histogram() -> Entry:
+    """ES auto_date_histogram (query/aggs.py::auto_date_histogram_agg):
+    per query, the finest calendar unit (day/week/month/quarter/year)
+    whose distinct-bucket count fits 10; the doc_id%400-day timestamp
+    spread makes different queries pick different units. Pure calendar
+    + integer math — bit-identical cross-engine."""
+    TARGET = 10
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import auto_date_histogram_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        vals = docs.select(
+            "doc_id",
+            F.to_timestamp(
+                F.date_add(
+                    F.lit("2025-01-01").cast("date"),
+                    F.pmod("doc_id", F.lit(400)).cast("int"),
+                )
+            ).alias("warc_ts"),
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        return auto_date_histogram_agg(
+            qdf, idx, vals, "warc_ts", target_buckets=TARGET
+        )
+
+    units = ["day", "week", "month", "quarter", "year"]
+    n_cols = ", ".join(
+        f"count(DISTINCT date_trunc('{u}', ts)) AS n_{u}" for u in units
+    )
+    chosen = " ".join(
+        f"WHEN n_{u} <= {TARGET} THEN '{u}'" for u in units[:-1]
+    )
+    bucket_case = " ".join(
+        f"WHEN s.unit = '{u}' THEN date_trunc('{u}', m.ts)" for u in units
+    )
+    sql = f"""
+    WITH {{MATCH}},
+    mt AS (SELECT m.qid, m.doc_id,
+                  (DATE '2025-01-01' + (m.doc_id % 400)::INT)::TIMESTAMP AS ts
+           FROM matches m),
+    cnt AS (SELECT qid, {n_cols} FROM mt GROUP BY qid),
+    sel AS (SELECT qid, CASE {chosen} ELSE 'year' END AS unit FROM cnt)
+    SELECT m.qid, s.unit,
+           strftime(CASE {bucket_case} END, '%Y-%m-%d') AS bucket,
+           count(*) AS count
+    FROM mt m JOIN sel s USING (qid)
+    GROUP BY 1, 2, 3"""
+    sql = sql.replace("{MATCH}", _MATCH_CTES.replace("{QTERMS}", _qterm_values_sql()))
+    return fn, sql
+
+
 def q_terms_set_topk() -> Entry:
     """ES terms_set query (query/boolquery.py::terms_set_search): each
     doc declares its own minimum_should_match in a stored field (here
@@ -6749,6 +6874,8 @@ def all_entries() -> Dict[str, Entry]:
         "terms_set_topk": q_terms_set_topk(),
         "geo_distance_topk": q_geo_distance_topk(),
         "geotile_grid_agg": q_geotile_grid_agg(),
+        "distance_feature_topk": q_distance_feature_topk(),
+        "auto_date_histogram": q_auto_date_histogram(),
         "cardinality_agg": q_cardinality_agg(),
         "top_hits_agg": q_top_hits_agg(),
         "multi_match_best_fields": q_multi_match_best_fields(),

@@ -325,6 +325,61 @@ def top_hits_agg(
     )
 
 
+AUTO_HIST_UNITS = ("day", "week", "month", "quarter", "year")
+
+
+def auto_date_histogram_agg(
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    ts_field: str,
+    target_buckets: int = 10,
+    units: Sequence[str] = AUTO_HIST_UNITS,
+) -> DataFrame:
+    """(qid, unit, bucket, count) — ES `auto_date_histogram`: per query,
+    the FINEST calendar unit whose bucket count fits target_buckets
+    (falling back to the coarsest). Deterministic: the choice is a pure
+    function of the matched timestamps, computed as one multi-unit
+    distinct-count pass; the chosen unit then buckets the same match
+    set. Two aggregations total, both with map-side combine — the
+    interval search ES does by merging shard trees is here a column of
+    countDistincts."""
+    m = _matches(queries, index).join(
+        doc_values.select("doc_id", F.col(ts_field).alias("_ts")), "doc_id"
+    )
+    truncs = m.select(
+        "qid", "_ts", *[F.date_trunc(u, F.col("_ts")).alias(f"_t_{u}") for u in units]
+    ).persist()
+    counts = truncs.groupBy("qid").agg(
+        *[F.countDistinct(f"_t_{u}").alias(f"_n_{u}") for u in units]
+    )
+    chosen = None
+    for u in units[:-1]:
+        c = F.when(F.col(f"_n_{u}") <= target_buckets, F.lit(u))
+        chosen = c if chosen is None else chosen.when(
+            F.col(f"_n_{u}") <= target_buckets, F.lit(u)
+        )
+    chosen = chosen.otherwise(F.lit(units[-1]))
+    sel = counts.select("qid", chosen.alias("unit"))
+    bucket = None
+    for u in units:
+        b = F.when(F.col("unit") == u, F.col(f"_t_{u}"))
+        bucket = b if bucket is None else bucket.when(F.col("unit") == u, F.col(f"_t_{u}"))
+    out = (
+        truncs.join(F.broadcast(sel), "qid")
+        .withColumn("_bucket", bucket)
+        .groupBy("qid", "unit", "_bucket")
+        .agg(F.count("*").alias("count"))
+        .select(
+            "qid", "unit",
+            F.date_format("_bucket", "yyyy-MM-dd").alias("bucket"), "count",
+        )
+    )
+    out = out.localCheckpoint()
+    truncs.unpersist()
+    return out
+
+
 def sampler_agg(
     queries: DataFrame,
     index: InvertedIndex,

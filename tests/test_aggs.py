@@ -586,3 +586,41 @@ def test_sampler_and_diversified_sampler(spark, index, oracle, queries_pdf):
         from collections import Counter
 
         assert all(c <= 2 for c in Counter(v for _, v in gd.get(qid, [])).values())
+
+
+def test_auto_date_histogram_unit_selection(spark, index, queries_pdf):
+    """Few distinct days -> 'day'; a wide spread overflows day/week and
+    lands on a coarser unit; bucket counts always fit the target."""
+    import pyspark.sql.functions as F
+
+    from dpr_spark.query.aggs import auto_date_histogram_agg
+
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(4))
+    # narrow: every matched doc in one of 3 days -> day fits target
+    narrow = index.docstats.select(
+        "doc_id",
+        F.to_timestamp(
+            F.date_add(F.lit("2025-01-01").cast("date"),
+                       F.pmod("doc_id", F.lit(3)).cast("int"))
+        ).alias("ts"),
+    )
+    got = auto_date_histogram_agg(qdf, index, narrow, "ts", target_buckets=10)
+    units = {r.unit for r in got.collect()}
+    assert units == {"day"}
+    # wide: ~3 years of days -> day/week/month overflow 10, quarter fits
+    wide = index.docstats.select(
+        "doc_id",
+        F.to_timestamp(
+            F.date_add(F.lit("2025-01-01").cast("date"),
+                       F.pmod("doc_id", F.lit(1100)).cast("int"))
+        ).alias("ts"),
+    )
+    got2 = auto_date_histogram_agg(qdf, index, wide, "ts", target_buckets=10)
+    rows = got2.collect()
+    # a ~3-year day spread overflows day and week for every fixture query
+    assert {r.unit for r in rows} <= {"month", "quarter", "year"}
+    from collections import Counter
+
+    # the chosen unit actually fits the target
+    per_q = Counter(r.qid for r in rows)
+    assert all(c <= 10 for c in per_q.values())
