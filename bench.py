@@ -353,6 +353,7 @@ def main() -> None:
         "diversified_sampler", "terms_set_topk",
         "geo_distance_topk", "geotile_grid_agg",
         "distance_feature_topk", "auto_date_histogram",
+        "hybrid_linear_topk", "index_stats",
     ]:
         try:
             fn, _ = entries[name]

@@ -5764,6 +5764,152 @@ def q_hybrid_rrf_topk() -> Entry:
     return fn, sql
 
 
+HYBRID_LINEAR_W = (0.7, 0.3)
+
+
+def q_index_stats() -> Entry:
+    """ES `_stats`/`_cat/indices` analog: one row of index-shape
+    numbers from the REAL built index's tables — docs, vocabulary size,
+    postings rows, total tokens, avgdl, max df. The twin recomputes
+    every number from raw text, so this also re-proves the build's
+    dictionary/postings/docstats against first principles."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        n_docs = idx.docstats.count()
+        vocab = idx.dictionary.count()
+        prow = idx.postings.agg(
+            F.count("*").alias("np"), F.sum("tf").alias("toks")
+        ).collect()[0]
+        max_df = idx.dictionary.agg(F.max("df")).collect()[0][0]
+        return spark.createDataFrame(
+            [(
+                n_docs, vocab, int(prow["np"]), int(prow["toks"]),
+                round(float(idx.stats.avgdl), 6), int(max_df),
+            )],
+            "n_docs long, vocab long, n_postings long, n_tokens long, "
+            "avgdl_r double, max_df long",
+        )
+
+    sql = f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    tf AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+    per AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+    dict AS (SELECT term, count(*) AS df FROM per GROUP BY 1)
+    SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+           (SELECT count(*) FROM dict)::BIGINT AS vocab,
+           (SELECT count(*) FROM per)::BIGINT AS n_postings,
+           (SELECT coalesce(sum(tf), 0) FROM per)::BIGINT AS n_tokens,
+           (SELECT round(coalesce(sum(tf), 0)::DOUBLE
+                         / (SELECT count(*) FROM documents), 6)
+            FROM per) AS avgdl_r,
+           (SELECT coalesce(max(df), 0) FROM dict)::BIGINT AS max_df"""
+    return fn, sql
+
+
+def q_hybrid_linear_topk() -> Entry:
+    """Hybrid BM25 + vector with the ES 8.x `linear` retriever
+    (query/hybrid.py::linear_fuse): each source minmax-normalizes within
+    the query's top-100 candidates, fused as 0.7·text + 0.3·vector.
+    Upstream scores enter ROUNDED (6 dp), so min/max, the rescale, and
+    the 2-element weighted sum are bit-identical cross-engine — the
+    fused raw score ranks directly."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.query.hybrid import linear_fuse
+
+        text = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= 100).select(
+            "qid", "doc_id", F.col("score_r").alias("score")
+        )
+        e = _emb(spark, sf_dir).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        qids = [qid for qid, _ in BENCH_QUERIES]
+        qv = e.filter(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        )
+        dot = F.aggregate(
+            F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nrm = lambda c: F.sqrt(
+            F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0),
+                        lambda acc, x: acc + x)
+        )
+        pairs = F.broadcast(qv).crossJoin(e).select(
+            "qid", "vec_id",
+            F.round(dot / (nrm(F.col("qv")) * nrm(F.col("v"))), 6).alias("cos_r"),
+        )
+        wv = Window.partitionBy("qid").orderBy(F.desc("cos_r"), F.asc("vec_id"))
+        vec = (
+            pairs.withColumn("rank", F.row_number().over(wv))
+            .filter(F.col("rank") <= 100)
+            .select("qid", F.col("vec_id").alias("doc_id"),
+                    F.col("cos_r").alias("score"))
+        )
+        res = linear_fuse([text, vec], weights=HYBRID_LINEAR_W, k=10)
+        return res.select(
+            "qid", "rank", "doc_id", F.round("score", 6).alias("score_r")
+        )
+
+    w_t, w_v = HYBRID_LINEAR_W
+    qid_list = ", ".join(str(q) for q, _ in BENCH_QUERIES)
+    sql = f"""
+    WITH {_BM25_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    t_top AS (SELECT qid, doc_id, score_r FROM ranked WHERE rank <= 100),
+    t_n AS (
+      SELECT qid, doc_id,
+             CASE WHEN max(score_r) OVER (PARTITION BY qid)
+                       - min(score_r) OVER (PARTITION BY qid) = 0
+                  THEN 1.0::DOUBLE
+                  ELSE (score_r - min(score_r) OVER (PARTITION BY qid))
+                       / (max(score_r) OVER (PARTITION BY qid)
+                          - min(score_r) OVER (PARTITION BY qid)) END AS n
+      FROM t_top),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qid_list})),
+    vpairs AS (
+      SELECT qv.qid, e.vec_id,
+             round(list_dot_product(qv.qv, e.v)
+                   / (sqrt(list_dot_product(qv.qv, qv.qv))
+                      * sqrt(list_dot_product(e.v, e.v))), 6) AS cos_r
+      FROM qv CROSS JOIN e),
+    v_top AS (
+      SELECT qid, vec_id AS doc_id, cos_r FROM (
+        SELECT qid, vec_id, cos_r,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cos_r DESC, vec_id) AS rank
+        FROM vpairs) WHERE rank <= 100),
+    v_n AS (
+      SELECT qid, doc_id,
+             CASE WHEN max(cos_r) OVER (PARTITION BY qid)
+                       - min(cos_r) OVER (PARTITION BY qid) = 0
+                  THEN 1.0::DOUBLE
+                  ELSE (cos_r - min(cos_r) OVER (PARTITION BY qid))
+                       / (max(cos_r) OVER (PARTITION BY qid)
+                          - min(cos_r) OVER (PARTITION BY qid)) END AS n
+      FROM v_top),
+    contribs AS (
+      SELECT qid, doc_id, {w_t!r}::DOUBLE * n AS c FROM t_n
+      UNION ALL
+      SELECT qid, doc_id, {w_v!r}::DOUBLE * n AS c FROM v_n),
+    fused AS (SELECT qid, doc_id, sum(c) AS score
+              FROM contribs GROUP BY 1, 2),
+    ranked_l AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY score DESC, doc_id) AS rank
+      FROM fused)
+    SELECT qid, rank, doc_id, score_r FROM ranked_l WHERE rank <= 10"""
+    return fn, sql
+
+
 RANGE_AGG_RANGES = [(None, 400.0), (400.0, 800.0), (700.0, None), (99999.0, None)]
 
 
@@ -6884,6 +7030,8 @@ def all_entries() -> Dict[str, Entry]:
         "boosting_topk": q_boosting_topk(),
         "phrase_suggest": q_phrase_suggest(),
         "hybrid_rrf_topk": q_hybrid_rrf_topk(),
+        "hybrid_linear_topk": q_hybrid_linear_topk(),
+        "index_stats": q_index_stats(),
         "range_agg": q_range_agg(),
         "composite_agg": q_composite_agg(),
         "ann_filtered_topk": q_ann_filtered_topk(),

@@ -95,3 +95,52 @@ def hybrid_search_rrf(
     return rrf_fuse(
         [text_rank, vec_rank], k=k, k_rrf=k_rrf, weights=[w_text, w_vec]
     )
+
+
+def linear_fuse(
+    rankings: Sequence[DataFrame],
+    weights: Optional[Sequence[float]] = None,
+    k: int = DEFAULT_TOP_K,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """(qid, rank, doc_id, score) — ES 8.x `linear` retriever with the
+    minmax normalizer: each source's scores rescale to [0, 1] within the
+    query's candidate set, then fuse as a weighted sum (a doc missing
+    from a source contributes 0 for it). A degenerate source (all
+    candidates tied) normalizes to 1.0 — they are all its best.
+    Contributions fold in source order so the float sum is
+    engine-deterministic; callers feed ROUNDED upstream scores so the
+    min/max cut is too."""
+    ws = [float(w) for w in (weights or [1.0] * len(rankings))]
+    if len(ws) != len(rankings):
+        raise ValueError("one weight per ranking")
+    parts = None
+    for i, (r, w) in enumerate(zip(rankings, ws)):
+        wq = Window.partitionBy("qid")
+        s = F.col(score_col).cast("double")
+        rng = F.max(s).over(wq) - F.min(s).over(wq)
+        n = F.when(rng == 0, F.lit(1.0)).otherwise((s - F.min(s).over(wq)) / rng)
+        c = r.select(
+            "qid",
+            F.col(id_col).alias("doc_id"),
+            F.struct(
+                F.lit(i).alias("src"), (F.lit(w) * n).alias("c")
+            ).alias("sc"),
+        )
+        parts = c if parts is None else parts.unionByName(c)
+    fused = (
+        parts.groupBy("qid", "doc_id")
+        .agg(F.sort_array(F.collect_list("sc")).alias("scs"))
+        .select(
+            "qid",
+            "doc_id",
+            F.aggregate("scs", F.lit(0.0), lambda a, x: a + x["c"]).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )
