@@ -5812,6 +5812,84 @@ def q_index_stats() -> Entry:
     return fn, sql
 
 
+def q_percolate_phrase_matches() -> Entry:
+    """Percolator with PHRASE subscriptions (query/percolate.py;
+    Lucene Monitor phrase queries): term presence prescreens (the
+    presearcher), adjacency verifies positionally. The twin rebuilds
+    the presearch as a distinct-term containment join and the verify as
+    the (i - off) start-grouping adjacency count."""
+    from dpr_spark.query.percolate import PercolatorQuery
+
+    PQS = [
+        PercolatorQuery(1, phrases=("spark window",)),
+        PercolatorQuery(2, must=("customer",), phrases=("join order",)),
+        PercolatorQuery(3, phrases=("window spark",)),
+        PercolatorQuery(4, must=("table", "scan")),
+    ]
+
+    def fn(spark, sf_dir):
+        from dpr_spark.query.percolate import (
+            percolate,
+            register_phrases,
+            register_queries,
+        )
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        reg = register_queries(spark, PQS)
+        book = register_phrases(spark, PQS)
+        return percolate(docs, reg, phrase_book=book).select("doc_id", "pqid")
+
+    # requirement rows (must ∪ phrase terms) and phrase offset rows
+    req, phr, nph = [], [], {}
+    for q in PQS:
+        terms = set(t for w in q.must for t in tokenize(w))
+        for pid, ph in enumerate(q.phrases):
+            toks = tokenize(ph)
+            for off, t in enumerate(toks):
+                phr.append((q.pqid, pid, off, t))
+            terms.update(toks)
+        for t in sorted(terms):
+            req.append((q.pqid, t))
+        if q.phrases:
+            nph[q.pqid] = len(q.phrases)
+    req_vals = ", ".join(f"({p}, '{t}')" for p, t in req)
+    phr_vals = ", ".join(f"({p}, {pid}, {off}, '{t}')" for p, pid, off, t in phr)
+    nph_vals = ", ".join(f"({p}, {n})" for p, n in sorted(nph.items()))
+    sql = f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    z AS (SELECT doc_id, unnest(toks) AS tok,
+                 generate_subscripts(toks, 1) AS i FROM t),
+    req AS (SELECT * FROM (VALUES {req_vals}) AS r(pqid, term)),
+    reqn AS (SELECT pqid, count(*) AS n FROM req GROUP BY 1),
+    pres AS (SELECT DISTINCT doc_id, tok FROM z),
+    base AS (
+      SELECT p.doc_id, r.pqid
+      FROM pres p JOIN req r ON p.tok = r.term
+      GROUP BY 1, 2
+      HAVING count(*) = (SELECT n FROM reqn WHERE reqn.pqid = r.pqid)),
+    phr AS (SELECT * FROM (VALUES {phr_vals}) AS f(pqid, pid, off, term)),
+    phn AS (SELECT pqid, pid, count(*) AS n_off FROM phr GROUP BY 1, 2),
+    nph AS (SELECT * FROM (VALUES {nph_vals}) AS n(pqid, n_ph)),
+    ph_hits AS (
+      SELECT f.pqid, f.pid, z.doc_id, z.i - f.off AS start, count(*) AS n_hit
+      FROM phr f JOIN z ON z.tok = f.term
+      GROUP BY 1, 2, 3, 4),
+    ph_ok AS (
+      SELECT DISTINCT h.pqid, h.pid, h.doc_id
+      FROM ph_hits h JOIN phn USING (pqid, pid) WHERE h.n_hit = phn.n_off),
+    ph_full AS (
+      SELECT o.pqid, o.doc_id
+      FROM (SELECT pqid, doc_id, count(DISTINCT pid) AS c
+            FROM ph_ok GROUP BY 1, 2) o
+      JOIN nph USING (pqid) WHERE o.c = nph.n_ph)
+    SELECT b.doc_id, b.pqid
+    FROM base b LEFT JOIN nph ON nph.pqid = b.pqid
+    WHERE nph.n_ph IS NULL
+       OR EXISTS (SELECT 1 FROM ph_full f
+                  WHERE f.pqid = b.pqid AND f.doc_id = b.doc_id)"""
+    return fn, sql
+
+
 def q_hybrid_linear_topk() -> Entry:
     """Hybrid BM25 + vector with the ES 8.x `linear` retriever
     (query/hybrid.py::linear_fuse): each source minmax-normalizes within
@@ -7004,6 +7082,7 @@ def all_entries() -> Dict[str, Entry]:
         "global_agg": q_global_agg(),
         "rank_eval": q_rank_eval(),
         "percolate_matches": q_percolate_matches(),
+        "percolate_phrase_matches": q_percolate_phrase_matches(),
         "regexp_topk": q_regexp_topk(),
         "suggest_topn": q_suggest_topn(),
         "sorted_layout_topk": q_sorted_layout_topk(),

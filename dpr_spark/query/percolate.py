@@ -52,6 +52,51 @@ class PercolatorQuery:
     should: Tuple[str, ...] = ()
     must_not: Tuple[str, ...] = ()
     msm: int = 0  # minimum should matches (0 = should optional)
+    phrases: Tuple[str, ...] = ()  # exact phrases, ALL required
+
+
+@dataclass
+class PhraseBook:
+    """Registered phrase clauses: (pqid, pid, off, term) rows + the
+    phrase vocabulary (drives the positional kernel's pushed filter) +
+    required-phrase counts per pqid."""
+    rows: DataFrame
+    vocab: List[str]
+    n_phrases: DataFrame  # (pqid, n_ph)
+
+
+def register_phrases(
+    spark: SparkSession,
+    queries: Sequence[PercolatorQuery],
+    analyzer=None,
+) -> Optional[PhraseBook]:
+    """Phrase clauses -> PhraseBook (None when no query has phrases).
+    Tokenized/offset exactly like the search path's phrases (analyzer
+    position gaps preserved), so percolation and retrieval agree on
+    what an 'exact phrase' is."""
+    from dpr_spark.query.phrase import _phrase_offsets
+
+    rows, vocab, counts = [], set(), []
+    for q in queries:
+        if not q.phrases:
+            continue
+        n_ok = 0
+        for pid, ph in enumerate(q.phrases):
+            offs, _ = _phrase_offsets([(0, ph)], analyzer=analyzer)
+            if not offs:
+                raise ValueError(f"pqid {q.pqid}: phrase {ph!r} has no tokens")
+            n_ok += 1
+            for _, off, t in offs:
+                rows.append((q.pqid, pid, off, t))
+                vocab.add(t)
+        counts.append((q.pqid, n_ok))
+    if not rows:
+        return None
+    return PhraseBook(
+        rows=spark.createDataFrame(rows, "pqid long, pid int, off int, term string"),
+        vocab=sorted(vocab),
+        n_phrases=spark.createDataFrame(counts, "pqid long, n_ph int"),
+    )
 
 
 def _norm_terms(words: Sequence[str], analyzer) -> List[str]:
@@ -75,6 +120,9 @@ def register_queries(
         must = _norm_terms(q.must, analyzer)
         should = _norm_terms(q.should, analyzer)
         must_not = _norm_terms(q.must_not, analyzer)
+        # phrase terms are necessary conditions: they join the must set
+        # (the Monitor presearcher), adjacency verifies later
+        must = sorted(set(must) | set(_norm_terms(q.phrases, analyzer)))
         if not must and not should:
             raise ValueError(f"pqid {q.pqid}: nothing to match (no must/should)")
         if q.msm > len(should):
@@ -96,12 +144,19 @@ def percolate(
     docs: DataFrame,
     registered: DataFrame,
     analyzer=None,
+    phrase_book: Optional["PhraseBook"] = None,
 ) -> DataFrame:
     """(doc_id, pqid) pairs: which registered queries each doc matches.
 
     docs: (doc_id, text); registered: register_queries output. The doc
     side is tokenized by the index build's own fused Arrow kernel and
     reduced to distinct (doc_id, term) pairs before the broadcast join.
+
+    phrase_book (register_phrases output): exact-phrase clauses — the
+    term-level pass already required every phrase term (presearcher);
+    candidates then verify adjacency positionally, so ONLY docs that
+    passed the term screen ever tokenize with positions. A pqid with
+    phrases matches when every one of its phrases occurs verbatim.
     """
     from dpr_spark.index.build import doc_terms
 
@@ -116,13 +171,61 @@ def percolate(
         F.sum(F.when(F.col("clause") == "should", 1).otherwise(0)).alias("should_hits"),
         F.sum(F.when(F.col("clause") == "must_not", 1).otherwise(0)).alias("neg_hits"),
     )
-    return agg.filter(
+    base = agg.filter(
         (F.col("must_hits") == F.col("n_must"))
         & (F.col("should_hits") >= F.col("msm"))
         & (F.col("neg_hits") == 0)
         # a should-only query (n_must=0, msm=0) still needs ≥1 should hit
         & ((F.col("n_must") > 0) | (F.col("should_hits") >= F.greatest(F.col("msm"), F.lit(1))))
     ).select("doc_id", "pqid")
+    if phrase_book is None:
+        return base
+    return _verify_phrases(docs, base, phrase_book, analyzer)
+
+
+def _verify_phrases(
+    docs: DataFrame, base: DataFrame, book: "PhraseBook", analyzer
+) -> DataFrame:
+    """Keep base (doc_id, pqid) pairs whose pqid's phrases ALL occur
+    verbatim in the doc; pqids without phrases pass through."""
+    from dpr_spark.query.phrase import doc_term_positions
+
+    cand = base.join(F.broadcast(book.n_phrases), "pqid", "left")
+    no_phrase = cand.filter(F.col("n_ph").isNull()).select("doc_id", "pqid")
+    with_phrase = cand.filter(F.col("n_ph").isNotNull())
+
+    pos = doc_term_positions(
+        docs.select("doc_id", "text"), vocab=book.vocab, analyzer=analyzer
+    ).select("doc_id", "term", "positions")
+    hits = pos.join(F.broadcast(book.rows), "term").join(
+        with_phrase.select("doc_id", "pqid"), ["doc_id", "pqid"]
+    )
+    n_off = book.rows.groupBy("pqid", "pid").agg(F.count("*").alias("n_off"))
+    grouped = (
+        hits.groupBy("doc_id", "pqid", "pid")
+        .agg(F.collect_list(F.struct("off", "positions")).alias("structs"))
+        .join(F.broadcast(n_off), ["pqid", "pid"])
+        .filter(F.size("structs") == F.col("n_off"))
+    )
+    s = F.sort_array("structs")
+    start = F.element_at(s, 1)["positions"]
+    rest = F.slice(s, 2, F.size(s) - 1)
+    surviving = F.aggregate(
+        rest,
+        start,
+        lambda acc, x: F.filter(
+            acc, lambda p: F.array_contains(x["positions"], p + x["off"])
+        ),
+    )
+    ok = grouped.withColumn("pf", F.size(surviving)).filter(F.col("pf") > 0)
+    full = (
+        ok.groupBy("doc_id", "pqid")
+        .agg(F.countDistinct("pid").alias("n_ok"))
+        .join(F.broadcast(book.n_phrases), "pqid")
+        .filter(F.col("n_ok") == F.col("n_ph"))
+        .select("doc_id", "pqid")
+    )
+    return no_phrase.unionByName(full)
 
 
 def percolate_py(
@@ -137,9 +240,24 @@ def percolate_py(
     if analyzer is not None:
         toks = analyzer.analyze_tokens(toks)
     present = set(toks)
+
+    def _phrase_in(ph: str) -> bool:
+        from dpr_spark.query.phrase import _phrase_offsets
+
+        offs, _ = _phrase_offsets([(0, ph)], analyzer=analyzer)
+        pairs = [(off, t) for _, off, t in offs]
+        for p in range(len(toks)):
+            if all(
+                p + off < len(toks) and toks[p + off] == t for off, t in pairs
+            ):
+                return True
+        return False
+
     out = []
     for q in queries:
-        must = set(_norm_terms(q.must, analyzer))
+        must = set(_norm_terms(q.must, analyzer)) | set(
+            _norm_terms(q.phrases, analyzer)
+        )
         should = set(_norm_terms(q.should, analyzer))
         must_not = set(_norm_terms(q.must_not, analyzer))
         if not must and not should:
@@ -152,6 +270,8 @@ def percolate_py(
         if sh < q.msm:
             continue
         if not must and sh < max(q.msm, 1):
+            continue
+        if q.phrases and not all(_phrase_in(ph) for ph in q.phrases):
             continue
         out.append(q.pqid)
     return sorted(out)

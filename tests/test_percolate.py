@@ -89,3 +89,47 @@ def test_register_validation(spark):
         register_queries(spark, [PercolatorQuery(0, must_not=("x",))])
     with pytest.raises(ValueError, match="msm"):
         register_queries(spark, [PercolatorQuery(0, should=("a",), msm=2)])
+
+
+def test_percolate_phrase_clauses(spark):
+    """Phrase subscriptions: term presence isn't enough — adjacency in
+    order is verified; mixed-clause queries need both."""
+    from dpr_spark.query.percolate import (
+        PercolatorQuery,
+        percolate,
+        percolate_py,
+        register_phrases,
+        register_queries,
+    )
+
+    qs = [
+        PercolatorQuery(1, phrases=("supply chain attack",)),
+        PercolatorQuery(2, must=("fresh",), phrases=("chain attack",)),
+        PercolatorQuery(3, phrases=("attack chain",)),  # reversed order
+        PercolatorQuery(4, must=("supply",)),  # term-only, no phrases
+    ]
+    reg = register_queries(spark, qs)
+    book = register_phrases(spark, qs)
+    docs = spark.createDataFrame(
+        [
+            (10, "a supply chain attack on fresh targets"),
+            (11, "supply of attack dogs chain fresh"),  # terms, not phrase
+            (12, "the chain attack was fresh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.pqid)
+        for r in percolate(docs, reg, phrase_book=book).collect()
+    )
+    assert got == [(10, 1), (10, 2), (10, 4), (11, 4), (12, 2)]
+    # pure-python twin agrees doc by doc
+    for did, text in [(r.doc_id, r.text) for r in docs.collect()]:
+        exp = sorted(p for d, p in got if d == did)
+        assert percolate_py(text, qs) == exp
+
+
+def test_percolate_phrase_book_none_when_no_phrases(spark):
+    from dpr_spark.query.percolate import PercolatorQuery, register_phrases
+
+    assert register_phrases(spark, [PercolatorQuery(1, must=("x",))]) is None
