@@ -5767,6 +5767,142 @@ def q_hybrid_rrf_topk() -> Entry:
 HYBRID_LINEAR_W = (0.7, 0.3)
 
 
+PINNED = [(0, [497, 3]), (1, [42]), (2, []), (3, [499, 498, 497])]
+
+
+def q_pinned_topk() -> Entry:
+    """ES pinned query (query/paging.py::search_pinned): editorial doc
+    ids rank first in list order (score 0.0 when they don't match
+    organically), the organic BM25 ranking follows with pins removed;
+    `kind` marks provenance."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.paging import search_pinned
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search_pinned(spark, qdf, idx, PINNED, k=10)
+        # re-rank on rounded score within the organic block (pins keep
+        # their list order): rank is already deterministic, only the
+        # score column needs rounding for the hash
+        return res.select(
+            "qid", "rank", "kind", "doc_id", F.round("score", 6).alias("score_r")
+        )
+
+    pin_vals = ", ".join(
+        f"({qid}, {d}, {pos})"
+        for qid, ids in PINNED for pos, d in enumerate(ids)
+    )
+    sql = f"""
+    WITH {_BM25_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    pins AS (SELECT * FROM (VALUES {pin_vals}) AS p(qid, doc_id, pin_pos)),
+    organic AS (
+      SELECT s.qid, s.doc_id, round(s.score, 6) AS score_r,
+             1000000 + row_number() OVER (
+               PARTITION BY s.qid ORDER BY s.score DESC, s.doc_id) AS ord,
+             'organic' AS kind
+      FROM scored s LEFT JOIN pins p
+        ON p.qid = s.qid AND p.doc_id = s.doc_id
+      WHERE p.doc_id IS NULL),
+    pinned AS (
+      SELECT p.qid, p.doc_id, round(coalesce(s.score, 0.0::DOUBLE), 6) AS score_r,
+             p.pin_pos AS ord, 'pinned' AS kind
+      FROM pins p LEFT JOIN scored s
+        ON s.qid = p.qid AND s.doc_id = p.doc_id),
+    unioned AS (SELECT * FROM pinned UNION ALL SELECT * FROM organic),
+    ranked_p AS (
+      SELECT qid, doc_id, score_r, kind,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY ord, doc_id) AS rank
+      FROM unioned)
+    SELECT qid, rank, kind, doc_id, score_r FROM ranked_p WHERE rank <= 10"""
+    return fn, sql
+
+
+def q_combined_fields_topk() -> Entry:
+    """ES combined_fields (query/multimatch.py::search_combined_fields):
+    text+title blend into one pseudo-field BEFORE BM25 — tf_c = Σ w_f·tf,
+    dl_c = Σ w_f·dl (the norms table), df = docs with the term in ANY
+    field, one BM25 per term. Same field model as bm25f_topk (title =
+    first 3 tokens), distinct scoring contract (term-centric blend vs
+    per-field sum)."""
+    W_TEXT, W_TITLE = 1.0, 2.0
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.fielded import build_fielded_index
+        from dpr_spark.query.multimatch import (
+            combined_field_norms,
+            search_combined_fields,
+        )
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            "text",
+            F.concat_ws(" ", F.slice(_tok_col(), 1, 3)).alias("title"),
+        )
+        idx = build_fielded_index(
+            spark, docs, fields=("text", "title"),
+            weights={"text": W_TEXT, "title": W_TITLE},
+        )
+        norms = combined_field_norms(idx)
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search_combined_fields(qdf, idx, norms, idx.n_docs, k=10).select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    fdoc AS (
+      SELECT doc_id, 0 AS field_id, toks FROM tok
+      UNION ALL
+      SELECT doc_id, 1 AS field_id, list_slice(toks, 1, 3) AS toks FROM tok),
+    ds AS (SELECT doc_id, field_id, len(toks) AS doclen FROM fdoc),
+    norms AS (
+      SELECT doc_id,
+             sum((CASE WHEN field_id = 1 THEN {W_TITLE} ELSE {W_TEXT} END)
+                 * doclen::DOUBLE) AS dl_c
+      FROM ds GROUP BY 1),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    avgc AS (SELECT sum(dl_c) / (SELECT n FROM nn) AS a FROM norms),
+    tf AS (SELECT doc_id, field_id, term, count(*) AS tf
+           FROM (SELECT doc_id, field_id, unnest(toks) AS term FROM fdoc)
+           GROUP BY 1, 2, 3),
+    qt AS (SELECT * FROM (VALUES {{QTERMS}}) AS q(qid, term)),
+    ctf AS (
+      SELECT qt.qid, tf.doc_id, tf.term,
+             sum((CASE WHEN tf.field_id = 1 THEN {W_TITLE} ELSE {W_TEXT} END)
+                 * tf.tf::DOUBLE) AS ctf
+      FROM qt JOIN tf USING (term) GROUP BY 1, 2, 3),
+    dfany AS (
+      SELECT term, count(DISTINCT doc_id) AS df
+      FROM tf WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+    scored_cf AS (
+      SELECT c.qid, c.doc_id,
+             sum(ln(((SELECT n FROM nn) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                 * c.ctf * {BM25_K1 + 1.0}
+                 / (c.ctf + {BM25_K1}
+                    * (1.0 - {BM25_B}
+                       + {BM25_B} * nm.dl_c / (SELECT a FROM avgc)))
+             ) AS score
+      FROM ctf c JOIN dfany d USING (term) JOIN norms nm ON nm.doc_id = c.doc_id
+      GROUP BY 1, 2),
+    ranked_cf AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored_cf)
+    SELECT qid, rank, doc_id, score_r FROM ranked_cf WHERE rank <= 10"""
+    return fn, sql.replace("{QTERMS}", _qterm_values_sql())
+
+
 def q_index_stats() -> Entry:
     """ES `_stats`/`_cat/indices` analog: one row of index-shape
     numbers from the REAL built index's tables — docs, vocabulary size,
@@ -7111,6 +7247,8 @@ def all_entries() -> Dict[str, Entry]:
         "hybrid_rrf_topk": q_hybrid_rrf_topk(),
         "hybrid_linear_topk": q_hybrid_linear_topk(),
         "index_stats": q_index_stats(),
+        "combined_fields_topk": q_combined_fields_topk(),
+        "pinned_topk": q_pinned_topk(),
         "range_agg": q_range_agg(),
         "composite_agg": q_composite_agg(),
         "ann_filtered_topk": q_ann_filtered_topk(),

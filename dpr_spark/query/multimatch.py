@@ -192,3 +192,106 @@ def multi_match_cross_fields(
         )
     )
     return top_k(scored, k)
+
+
+def combined_field_norms(index, weights=None) -> DataFrame:
+    """(doc_id, dl_c) — the combined-field length norm: Σ_f w_f·dl_f per
+    doc. The Lucene norms-file analog for `combined_fields`: computed
+    ONCE from the fielded postings (distinct (doc, field, doclen) rows)
+    and meant to be persisted/stored next to the index at scale — the
+    search path never scans the corpus for lengths."""
+    w = weights or index.weights
+    from dpr_spark.index.fielded import _per_field_case
+
+    dl = (
+        index.postings.join(
+            F.broadcast(index.dictionary.select("term_id", "field_id")),
+            "term_id",
+        )
+        .select("doc_id", "field_id", "doclen")
+        .distinct()
+    )
+    w_expr = _per_field_case(index.fields, w)
+    return dl.groupBy("doc_id").agg(
+        F.sum(w_expr * F.col("doclen").cast("double")).alias("dl_c")
+    )
+
+
+def search_combined_fields(
+    queries: DataFrame,
+    index,
+    norms: DataFrame,
+    n_docs: int,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    weights=None,
+) -> DataFrame:
+    """ES `combined_fields`: fields blend into ONE pseudo-field before
+    BM25 — per (term, doc) tf_c = Σ_f w_f·tf_f, per doc dl_c = Σ_f
+    w_f·dl_f (the `norms` table), df = docs containing the term in ANY
+    field, ONE BM25 per term. Differs from cross_fields (per-field
+    scores, blended df) and best_fields (dis-max): term-centric, the
+    text-book BM25F.
+
+    Scale shape: the probe rows (postings ⋈ broadcast query terms) are
+    the only data touched — df-any and tf_c both aggregate the probe,
+    so no corpus pass happens at query time."""
+    from dpr_spark.index.fielded import _per_field_case
+    from dpr_spark.query.scorer import query_terms
+
+    w = weights or index.weights
+    qt = query_terms(queries, analyzer=index.analyzer)
+    resolved = index.dictionary.join(
+        F.broadcast(qt.select("term").distinct()), "term", "left_semi"
+    ).select("term", "field_id", "term_id")
+    qt = qt.join(F.broadcast(resolved), "term")
+    probed = index.postings.join(
+        F.broadcast(qt.select("qid", "term", "field_id", "term_id")), "term_id"
+    )
+    w_expr = _per_field_case(index.fields, w)
+    ctf = probed.groupBy("qid", "term", "doc_id").agg(
+        F.sum(w_expr * F.col("tf").cast("double")).alias("ctf")
+    )
+    # df over the combined field: distinct docs per term, FROM THE PROBE
+    df_any = (
+        probed.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    avg_row = norms.agg(
+        (F.sum("dl_c") / F.lit(float(n_docs))).alias("a")
+    ).collect()[0]
+    avgdl_c = float(avg_row["a"] or 0.0) or 1.0
+    scored = (
+        ctf.join(F.broadcast(df_any), "term")
+        .join(norms, "doc_id")
+        .select(
+            "qid",
+            "doc_id",
+            (
+                idf
+                * F.col("ctf")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("ctf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl_c") / F.lit(avgdl_c))
+                )
+            ).alias("c"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("c").alias("score"))
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score")
+    )

@@ -23,7 +23,7 @@ funnel through a single window task.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -317,4 +317,58 @@ def search_sliced(
     return search_segments(
         spark, queries, index, segments, k=k, resolve=resolve,
         cursors=cursors, doc_slice=(slice_id, slice_max),
+    )
+
+
+def search_pinned(
+    spark,
+    queries: DataFrame,
+    index: InvertedIndex,
+    pins: Sequence[Tuple[int, Sequence[int]]],
+    k: int = DEFAULT_TOP_K,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES `pinned` query: per query, the listed doc ids rank first IN
+    LIST ORDER (whether or not they match organically), the organic
+    BM25 ranking follows with pinned docs removed. Pins are promotion
+    metadata, so a pinned doc carries score NULL→0.0 unless it matched;
+    the organic scores are untouched (ES gives pins artificial
+    above-everything scores; we keep real ones and let `kind` mark the
+    provenance).
+
+    pins: [(qid, [doc_id, ...])] — editorial, query-sized, broadcast.
+    """
+    from dpr_spark.query.scorer import score_exact
+
+    rows = []
+    for qid, ids in pins:
+        for pos, d in enumerate(ids):
+            rows.append((qid, int(d), pos))
+    pdf = F.broadcast(
+        spark.createDataFrame(rows, "qid long, doc_id long, pin_pos int")
+    )
+    scored = score_exact(queries, index, k1=k1, b=b)
+    organic = scored.join(pdf, ["qid", "doc_id"], "left_anti")
+    w_org = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    org_ranked = organic.withColumn("r", F.row_number().over(w_org)).select(
+        "qid", "doc_id",
+        F.col("score").alias("score"),
+        (F.col("r") + F.lit(1_000_000)).alias("ord"),  # after every pin
+        F.lit("organic").alias("kind"),
+    )
+    pinned = pdf.join(
+        scored.select("qid", "doc_id", "score"), ["qid", "doc_id"], "left"
+    ).select(
+        "qid", "doc_id",
+        F.coalesce("score", F.lit(0.0)).alias("score"),
+        F.col("pin_pos").cast("long").alias("ord"),
+        F.lit("pinned").alias("kind"),
+    )
+    both = pinned.unionByName(org_ranked)
+    w = Window.partitionBy("qid").orderBy(F.asc("ord"), F.asc("doc_id"))
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "kind", "doc_id", "score")
     )
