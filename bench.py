@@ -354,7 +354,7 @@ def main() -> None:
         "geo_distance_topk", "geotile_grid_agg",
         "distance_feature_topk", "auto_date_histogram",
         "hybrid_linear_topk", "index_stats",
-        "percolate_phrase_matches", "combined_fields_topk", "pinned_topk",
+        "percolate_phrase_matches", "combined_fields_topk", "pinned_topk", "synonym_graph_topk",
     ]:
         try:
             fn, _ = entries[name]

