@@ -5773,6 +5773,85 @@ PINNED = [(0, [497, 3]), (1, [42]), (2, []), (3, [499, 498, 497])]
 SYN_GRAPH = {"window data": ["vector"], "customer join": ["table"]}
 
 
+def q_phrase_title_topk() -> Entry:
+    """Field-scoped exact phrase (index/fielded.py::
+    phrase_search_fielded; Lucene PhraseQuery(field) / ES match_phrase
+    on a field): phrases match inside the TITLE field only (title =
+    first 3 + doc_id%5 tokens — variable length so the field norm is
+    exercised), scored with the title field's own idf/doclen/avgdl."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.fielded import (
+            build_fielded_index,
+            build_positions_fielded,
+            phrase_search_fielded,
+        )
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            "text",
+            F.concat_ws(
+                " ",
+                F.slice(_tok_col(), 1, (F.lit(3) + F.pmod("doc_id", F.lit(5))).cast("int")),
+            ).alias("title"),
+        )
+        idx = build_fielded_index(spark, docs, fields=("text", "title"))
+        pos = build_positions_fielded(docs, idx)
+        res = phrase_search_fielded(
+            spark, idx, pos, PHRASE_QUERIES, "title", k=10
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    from dpr_spark.functions.normalize import normalize_question
+
+    vals = []
+    for qid, p in PHRASE_QUERIES:
+        for off, t in enumerate(tokenize(normalize_question(p))):
+            vals.append(f"({qid}, {off}, '{t}')")
+    sql = f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    ttl AS (SELECT doc_id,
+                   list_slice(toks, 1, 3 + (doc_id % 5)::INT) AS toks
+            FROM tok),
+    ds AS (SELECT doc_id, len(toks) AS doclen FROM ttl),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM ds),
+    z AS (SELECT doc_id, unnest(toks) AS tok,
+                 generate_subscripts(toks, 1) AS i FROM ttl),
+    dict AS (SELECT tok AS term, count(DISTINCT doc_id) AS df FROM z GROUP BY 1),
+    q AS (SELECT * FROM (VALUES {", ".join(vals)}) AS q(qid, off, term)),
+    qn AS (SELECT qid, count(*) AS n_off FROM q GROUP BY 1),
+    idf AS (
+      SELECT q.qid,
+             sum(ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)) AS idf_sum,
+             count(*) AS n_res
+      FROM q JOIN dict USING (term) CROSS JOIN stats GROUP BY 1),
+    idf_ok AS (SELECT idf.qid, idf.idf_sum FROM idf JOIN qn USING (qid)
+               WHERE idf.n_res = qn.n_off),
+    cand AS (
+      SELECT q.qid, z.doc_id, z.i - q.off AS start, count(*) AS n_hit
+      FROM q JOIN z ON z.tok = q.term GROUP BY 1, 2, 3),
+    pf AS (
+      SELECT cand.qid, cand.doc_id, count(*) AS pf
+      FROM cand JOIN qn USING (qid) WHERE cand.n_hit = qn.n_off GROUP BY 1, 2),
+    scored_t AS (
+      SELECT pf.qid, pf.doc_id,
+             idf_ok.idf_sum * pf.pf * {BM25_K1 + 1.0}
+             / (pf.pf + {BM25_K1}
+                * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl)) AS score
+      FROM pf JOIN idf_ok USING (qid)
+           JOIN ds ON pf.doc_id = ds.doc_id CROSS JOIN stats),
+    ranked_t AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored_t)
+    SELECT qid, rank, doc_id, score_r FROM ranked_t WHERE rank <= 10"""
+    return fn, sql
+
+
 def q_synonym_graph_topk() -> Entry:
     """Multi-word synonyms (query/synonyms.py::synonym_graph_search;
     Lucene SynonymGraphFilter at query time): a registered span becomes
@@ -7337,6 +7416,7 @@ def all_entries() -> Dict[str, Entry]:
         "combined_fields_topk": q_combined_fields_topk(),
         "pinned_topk": q_pinned_topk(),
         "synonym_graph_topk": q_synonym_graph_topk(),
+        "phrase_title_topk": q_phrase_title_topk(),
         "range_agg": q_range_agg(),
         "composite_agg": q_composite_agg(),
         "ann_filtered_topk": q_ann_filtered_topk(),

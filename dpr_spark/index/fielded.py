@@ -337,3 +337,101 @@ def search_fielded(
         )
     )
     return top_k(scored, k)
+
+
+FIELDED_POSITIONS_SCHEMA = (
+    "doc_id long, field_id int, doclen int, term string, tf int, "
+    "positions array<int>"
+)
+
+
+def doc_term_positions_fielded(
+    docs: DataFrame, fields: Sequence[str], analyzer=None
+) -> DataFrame:
+    """Per-(doc, field, term) position lists in ONE Arrow pass — the
+    positional twin of doc_terms_fielded (Lucene stores .pos per
+    field). doclen is the FIELD's token count (its BM25 norm)."""
+    from dpr_spark.functions.tokenizer import _compiled_fast
+    from dpr_spark.query.phrase import positions_batch
+
+    fields = list(fields)
+    vocab_map = analyzer.map_vocab if analyzer is not None else None
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pat = _compiled_fast()
+        for pdf in it:
+            if not len(pdf):
+                continue
+            doc_ids = pdf["doc_id"].to_numpy(np.int64)
+            for fid, fname in enumerate(fields):
+                out = positions_batch(pdf[fname], pat, vocab_map=vocab_map)
+                if out is None:
+                    continue
+                u_doc, lens, terms, tfs, pos_lists = out
+                yield pd.DataFrame(
+                    {
+                        "doc_id": doc_ids[u_doc],
+                        "field_id": np.full(len(u_doc), fid, dtype=np.int32),
+                        "doclen": lens[u_doc].astype(np.int32),
+                        "term": terms,
+                        "tf": tfs.astype(np.int32),
+                        "positions": pos_lists,
+                    }
+                )
+
+    return docs.select("doc_id", *fields).mapInPandas(
+        run, FIELDED_POSITIONS_SCHEMA
+    )
+
+
+def build_positions_fielded(
+    docs: DataFrame, index: "FieldedIndex", analyzer=None
+) -> DataFrame:
+    """(term_id, doc_id, tf, doclen, positions) over the fielded
+    term_id space — field-scoped phrase/span queries join it exactly
+    like the single-field positional table."""
+    pos = doc_term_positions_fielded(docs, index.fields, analyzer=analyzer)
+    return pos.join(
+        F.broadcast(index.dictionary.select("field_id", "term", "term_id")),
+        ["field_id", "term"],
+    ).select("term_id", "doc_id", "tf", "doclen", "positions")
+
+
+def phrase_search_fielded(
+    spark: SparkSession,
+    index: "FieldedIndex",
+    positions: DataFrame,
+    phrases,
+    field: str,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Exact phrase restricted to ONE field (Lucene
+    ``PhraseQuery(field, ...)`` / ES match_phrase on a field): terms
+    resolve against the field's slice of the dictionary, statistics
+    (idf, doclen norm, avgdl) are the field's own, and the adjacency
+    verify is the shared positional fold."""
+    from types import SimpleNamespace
+
+    from dpr_spark.query.phrase import (
+        _index_plumbing,
+        _phrase_offsets,
+        _score_phrases,
+        _topk,
+        _verify_and_count,
+    )
+
+    if field not in index.fields:
+        raise ValueError(f"unknown field {field!r}")
+    fid = index.fields.index(field)
+    qrows, _ = _phrase_offsets(phrases, analyzer=index.analyzer)
+    if not qrows:
+        raise ValueError("no tokenizable phrases")
+    field_dict = index.dictionary.filter(F.col("field_id") == fid)
+    shim = SimpleNamespace(dictionary=field_dict)
+    grouped, idf_sums = _index_plumbing(spark, shim, positions, qrows)
+    matched = _verify_and_count(grouped)
+    return _topk(
+        _score_phrases(matched, idf_sums, index.avgdl[field], k1, b), k
+    )

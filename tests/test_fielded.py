@@ -205,3 +205,42 @@ def test_fielded_analyzed_rank_identity(spark, fielded_docs_pdf, queries_pdf, tm
                 n += 1
         assert n > 30
     idx.unpersist()
+
+
+def test_fielded_positions_and_field_phrase(spark):
+    """Positions are per field; a phrase matching only in text does NOT
+    match a title-scoped phrase query, and title stats drive the score."""
+    import pyspark.sql.functions as F
+
+    from dpr_spark.index.fielded import (
+        build_fielded_index,
+        build_positions_fielded,
+        phrase_search_fielded,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta in the body only", "unrelated words here"),
+            (2, "nothing relevant in this text", "alpha beta title"),
+            (3, "alpha beta everywhere", "alpha beta twice alpha beta"),
+        ],
+        "doc_id long, text string, title string",
+    )
+    idx = build_fielded_index(spark, docs, fields=("text", "title"))
+    pos = build_positions_fielded(docs, idx)
+    got = {
+        r.doc_id: (r.rank, r.score)
+        for r in phrase_search_fielded(
+            spark, idx, pos, [(0, "alpha beta")], "title"
+        ).collect()
+    }
+    assert set(got) == {2, 3}  # doc 1 matches in text only
+    assert got[3][0] == 1  # pf=2 in a longer title still wins
+    # field isolation the other way: text-scoped phrase sees docs 1, 3
+    got_t = {
+        r.doc_id
+        for r in phrase_search_fielded(
+            spark, idx, pos, [(0, "alpha beta")], "text"
+        ).collect()
+    }
+    assert got_t == {1, 3}
