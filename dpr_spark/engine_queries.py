@@ -5773,6 +5773,39 @@ PINNED = [(0, [497, 3]), (1, [42]), (2, []), (3, [499, 498, 497])]
 SYN_GRAPH = {"window data": ["vector"], "customer join": ["table"]}
 
 
+def q_lm_perplexity() -> Entry:
+    """Corpus-LM perplexity quality filter (extras/textstats.py::
+    bigram_lm_perplexity; the KenLM/CCNet web-pipeline stage): add-0.1
+    bigram LM fit on the documents table, per-doc ppl = exp(mean -ln p)
+    rounded at 4 dp (coarse enough to absorb cross-engine ln/sum ulp
+    drift over ~300-term docs)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.textstats import bigram_lm_perplexity
+
+        return bigram_lm_perplexity(_docs(spark, sf_dir)).select(
+            "doc", "n_bigrams", F.col("ppl").alias("ppl_r")
+        )
+
+    sql = f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    z AS (SELECT doc_id, unnest(toks) AS tok,
+                 generate_subscripts(toks, 1) AS i FROM t),
+    uni AS (SELECT tok AS u, count(*) AS cu FROM z GROUP BY 1),
+    vv AS (SELECT count(*)::DOUBLE AS v FROM uni),
+    bg AS (SELECT a.doc_id, a.tok AS u, a.tok || ' ' || b.tok AS g
+           FROM z a JOIN z b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+    big AS (SELECT g, count(*) AS cg FROM bg GROUP BY 1),
+    scored AS (
+      SELECT bg.doc_id AS doc, count(*) AS n_bigrams,
+             sum(ln((big.cg::DOUBLE + 0.1::DOUBLE)
+                    / (uni.cu::DOUBLE + 0.1::DOUBLE * (SELECT v FROM vv)))) AS s
+      FROM bg JOIN big USING (g) JOIN uni USING (u)
+      GROUP BY 1)
+    SELECT doc, n_bigrams, round(exp(-s / n_bigrams), 4) AS ppl_r FROM scored"""
+    return fn, sql
+
+
 def q_phrase_title_topk() -> Entry:
     """Field-scoped exact phrase (index/fielded.py::
     phrase_search_fielded; Lucene PhraseQuery(field) / ES match_phrase
@@ -7417,6 +7450,7 @@ def all_entries() -> Dict[str, Entry]:
         "pinned_topk": q_pinned_topk(),
         "synonym_graph_topk": q_synonym_graph_topk(),
         "phrase_title_topk": q_phrase_title_topk(),
+        "lm_perplexity": q_lm_perplexity(),
         "range_agg": q_range_agg(),
         "composite_agg": q_composite_agg(),
         "ann_filtered_topk": q_ann_filtered_topk(),

@@ -111,3 +111,65 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         lambda acc, x: (acc * F.lit(R) + x) % F.lit(P),
     )
     return df.select(F.col(id_col).alias("doc"), fp.alias("fingerprint"))
+
+
+def bigram_lm_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+    ppl_round: int = 4,
+) -> DataFrame:
+    """(doc, n_bigrams, ppl) — per-document perplexity under an
+    add-α-smoothed bigram LM fit on the corpus itself: the
+    KenLM/CCNet-style quality filter of web-scale pipelines (junk pages
+    score high perplexity against the corpus LM). p(v|u) =
+    (C(uv)+α) / (C(u)+α·V) with C() corpus occurrence counts and V the
+    unigram vocabulary; ppl = exp(mean −ln p) over the doc's bigrams.
+
+    Plan shape (the 100 TB one): two count aggregations with map-side
+    combine (unigram and bigram tables), then the doc-bigram stream
+    joins the bigram table ON ITS KEY — a co-partitioned shuffle join,
+    the bigram table being far too large to broadcast; hot bigrams
+    (stopword pairs) are the usual skew and take the salting treatment
+    if AQE's skew-join doesn't. Docs shorter than 2 tokens drop (no
+    bigrams to score). ppl rounds at `ppl_round` so cross-engine ln/sum
+    ulp noise can't flip a hash."""
+    toks = tokenize_col(text_col)
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("u"),
+                F.concat_ws(
+                    " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+                ).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<u:string,g:string>>"))
+    bg = df.select(F.col(id_col).alias("doc"), F.explode(pairs).alias("p")).select(
+        "doc", F.col("p.u").alias("u"), F.col("p.g").alias("g")
+    )
+    uni = (
+        df.select(F.explode(tokenize_col(text_col)).alias("u"))
+        .groupBy("u")
+        .agg(F.count("*").alias("cu"))
+    )
+    v = uni.count()
+    big = bg.groupBy("g").agg(F.count("*").alias("cg"))
+    lp = F.log(
+        (F.col("cg").cast("double") + F.lit(alpha))
+        / (F.col("cu").cast("double") + F.lit(alpha * v))
+    )
+    scored = (
+        bg.join(big, "g")
+        .join(uni, "u")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_bigrams"), F.sum(lp).alias("s"))
+    )
+    return scored.select(
+        "doc",
+        "n_bigrams",
+        F.round(F.exp(-F.col("s") / F.col("n_bigrams")), ppl_round).alias("ppl"),
+    )

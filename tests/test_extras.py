@@ -636,3 +636,34 @@ def test_trained_pq_beats_sampled_quantization_error(spark):
     sampled = mse(sampled_pq_codebooks(e, m_sub=4, nbits=4))
     trained = mse(train_pq_codebooks(e, m_sub=4, nbits=4, iters=5, seed=11))
     assert trained < sampled
+
+
+def test_bigram_lm_perplexity_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from dpr_spark.extras.textstats import bigram_lm_perplexity
+    from dpr_spark.functions.tokenizer import tokenize
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat",
+        3: "weird zebra quantum flux",
+        4: "x",  # single token -> no bigrams -> dropped
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r.doc: (r.n_bigrams, r.ppl) for r in bigram_lm_perplexity(docs).collect()}
+
+    toks = {d: tokenize(t) for d, t in texts.items()}
+    uni = Counter(w for ts in toks.values() for w in ts)
+    big = Counter(
+        (ts[i], ts[i + 1]) for ts in toks.values() for i in range(len(ts) - 1)
+    )
+    V = len(uni)
+    for d, ts in toks.items():
+        pairs = [(ts[i], ts[i + 1]) for i in range(len(ts) - 1)]
+        if not pairs:
+            assert d not in got
+            continue
+        s = sum(math.log((big[p] + 0.1) / (uni[p[0]] + 0.1 * V)) for p in pairs)
+        assert got[d] == (len(pairs), round(math.exp(-s / len(pairs)), 4))
