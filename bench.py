@@ -355,7 +355,7 @@ def main() -> None:
         "distance_feature_topk", "auto_date_histogram",
         "hybrid_linear_topk", "index_stats",
         "percolate_phrase_matches", "combined_fields_topk", "pinned_topk", "synonym_graph_topk",
-        "phrase_title_topk", "lm_perplexity",
+        "phrase_title_topk", "lm_perplexity", "suggest_in_context",
     ]:
         try:
             fn, _ = entries[name]

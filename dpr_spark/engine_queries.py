@@ -5773,6 +5773,50 @@ PINNED = [(0, [497, 3]), (1, [42]), (2, []), (3, [499, 498, 497])]
 SYN_GRAPH = {"window data": ["vector"], "customer join": ["table"]}
 
 
+SUGGEST_CTX = [(0, "s", "web"), (1, "c", "web"), (2, "s", "wiki"), (3, "t", "news")]
+
+
+def q_suggest_in_context() -> Entry:
+    """Context-filtered completion suggester (query/suggest.py::
+    suggest_completions_in_context; ES completion contexts): each
+    request carries a category; only terms carried by that category's
+    documents suggest, weighted by in-context df. Contexts come from
+    the documents' source column."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.suggest import (
+            context_term_weights,
+            suggest_completions_in_context,
+        )
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        cw = context_term_weights(idx, docs.select("doc_id", "source"), "source")
+        return suggest_completions_in_context(spark, SUGGEST_CTX, cw, n=5)
+
+    req_vals = ", ".join(f"({q}, '{p}', '{c}')" for q, p, c in SUGGEST_CTX)
+    sql = f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    td AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok),
+    cw AS (SELECT td.term, d.source AS ctx, count(*) AS weight
+           FROM td JOIN documents d USING (doc_id) GROUP BY 1, 2),
+    req AS (SELECT * FROM (VALUES {req_vals}) AS r(qid, prefix, ctx)),
+    cand AS (
+      SELECT r.qid, cw.term, cw.weight
+      FROM req r JOIN cw ON cw.ctx = r.ctx
+                        AND cw.term LIKE r.prefix || '%'),
+    ranked_s AS (
+      SELECT qid, term, weight,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY weight DESC, term) AS rank
+      FROM cand)
+    SELECT qid, rank, term, weight FROM ranked_s WHERE rank <= 5"""
+    return fn, sql
+
+
 def q_lm_perplexity() -> Entry:
     """Corpus-LM perplexity quality filter (extras/textstats.py::
     bigram_lm_perplexity; the KenLM/CCNet web-pipeline stage): add-0.1
@@ -7451,6 +7495,7 @@ def all_entries() -> Dict[str, Entry]:
         "synonym_graph_topk": q_synonym_graph_topk(),
         "phrase_title_topk": q_phrase_title_topk(),
         "lm_perplexity": q_lm_perplexity(),
+        "suggest_in_context": q_suggest_in_context(),
         "range_agg": q_range_agg(),
         "composite_agg": q_composite_agg(),
         "ann_filtered_topk": q_ann_filtered_topk(),

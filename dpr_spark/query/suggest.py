@@ -67,3 +67,51 @@ def suggest_completions(
         .filter(F.col("rank") <= n)
         .select("qid", "rank", "term", "weight")
     )
+
+
+def context_term_weights(index: InvertedIndex, doc_values: DataFrame, ctx_col: str) -> DataFrame:
+    """(term, ctx, weight) — per-context document frequency: the
+    context-enabled suggester's index-time payload (ES stores context
+    values with each suggestion entry; here one postings-sized groupBy
+    computed once per taxonomy, reused across suggest calls)."""
+    return (
+        index.postings.join(
+            F.broadcast(index.dictionary.select("term_id", "term")), "term_id"
+        )
+        .join(doc_values.select("doc_id", F.col(ctx_col).alias("ctx")), "doc_id")
+        .groupBy("term", "ctx")
+        .agg(F.count("*").alias("weight"))
+    )
+
+
+def suggest_completions_in_context(
+    spark: SparkSession,
+    prefixes: Sequence[Tuple[int, str, str]],
+    ctx_weights: DataFrame,
+    n: int = 5,
+) -> DataFrame:
+    """(qid, rank, term, weight): ES completion suggester with category
+    CONTEXTS — each request carries a context value and only terms
+    carried by documents of that context suggest, weighted by the
+    in-context df. prefixes: [(qid, prefix, ctx)]."""
+    rows = [(qid, p.lower(), c) for qid, p, c in prefixes]
+    if not rows or any(not p for _, p, _ in rows):
+        raise ValueError("empty prefix")
+    pdf = spark.createDataFrame(rows, "qid long, prefix string, ctx string")
+    # literal OR-of-StartsWith pushes into the weights scan like the
+    # plain suggester's dictionary seek
+    flt = None
+    for p in sorted({p for _q, p, _c in rows}):
+        c = F.col("term").startswith(p)
+        flt = c if flt is None else (flt | c)
+    cand = ctx_weights.filter(flt).join(
+        F.broadcast(pdf),
+        F.col("term").startswith(F.col("prefix"))
+        & (ctx_weights["ctx"] == pdf["ctx"]),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("qid", "rank", "term", "weight")
+    )
