@@ -5773,7 +5773,7 @@ PINNED = [(0, [497, 3]), (1, [42]), (2, []), (3, [499, 498, 497])]
 SYN_GRAPH = {"window data": ["vector"], "customer join": ["table"]}
 
 
-SUGGEST_CTX = [(0, "s", "web"), (1, "c", "web"), (2, "s", "wiki"), (3, "t", "news")]
+SUGGEST_CTX = [(0, "s", "src1"), (1, "c", "src1"), (2, "s", "src2"), (3, "t", "src3")]
 
 
 def q_suggest_in_context() -> Entry:
