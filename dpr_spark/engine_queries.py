@@ -4087,15 +4087,21 @@ def q_rare_terms_agg() -> Entry:
             spark, docs.select("doc_id", "text"), build_blocks=False
         )
         qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
-        return rare_terms_agg(
-            qdf, idx, docs.select("doc_id", "source"), "source", max_doc_count=2
+        # source alone is too coarse on the testdata (every bucket is
+        # common — the agg matched zero rows); the scattered 199-bucket
+        # key (2-3 docs each) keeps a genuine long tail at every sf
+        vals = docs.select(
+            "doc_id",
+            F.pmod(F.col("doc_id") * 7919, F.lit(199)).cast("string").alias("shard"),
         )
+        return rare_terms_agg(qdf, idx, vals, "shard", max_doc_count=2)
 
     sql = f"""
     WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
     counts AS (
-      SELECT m.qid, d.source AS value, count(*) AS count
-      FROM matches m JOIN documents d USING (doc_id) GROUP BY 1, 2)
+      SELECT m.qid, ((m.doc_id * 7919) % 199)::VARCHAR AS value,
+             count(*) AS count
+      FROM matches m GROUP BY 1, 2)
     SELECT qid, value, count FROM counts WHERE count <= 2"""
     return fn, sql
 
