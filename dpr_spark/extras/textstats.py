@@ -148,13 +148,19 @@ def bigram_lm_perplexity(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<u:string,g:string>>"))
-    bg = df.select(F.col(id_col).alias("doc"), F.explode(pairs).alias("p")).select(
-        "doc", F.col("p.u").alias("u"), F.col("p.g").alias("g")
+    # bg feeds both the bigram counts and the scoring join; uni feeds
+    # the vocab count and the join — persist both or the tokenize pass
+    # re-runs once per consumer (it was 4 corpus passes)
+    bg = (
+        df.select(F.col(id_col).alias("doc"), F.explode(pairs).alias("p"))
+        .select("doc", F.col("p.u").alias("u"), F.col("p.g").alias("g"))
+        .persist()
     )
     uni = (
         df.select(F.explode(tokenize_col(text_col)).alias("u"))
         .groupBy("u")
         .agg(F.count("*").alias("cu"))
+        .persist()
     )
     v = uni.count()
     big = bg.groupBy("g").agg(F.count("*").alias("cg"))
@@ -168,8 +174,11 @@ def bigram_lm_perplexity(
         .groupBy("doc")
         .agg(F.count("*").alias("n_bigrams"), F.sum(lp).alias("s"))
     )
-    return scored.select(
+    out = scored.select(
         "doc",
         "n_bigrams",
         F.round(F.exp(-F.col("s") / F.col("n_bigrams")), ppl_round).alias("ppl"),
-    )
+    ).localCheckpoint()
+    bg.unpersist()
+    uni.unpersist()
+    return out
