@@ -5782,6 +5782,147 @@ SYN_GRAPH = {"window data": ["vector"], "customer join": ["table"]}
 SUGGEST_CTX = [(0, "s", "src1"), (1, "c", "src1"), (2, "s", "src2"), (3, "t", "src3")]
 
 
+def q_ltr_features() -> Entry:
+    """Learning-to-rank feature extraction (the ES LTR plugin's feature
+    logging): for each query's BM25 top-10, one row of ranking features
+    — text BM25, title-field BM25, exact-phrase frequency of the whole
+    question, fixed-point PageRank, and doc length — each recomputed
+    from first principles in the twin. The showcase that the engine's
+    parts compose: retrieval, fielded scoring, positional verify, and
+    the link graph in ONE feature row."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.graph import pagerank, shingle_edges
+        from dpr_spark.functions.normalize import normalize_question
+
+        docs = _docs(spark, sf_dir)
+        cand = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= 10)
+        tok = _tokenized(spark, sf_dir).persist()
+
+        # title-field BM25 (title = first 3 tokens, its own stats)
+        ttl = tok.select("doc_id", F.slice("toks", 1, 3).alias("ttoks"))
+        ds_t = ttl.select("doc_id", F.size("ttoks").alias("doclen"))
+        srow = ds_t.agg(
+            F.count("*").cast("double").alias("n"), F.avg("doclen").alias("avgdl")
+        ).collect()[0]
+        n_t, avgdl_t = float(srow["n"]), float(srow["avgdl"])
+        tf_t = (
+            ttl.select("doc_id", F.explode("ttoks").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        dic_t = tf_t.groupBy("term").agg(F.count("*").alias("df"))
+        comp_t = (
+            F.log((F.lit(n_t) - F.col("df") + F.lit(0.5))
+                  / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
+            * F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)
+            / (F.col("tf").cast("double")
+               + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B)
+                                   + F.lit(BM25_B) * F.col("doclen").cast("double")
+                                   / F.lit(avgdl_t)))
+        )
+        tscore = (
+            _qterms_df(spark).join(F.broadcast(dic_t), "term")
+            .join(tf_t, "term").join(ds_t, "doc_id")
+            .select("qid", "doc_id", comp_t.alias("c"))
+            .groupBy("qid", "doc_id").agg(F.round(F.sum("c"), 6).alias("f_title"))
+        )
+
+        # exact-phrase frequency of the whole question in the text
+        qrows = [
+            (qid, tokenize(normalize_question(q))) for qid, q in BENCH_QUERIES
+        ]
+        qdf = spark.createDataFrame(qrows, "qid long, qtoks array<string>")
+        nq = F.size("qtoks")
+        pf_expr = F.when(
+            F.size("toks") >= nq,
+            F.size(
+                F.filter(
+                    F.sequence(F.lit(0), F.size("toks") - nq),
+                    lambda i: F.slice("toks", i + 1, nq) == F.col("qtoks"),
+                )
+            ),
+        ).otherwise(F.lit(0))
+        pf = (
+            cand.select("qid", "doc_id")
+            .join(tok, "doc_id")
+            .join(F.broadcast(qdf), "qid")
+            .select("qid", "doc_id", pf_expr.cast("long").alias("f_phrase"))
+        )
+
+        pr = pagerank(
+            docs.select("doc_id"),
+            shingle_edges(docs).select("src", "dst").distinct(),
+            n_iter=PAGERANK_ITERS, scale=PAGERANK_SCALE,
+        ).withColumnRenamed("node", "doc_id")
+        dl = tok.select("doc_id", F.size("toks").cast("long").alias("f_doclen"))
+
+        out = (
+            cand.join(tscore, ["qid", "doc_id"], "left")
+            .join(pf, ["qid", "doc_id"], "left")
+            .join(F.broadcast(pr), "doc_id")
+            .join(dl, "doc_id")
+            .select(
+                "qid", "rank", "doc_id",
+                F.col("score_r").alias("f_bm25"),
+                F.coalesce("f_title", F.lit(0.0)).alias("f_title"),
+                F.coalesce("f_phrase", F.lit(0)).alias("f_phrase"),
+                F.col("pr").alias("f_pr"),
+                "f_doclen",
+            )
+        )
+        return out.localCheckpoint()
+
+    from dpr_spark.functions.normalize import normalize_question
+
+    seq_vals = []
+    for qid, q in BENCH_QUERIES:
+        for off, t in enumerate(tokenize(normalize_question(q))):
+            seq_vals.append(f"({qid}, {off}, '{t}')")
+    sql = f"""
+    WITH {_BM25_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    {_PAGERANK_CTES},
+    cand AS (SELECT qid, doc_id, score_r, rank FROM ranked WHERE rank <= 10),
+    ttl AS (SELECT doc_id, list_slice(toks, 1, 3) AS ttoks FROM tok),
+    ds_t AS (SELECT doc_id, len(ttoks) AS doclen FROM ttl),
+    stats_t AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM ds_t),
+    tf_t AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(ttoks) AS term FROM ttl) GROUP BY 1, 2),
+    dict_t AS (SELECT term, count(*) AS df FROM tf_t GROUP BY 1),
+    tscore AS (
+      SELECT qt.qid, tf_t.doc_id,
+             round(sum(ln((stats_t.n - dict_t.df + 0.5) / (dict_t.df + 0.5) + 1.0)
+                       * tf_t.tf * {BM25_K1 + 1.0}
+                       / (tf_t.tf + {BM25_K1}
+                          * (1.0 - {BM25_B}
+                             + {BM25_B} * ds_t.doclen / stats_t.avgdl))), 6)
+               AS f_title
+      FROM qt JOIN dict_t USING (term) JOIN tf_t USING (term)
+           JOIN ds_t ON tf_t.doc_id = ds_t.doc_id CROSS JOIN stats_t
+      GROUP BY 1, 2),
+    qseq AS (SELECT * FROM (VALUES {", ".join(seq_vals)}) AS q(qid, off, term)),
+    qseqn AS (SELECT qid, count(*) AS n_off FROM qseq GROUP BY 1),
+    ph_cand AS (
+      SELECT q.qid, z.doc_id, z.i - q.off AS start, count(*) AS n_hit
+      FROM qseq q JOIN z ON z.tok = q.term GROUP BY 1, 2, 3),
+    ph_pf AS (
+      SELECT c.qid, c.doc_id, count(*) AS pf
+      FROM ph_cand c JOIN qseqn USING (qid)
+      WHERE c.n_hit = qseqn.n_off GROUP BY 1, 2)
+    SELECT c.qid, c.rank, c.doc_id,
+           c.score_r AS f_bm25,
+           coalesce(t.f_title, 0.0::DOUBLE) AS f_title,
+           coalesce(p.pf, 0)::BIGINT AS f_phrase,
+           r{PAGERANK_ITERS}.rank AS f_pr,
+           ds.doclen::BIGINT AS f_doclen
+    FROM cand c
+    LEFT JOIN tscore t ON t.qid = c.qid AND t.doc_id = c.doc_id
+    LEFT JOIN ph_pf p ON p.qid = c.qid AND p.doc_id = c.doc_id
+    JOIN r{PAGERANK_ITERS} ON r{PAGERANK_ITERS}.node = c.doc_id
+    JOIN ds ON ds.doc_id = c.doc_id"""
+    return fn, sql
+
+
 def q_suggest_in_context() -> Entry:
     """Context-filtered completion suggester (query/suggest.py::
     suggest_completions_in_context; ES completion contexts): each
@@ -7502,6 +7643,7 @@ def all_entries() -> Dict[str, Entry]:
         "phrase_title_topk": q_phrase_title_topk(),
         "lm_perplexity": q_lm_perplexity(),
         "suggest_in_context": q_suggest_in_context(),
+        "ltr_features": q_ltr_features(),
         "range_agg": q_range_agg(),
         "composite_agg": q_composite_agg(),
         "ann_filtered_topk": q_ann_filtered_topk(),
