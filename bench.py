@@ -356,7 +356,7 @@ def main() -> None:
         "hybrid_linear_topk", "index_stats",
         "percolate_phrase_matches", "combined_fields_topk", "pinned_topk", "synonym_graph_topk",
         "phrase_title_topk", "lm_perplexity", "suggest_in_context",
-        "ltr_features",
+        "ltr_features", "span_within_topk", "span_containing_topk",
     ]:
         try:
             fn, _ = entries[name]

@@ -5782,6 +5782,94 @@ SYN_GRAPH = {"window data": ["vector"], "customer join": ["table"]}
 SUGGEST_CTX = [(0, "s", "src1"), (1, "c", "src1"), (2, "s", "src2"), (3, "t", "src3")]
 
 
+SPAN_WC_QUERIES = [
+    (0, "spark", "agg", "window"),
+    (1, "customer", "order", "join"),
+    (2, "fast", "filter", "scan"),
+    (3, "hash", "sort", "merge"),
+]
+SPAN_WC_WINDOW = 8
+
+
+def _q_span_wc(mode: str) -> Entry:
+    """Lucene SpanWithinQuery / SpanContainingQuery (query/phrase.py::
+    span_within_search_index): the big span is the unordered pair (a,b)
+    within 8 tokens; the little span is term c. within counts c
+    occurrences inside a big span (idf = idf(c)); containing counts
+    a-anchored big spans holding a c occurrence (idf = idf(a)+idf(b))."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.phrase import span_within_search_index
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(
+            spark, docs, build_blocks=False, build_positional=True
+        )
+        res = span_within_search_index(
+            spark, idx, idx.positions, SPAN_WC_QUERIES,
+            window=SPAN_WC_WINDOW, mode=mode, k=10,
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    q_vals = ", ".join(
+        f"({q}, '{a}', '{b}', '{c}')" for q, a, b, c in SPAN_WC_QUERIES
+    )
+    if mode == "within":
+        pf_col = "count(DISTINCT zc.i)"
+        idf_expr = "ln((stats.n - dc.df + 0.5) / (dc.df + 0.5) + 1.0)"
+        idf_from = "JOIN dict dc ON dc.term = q.c CROSS JOIN stats"
+    else:
+        pf_col = "count(DISTINCT za.i)"
+        idf_expr = ("ln((stats.n - da.df + 0.5) / (da.df + 0.5) + 1.0)"
+                    " + ln((stats.n - db.df + 0.5) / (db.df + 0.5) + 1.0)")
+        idf_from = ("JOIN dict da ON da.term = q.a "
+                    "JOIN dict db ON db.term = q.b CROSS JOIN stats")
+    sql = f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    ds AS (SELECT doc_id, len(toks) AS doclen FROM tok),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM ds),
+    z AS (SELECT doc_id, unnest(toks) AS tok,
+                 generate_subscripts(toks, 1) AS i FROM tok),
+    dict AS (SELECT tok AS term, count(DISTINCT doc_id) AS df FROM z GROUP BY 1),
+    q AS (SELECT * FROM (VALUES {q_vals}) AS q(qid, a, b, c)),
+    pf AS (
+      SELECT q.qid, za.doc_id, {pf_col} AS pf
+      FROM q
+      JOIN z za ON za.tok = q.a
+      JOIN z zb ON zb.tok = q.b AND zb.doc_id = za.doc_id
+      JOIN z zc ON zc.tok = q.c AND zc.doc_id = za.doc_id
+      WHERE abs(za.i - zb.i) < {SPAN_WC_WINDOW}
+        AND zc.i >= least(za.i, zb.i) AND zc.i <= greatest(za.i, zb.i)
+      GROUP BY 1, 2),
+    idfq AS (SELECT q.qid, {idf_expr} AS idf_sum FROM q {idf_from}),
+    scored_w AS (
+      SELECT pf.qid, pf.doc_id,
+             idfq.idf_sum * pf.pf * {BM25_K1 + 1.0}
+             / (pf.pf + {BM25_K1}
+                * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl)) AS score
+      FROM pf JOIN idfq USING (qid)
+           JOIN ds ON ds.doc_id = pf.doc_id CROSS JOIN stats),
+    ranked_w AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored_w)
+    SELECT qid, rank, doc_id, score_r FROM ranked_w WHERE rank <= 10"""
+    return fn, sql
+
+
+def q_span_within_topk() -> Entry:
+    return _q_span_wc("within")
+
+
+def q_span_containing_topk() -> Entry:
+    return _q_span_wc("containing")
+
+
 def q_ltr_features() -> Entry:
     """Learning-to-rank feature extraction (the ES LTR plugin's feature
     logging): for each query's BM25 top-10, one row of ranking features
@@ -7644,6 +7732,8 @@ def all_entries() -> Dict[str, Entry]:
         "lm_perplexity": q_lm_perplexity(),
         "suggest_in_context": q_suggest_in_context(),
         "ltr_features": q_ltr_features(),
+        "span_within_topk": q_span_within_topk(),
+        "span_containing_topk": q_span_containing_topk(),
         "range_agg": q_range_agg(),
         "composite_agg": q_composite_agg(),
         "ann_filtered_topk": q_ann_filtered_topk(),

@@ -889,3 +889,99 @@ def match_phrase_prefix_search_index(
     grouped = _single_pass_grouped(ecand.unionByName(merged), n_off)
     matched = _verify_and_count(grouped)
     return _topk(_score_phrases(matched, idf_sums, index.stats.avgdl, k1, b), k)
+
+
+def span_within_search_index(
+    spark: SparkSession,
+    index,
+    positions: DataFrame,
+    queries: Sequence[Tuple[int, str, str, str]],
+    window: int = 8,
+    mode: str = "within",
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Lucene SpanWithinQuery / SpanContainingQuery over window spans:
+    the BIG span is an unordered pair (a, b) within `window` tokens
+    (|pa - pb| < window); the LITTLE span is a single term c.
+
+    mode="within":     tf = c occurrences lying inside some big span
+                       (min(pa,pb) <= x <= max(pa,pb)); idf = idf(c).
+    mode="containing": tf = a-anchored big spans containing some c
+                       occurrence (one count per distinct pa); idf =
+                       idf(a) + idf(b).
+
+    queries: [(qid, a, b, c)]. The verify is a bounded Catalyst fold
+    over the three position arrays (O(|A|·|B|·|C|) per doc — Lucene's
+    span iterators are linear, this is the declared trade of the
+    array-fold form); an unresolvable term means no match (all three
+    spans are required)."""
+    from dpr_spark.functions.analysis import analyze_query
+
+    if mode not in ("within", "containing"):
+        raise ValueError(f"unknown mode {mode!r}")
+    analyzer = getattr(index, "analyzer", None)
+    rows = []
+    for qid, a, b_, c in queries:
+        at, bt, ct = (analyze_query(x, analyzer) for x in (a, b_, c))
+        if at and bt and ct:
+            rows.append((qid, at[0], bt[0], ct[0]))
+    if not rows:
+        raise ValueError("no tokenizable queries")
+    qdf = spark.createDataFrame(rows, "qid long, a string, b string, c string")
+    dic = index.dictionary.select("term", "term_id", "idf")
+
+    def _pos(col, alias):
+        t = dic.join(
+            F.broadcast(qdf.select("qid", F.col(col).alias("term"))), "term"
+        )
+        return (
+            positions.join(F.broadcast(t.select("qid", "term_id")), "term_id")
+            .select("qid", "doc_id", "doclen", F.col("positions").alias(alias)),
+            t.select("qid", F.col("idf").alias(f"idf_{col}")),
+        )
+
+    apos, idf_a = _pos("a", "apos")
+    bpos, idf_b = _pos("b", "bpos")
+    cpos, idf_c = _pos("c", "cpos")
+    joined = (
+        apos.join(bpos.drop("doclen"), ["qid", "doc_id"])
+        .join(cpos.drop("doclen"), ["qid", "doc_id"])
+    )
+    w = F.lit(window)
+    if mode == "within":
+        surviving = F.filter(
+            F.col("cpos"),
+            lambda x: F.exists(
+                F.col("apos"),
+                lambda pa: F.exists(
+                    F.col("bpos"),
+                    lambda pb: (F.abs(pa - pb) < w)
+                    & (x >= F.least(pa, pb))
+                    & (x <= F.greatest(pa, pb)),
+                ),
+            ),
+        )
+        idf_sums = idf_c.select("qid", F.col("idf_c").alias("idf_sum"))
+    else:
+        surviving = F.filter(
+            F.col("apos"),
+            lambda pa: F.exists(
+                F.col("bpos"),
+                lambda pb: (F.abs(pa - pb) < w)
+                & F.exists(
+                    F.col("cpos"),
+                    lambda x: (x >= F.least(pa, pb)) & (x <= F.greatest(pa, pb)),
+                ),
+            ),
+        )
+        idf_sums = idf_a.join(idf_b, "qid").select(
+            "qid", (F.col("idf_a") + F.col("idf_b")).alias("idf_sum")
+        )
+    matched = (
+        joined.withColumn("pf", F.size(surviving))
+        .filter(F.col("pf") > 0)
+        .select("qid", "doc_id", "doclen", "pf")
+    )
+    return _topk(_score_phrases(matched, idf_sums, index.stats.avgdl, k1, b), k)

@@ -549,3 +549,42 @@ def test_match_bool_prefix_vs_oracle(spark, index, oracle, max_exp):
         spark, cases, index, max_expansions=max_exp, k=10
     ).collect()
     _check_topk(rows, expect, f"mbp_{max_exp}")
+
+
+def test_span_within_and_containing(spark):
+    """within counts little-term occurrences inside big (a,b) windows;
+    containing counts a-anchored windows holding the little term."""
+    from dpr_spark.index.build import build_index_from_docs
+    from dpr_spark.query.phrase import span_within_search_index
+
+    docs = spark.createDataFrame(
+        [
+            # a..c..b window: c inside
+            (1, "alpha mid core mid beta filler filler filler"),
+            # a and b too far apart (>= window)
+            (2, "alpha x1 x2 x3 x4 x5 x6 x7 x8 x9 beta core"),
+            # window exists but c outside it
+            (3, "core x alpha mid beta filler filler filler"),
+            # two windows, c in one; second alpha anchors no window
+            (4, "alpha core beta filler alpha far far far"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index_from_docs(spark, docs, build_blocks=False, build_positional=True)
+    q = [(0, "alpha", "beta", "core")]
+    win = {
+        r.doc_id: r.score
+        for r in span_within_search_index(
+            spark, idx, idx.positions, q, window=5, mode="within"
+        ).collect()
+    }
+    assert set(win) == {1, 4}
+    cont = {
+        r.doc_id: r.score
+        for r in span_within_search_index(
+            spark, idx, idx.positions, q, window=5, mode="containing"
+        ).collect()
+    }
+    assert set(cont) == {1, 4}
+    # doc 3: c before the window start -> excluded in both modes
+    # doc 2: pair outside the window -> excluded
