@@ -5948,7 +5948,9 @@ def q_ltr_features() -> Entry:
         out = (
             cand.join(tscore, ["qid", "doc_id"], "left")
             .join(pf, ["qid", "doc_id"], "left")
-            .join(F.broadcast(pr), "doc_id")
+            # pr is doc-count-sized — never an explicit broadcast; AQE
+            # upgrades the join when it happens to be small
+            .join(pr, "doc_id")
             .join(dl, "doc_id")
             .select(
                 "qid", "rank", "doc_id",

@@ -203,6 +203,8 @@ def combined_field_norms(index, weights=None) -> DataFrame:
     w = weights or index.weights
     from dpr_spark.index.fielded import _per_field_case
 
+    # index-time norms computation (once per index) — the build-time
+    # dictionary->postings broadcast exception applies
     dl = (
         index.postings.join(
             F.broadcast(index.dictionary.select("term_id", "field_id")),

@@ -74,6 +74,9 @@ def context_term_weights(index: InvertedIndex, doc_values: DataFrame, ctx_col: s
     context-enabled suggester's index-time payload (ES stores context
     values with each suggestion entry; here one postings-sized groupBy
     computed once per taxonomy, reused across suggest calls)."""
+    # vocab-sized dictionary broadcast: allowed here because this is an
+    # INDEX-TIME payload computed once per taxonomy (the build-time
+    # dictionary->postings exception, not a query-path broadcast)
     return (
         index.postings.join(
             F.broadcast(index.dictionary.select("term_id", "term")), "term_id"
