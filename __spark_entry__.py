@@ -27,7 +27,11 @@ oracle_sql()    -> DuckDB twins for EVERY entry — len(oracle_sql()) ==
                    RRF, the content link graph (fixed-point PageRank,
                    HITS, anchor-text BM25F, rank-feature boost), the
                    index_phrases shingle engine, sibling/normalize
-                   pipeline aggs, diversified_sampler, and terms_set —
+                   pipeline aggs, diversified_sampler, terms_set, and
+                   the web-corpus cleaning family (Gopher repetition
+                   stats, n-gram decontamination, PII redaction, URL
+                   canonicalization + latest-wins, boilerplate
+                   stripping) —
                    every one DuckDB-twinned (the exact count is
                    len(queries()), asserted == len(oracle_sql()) in
                    tests/test_entry.py).

@@ -7611,6 +7611,315 @@ def q_rank_feature_topk() -> Entry:
     return fn, sql
 
 
+# ---------------------------------------------------------------------------
+# web-corpus cleaning (extras/webclean.py): Gopher repetition stats,
+# benchmark decontamination, PII redaction, URL canonicalization,
+# boilerplate stripping
+# ---------------------------------------------------------------------------
+
+_LINE_TOKENS = 2  # the synthetic corpus has no newlines; entries chunk
+# tokens into 2-token "lines" (measured: 3.6% within-doc duplicate lines,
+# 92 cross-doc boilerplate lines at sf0.01 — nonzero signal, audit rule)
+
+# multi-line text built from 2-token chunks, identical in both engines
+_DUCK_LINES = (
+    f"list_transform(range(0, cast(ceil(len(toks) / {_LINE_TOKENS}.0) AS INT)), "
+    f"i -> array_to_string(toks[i * {_LINE_TOKENS} + 1 : i * {_LINE_TOKENS} + {_LINE_TOKENS}], ' '))"
+)
+
+
+def _multiline_docs(spark, sf_dir) -> DataFrame:
+    toks = _tok_col()
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(toks) / _LINE_TOKENS).cast("int") - 1,
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * _LINE_TOKENS + 1, _LINE_TOKENS)
+                ),
+            ),
+        ).alias("text"),
+    )
+
+
+def q_repetition_stats() -> Entry:
+    """Gopher-style intra-document repetition metrics (extras/webclean
+    repetition_stats): duplicate-line fractions over 2-token chunk lines
+    plus top-{2,3,4}-gram and dup-{2,3}-gram character fractions. The
+    Spark side is per-row fold math (no shuffle); the twin recomputes
+    each metric with unnest + GROUP BY."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.webclean import repetition_stats
+
+        return repetition_stats(_multiline_docs(spark, sf_dir)).orderBy("doc")
+
+    gram_ctes, joins, outs = [], [], []
+    for n, kind in ((2, "top"), (3, "top"), (4, "top"), (2, "dup"), (3, "dup")):
+        g = f"g{n}"
+        if not any(c.startswith(f"{g} AS") for c in gram_ctes):
+            gram_ctes.append(
+                f"{g} AS (SELECT doc_id, array_to_string(toks[i + 1 : i + {n}], ' ') AS g"
+                f" FROM base, unnest(range(0, len(toks) - {n} + 1)) t(i)"
+                f" WHERE len(toks) >= {n}),"
+                f" {g}c AS (SELECT doc_id, g, count(*) AS c FROM {g} GROUP BY 1, 2)"
+            )
+        if kind == "top":
+            gram_ctes.append(
+                f"top{n} AS (SELECT doc_id, c * len(g) AS num FROM ("
+                f"SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id"
+                f" ORDER BY c DESC, len(g) DESC, g ASC) AS rn FROM {g}c) WHERE rn = 1)"
+            )
+            joins.append(f"LEFT JOIN top{n} ON top{n}.doc_id = b.doc_id")
+            outs.append(
+                f"round(coalesce(top{n}.num, 0) / greatest(b.tok_chars, 1), 6)"
+                f" AS top{n}gram_char_frac"
+            )
+        else:
+            gram_ctes.append(
+                f"dup{n} AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c * len(g)"
+                f" ELSE 0 END)::BIGINT AS num FROM {g}c GROUP BY 1)"
+            )
+            joins.append(f"LEFT JOIN dup{n} ON dup{n}.doc_id = b.doc_id")
+            outs.append(
+                f"round(coalesce(dup{n}.num, 0) / greatest(b.tok_chars, 1), 6)"
+                f" AS dup{n}gram_char_frac"
+            )
+    # column order must match the Spark side: tops then dups
+    outs = outs[:3] + outs[3:]
+    sql = f"""
+    WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS toks,
+                         len(array_to_string({_DUCK_TOKS}, ' ')) AS tok_chars
+                  FROM documents),
+    lines AS (SELECT doc_id, unnest({_DUCK_LINES}) AS line FROM base),
+    lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+    lstats AS (SELECT doc_id,
+                      sum(c)::BIGINT AS n_lines,
+                      sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dupn,
+                      sum(c * len(line))::BIGINT AS line_chars,
+                      sum(CASE WHEN c > 1 THEN c * len(line) ELSE 0 END)::BIGINT AS dupc
+               FROM lc GROUP BY 1),
+    {", ".join(gram_ctes)},
+    b AS (SELECT base.doc_id, base.tok_chars, l.n_lines, l.dupn, l.dupc, l.line_chars
+          FROM base JOIN lstats l ON l.doc_id = base.doc_id)
+    SELECT b.doc_id AS doc, b.n_lines,
+           round(b.dupn / greatest(b.n_lines, 1), 6) AS dup_line_frac,
+           round(b.dupc / greatest(b.line_chars, 1), 6) AS dup_line_char_frac,
+           {", ".join(outs)}
+    FROM b {" ".join(joins)}
+    ORDER BY doc"""
+    return fn, sql
+
+
+def q_decontaminate_ngrams() -> Entry:
+    """Benchmark 8-gram decontamination (extras/webclean
+    ngram_decontaminate): benchmark grams = tokens[5..12] of every
+    doc_id % 29 == 0 document; output = (doc, n_hits) for every
+    contaminated document. Entry uses join_on="text" (the exact
+    contract the twin expresses); production defaults to the 64-bit
+    hash join, which can only over-flag."""
+    N = 8
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.webclean import ngram_decontaminate
+
+        docs = _docs(spark, sf_dir)
+        toks = _tok_col()
+        bench = (
+            docs.filter(F.col("doc_id") % 29 == 0)
+            .filter(F.size(toks) >= 12)
+            .select(F.concat_ws(" ", F.slice(toks, 5, N)).alias("gram"))
+        )
+        return ngram_decontaminate(docs, bench, n=N, join_on="text").orderBy("doc")
+
+    sql = f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    bench AS (SELECT DISTINCT array_to_string(toks[5 : {4 + N}], ' ') AS gram
+              FROM tok WHERE doc_id % 29 = 0 AND len(toks) >= 12),
+    dg AS (SELECT DISTINCT doc_id, array_to_string(toks[i + 1 : i + {N}], ' ') AS g
+           FROM tok, unnest(range(0, len(toks) - {N} + 1)) t(i)
+           WHERE len(toks) >= {N})
+    SELECT doc_id AS doc, count(*)::BIGINT AS n_hits
+    FROM dg JOIN bench ON dg.g = bench.gram
+    GROUP BY 1 ORDER BY doc"""
+    return fn, sql
+
+
+_PII_SUFFIX_SPARK = None  # built inline below
+
+
+def _pii_text_col():
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@mail.example.com today"),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit(" server 10."),
+                (did % 200).cast("string"),
+                F.lit(".3."),
+                (did % 97).cast("string"),
+                F.lit(" online"),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit(" call 555-010-"),
+                F.lpad(((did * 7) % 10000).cast("string"), 4, "0"),
+                F.lit(" now"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+
+
+_PII_TEXT_SQL = (
+    "text || CASE"
+    " WHEN doc_id % 4 = 0 THEN ' contact user' || doc_id || '@mail.example.com today'"
+    " WHEN doc_id % 4 = 1 THEN ' server 10.' || (doc_id % 200) || '.3.' || (doc_id % 97) || ' online'"
+    " WHEN doc_id % 4 = 2 THEN ' call 555-010-' || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') || ' now'"
+    " ELSE '' END"
+)
+
+
+def q_pii_redact() -> Entry:
+    """PII redaction (extras/webclean pii_redact): count + mask emails,
+    IPv4s and phone-shaped numbers. PII is injected deterministically
+    (the synthetic corpus has none — audit rule: nonzero rows) with the
+    same expression in both engines; regexes are Java∩RE2."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.webclean import pii_redact
+
+        d = _docs(spark, sf_dir).select("doc_id", _pii_text_col().alias("text"))
+        return pii_redact(d).orderBy("doc")
+
+    from dpr_spark.extras.webclean import EMAIL_RX, IPV4_RX, PHONE_RX
+
+    sql = f"""
+    WITH t AS (SELECT doc_id, {_PII_TEXT_SQL} AS txt FROM documents)
+    SELECT doc_id AS doc,
+           len(regexp_extract_all(txt, '{EMAIL_RX}'))::BIGINT AS n_email,
+           len(regexp_extract_all(txt, '{IPV4_RX}'))::BIGINT AS n_ip,
+           len(regexp_extract_all(txt, '{PHONE_RX}'))::BIGINT AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(txt,
+             '{EMAIL_RX}', '<EMAIL>', 'g'),
+             '{IPV4_RX}', '<IP>', 'g'),
+             '{PHONE_RX}', '<PHONE>', 'g') AS redacted
+    FROM t ORDER BY doc"""
+    return fn, sql
+
+
+_URL_SQL = (
+    "'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END"
+    " || source || '.example.com/p/' || (doc_id % 3) || CASE"
+    " WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=a'"
+    " WHEN doc_id % 4 = 1 THEN '/'"
+    " WHEN doc_id % 4 = 2 THEN '#frag' ELSE '' END"
+)
+
+
+def _url_col():
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit("https://"),
+        F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com/p/"),
+        (did % 3).cast("string"),
+        F.when(did % 4 == 0, F.lit("?utm_source=feed&ref=a"))
+        .when(did % 4 == 1, F.lit("/"))
+        .when(did % 4 == 2, F.lit("#frag"))
+        .otherwise(F.lit("")),
+    )
+
+
+def q_url_canonical_latest() -> Entry:
+    """URL canonicalization + latest-wins dedup (extras/webclean
+    canonical_url / latest_by_canonical_url): synthesized crawl urls
+    (www/tracking-params/fragment/trailing-slash variants) collapse to
+    one row per canonical url, keeping the highest-ts (doc_id) version.
+    The twin replays the same regexp chain with RE2."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.webclean import latest_by_canonical_url
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            "source",
+            _url_col().alias("url"),
+            F.col("doc_id").cast("long").alias("ts"),
+        )
+        return latest_by_canonical_url(d, keep_cols=("doc_id",)).orderBy(
+            "canonical_url"
+        )
+
+    sql = f"""
+    WITH u AS (SELECT doc_id, doc_id::BIGINT AS ts, {_URL_SQL} AS url FROM documents),
+    canon AS (SELECT doc_id, ts,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(lower(url), '#.*$', ''),
+        '^https?://', ''),
+        '^www\\.', ''),
+        '(utm_[a-z0-9]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+        '[?&]+$', ''),
+        '/+$', '') AS canonical_url
+      FROM u)
+    SELECT canonical_url, max(ts) AS ts, arg_max(doc_id, ts) AS doc_id
+    FROM canon GROUP BY 1 ORDER BY canonical_url"""
+    return fn, sql
+
+
+def q_boilerplate_strip() -> Entry:
+    """Cross-document boilerplate stripping (extras/webclean
+    strip_boilerplate): 2-token chunk lines occurring in ≥4 distinct
+    documents of the same source are removed; output preserves line
+    order in clean_text. Spark counts/joins on (source, xxhash64(line));
+    the twin keys on line text (identical absent 64-bit collisions)."""
+    MIN_DOCS = 4
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.webclean import strip_boilerplate
+
+        return strip_boilerplate(
+            _multiline_docs(spark, sf_dir), group_col="source", min_docs=MIN_DOCS
+        ).orderBy("doc")
+
+    sql = f"""
+    WITH base AS (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+    la AS (SELECT doc_id, source, {_DUCK_LINES} AS arr FROM base),
+    lines AS (SELECT doc_id, source, i AS pos, arr[i + 1] AS line
+              FROM la, unnest(range(0, len(arr))) t(i)),
+    boiler AS (SELECT source, line FROM lines
+               GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= {MIN_DOCS}),
+    flagged AS (SELECT l.doc_id, l.source, l.pos, l.line,
+                       (b.line IS NOT NULL) AS boil
+                FROM lines l LEFT JOIN boiler b
+                  ON l.source = b.source AND l.line = b.line)
+    SELECT doc_id AS doc, source,
+           count(*)::BIGINT AS n_lines,
+           sum(CASE WHEN boil THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+           coalesce(string_agg(CASE WHEN NOT boil THEN line END, chr(10)
+                               ORDER BY pos), '') AS clean_text
+    FROM flagged GROUP BY 1, 2 ORDER BY doc"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -7752,4 +8061,9 @@ def all_entries() -> Dict[str, Entry]:
         "rank_feature_topk": q_rank_feature_topk(),
         "hits_topk": q_hits_topk(),
         "link_graph_stats": q_link_graph_stats(),
+        "repetition_stats": q_repetition_stats(),
+        "decontaminate_ngrams": q_decontaminate_ngrams(),
+        "pii_redact": q_pii_redact(),
+        "url_canonical_latest": q_url_canonical_latest(),
+        "boilerplate_strip": q_boilerplate_strip(),
     }

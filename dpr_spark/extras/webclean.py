@@ -1,0 +1,389 @@
+"""Web-corpus cleaning operators for LLM training-data pipelines:
+Gopher-style intra-document repetition statistics, benchmark n-gram
+decontamination, PII redaction, URL canonicalization with latest-wins
+dedup, and cross-document boilerplate-line stripping.
+
+All five are Spark-first designs for the 100 TB case:
+
+- `repetition_stats` is PURE per-row column math (array sort + one
+  Catalyst fold per metric) — zero shuffle, scans the corpus once, and
+  whole-stage-codegens; the Gopher paper (Rae et al. 2021, §A1.1)
+  computes the same duplicate-line / duplicate-paragraph / top-n-gram
+  character fractions with a per-document pass.
+- `ngram_decontaminate` broadcasts the benchmark side (benchmark suites
+  are tiny next to the corpus) and makes ONE pass over corpus n-grams;
+  the corpus side never shuffles raw text, only (doc, gram-hash) pairs
+  when `join_on="hash"`.
+- `pii_redact` is per-row `regexp_replace` / `regexp_extract_all`
+  (JVM codegen; regexes restricted to the Java∩RE2 dialect so DuckDB
+  oracles can twin them).
+- `canonical_url` is a per-row expression; `latest_by_canonical_url`
+  shuffles once on the canonical key with a map-side-combining
+  `max_by` (same plan family as plans/latest.py).
+- `strip_boilerplate` shuffles (group, line-hash) pairs — never the
+  64-bit-hashed line text on the counting side — then a co-partitioned
+  join back; the reassembly is a single groupBy with an array fold.
+
+Reference parity: the reference cleans its corpora offline (DPR's
+wiki split preprocessing, `/root/reference/dpr/data/retriever_data.py`
+normalizes and filters rows at load); these operators are the
+corpus-scale generalization a web crawl needs before indexing.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dpr_spark.functions.tokenizer import tokenize_col
+
+# ---------------------------------------------------------------------------
+# Gopher repetition statistics
+# ---------------------------------------------------------------------------
+
+
+def _dup_group_stats(sorted_arr: Column) -> Column:
+    """Fold a SORTED string array into struct(dupn, dupc): the number of
+    elements belonging to groups of size >1 and the character count of
+    those elements (each occurrence counts its own length)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dupn"),
+        F.lit(0).cast("long").alias("dupc"),
+    )
+
+    def merge(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        close_n = F.when(acc["run"] > 1, acc["dupn"] + acc["run"]).otherwise(acc["dupn"])
+        close_c = F.when(
+            acc["run"] > 1, acc["dupc"] + acc["run"] * F.length(acc["prev"])
+        ).otherwise(acc["dupc"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["dupn"]).otherwise(close_n).alias("dupn"),
+            F.when(same, acc["dupc"]).otherwise(close_c).alias("dupc"),
+        )
+
+    def finish(acc):
+        return F.struct(
+            F.when(acc["run"] > 1, acc["dupn"] + acc["run"]).otherwise(acc["dupn"]).alias("dupn"),
+            F.when(acc["run"] > 1, acc["dupc"] + acc["run"] * F.length(acc["prev"]))
+            .otherwise(acc["dupc"])
+            .alias("dupc"),
+        )
+
+    return F.aggregate(sorted_arr, init, merge, finish)
+
+
+def _top_group_stats(sorted_arr: Column) -> Column:
+    """Fold a SORTED string array into struct(best, blen): occurrence
+    count and character length of the most frequent element (ties break
+    to the longer element, then the lexicographically first — the tie
+    key never changes the count*len product, but keeps the fold
+    deterministic)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("blen"),
+    )
+
+    def _better(acc):
+        return acc["prev"].isNotNull() & (
+            (acc["run"] > acc["best"])
+            | ((acc["run"] == acc["best"]) & (F.length(acc["prev"]) > acc["blen"]))
+        )
+
+    def merge(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        better = _better(acc)
+        close_best = F.when(better, acc["run"]).otherwise(acc["best"])
+        close_blen = F.when(better, F.length(acc["prev"])).otherwise(acc["blen"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["best"]).otherwise(close_best).alias("best"),
+            F.when(same, acc["blen"]).otherwise(close_blen).alias("blen"),
+        )
+
+    def finish(acc):
+        better = _better(acc)
+        return F.struct(
+            F.when(better, acc["run"]).otherwise(acc["best"]).alias("best"),
+            F.when(better, F.length(acc["prev"])).otherwise(acc["blen"]).alias("blen"),
+        )
+
+    return F.aggregate(sorted_arr, init, merge, finish)
+
+
+def _grams(toks: Column, n: int) -> Column:
+    """Space-joined n-grams of a token array (empty when len(toks)<n)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: Sequence[int] = (2, 3, 4),
+    dup_ns: Sequence[int] = (2, 3),
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Gopher-style intra-document repetition metrics (Rae et al. 2021
+    §A1.1), one row per document, all computed per-row with NO shuffle:
+
+    - n_lines, dup_line_frac, dup_line_char_frac: lines = text split on
+      `line_sep`; a line is "duplicate" when it occurs more than once in
+      the document (every occurrence counts); char fractions are over
+      the summed line lengths.
+    - top{n}gram_char_frac (n in top_ns): occurrences of the single most
+      frequent token n-gram × the n-gram's character length, over the
+      character length of the space-joined token stream. Overlapping
+      occurrences count, so the fraction can exceed 1 on degenerate
+      repetition — exactly the signal the filter thresholds on.
+    - dup{n}gram_char_frac (n in dup_ns): same denominator, numerator =
+      characters of ALL n-gram occurrences whose gram occurs >1 time.
+    """
+    lines = F.split(F.col(text_col), line_sep)
+    toks = tokenize_col(text_col, lowercase_first=True)
+    d = df.select(
+        F.col(id_col).alias("doc"), lines.alias("lines"), toks.alias("toks")
+    )
+    line_chars = F.aggregate(
+        "lines", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    tok_chars = F.length(F.concat_ws(" ", F.col("toks")))
+    ls = _dup_group_stats(F.array_sort("lines"))
+    cols = [
+        F.col("doc"),
+        F.size("lines").cast("long").alias("n_lines"),
+        F.round(ls["dupn"] / F.greatest(F.size("lines"), F.lit(1)), 6).alias(
+            "dup_line_frac"
+        ),
+        F.round(ls["dupc"] / F.greatest(line_chars, F.lit(1)), 6).alias(
+            "dup_line_char_frac"
+        ),
+    ]
+    denom = F.greatest(tok_chars, F.lit(1))
+    for n in top_ns:
+        ts = _top_group_stats(F.array_sort(_grams(F.col("toks"), n)))
+        cols.append(
+            F.round((ts["best"] * ts["blen"]) / denom, 6).alias(f"top{n}gram_char_frac")
+        )
+    for n in dup_ns:
+        ds = _dup_group_stats(F.array_sort(_grams(F.col("toks"), n)))
+        cols.append(F.round(ds["dupc"] / denom, 6).alias(f"dup{n}gram_char_frac"))
+    return d.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_col: str = "gram",
+    join_on: str = "hash",
+) -> DataFrame:
+    """Benchmark decontamination: (doc, n_hits) for every document whose
+    token stream contains at least one of the benchmark's n-grams
+    (n_hits = DISTINCT benchmark grams present; the GPT-3/PaLM-style
+    13-gram overlap rule). `bench[gram_col]` holds space-joined n-grams.
+
+    Scale shape: the benchmark side is tiny (test suites, not corpora)
+    and broadcasts; the corpus is scanned once; with join_on="hash" the
+    join carries only 64-bit gram hashes, never gram text (a hash
+    collision can only ADD a spurious flag — fail-closed for
+    decontamination). join_on="text" gives the exact contract the
+    DuckDB oracle twins.
+    """
+    toks = tokenize_col(text_col, lowercase_first=True)
+    dg = (
+        docs.select(F.col(id_col).alias("doc"), _grams(toks, n).alias("gs"))
+        .select("doc", F.explode("gs").alias("gram"))
+        .distinct()
+    )
+    bg = bench.select(F.col(gram_col).alias("gram")).distinct()
+    if join_on == "hash":
+        dg = dg.select("doc", F.xxhash64("gram").alias("gk"))
+        bg = bg.select(F.xxhash64("gram").alias("gk"))
+        key = "gk"
+    else:
+        key = "gram"
+    hits = dg.join(F.broadcast(bg), key)
+    return hits.groupBy("doc").agg(F.count("*").cast("long").alias("n_hits"))
+
+
+def decontaminated(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_col: str = "gram",
+) -> DataFrame:
+    """The clean split: documents with NO benchmark n-gram overlap."""
+    flagged = ngram_decontaminate(
+        docs, bench, n=n, text_col=text_col, id_col=id_col, gram_col=gram_col
+    ).select(F.col("doc").alias(id_col))
+    return docs.join(flagged, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Java∩RE2 dialect only (no lookaround) so DuckDB oracles can twin them.
+EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RX = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RX = r"\+?\d{3}[- ]\d{3}[- ]\d{4}"
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, n_email, n_ip, n_phone, redacted): count then mask emails,
+    IPv4 addresses and phone-shaped numbers with typed placeholders.
+    Counts come from the ORIGINAL text; masking applies email → ip →
+    phone in that order (the patterns are disjoint on well-formed text;
+    the order pins behavior when they are not). Pure per-row regexp
+    column math — no shuffle, no UDF."""
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RX), F.lit(0)))
+    n_ip = F.size(F.regexp_extract_all(t, F.lit(IPV4_RX), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all(t, F.lit(PHONE_RX), F.lit(0)))
+    red = F.regexp_replace(t, EMAIL_RX, "<EMAIL>")
+    red = F.regexp_replace(red, IPV4_RX, "<IP>")
+    red = F.regexp_replace(red, PHONE_RX, "<PHONE>")
+    return df.select(
+        F.col(id_col).alias("doc"),
+        n_email.cast("long").alias("n_email"),
+        n_ip.cast("long").alias("n_ip"),
+        n_phone.cast("long").alias("n_phone"),
+        red.alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + latest-wins
+# ---------------------------------------------------------------------------
+
+_TRACKING_RX = r"(utm_[a-z0-9]+|fbclid|gclid)=[^&#]*&?"
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of a URL, as a per-row expression: lowercase, drop
+    fragment, scheme and leading www., strip tracking params
+    (utm_*/fbclid/gclid), tidy dangling ?/&, drop trailing slashes.
+    Every regex is in the Java∩RE2 shared dialect (oracle-portable,
+    unlike extras/domains.py's lookahead-using canonical_url)."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"#.*$", "")
+    c = F.regexp_replace(c, r"^https?://", "")
+    c = F.regexp_replace(c, r"^www\.", "")
+    c = F.regexp_replace(c, _TRACKING_RX, "")
+    c = F.regexp_replace(c, r"[?&]+$", "")
+    c = F.regexp_replace(c, r"/+$", "")
+    return c
+
+
+def latest_by_canonical_url(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Latest-wins per CANONICAL url: one `max_by` aggregation keyed on
+    the canonical form (map-side combining collapse — same shuffle
+    shape as plans/latest.py; never a window over every version).
+    Ties on ts break to the larger kept tuple (max_by on a (ts, cols)
+    struct), keeping the operator deterministic."""
+    keep = list(keep_cols)
+    packed = F.struct(F.col(ts_col).alias("ts"), *[F.col(c) for c in keep])
+    out = (
+        df.select(canonical_url(F.col(url_col)).alias("canonical_url"), packed.alias("p"))
+        .groupBy("canonical_url")
+        .agg(F.max("p").alias("p"))
+    )
+    cols = [F.col("canonical_url"), F.col("p.ts").alias(ts_col)]
+    cols += [F.col(f"p.{c}").alias(c) for c in keep]
+    return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# boilerplate-line stripping
+# ---------------------------------------------------------------------------
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    min_docs: int = 3,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Strip boilerplate lines — lines occurring in ≥ min_docs DISTINCT
+    documents of the same group (site headers/footers/nav) — and
+    reassemble the cleaned text preserving line order. Returns
+    (doc, group, n_lines, n_removed, clean_text).
+
+    Scale shape: the counting aggregation shuffles (group, xxhash64(line))
+    — 12-byte keys, never line text; the flagging join back onto the
+    exploded lines co-partitions on the same key. A 64-bit hash collision
+    could strip one extra line per colliding pair — acceptable for a
+    cleaning op and documented here (the oracle twins the text-keyed
+    contract, identical in the collision-free regime)."""
+    lines = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
+    ).withColumn("lh", F.xxhash64("line"))
+    boiler = (
+        lines.groupBy("grp", "lh")
+        .agg(F.count_distinct("doc").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("grp", "lh", F.lit(True).alias("is_boiler"))
+    )
+    flagged = lines.join(boiler, ["grp", "lh"], "left").withColumn(
+        "is_boiler", F.coalesce("is_boiler", F.lit(False))
+    )
+    packed = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("line"), F.col("is_boiler")))
+    )
+    return (
+        flagged.groupBy("doc", "grp")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.col("is_boiler").cast("long")).alias("n_removed"),
+            packed.alias("packed"),
+        )
+        .select(
+            "doc",
+            F.col("grp").alias(group_col),
+            "n_lines",
+            "n_removed",
+            F.concat_ws(
+                line_sep,
+                F.transform(
+                    F.filter("packed", lambda s: ~s["is_boiler"]),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+        )
+    )

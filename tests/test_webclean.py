@@ -1,0 +1,159 @@
+"""extras/webclean.py: Gopher repetition stats, n-gram decontamination,
+PII redaction, URL canonicalization, boilerplate stripping — exact
+expected values on crafted corpora, plus the no-shuffle plan contract
+for the per-row operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dpr_spark.extras.webclean import (
+    canonical_url,
+    decontaminated,
+    latest_by_canonical_url,
+    ngram_decontaminate,
+    pii_redact,
+    repetition_stats,
+    strip_boilerplate,
+)
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_repetition_stats_exact(spark):
+    # lines: [a b, a b, c d]; tokens: a b a b c d (joined chars = 11)
+    df = spark.createDataFrame([(1, "a b\na b\nc d")], "doc_id long, text string")
+    r = repetition_stats(df).collect()[0]
+    assert r.n_lines == 3
+    assert r.dup_line_frac == pytest.approx(2 / 3, abs=1e-6)
+    # duplicate line chars 2*3=6 over total line chars 9
+    assert r.dup_line_char_frac == pytest.approx(6 / 9, abs=1e-6)
+    # 2-grams: "a b" x2, "b a", "b c", "c d" -> top = 2 occurrences * 3 chars
+    assert r.top2gram_char_frac == pytest.approx(6 / 11, abs=1e-6)
+    assert r.dup2gram_char_frac == pytest.approx(6 / 11, abs=1e-6)
+    # 3-grams all unique (count 1, len 5)
+    assert r.top3gram_char_frac == pytest.approx(5 / 11, abs=1e-6)
+    assert r.dup3gram_char_frac == 0.0
+    # 4-grams all unique, len 7
+    assert r.top4gram_char_frac == pytest.approx(7 / 11, abs=1e-6)
+
+
+def test_repetition_stats_short_doc_no_grams(spark):
+    df = spark.createDataFrame([(1, "one")], "doc_id long, text string")
+    r = repetition_stats(df).collect()[0]
+    assert r.n_lines == 1 and r.dup_line_frac == 0.0
+    assert r.top2gram_char_frac == 0.0 and r.dup3gram_char_frac == 0.0
+
+
+def test_repetition_stats_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = _plan(repetition_stats(df))
+    assert "Exchange" not in plan  # pure per-row column math
+
+
+def test_pii_redact_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co or 10.0.0.1 or 555-123-4567 done"), (2, "clean")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc: r for r in pii_redact(df).collect()}
+    assert (rows[1].n_email, rows[1].n_ip, rows[1].n_phone) == (1, 1, 1)
+    assert rows[1].redacted == "mail <EMAIL> or <IP> or <PHONE> done"
+    assert (rows[2].n_email, rows[2].n_ip, rows[2].n_phone) == (0, 0, 0)
+    assert rows[2].redacted == "clean"
+
+
+def test_pii_redact_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    assert "Exchange" not in _plan(pii_redact(df))
+
+
+def test_ngram_decontaminate_and_clean_split(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two three four"), (2, "five six seven"), (3, "two three five")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("two three",), ("nine ten",)], "gram string")
+    hits = {r.doc: r.n_hits for r in ngram_decontaminate(docs, bench, n=2).collect()}
+    assert hits == {1: 1, 3: 1}
+    clean = sorted(r.doc_id for r in decontaminated(docs, bench, n=2).collect())
+    assert clean == [2]
+
+
+def test_ngram_decontaminate_hash_and_text_agree(spark):
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common gram tail w{i + 1}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("common gram tail",)], "gram string")
+    a = sorted(map(tuple, ngram_decontaminate(docs, bench, n=3, join_on="hash").collect()))
+    b = sorted(map(tuple, ngram_decontaminate(docs, bench, n=3, join_on="text").collect()))
+    assert a == b and len(a) == 20
+
+
+def test_ngram_decontaminate_broadcasts_bench(spark):
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    bench = spark.createDataFrame([("a b",)], "gram string")
+    assert "BroadcastExchange" in _plan(ngram_decontaminate(docs, bench, n=2))
+
+
+@pytest.mark.parametrize(
+    "url,canon",
+    [
+        ("https://WWW.Example.com/Path/?utm_source=x&id=3#frag", "example.com/path/?id=3"),
+        ("http://example.com/a/?utm_a=1", "example.com/a"),
+        ("https://example.com/a?utm_a=1&utm_b=2", "example.com/a"),
+        ("example.com/a?ref=1&gclid=xyz", "example.com/a?ref=1"),
+        ("https://www.example.com///", "example.com"),
+        ("https://example.com/a#x?utm_a=1", "example.com/a"),
+    ],
+)
+def test_canonical_url(spark, url, canon):
+    got = spark.range(1).select(canonical_url(F.lit(url)).alias("c")).collect()[0].c
+    assert got == canon
+
+
+def test_latest_by_canonical_url(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://www.a.com/x?utm_s=1", 1, 10),
+            ("http://a.com/x/", 2, 20),
+            ("https://a.com/y", 3, 30),
+        ],
+        "url string, ts long, doc_id long",
+    )
+    out = {r.canonical_url: (r.ts, r.doc_id) for r in
+           latest_by_canonical_url(df, keep_cols=("doc_id",)).collect()}
+    assert out == {"a.com/x": (2, 20), "a.com/y": (3, 30)}
+
+
+def test_strip_boilerplate_exact(spark):
+    rows = [
+        (1, "g", "HDR\nbody one\nFTR"),
+        (2, "g", "HDR\nbody two\nFTR"),
+        (3, "g", "HDR\nbody three\nFTR"),
+        (4, "h", "HDR\nother"),  # different group: HDR survives there
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc: r for r in
+           strip_boilerplate(df, min_docs=3).collect()}
+    assert out[1].n_lines == 3 and out[1].n_removed == 2
+    assert out[1].clean_text == "body one"
+    assert out[2].clean_text == "body two"
+    assert out[4].n_removed == 0 and out[4].clean_text == "HDR\nother"
+
+
+def test_strip_boilerplate_all_lines_removed(spark):
+    rows = [(i, "g", "HDR") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = strip_boilerplate(df, min_docs=3).collect()
+    assert all(r.clean_text == "" and r.n_removed == 1 for r in out)
+
+
+def test_strip_boilerplate_counts_distinct_docs_not_occurrences(spark):
+    # one doc repeating a line 5 times must NOT make it boilerplate
+    rows = [(1, "g", "X\nX\nX\nX\nX"), (2, "g", "X\nY")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc: r for r in strip_boilerplate(df, min_docs=3).collect()}
+    assert out[1].n_removed == 0 and out[2].n_removed == 0
