@@ -357,6 +357,9 @@ def main() -> None:
         "percolate_phrase_matches", "combined_fields_topk", "pinned_topk", "synonym_graph_topk",
         "phrase_title_topk", "lm_perplexity", "suggest_in_context",
         "ltr_features", "span_within_topk", "span_containing_topk",
+        # round-5 web-corpus cleaning family
+        "repetition_stats", "decontaminate_ngrams", "pii_redact",
+        "url_canonical_latest", "boilerplate_strip",
     ]:
         try:
             fn, _ = entries[name]

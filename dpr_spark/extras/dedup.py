@@ -95,17 +95,13 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_keys(
     signatures: DataFrame, bands: int = 8, rows_per_band: int = 4, hash_keys: bool = True
 ) -> DataFrame:
-    """(doc_a, doc_b, est_jaccard): docs colliding in >=1 LSH band;
-    est_jaccard = matching signature fraction. Band join is the only
-    shuffle; signatures stay narrow. `hash_keys=True` (default) joins on
-    an 8-byte xxhash64 of the band values (narrowest shuffle; the rare
-    hash collision only ADDS a candidate, which est_jaccard then scores
-    honestly); False joins on the concatenated values themselves —
-    collision-free and portable to SQL oracles."""
-    num_perm = bands * rows_per_band
+    """(doc, sig, band, key): one row per (doc, LSH band). The key is
+    deterministic in the signature values only, so band tables written
+    in different jobs/epochs join correctly (streaming/neardup.py keeps
+    them as its cross-batch ledger)."""
 
     def _band_key(bb):
         concat = F.concat_ws(
@@ -114,7 +110,7 @@ def lsh_candidate_pairs(
         )
         return F.xxhash64(concat) if hash_keys else concat
 
-    banded = signatures.select(
+    return signatures.select(
         "doc",
         "sig",
         F.explode(
@@ -126,6 +122,26 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("doc", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def sig_match_frac(siga, sigb):
+    """Estimated Jaccard: fraction of matching minhash slots."""
+    match = F.size(F.filter(F.zip_with(siga, sigb, lambda p, q: p == q), lambda e: e))
+    return match / F.size(siga).cast("double")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4, hash_keys: bool = True
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard): docs colliding in >=1 LSH band;
+    est_jaccard = matching signature fraction. Band join is the only
+    shuffle; signatures stay narrow. `hash_keys=True` (default) joins on
+    an 8-byte xxhash64 of the band values (narrowest shuffle; the rare
+    hash collision only ADDS a candidate, which est_jaccard then scores
+    honestly); False joins on the concatenated values themselves —
+    collision-free and portable to SQL oracles."""
+    num_perm = bands * rows_per_band
+    banded = band_keys(signatures, bands, rows_per_band, hash_keys)
     x, y = banded.alias("x"), banded.alias("y")
     pairs = (
         x.join(
