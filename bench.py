@@ -359,7 +359,7 @@ def main() -> None:
         "ltr_features", "span_within_topk", "span_containing_topk",
         # round-5 web-corpus cleaning family
         "repetition_stats", "decontaminate_ngrams", "pii_redact",
-        "url_canonical_latest", "boilerplate_strip",
+        "url_canonical_latest", "boilerplate_strip", "pipeline_e2e",
     ]:
         try:
             fn, _ = entries[name]

@@ -7920,6 +7920,97 @@ def q_boilerplate_strip() -> Entry:
     return fn, sql
 
 
+def q_pipeline_e2e() -> Entry:
+    """The composed training-data/serving pipeline in ONE run: chunked
+    crawl text → boilerplate stripping (webclean W73) → benchmark 8-gram
+    decontamination (W70) → REAL index build (build_index_from_docs) →
+    impact-segment BM25 top-10 (query/wand.py). Proves the cleaning
+    operators and the engine compose end to end; the twin replays the
+    whole chain — boiler lines, kept-token streams, contamination set,
+    doclen-0 docs retained in N/avgdl exactly like the engine — in one
+    DuckDB query."""
+    N = 8
+    MIN_DOCS = 4
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.webclean import ngram_decontaminate, strip_boilerplate
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.wand import build_impact_segments, search_segments
+
+        sb = strip_boilerplate(
+            _multiline_docs(spark, sf_dir), group_col="source", min_docs=MIN_DOCS
+        )
+        docs = _docs(spark, sf_dir)
+        toks = _tok_col()
+        bench = (
+            docs.filter(F.col("doc_id") % 29 == 0)
+            .filter(F.size(toks) >= 12)
+            .select(F.concat_ws(" ", F.slice(toks, 5, N)).alias("gram"))
+        )
+        contaminated = ngram_decontaminate(docs, bench, n=N, join_on="text").select(
+            F.col("doc").alias("doc_id")
+        )
+        corpus = sb.select(
+            F.col("doc").alias("doc_id"), F.col("clean_text").alias("text")
+        ).join(contaminated, "doc_id", "left_anti")
+        idx = build_index_from_docs(spark, corpus, build_blocks=False)
+        seg = build_impact_segments(idx, num_buckets=8)
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search_segments(spark, qdf, idx, seg, k=10).select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = f"""
+    WITH base AS (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+    la AS (SELECT doc_id, source, {_DUCK_LINES} AS arr FROM base),
+    lines AS (SELECT doc_id, source, arr[i + 1] AS line
+              FROM la, unnest(range(0, len(arr))) t(i)),
+    boiler AS (SELECT source, line FROM lines
+               GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= {MIN_DOCS}),
+    kept AS (SELECT l.doc_id, l.line FROM lines l
+             LEFT JOIN boiler b ON l.source = b.source AND l.line = b.line
+             WHERE b.line IS NULL),
+    bench AS (SELECT DISTINCT array_to_string(toks[5 : {4 + N}], ' ') AS gram
+              FROM base WHERE doc_id % 29 = 0 AND len(toks) >= 12),
+    dg AS (SELECT DISTINCT doc_id, array_to_string(toks[i + 1 : i + {N}], ' ') AS g
+           FROM base, unnest(range(0, len(toks) - {N} + 1)) t(i)
+           WHERE len(toks) >= {N}),
+    contam AS (SELECT DISTINCT doc_id FROM dg JOIN bench ON dg.g = bench.gram),
+    cleandocs AS (SELECT doc_id FROM base
+                  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+    term_rows AS (SELECT k.doc_id, unnest(string_split(k.line, ' ')) AS term
+                  FROM kept k JOIN cleandocs c ON c.doc_id = k.doc_id),
+    -- the engine keeps doclen-0 docs in N/avgdl (docstats carries them)
+    ds AS (SELECT c.doc_id, coalesce(t.dl, 0) AS doclen
+           FROM cleandocs c LEFT JOIN (SELECT doc_id, count(*) AS dl
+                                       FROM term_rows GROUP BY 1) t
+             ON t.doc_id = c.doc_id),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM ds),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM term_rows GROUP BY 1, 2),
+    dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    qt AS (SELECT * FROM (VALUES {_qterm_values_sql()}) AS q(qid, term)),
+    scored AS (
+      SELECT qt.qid, tf.doc_id,
+             sum(ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                 * tf.tf * {BM25_K1 + 1.0}
+                 / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl))
+             ) AS score
+      FROM qt JOIN dict USING (term) JOIN tf USING (term)
+           JOIN ds ON tf.doc_id = ds.doc_id CROSS JOIN stats
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -8066,4 +8157,5 @@ def all_entries() -> Dict[str, Entry]:
         "pii_redact": q_pii_redact(),
         "url_canonical_latest": q_url_canonical_latest(),
         "boilerplate_strip": q_boilerplate_strip(),
+        "pipeline_e2e": q_pipeline_e2e(),
     }
