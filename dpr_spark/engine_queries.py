@@ -7920,6 +7920,48 @@ def q_boilerplate_strip() -> Entry:
     return fn, sql
 
 
+def q_dup_span_strip() -> Entry:
+    """Exact-substring dedup (extras/webclean dup_span_strip, the Lee et
+    al. 2021 contract at k=4, min_docs=2): tokens covered by any 4-gram
+    occurring in ≥2 distinct docs are stripped everywhere. The engine
+    keys grams by xxhash64 (24-byte occurrence rows); the twin keys on
+    gram text — identical absent 64-bit collisions (~1e-11 here, and a
+    collision only over-strips)."""
+    K = 4
+    MIN_DOCS = 2
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.webclean import dup_span_strip
+
+        return dup_span_strip(
+            _docs(spark, sf_dir), k=K, min_docs=MIN_DOCS
+        ).orderBy("doc")
+
+    sql = f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, i AS s, array_to_string(toks[i + 1 : i + {K}], ' ') AS gram
+          FROM tok, unnest(range(0, len(toks) - {K} + 1)) t(i)
+          WHERE len(toks) >= {K}),
+    hot AS (SELECT gram FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= {MIN_DOCS}),
+    ds AS (SELECT g.doc_id, g.s FROM g JOIN hot USING (gram)),
+    tr AS (SELECT doc_id, i, toks[i + 1] AS tok
+           FROM tok, unnest(range(0, len(toks))) t(i)),
+    cov AS (SELECT tr.doc_id, tr.i, tr.tok,
+                   EXISTS (SELECT 1 FROM ds
+                           WHERE ds.doc_id = tr.doc_id
+                             AND ds.s <= tr.i AND tr.i < ds.s + {K}) AS c
+            FROM tr)
+    SELECT doc_id AS doc,
+           count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN c THEN 1 ELSE 0 END)::BIGINT AS n_covered,
+           round(sum(CASE WHEN c THEN 1 ELSE 0 END) / greatest(count(*), 1), 6)
+             AS dup_span_frac,
+           coalesce(string_agg(CASE WHEN NOT c THEN tok END, ' ' ORDER BY i), '')
+             AS clean_text
+    FROM cov GROUP BY 1 ORDER BY doc"""
+    return fn, sql
+
+
 def q_pipeline_e2e() -> Entry:
     """The composed training-data/serving pipeline in ONE run: chunked
     crawl text → boilerplate stripping (webclean W73) → benchmark 8-gram
@@ -8158,4 +8200,5 @@ def all_entries() -> Dict[str, Entry]:
         "url_canonical_latest": q_url_canonical_latest(),
         "boilerplate_strip": q_boilerplate_strip(),
         "pipeline_e2e": q_pipeline_e2e(),
+        "dup_span_strip": q_dup_span_strip(),
     }

@@ -245,6 +245,86 @@ def decontaminated(
 
 
 # ---------------------------------------------------------------------------
+# exact-substring (duplicated-span) stripping
+# ---------------------------------------------------------------------------
+
+
+def dup_span_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup in the Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better") family: a token is
+    COVERED when some k-token window containing it occurs in ≥ min_docs
+    distinct documents; covered spans are stripped from EVERY occurrence
+    (the memorization-kill contract — keeping one canonical copy is the
+    document-level dedup family's job, extras/dedup.py). Returns
+    (doc, n_tokens, n_covered, dup_span_frac, clean_text).
+
+    Scale shape (vs the paper's suffix array, which needs the corpus in
+    one address space): k-gram occurrence rows carry (doc, start,
+    xxhash64(gram)) — 24 bytes, never gram text; the hot-gram aggregate
+    and the semi-join back are both keyed on the 8-byte hash (a
+    collision can only over-strip, fail-closed like decontamination);
+    per-doc coverage is a row-local fold over the doc's own duplicated
+    starts (usually few), so nothing quadratic leaves a row."""
+    toks = tokenize_col(text_col, lowercase_first=True)
+    d = df.select(F.col(id_col).alias("doc"), toks.alias("toks"))
+    g = d.select(
+        "doc",
+        F.explode(
+            F.when(
+                F.size("toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - k),
+                    lambda i: F.struct(
+                        i.alias("s"),
+                        F.xxhash64(F.concat_ws(" ", F.slice("toks", i + 1, k))).alias(
+                            "gh"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<s:int,gh:long>>"))
+        ).alias("sg"),
+    ).select("doc", F.col("sg.s").alias("s"), F.col("sg.gh").alias("gh"))
+    hot = (
+        g.groupBy("gh")
+        .agg(F.count_distinct("doc").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    starts = (
+        g.join(hot, "gh", "left_semi")
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list("s")).alias("starts"))
+    )
+    joined = d.join(starts, "doc", "left").withColumn(
+        "starts", F.coalesce("starts", F.array().cast("array<int>"))
+    )
+    covered = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0))),
+        lambda i: (F.size("toks") > 0)
+        & F.exists("starts", lambda s: (s <= i) & (i < s + k)),
+    )
+    kept = F.filter(
+        "toks",
+        lambda t, i: ~F.exists("starts", lambda s: (s <= i) & (i < s + k)),
+    )
+    return joined.select(
+        "doc",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(covered).cast("long").alias("n_covered"),
+        F.round(
+            F.size(covered) / F.greatest(F.size("toks"), F.lit(1)), 6
+        ).alias("dup_span_frac"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------
 

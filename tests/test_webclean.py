@@ -151,6 +151,62 @@ def test_strip_boilerplate_all_lines_removed(spark):
     assert all(r.clean_text == "" and r.n_removed == 1 for r in out)
 
 
+def test_dup_span_strip_exact(spark):
+    from dpr_spark.extras.webclean import dup_span_strip
+
+    # "x y z" occurs in docs 1 and 2 -> covered in both; doc 3 untouched
+    docs = spark.createDataFrame(
+        [
+            (1, "a x y z b"),
+            (2, "c c x y z"),
+            (3, "p q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc: r for r in dup_span_strip(docs, k=3, min_docs=2).collect()}
+    assert (out[1].n_tokens, out[1].n_covered) == (5, 3)
+    assert out[1].clean_text == "a b"
+    assert out[2].clean_text == "c c"
+    assert out[3].n_covered == 0 and out[3].clean_text == "p q r s t"
+    assert out[1].dup_span_frac == pytest.approx(0.6, abs=1e-6)
+
+
+def test_dup_span_strip_overlapping_windows_merge(spark):
+    from dpr_spark.extras.webclean import dup_span_strip
+
+    # both docs share the 4-token run "a b c d": two overlapping 3-gram
+    # windows cover the whole run, not just disjoint chunks
+    docs = spark.createDataFrame(
+        [(1, "q a b c d w"), (2, "a b c d")],
+        "doc_id long, text string",
+    )
+    out = {r.doc: r for r in dup_span_strip(docs, k=3, min_docs=2).collect()}
+    assert out[1].clean_text == "q w" and out[1].n_covered == 4
+    assert out[2].clean_text == "" and out[2].n_covered == 4
+
+
+def test_dup_span_strip_within_doc_repeat_not_stripped(spark):
+    from dpr_spark.extras.webclean import dup_span_strip
+
+    # min_docs=2 counts DISTINCT docs: a within-doc repeat survives
+    docs = spark.createDataFrame(
+        [(1, "x y z q x y z"), (2, "unrelated words only here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc: r for r in dup_span_strip(docs, k=3, min_docs=2).collect()}
+    assert out[1].n_covered == 0
+
+
+def test_dup_span_strip_short_docs_pass_through(spark):
+    from dpr_spark.extras.webclean import dup_span_strip
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {r.doc: r for r in dup_span_strip(docs, k=3, min_docs=2).collect()}
+    assert out[1].n_covered == 0 and out[1].clean_text == "a b"
+
+
 def test_strip_boilerplate_counts_distinct_docs_not_occurrences(spark):
     # one doc repeating a line 5 times must NOT make it boilerplate
     rows = [(1, "g", "X\nX\nX\nX\nX"), (2, "g", "X\nY")]
