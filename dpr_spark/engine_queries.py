@@ -7920,6 +7920,67 @@ def q_boilerplate_strip() -> Entry:
     return fn, sql
 
 
+def q_extended_stats() -> Entry:
+    """ES `extended_stats` + `median_absolute_deviation` + single-metric
+    `top_metrics` over each query's match set (query/aggs.py::
+    extended_stats_agg). Variance/std/σ-bounds are derived from EXACT
+    integer sums with the same textual IEEE expression in both engines;
+    MAD uses exact interpolated medians (Spark percentile ≡ DuckDB
+    quantile_cont); top_v = n_chars at the max doc_id."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import extended_stats_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = extended_stats_agg(qdf, idx, docs.select("doc_id", "n_chars"), "n_chars")
+        return res.select(
+            "qid", "n", "sum_v", "sum_sq",
+            F.round("avg_v", 6).alias("avg_r"),
+            F.round("var_v", 6).alias("var_r"),
+            F.round("std_v", 6).alias("std_r"),
+            F.round("upper_v", 6).alias("upper_r"),
+            F.round("lower_v", 6).alias("lower_r"),
+            F.round("mad_v", 6).alias("mad_r"),
+            F.round("top_v", 6).alias("top_r"),
+        )
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    mv AS (SELECT m.qid, m.doc_id, d.n_chars AS v
+           FROM matches m JOIN documents d USING (doc_id)),
+    med AS (SELECT qid, quantile_cont(v::DOUBLE, 0.5) AS med FROM mv GROUP BY 1),
+    madt AS (SELECT mv.qid, quantile_cont(abs(mv.v - med.med), 0.5) AS mad_v
+             FROM mv JOIN med USING (qid) GROUP BY 1),
+    base AS (SELECT qid, count(*) AS n,
+                    sum(v)::BIGINT AS sum_v,
+                    sum(v * v)::BIGINT AS sum_sq,
+                    arg_max(v::DOUBLE, doc_id) AS top_v
+             FROM mv GROUP BY 1),
+    o AS (SELECT b.qid, b.n, b.sum_v, b.sum_sq,
+                 b.sum_v::DOUBLE / b.n AS avg_v,
+                 b.sum_sq::DOUBLE / b.n
+                   - (b.sum_v::DOUBLE / b.n) * (b.sum_v::DOUBLE / b.n) AS var_v,
+                 sqrt(b.sum_sq::DOUBLE / b.n
+                   - (b.sum_v::DOUBLE / b.n) * (b.sum_v::DOUBLE / b.n)) AS std_v,
+                 m.mad_v, b.top_v
+          FROM base b JOIN madt m USING (qid))
+    SELECT qid, n, sum_v, sum_sq,
+           round(avg_v, 6) AS avg_r,
+           round(var_v, 6) AS var_r,
+           round(std_v, 6) AS std_r,
+           round(avg_v + 2.0::DOUBLE * std_v, 6) AS upper_r,
+           round(avg_v - 2.0::DOUBLE * std_v, 6) AS lower_r,
+           round(mad_v, 6) AS mad_r,
+           round(top_v, 6) AS top_r
+    FROM o"""
+    return fn, sql
+
+
 def q_dup_span_strip() -> Entry:
     """Exact-substring dedup (extras/webclean dup_span_strip, the Lee et
     al. 2021 contract at k=4, min_docs=2): tokens covered by any 4-gram
@@ -8201,4 +8262,5 @@ def all_entries() -> Dict[str, Entry]:
         "boilerplate_strip": q_boilerplate_strip(),
         "pipeline_e2e": q_pipeline_e2e(),
         "dup_span_strip": q_dup_span_strip(),
+        "extended_stats": q_extended_stats(),
     }

@@ -74,6 +74,63 @@ def stats_agg(
     )
 
 
+def extended_stats_agg(
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    field: str,
+    sigma: float = 2.0,
+) -> DataFrame:
+    """ES `extended_stats` + `median_absolute_deviation` + a
+    single-metric `top_metrics` over the match set: (qid, n, sum_v,
+    sum_sq, avg_v, var_v, std_v, upper_v, lower_v, mad_v, top_v).
+
+    Variance is derived from the EXACT integer sums (sum_sq/n −
+    (sum/n)², population form like ES) rather than a streaming
+    aggregate, so the arithmetic is the same IEEE expression an oracle
+    writes and cross-engine bit-stability doesn't hinge on accumulator
+    order. MAD = median(|v − median(v)|) with exact interpolated
+    percentiles; top_v = the metric at the maximum doc_id (ES
+    top_metrics with sort: doc_id desc)."""
+    m = _matches(queries, index).join(
+        doc_values.select("doc_id", field), "doc_id"
+    )
+    c = F.col(field).cast("double")
+    med = m.groupBy("qid").agg(
+        F.expr(f"percentile({field}, 0.5)").alias("med")
+    )
+    mad = (
+        m.join(med, "qid")
+        .groupBy("qid")
+        .agg(F.expr(f"percentile(abs({field} - med), 0.5)").alias("mad_v"))
+    )
+    base = m.groupBy("qid").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(field)).cast("long").alias("sum_v"),
+        F.sum(F.col(field) * F.col(field)).cast("long").alias("sum_sq"),
+        F.max_by(c, F.col("doc_id")).alias("top_v"),
+    )
+    avg = F.col("sum_v").cast("double") / F.col("n")
+    var = F.col("sum_sq").cast("double") / F.col("n") - avg * avg
+    std = F.sqrt(var)
+    return (
+        base.join(mad, "qid")
+        .select(
+            "qid",
+            "n",
+            "sum_v",
+            "sum_sq",
+            avg.alias("avg_v"),
+            var.alias("var_v"),
+            std.alias("std_v"),
+            (avg + F.lit(sigma) * std).alias("upper_v"),
+            (avg - F.lit(sigma) * std).alias("lower_v"),
+            F.col("mad_v"),
+            "top_v",
+        )
+    )
+
+
 def terms_agg(
     queries: DataFrame,
     index: InvertedIndex,
