@@ -360,7 +360,7 @@ def main() -> None:
         # round-5 web-corpus cleaning family
         "repetition_stats", "decontaminate_ngrams", "pii_redact",
         "url_canonical_latest", "boilerplate_strip", "pipeline_e2e",
-        "dup_span_strip", "extended_stats",
+        "dup_span_strip", "extended_stats", "dist_aggs",
     ]:
         try:
             fn, _ = entries[name]

@@ -7981,6 +7981,59 @@ def q_extended_stats() -> Entry:
     return fn, sql
 
 
+def q_dist_aggs() -> Entry:
+    """ES `percentile_ranks` + `boxplot` over each query's match set
+    (query/aggs.py::percentile_ranks_boxplot_agg): exact CDF ranks at
+    n_chars ∈ {400, 700} and exact-quantile boxplot with 1.5·IQR-clamped
+    whiskers. Percentile interpolation is the shared exact contract
+    (Spark percentile ≡ DuckDB quantile_cont); rank sums are
+    integer-derived."""
+    XS = (400.0, 700.0)
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import percentile_ranks_boxplot_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = percentile_ranks_boxplot_agg(
+            qdf, idx, docs.select("doc_id", "n_chars"), "n_chars", rank_values=XS
+        )
+        return res.select(
+            "qid", "n",
+            F.round("q1", 6).alias("q1_r"),
+            F.round("q2", 6).alias("q2_r"),
+            F.round("q3", 6).alias("q3_r"),
+            F.round("lower_whisker", 6).alias("lw_r"),
+            F.round("upper_whisker", 6).alias("uw_r"),
+            F.round("rank_at_0", 6).alias("rank400_r"),
+            F.round("rank_at_1", 6).alias("rank700_r"),
+        )
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    mv AS (SELECT m.qid, d.n_chars::DOUBLE AS v
+           FROM matches m JOIN documents d USING (doc_id)),
+    b AS (SELECT qid, count(*) AS n, min(v) AS mn, max(v) AS mx,
+                 quantile_cont(v, 0.25) AS q1,
+                 quantile_cont(v, 0.5) AS q2,
+                 quantile_cont(v, 0.75) AS q3,
+                 sum(CASE WHEN v <= {XS[0]!r}::DOUBLE THEN 1 ELSE 0 END) * 100.0::DOUBLE AS le0,
+                 sum(CASE WHEN v <= {XS[1]!r}::DOUBLE THEN 1 ELSE 0 END) * 100.0::DOUBLE AS le1
+          FROM mv GROUP BY 1)
+    SELECT qid, n,
+           round(q1, 6) AS q1_r, round(q2, 6) AS q2_r, round(q3, 6) AS q3_r,
+           round(greatest(mn, q1 - 1.5::DOUBLE * (q3 - q1)), 6) AS lw_r,
+           round(least(mx, q3 + 1.5::DOUBLE * (q3 - q1)), 6) AS uw_r,
+           round(le0 / n, 6) AS rank400_r,
+           round(le1 / n, 6) AS rank700_r
+    FROM b"""
+    return fn, sql
+
+
 def q_dup_span_strip() -> Entry:
     """Exact-substring dedup (extras/webclean dup_span_strip, the Lee et
     al. 2021 contract at k=4, min_docs=2): tokens covered by any 4-gram
@@ -8263,4 +8316,5 @@ def all_entries() -> Dict[str, Entry]:
         "pipeline_e2e": q_pipeline_e2e(),
         "dup_span_strip": q_dup_span_strip(),
         "extended_stats": q_extended_stats(),
+        "dist_aggs": q_dist_aggs(),
     }

@@ -131,6 +131,53 @@ def extended_stats_agg(
     )
 
 
+def percentile_ranks_boxplot_agg(
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    field: str,
+    rank_values: Sequence[float] = (),
+) -> DataFrame:
+    """ES `percentile_ranks` + `boxplot` over the match set, with exact
+    deterministic contracts instead of t-digest approximation:
+
+    - pct_rank(x) = 100·|{v ≤ x}| / n per requested x (columns
+      `rank_at_<i>`), the CDF the t-digest estimates;
+    - boxplot: q1/q2/q3 as exact interpolated percentiles (Spark
+      `percentile` ≡ DuckDB `quantile_cont` bit-at-6dp), whiskers as
+      the ES contract's min/max clamped to q1−1.5·IQR / q3+1.5·IQR."""
+    m = _matches(queries, index).join(
+        doc_values.select("doc_id", field), "doc_id"
+    )
+    c = F.col(field).cast("double")
+    aggs = [F.count("*").alias("n"), F.min(c).alias("mn"), F.max(c).alias("mx")]
+    for i, x in enumerate(rank_values):
+        aggs.append(
+            (
+                F.sum(F.when(c <= F.lit(float(x)), 1).otherwise(0))
+                * F.lit(100.0)
+            ).alias(f"le_{i}")
+        )
+    for q, nm in ((0.25, "q1"), (0.5, "q2"), (0.75, "q3")):
+        aggs.append(F.expr(f"percentile({field}, {q})").alias(nm))
+    out = m.groupBy("qid").agg(*aggs)
+    iqr = F.col("q3") - F.col("q1")
+    cols = [
+        F.col("qid"),
+        F.col("n"),
+        F.col("q1"),
+        F.col("q2"),
+        F.col("q3"),
+        F.greatest(F.col("mn"), F.col("q1") - F.lit(1.5) * iqr).alias("lower_whisker"),
+        F.least(F.col("mx"), F.col("q3") + F.lit(1.5) * iqr).alias("upper_whisker"),
+    ]
+    cols += [
+        (F.col(f"le_{i}") / F.col("n")).alias(f"rank_at_{i}")
+        for i in range(len(rank_values))
+    ]
+    return out.select(*cols)
+
+
 def terms_agg(
     queries: DataFrame,
     index: InvertedIndex,

@@ -70,7 +70,15 @@ def expand_fuzzy(
     vocabulary per wave (r4 VERDICT What's-wrong #1). Semantically a
     no-op: the join condition already implies the prefix match
     (term[:p] == clause[:p] ⟹ term startswith clause[:p]), asserted in
-    tests/test_plans.py + the unchanged fuzzy oracle entries."""
+    tests/test_plans.py + the unchanged fuzzy oracle entries.
+
+    Length-band pruning (the prefix_len=0 case, where no literal prefix
+    exists to push): |len(term) − len(clause)| > max_edits implies
+    distance > max_edits, so (a) the scan drops terms outside the
+    clause set's global length band before the join, and (b) the join
+    condition tests the cheap per-pair int band before evaluating
+    `levenshtein` — both semantic no-ops, both cutting the vocab-scan
+    work Lucene avoids with its FST automaton."""
     dic = index.dictionary
     if prefix_len > 0 and prefix_literals:
         prefs = sorted({c[:prefix_len] for c in prefix_literals if c})
@@ -79,8 +87,16 @@ def expand_fuzzy(
             for p in prefs[1:]:
                 keep = keep | F.col("term").startswith(p)
             dic = dic.filter(keep)
+    if prefix_literals:
+        lens = [len(c) for c in prefix_literals if c]
+        if lens:
+            dic = dic.filter(
+                F.length("term").between(min(lens) - max_edits, max(lens) + max_edits)
+            )
     dic = dic.select("term", "term_id", "df", "idf")
-    cond = F.levenshtein(F.col("term"), F.col("clause"), max_edits) >= F.lit(0)
+    cond = (
+        F.abs(F.length("term") - F.length("clause")) <= F.lit(max_edits)
+    ) & (F.levenshtein(F.col("term"), F.col("clause"), max_edits) >= F.lit(0))
     if prefix_len > 0:
         cond = cond & (
             F.substring("term", 1, prefix_len)

@@ -197,6 +197,21 @@ def test_fuzzy_expansion_stays_on_dictionary_scan(spark, index):
     assert "hashpartitioning(term_id" not in plan
 
 
+def test_fuzzy_length_band_prunes_dictionary(spark, index):
+    """prefix_len=0 fuzzy (no literal prefix to push) still prunes: the
+    dictionary scan filters length(term) to the clause set's global
+    ±max_edits band BEFORE the broadcast nested-loop join, and the join
+    tests the cheap per-pair length band before levenshtein."""
+    from dpr_spark.query.fuzzy import fuzzy_search
+
+    plan = _explain(fuzzy_search(spark, [(0, "word")], index, k=5))
+    assert "BroadcastNestedLoopJoin" in plan
+    # scan-side band: length(term) >= 3 AND <= 5 for a 4-char clause
+    assert "length(term" in plan
+    # per-pair band precedes levenshtein in the conjunction
+    assert "abs((length(term" in plan.replace("#", "").split("levenshtein")[0]
+
+
 def test_bool_exclusion_is_broadcast_anti_join(spark, index):
     """must_not exclusion: a left_anti join against only the exclusion
     terms' postings, broadcast (candidates x exclusions are both tiny
