@@ -8034,6 +8034,194 @@ def q_dist_aggs() -> Entry:
     return fn, sql
 
 
+def q_matrix_stats() -> Entry:
+    """ES `matrix_stats` for the field pair (n_chars, doclen) over each
+    query's match set (query/aggs.py::matrix_stats_agg): population
+    means/variances/covariance/correlation from EXACT integer sums —
+    the same textual IEEE expression in both engines. doclen comes from
+    the index's own docstats on the Spark side and from the shared
+    tokenizer CTE in the twin."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import matrix_stats_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        vals = docs.select("doc_id", "n_chars").join(
+            idx.docstats.select("doc_id", "doclen"), "doc_id"
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = matrix_stats_agg(qdf, idx, vals, "n_chars", "doclen")
+        return res.select(
+            "qid", "n",
+            F.round("mean_x", 6).alias("mean_x_r"),
+            F.round("mean_y", 6).alias("mean_y_r"),
+            F.round("var_x", 6).alias("var_x_r"),
+            F.round("var_y", 6).alias("var_y_r"),
+            F.round("cov", 6).alias("cov_r"),
+            F.round("corr", 6).alias("corr_r"),
+        )
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    ds AS (SELECT doc_id, len(toks) AS doclen FROM tok),
+    mv AS (SELECT m.qid, d.n_chars AS x, ds.doclen AS y
+           FROM matches m JOIN documents d USING (doc_id)
+                JOIN ds USING (doc_id)),
+    base AS (SELECT qid, count(*) AS n,
+                    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+                    sum(x * y)::BIGINT AS sxy
+             FROM mv GROUP BY 1)
+    SELECT qid, n,
+           round(sx::DOUBLE / n, 6) AS mean_x_r,
+           round(sy::DOUBLE / n, 6) AS mean_y_r,
+           round(sxx::DOUBLE / n - (sx::DOUBLE / n) * (sx::DOUBLE / n), 6) AS var_x_r,
+           round(syy::DOUBLE / n - (sy::DOUBLE / n) * (sy::DOUBLE / n), 6) AS var_y_r,
+           round(sxy::DOUBLE / n - (sx::DOUBLE / n) * (sy::DOUBLE / n), 6) AS cov_r,
+           round((sxy::DOUBLE / n - (sx::DOUBLE / n) * (sy::DOUBLE / n))
+                 / sqrt((sxx::DOUBLE / n - (sx::DOUBLE / n) * (sx::DOUBLE / n))
+                        * (syy::DOUBLE / n - (sy::DOUBLE / n) * (sy::DOUBLE / n))), 6) AS corr_r
+    FROM base"""
+    return fn, sql
+
+
+def q_t_test_paired() -> Entry:
+    """ES `t_test` (paired) between n_chars and doclen over each query's
+    match set (query/aggs.py::t_test_agg): t = mean(d)/sqrt(s²/n) with
+    sample variance from exact long Σd, Σd²; n ≤ 1 or zero variance →
+    NULL (the ES cannot-compute contract)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import t_test_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        vals = docs.select("doc_id", "n_chars").join(
+            idx.docstats.select("doc_id", "doclen"), "doc_id"
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = t_test_agg(qdf, idx, vals, "n_chars", "doclen")
+        return res.select("qid", "n", F.round("t_stat", 6).alias("t_r"))
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    ds AS (SELECT doc_id, len(toks) AS doclen FROM tok),
+    mv AS (SELECT m.qid, d.n_chars - ds.doclen AS dv
+           FROM matches m JOIN documents d USING (doc_id)
+                JOIN ds USING (doc_id)),
+    base AS (SELECT qid, count(*) AS n,
+                    sum(dv)::BIGINT AS sd, sum(dv * dv)::BIGINT AS sdd
+             FROM mv GROUP BY 1)
+    SELECT qid, n,
+           CASE WHEN n > 1 AND (sdd::DOUBLE - sd::DOUBLE * sd::DOUBLE / n) / (n - 1.0) > 0
+                THEN round((sd::DOUBLE / n)
+                     / sqrt(((sdd::DOUBLE - sd::DOUBLE * sd::DOUBLE / n) / (n - 1.0)) / n), 6)
+                ELSE NULL END AS t_r
+    FROM base"""
+    return fn, sql
+
+
+def q_lmjm_topk() -> Entry:
+    """Pluggable similarity #3 (query/similarity.py; Lucene
+    LMJelinekMercerSimilarity, λ=0.1): per-term
+    ln(1 + ((1−λ)·tf/dl)/(λ·ctf/total)). Same collection-statistics
+    probe as lmdirichlet; rank re-derived from the 6-dp-rounded
+    score."""
+    LAM = 0.1
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.similarity import search_similarity
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search_similarity(
+            qdf, idx, similarity="lmjelinekmercer", k=10, lam=LAM
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = f"""
+      WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+      ds AS (SELECT doc_id, len(toks) AS doclen FROM tok),
+      total AS (SELECT sum(doclen)::DOUBLE AS tt FROM ds),
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2),
+      ctf AS (SELECT term, sum(tf)::DOUBLE AS ctf FROM tf GROUP BY 1),
+      qt AS (SELECT * FROM (VALUES {_qterm_values_sql()}) AS q(qid, term)),
+      scored AS (
+        SELECT qt.qid, tf.doc_id,
+               sum(ln(1.0 + ({1.0 - LAM} * tf.tf / ds.doclen)
+                            / ({LAM} * (ctf.ctf / total.tt)))) AS score
+        FROM qt JOIN ctf USING (term) JOIN tf USING (term)
+             JOIN ds ON tf.doc_id = ds.doc_id CROSS JOIN total
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT qid, doc_id, round(score, 6) AS score_r,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY round(score, 6) DESC, doc_id) AS rank
+        FROM scored)
+      SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
+def q_dfi_topk() -> Entry:
+    """Pluggable similarity #4 (query/similarity.py; Lucene
+    DFISimilarity, standardized independence measure): expected =
+    ctf·dl/total; component = log2(1 + (tf−e)/sqrt(e)) when tf > e else
+    0 (terms at or below independence contribute nothing)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.similarity import search_similarity
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search_similarity(qdf, idx, similarity="dfi", k=10).select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = f"""
+      WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+      ds AS (SELECT doc_id, len(toks) AS doclen FROM tok),
+      total AS (SELECT sum(doclen)::DOUBLE AS tt FROM ds),
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2),
+      ctf AS (SELECT term, sum(tf)::DOUBLE AS ctf FROM tf GROUP BY 1),
+      qt AS (SELECT * FROM (VALUES {_qterm_values_sql()}) AS q(qid, term)),
+      scored AS (
+        SELECT qt.qid, tf.doc_id,
+               sum(CASE WHEN tf.tf > ctf.ctf * ds.doclen / total.tt
+                        THEN log2(1.0 + (tf.tf - ctf.ctf * ds.doclen / total.tt)
+                                        / sqrt(ctf.ctf * ds.doclen / total.tt))
+                        ELSE 0.0 END) AS score
+        FROM qt JOIN ctf USING (term) JOIN tf USING (term)
+             JOIN ds ON tf.doc_id = ds.doc_id CROSS JOIN total
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT qid, doc_id, round(score, 6) AS score_r,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY round(score, 6) DESC, doc_id) AS rank
+        FROM scored)
+      SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 def q_dup_span_strip() -> Entry:
     """Exact-substring dedup (extras/webclean dup_span_strip, the Lee et
     al. 2021 contract at k=4, min_docs=2): tokens covered by any 4-gram
@@ -8317,4 +8505,8 @@ def all_entries() -> Dict[str, Entry]:
         "dup_span_strip": q_dup_span_strip(),
         "extended_stats": q_extended_stats(),
         "dist_aggs": q_dist_aggs(),
+        "matrix_stats": q_matrix_stats(),
+        "t_test_paired": q_t_test_paired(),
+        "lmjm_topk": q_lmjm_topk(),
+        "dfi_topk": q_dfi_topk(),
     }

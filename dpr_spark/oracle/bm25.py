@@ -130,6 +130,46 @@ class BM25Oracle:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def lmjelinekmercer_search(
+        self, question: str, k: int = 10, lam: float = 0.1
+    ) -> List[Tuple[int, float]]:
+        """LM Jelinek-Mercer twin (query/similarity.py contract):
+        Σ_t ln(1 + ((1−λ)·tf/dl)/(λ·ctf/total))."""
+        terms = sorted(set(tokenize(normalize_question(question))))
+        total = float(sum(self.doclen.values()))
+        scores: Dict[int, float] = {}
+        for t in terms:
+            plist = self.postings.get(t)
+            if not plist:
+                continue
+            p_c = float(sum(plist.values())) / total
+            for d, tf in plist.items():
+                dl = self.doclen[d]
+                c = math.log(1.0 + ((1.0 - lam) * tf / dl) / (lam * p_c))
+                scores[d] = scores.get(d, 0.0) + c
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    def dfi_search(self, question: str, k: int = 10) -> List[Tuple[int, float]]:
+        """DFI twin (query/similarity.py contract): expected =
+        ctf·dl/total; log2(1 + (tf−e)/sqrt(e)) when tf > e else 0.
+        Docs where every term sits at/below independence still appear
+        with score 0 (they matched ≥1 term), same as the engine."""
+        terms = sorted(set(tokenize(normalize_question(question))))
+        total = float(sum(self.doclen.values()))
+        scores: Dict[int, float] = {}
+        for t in terms:
+            plist = self.postings.get(t)
+            if not plist:
+                continue
+            ctf = float(sum(plist.values()))
+            for d, tf in plist.items():
+                e = ctf * self.doclen[d] / total
+                c = math.log2(1.0 + (tf - e) / math.sqrt(e)) if tf > e else 0.0
+                scores[d] = scores.get(d, 0.0) + c
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     # ------------------------------------------------------------------
     # Lucene-parity query-surface twins (query/phrase.py, query/boolquery.py)
     # ------------------------------------------------------------------

@@ -655,6 +655,88 @@ def weighted_avg_agg(
     )
 
 
+def matrix_stats_agg(
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    x_field: str,
+    y_field: str,
+) -> DataFrame:
+    """(qid, n, mean_x, mean_y, var_x, var_y, cov, corr) — ES
+    `matrix_stats` for a field pair over the match set: population
+    moments from EXACT integer sums (Σx, Σy, Σx², Σy², Σxy stay longs
+    until the final division — the same textual IEEE expression a SQL
+    twin writes, so cross-engine bit-stability doesn't hinge on
+    accumulator order; the device of extended_stats_agg):
+
+        mean = Σv/n          var  = Σv²/n − mean²
+        cov  = Σxy/n − mean_x·mean_y
+        corr = cov / sqrt(var_x · var_y)
+
+    One match-set pass, one (qid) groupBy — the doc-sized motion is the
+    match collapse itself."""
+    m = _matches(queries, index).join(
+        doc_values.select("doc_id", x_field, y_field), "doc_id"
+    )
+    x, y = F.col(x_field), F.col(y_field)
+    base = m.groupBy("qid").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(y * y).cast("long").alias("syy"),
+        F.sum(x * y).cast("long").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    mean_x = F.col("sx").cast("double") / n
+    mean_y = F.col("sy").cast("double") / n
+    var_x = F.col("sxx").cast("double") / n - mean_x * mean_x
+    var_y = F.col("syy").cast("double") / n - mean_y * mean_y
+    cov = F.col("sxy").cast("double") / n - mean_x * mean_y
+    return base.select(
+        "qid",
+        "n",
+        mean_x.alias("mean_x"),
+        mean_y.alias("mean_y"),
+        var_x.alias("var_x"),
+        var_y.alias("var_y"),
+        cov.alias("cov"),
+        (cov / F.sqrt(var_x * var_y)).alias("corr"),
+    )
+
+
+def t_test_agg(
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    a_field: str,
+    b_field: str,
+) -> DataFrame:
+    """(qid, n, t_stat) — ES `t_test` (paired): t over the per-doc
+    differences d = a − b of the match set,
+
+        t = mean(d) / sqrt(s²_d / n),   s²_d = (Σd² − (Σd)²/n) / (n−1)
+
+    Σd and Σd² are exact longs; queries whose match set has n ≤ 1 or
+    zero variance yield NULL (the ES cannot-compute contract)."""
+    m = _matches(queries, index).join(
+        doc_values.select("doc_id", a_field, b_field), "doc_id"
+    )
+    d = F.col(a_field) - F.col(b_field)
+    base = m.groupBy("qid").agg(
+        F.count("*").alias("n"),
+        F.sum(d).cast("long").alias("sd"),
+        F.sum(d * d).cast("long").alias("sdd"),
+    )
+    n = F.col("n").cast("double")
+    mean_d = F.col("sd").cast("double") / n
+    var_s = (F.col("sdd").cast("double") - F.col("sd").cast("double") * F.col("sd").cast("double") / n) / (n - F.lit(1.0))
+    t = F.when(
+        (F.col("n") > 1) & (var_s > 0), mean_d / F.sqrt(var_s / n)
+    ).otherwise(F.lit(None).cast("double"))
+    return base.select("qid", "n", t.alias("t_stat"))
+
+
 def value_count_missing_agg(
     queries: DataFrame,
     index: InvertedIndex,

@@ -133,12 +133,87 @@ def score_lmdirichlet(
     )
 
 
+def _ctf_for(queries: DataFrame, index: InvertedIndex):
+    """(resolved query terms joined with ctf, total collection tokens) —
+    the shared collection-statistics probe of the LM/DFI family: ONE
+    postings probe restricted to the resolved term_ids (query-sized
+    output), exact integer Σ doclen for the collection length."""
+    qt = _resolved(queries, index)
+    total_tokens = float(
+        index.docstats.agg(F.sum("doclen").alias("s")).collect()[0]["s"]
+    )
+    tids = qt.select("term_id").distinct()
+    ctf = (
+        index.postings.join(F.broadcast(tids), "term_id")
+        .groupBy("term_id")
+        .agg(F.sum(F.col("tf").cast("double")).alias("ctf"))
+    )
+    return qt.join(ctf, "term_id"), total_tokens
+
+
+LM_LAMBDA = 0.1  # Lucene LMJelinekMercerSimilarity default
+
+
+def score_lmjelinekmercer(
+    queries: DataFrame, index: InvertedIndex, lam: float = LM_LAMBDA
+) -> DataFrame:
+    """(qid, doc_id, score) under LM Jelinek-Mercer smoothing (Lucene
+    LMJelinekMercerSimilarity; Zhai & Lafferty 2001):
+
+        component  = ln(1 + ((1−λ)·tf/dl) / (λ·p(t|C)))
+        p(t|C)     = ctf_t / total_tokens
+        score(q,d) = Σ_t component      (always ≥ 0: the log argument
+                                         is > 1 whenever tf > 0)
+
+    Same plan shape as lmdirichlet: the formula changes, the data
+    motion does not."""
+    qtc, total_tokens = _ctf_for(queries, index)
+    joined = index.postings.join(F.broadcast(qtc), "term_id")
+    p_c = F.col("ctf") / F.lit(total_tokens)
+    dl = F.col("doclen").cast("double")
+    component = F.log(
+        F.lit(1.0)
+        + (F.lit(1.0 - lam) * F.col("tf").cast("double") / dl)
+        / (F.lit(lam) * p_c)
+    )
+    return _ordered_fold(
+        joined.select("qid", "doc_id", "term_id", component.alias("component"))
+    )
+
+
+def score_dfi(queries: DataFrame, index: InvertedIndex) -> DataFrame:
+    """(qid, doc_id, score) under divergence-from-independence (Lucene
+    DFISimilarity, standardized measure; Kocabaş, Dinçer & Karaoğlan
+    2014):
+
+        expected   = ctf_t · dl / total_tokens
+        measure    = (tf − expected) / sqrt(expected)
+        component  = log2(1 + measure)   if tf > expected, else 0
+        score(q,d) = Σ_t component
+
+    A term occurring no more often than independence predicts
+    contributes nothing (Lucene's documented clamp)."""
+    qtc, total_tokens = _ctf_for(queries, index)
+    joined = index.postings.join(F.broadcast(qtc), "term_id")
+    dl = F.col("doclen").cast("double")
+    expected = F.col("ctf") * dl / F.lit(total_tokens)
+    tf = F.col("tf").cast("double")
+    measure = (tf - expected) / F.sqrt(expected)
+    component = F.when(
+        tf > expected, F.log2(F.lit(1.0) + measure)
+    ).otherwise(F.lit(0.0))
+    return _ordered_fold(
+        joined.select("qid", "doc_id", "term_id", component.alias("component"))
+    )
+
+
 def search_similarity(
     queries: DataFrame,
     index: InvertedIndex,
     similarity: str = "classic",
     k: int = DEFAULT_TOP_K,
     mu: float = LM_MU,
+    lam: float = LM_LAMBDA,
 ) -> DataFrame:
     """results(qid, rank, doc_id, score) under the named similarity.
     `bm25` routes to the default scorer so callers can treat this as the
@@ -151,4 +226,8 @@ def search_similarity(
         return top_k(score_classic(queries, index), k)
     if similarity == "lmdirichlet":
         return top_k(score_lmdirichlet(queries, index, mu=mu), k)
+    if similarity == "lmjelinekmercer":
+        return top_k(score_lmjelinekmercer(queries, index, lam=lam), k)
+    if similarity == "dfi":
+        return top_k(score_dfi(queries, index), k)
     raise ValueError(f"unknown similarity {similarity!r}")

@@ -15,7 +15,9 @@ def _collect(res):
     return out
 
 
-@pytest.mark.parametrize("sim", ["classic", "lmdirichlet"])
+@pytest.mark.parametrize(
+    "sim", ["classic", "lmdirichlet", "lmjelinekmercer", "dfi"]
+)
 def test_similarity_rank_identity(index, queries_df, queries_pdf, oracle, sim):
     from dpr_spark.query.similarity import search_similarity
 
@@ -24,6 +26,10 @@ def test_similarity_rank_identity(index, queries_df, queries_pdf, oracle, sim):
     for _, row in queries_pdf.iterrows():
         if sim == "classic":
             expect = oracle.classic_search(row.question, 10)
+        elif sim == "lmjelinekmercer":
+            expect = oracle.lmjelinekmercer_search(row.question, 10)
+        elif sim == "dfi":
+            expect = oracle.dfi_search(row.question, 10)
         else:
             expect = oracle.lmdirichlet_search(row.question, 10)
         actual = got.get(row.qid, [])
