@@ -8034,6 +8034,104 @@ def q_dist_aggs() -> Entry:
     return fn, sql
 
 
+SPAN_MULTI_QUERIES = [
+    (0, ["spark", "wind*"]),
+    (1, ["cust*", "join"]),
+    (2, ["fa?t", "filter"]),
+    (3, ["s*", "data"]),        # broad glob: the expansion cap binds
+    (4, ["zzznope*", "spark"]),  # empty expansion -> no rows
+]
+SPAN_MULTI_EXP = 4
+SPAN_MULTI_W = 8
+
+
+def q_span_multi_topk() -> Entry:
+    """Span-near with multi-term clauses (Lucene
+    SpanMultiTermQueryWrapper in SpanNearQuery, query/phrase.py::
+    span_multi_search_index): a `*`/`?` clause expands to its
+    SPAN_MULTI_EXP highest-df dictionary terms (ties term asc — the
+    TopTermsRewrite cap), clause positions = union, clause idf = the
+    union-df pseudo-term idf; tf = qualifying end positions within a
+    SPAN_MULTI_W-token window. The twin re-runs the expansion with
+    regexp_matches + row_number over the same dictionary."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.phrase import build_positions, span_multi_search_index
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        pos = build_positions(docs, idx.dictionary)
+        res = span_multi_search_index(
+            spark, idx, pos, SPAN_MULTI_QUERIES,
+            window=SPAN_MULTI_W, max_expansions=SPAN_MULTI_EXP, k=10,
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    from dpr_spark.query.boolquery import wildcard_regex as _wrx
+
+    cl_rows = []
+    for qid, clauses in SPAN_MULTI_QUERIES:
+        for off, c in enumerate(clauses):
+            if "*" in c or "?" in c:
+                cl_rows.append(f"({qid}, {off}, NULL, '{_wrx(c)}')")
+            else:
+                cl_rows.append(f"({qid}, {off}, '{c.lower()}', NULL)")
+    W = SPAN_MULTI_W
+    sql = f"""
+    WITH {_POS_CTES},
+    cl AS (SELECT * FROM (VALUES {", ".join(cl_rows)})
+           AS c(qid, off, lit, rx)),
+    qn AS (SELECT qid, count(*) AS n_off FROM cl GROUP BY 1),
+    exp AS (
+      SELECT qid, off, term FROM (
+        SELECT c.qid, c.off, d.term,
+               row_number() OVER (PARTITION BY c.qid, c.off
+                                  ORDER BY d.df DESC, d.term) AS r
+        FROM cl c JOIN dict d
+          ON (c.rx IS NOT NULL AND regexp_matches(d.term, c.rx))
+             OR (c.rx IS NULL AND d.term = c.lit))
+      WHERE r <= {SPAN_MULTI_EXP}),
+    cpos AS (SELECT DISTINCT e.qid, e.off, pos.doc_id, pos.p
+             FROM exp e JOIN pos ON pos.term = e.term),
+    dfu AS (SELECT qid, off, count(DISTINCT doc_id) AS dfu
+            FROM cpos GROUP BY 1, 2),
+    idf AS (SELECT dfu.qid,
+                   sum(ln((stats.n - dfu.dfu + 0.5) / (dfu.dfu + 0.5) + 1.0))
+                     AS idf_sum,
+                   count(*) AS n_res
+            FROM dfu CROSS JOIN stats GROUP BY 1),
+    idf_ok AS (SELECT idf.qid, idf.idf_sum FROM idf JOIN qn USING (qid)
+               WHERE idf.n_res = qn.n_off),
+    ends AS (SELECT DISTINCT qid, doc_id, p FROM cpos),
+    covered AS (
+      SELECT e.qid, e.doc_id, e.p, count(DISTINCT c.off) AS no
+      FROM ends e JOIN cpos c ON c.qid = e.qid AND c.doc_id = e.doc_id
+           AND c.p <= e.p AND c.p > e.p - {W}
+      GROUP BY 1, 2, 3),
+    pf AS (
+      SELECT c.qid, c.doc_id, count(*) AS pf
+      FROM covered c JOIN qn USING (qid) WHERE c.no = qn.n_off
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT pf.qid, pf.doc_id,
+             idf_ok.idf_sum * pf.pf * {BM25_K1 + 1.0}
+             / (pf.pf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl))
+             AS score
+      FROM pf JOIN idf_ok USING (qid)
+           JOIN ds ON pf.doc_id = ds.doc_id CROSS JOIN stats),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 def q_matrix_stats() -> Entry:
     """ES `matrix_stats` for the field pair (n_chars, doclen) over each
     query's match set (query/aggs.py::matrix_stats_agg): population
@@ -8509,4 +8607,5 @@ def all_entries() -> Dict[str, Entry]:
         "t_test_paired": q_t_test_paired(),
         "lmjm_topk": q_lmjm_topk(),
         "dfi_topk": q_dfi_topk(),
+        "span_multi_topk": q_span_multi_topk(),
     }

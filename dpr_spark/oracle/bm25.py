@@ -520,6 +520,82 @@ class BM25Oracle:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def span_multi_search(
+        self,
+        clauses: List[str],
+        k: int = 10,
+        window: int = 8,
+        max_expansions: int = 16,
+    ) -> List[Tuple[int, float]]:
+        """SpanMultiTermQueryWrapper-in-SpanNear twin
+        (query/phrase.py::span_multi_search_index contract): a clause
+        with `*`/`?` expands to its max_expansions highest-df matching
+        terms (ties term asc); other clauses contribute their analyzed
+        tokens as literal clauses. Clause positions = union over
+        expanded terms, clause idf = idf of the UNION df (the clause
+        behaves as one pseudo-term); any empty clause -> no matches."""
+        import re as _re
+
+        term_sets: List[List[str]] = []
+        seen: set = set()  # duplicate clauses collapse (engine contract)
+        for c in clauses:
+            if "*" in c or "?" in c:
+                if ("g", c.lower()) in seen:
+                    continue
+                seen.add(("g", c.lower()))
+                pat = []
+                for ch in c.lower():
+                    if ch == "*":
+                        pat.append(".*")
+                    elif ch == "?":
+                        pat.append(".")
+                    else:
+                        pat.append(_re.escape(ch))
+                rx = _re.compile("^" + "".join(pat) + "$")
+                got = [t for t in self.postings if rx.match(t)]
+                got.sort(key=lambda t: (-self.df[t], t))
+                got = got[:max_expansions]
+                if not got:
+                    return []
+                term_sets.append(got)
+            else:
+                for t in tokenize(normalize_question(c)):
+                    if ("t", t) in seen:
+                        continue
+                    seen.add(("t", t))
+                    if t not in self.postings:
+                        return []
+                    term_sets.append([t])
+        if not term_sets:
+            return []
+        idf_sum = 0.0
+        for got in term_sets:
+            dfu = len(set().union(*(self.postings[t] for t in got)))
+            idf_sum += math.log(
+                (self.N - dfu + 0.5) / (dfu + 0.5) + 1.0
+            )
+        docsets = [
+            set().union(*(self.postings[t] for t in got)) for got in term_sets
+        ]
+        docs = set.intersection(*docsets)
+        scores: Dict[int, float] = {}
+        for d in docs:
+            dt = self.doc_tokens[d]
+            cpos = [
+                sorted({i for i, tok in enumerate(dt) if tok in got})
+                for got in term_sets
+            ]
+            ends = sorted({p for ps in cpos for p in ps})
+            pf = sum(
+                1
+                for p in ends
+                if all(any(p - window < x <= p for x in ps) for ps in cpos)
+            )
+            if pf:
+                scores[d] = self._score_pf(pf, d, idf_sum)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def span_not_search(
         self, include: str, exclude: str, k: int = 10, dist: int = 3
     ) -> List[Tuple[int, float]]:

@@ -985,3 +985,150 @@ def span_within_search_index(
         .select("qid", "doc_id", "doclen", "pf")
     )
     return _topk(_score_phrases(matched, idf_sums, index.stats.avgdl, k1, b), k)
+
+def span_multi_search_index(
+    spark: SparkSession,
+    index,
+    positions: DataFrame,
+    queries: Sequence[Tuple[int, Sequence[str]]],
+    window: int = 8,
+    max_expansions: int = 16,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Span-near with multi-term clauses (Lucene
+    SpanMultiTermQueryWrapper inside SpanNearQuery, inOrder=false):
+    `queries` = [(qid, [clause, ...])] where a clause containing `*`/`?`
+    is a wildcard expanded against the dictionary to its
+    `max_expansions` highest-df matching terms (Lucene's
+    TopTermsSpanBooleanQueryRewrite cap; ties break term asc), and any
+    other clause contributes its analyzed tokens as literal clauses.
+
+    Contract: a clause's span positions are the UNION of its expanded
+    terms' positions; a doc matches when every clause occurs within a
+    `window`-token span; tf = qualifying end-position count; per-clause
+    idf uses the df of the UNION (docs containing >=1 expanded term),
+    so a clause behaves as one pseudo-term. A clause with zero
+    expansions (OOV literal or nothing matching the glob) means no
+    document can match — Lucene's empty-rewrite contract.
+
+    Scale shape: globs broadcast INTO the vocab-sized dictionary scan
+    with leading/trailing-literal runs pushed as prefix filters
+    (boolquery._glob_scan_filter); the capped expansion set (<= clauses
+    x max_expansions ids) prunes the positions scan via an IN filter;
+    per-clause position-union and union-df come from that ONE probe.
+    Everything downstream reuses the span-near verify fold."""
+    from dpr_spark.functions.analysis import analyze_query
+    from dpr_spark.query.boolquery import _glob_scan_filter, wildcard_regex
+
+    analyzer = getattr(index, "analyzer", None)
+    lit_rows: List[Tuple[int, int, str]] = []
+    pat_rows: List[Tuple[int, int, str]] = []
+    n_off_counts: dict = {}
+    globs: List[str] = []
+    for qid, clauses in queries:
+        off = 0
+        seen: set = set()  # duplicate clauses collapse (unordered span
+        # semantics — same dedup analyze_query applies on the near path)
+        for c in clauses:
+            if "*" in c or "?" in c:
+                key = ("g", c.lower())
+                if key in seen:
+                    continue
+                seen.add(key)
+                pat_rows.append((qid, off, wildcard_regex(c)))
+                globs.append(c)
+                off += 1
+            else:
+                for t in analyze_query(c, analyzer):
+                    key = ("t", t)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    lit_rows.append((qid, off, t))
+                    off += 1
+        n_off_counts[qid] = off
+    if not n_off_counts:
+        raise ValueError("no clauses")
+    n_off = spark.createDataFrame(
+        list(n_off_counts.items()), "qid long, n_off int"
+    )
+    dic = index.dictionary.select("term", "term_id", "df")
+    parts = []
+    if lit_rows:
+        ldf = spark.createDataFrame(lit_rows, "qid long, off int, term string")
+        parts.append(dic.join(F.broadcast(ldf), "term"))
+    if pat_rows:
+        pdf = spark.createDataFrame(pat_rows, "qid long, off int, rx string")
+        pdic = dic
+        keep = _glob_scan_filter(dic, globs)
+        if keep is not None:
+            pdic = dic.filter(keep)
+        expanded = pdic.join(
+            F.broadcast(pdf), F.expr("term rlike rx")
+        ).select("term", "term_id", "df", "qid", "off")
+        w = Window.partitionBy("qid", "off").orderBy(
+            F.desc("df"), F.asc("term")
+        )
+        parts.append(
+            expanded.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= max_expansions)
+            .drop("_r")
+        )
+    resolved = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    rows = resolved.select("qid", "off", "term_id").collect()
+    if not rows:
+        return spark.createDataFrame(
+            [], "qid long, rank int, doc_id long, score double"
+        )
+    ids = sorted({r["term_id"] for r in rows})
+    if len(ids) <= MAX_SCAN_PRUNE_IDS:
+        positions = positions.filter(F.col("term_id").isin(ids))
+    qsel = F.broadcast(
+        spark.createDataFrame(
+            [(r["qid"], r["off"], r["term_id"]) for r in rows],
+            "qid long, off int, term_id long",
+        )
+    )
+    # ONE positions probe: per-clause union positions AND union-df
+    merged = (
+        positions.join(qsel, "term_id")
+        .groupBy("qid", "doc_id", "off")
+        .agg(
+            F.first("doclen").alias("doclen"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("positions")))
+            ).alias("positions"),
+        )
+    )
+    n = float(index.stats.n_docs)
+    dfu = merged.groupBy("qid", "off").agg(F.count("*").alias("dfu"))
+    clause_idf = F.log(
+        (F.lit(n) - F.col("dfu") + F.lit(0.5)) / (F.col("dfu") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    idf_sums = (
+        dfu.select("qid", "off", clause_idf.alias("idf"))
+        .groupBy("qid")
+        .agg(F.sum("idf").alias("idf_sum"), F.count("*").alias("n_res"))
+        .join(F.broadcast(n_off), "qid")
+        .filter(F.col("n_res") == F.col("n_off"))
+        .select("qid", "idf_sum")
+    )
+    grouped = (
+        merged.select(
+            "qid", "doc_id", "doclen",
+            F.struct("off", "positions").alias("st"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.first("doclen").alias("doclen"),
+            F.collect_list("st").alias("structs"),
+        )
+        .join(F.broadcast(n_off), "qid")
+        .filter(F.size("structs") == F.col("n_off"))
+        .drop("n_off")
+    )
+    matched = _verify_and_count_near(grouped, window)
+    return _topk(_score_phrases(matched, idf_sums, index.stats.avgdl, k1, b), k)

@@ -588,3 +588,59 @@ def test_span_within_and_containing(spark):
     assert set(cont) == {1, 4}
     # doc 3: c before the window start -> excluded in both modes
     # doc 2: pair outside the window -> excluded
+
+def test_span_multi_vs_oracle(spark, index, positions, oracle):
+    """SpanMultiTermQueryWrapper-in-SpanNear: wildcard clause expands to
+    its top-df terms (capped), clause positions = union, clause idf =
+    union-df pseudo-term; engine == pure-Python twin including an
+    empty-expansion query (no rows) and a cap-binding broad glob."""
+    from dpr_spark.query.phrase import span_multi_search_index
+
+    toks = sorted(oracle.postings)
+    t0 = toks[0]
+    queries = [
+        (0, [t0[:2] + "*", toks[-1]]),
+        (1, [t0, toks[len(toks) // 2][:3] + "*"]),
+        (2, ["?" + t0[1:], toks[1]]),
+        (3, ["*", t0]),          # cap-binding: every term matches
+        (4, ["zzznope*", t0]),   # empty expansion -> no rows
+    ]
+    expect = {
+        qid: oracle.span_multi_search(cl, k=20, window=8, max_expansions=4)
+        for qid, cl in queries
+    }
+    assert sum(len(v) for v in expect.values()) > 0
+    assert not expect[4]
+    rows = span_multi_search_index(
+        spark, index, positions, queries, window=8, max_expansions=4, k=20
+    ).collect()
+    _check_topk(rows, expect, "span_multi")
+
+
+def test_span_multi_literal_only_equals_span_near(spark, index, positions, oracle):
+    """With no multi-term clause, span_multi degenerates to span-near
+    (same verify fold, idf of a 1-term union = plain idf)."""
+    from dpr_spark.query.phrase import (
+        span_multi_search_index,
+        span_near_search_index,
+    )
+
+    phrases = _corpus_phrases(oracle)
+    a = sorted(
+        map(
+            tuple,
+            span_multi_search_index(
+                spark, index, positions,
+                [(qid, p.split()) for qid, p in phrases], window=8, k=30,
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            span_near_search_index(
+                spark, index, positions, phrases, window=8, k=30
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
