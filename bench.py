@@ -362,7 +362,7 @@ def main() -> None:
         "url_canonical_latest", "boilerplate_strip", "pipeline_e2e",
         "dup_span_strip", "extended_stats", "dist_aggs",
         "matrix_stats", "t_test_paired", "lmjm_topk", "dfi_topk",
-        "span_multi_topk",
+        "span_multi_topk", "scripted_metric", "runtime_field_agg",
     ]:
         try:
             fn, _ = entries[name]

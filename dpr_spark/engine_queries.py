@@ -8034,6 +8034,114 @@ def q_dist_aggs() -> Entry:
     return fn, sql
 
 
+def q_scripted_metric() -> Entry:
+    """ES `scripted_metric` (query/aggs.py::scripted_metric_agg): the
+    user map/combine script computes per-batch partials (Σ ln v, Σ 1/v,
+    n over n_chars) and the reduce script folds them into geometric and
+    harmonic means per query. The twin is the closed form
+    exp(avg(ln v)) / n·(Σ 1/v)⁻¹. Rounded 6dp: the partial fold's
+    float order differs between engines by design — the CONTRACT is the
+    script phases, the values agree to rounding."""
+
+    def fn(spark, sf_dir):
+        import numpy as np
+        import pandas as pd
+
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import scripted_metric_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+
+        def map_partial(pdf):
+            v = pdf["n_chars"].astype("float64")
+            g = pd.DataFrame(
+                {
+                    "qid": pdf["qid"],
+                    "sum_ln": np.log(v),
+                    "sum_inv": 1.0 / v,
+                    "n": 1,
+                }
+            )
+            return g.groupby("qid", as_index=False).sum()
+
+        def reduce_partials(pdf):
+            n = float(pdf["n"].sum())
+            return pd.DataFrame(
+                {
+                    "qid": [int(pdf["qid"].iloc[0])],
+                    "n": [int(n)],
+                    "geo_mean": [float(np.exp(pdf["sum_ln"].sum() / n))],
+                    "harm_mean": [n / float(pdf["sum_inv"].sum())],
+                }
+            )
+
+        res = scripted_metric_agg(
+            qdf, idx, docs.select("doc_id", "n_chars"), ["n_chars"],
+            map_partial, reduce_partials,
+            "qid int, sum_ln double, sum_inv double, n long",
+            "qid int, n long, geo_mean double, harm_mean double",
+        )
+        return res.select(
+            "qid", "n",
+            F.round("geo_mean", 6).alias("geo_r"),
+            F.round("harm_mean", 6).alias("harm_r"),
+        )
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    mv AS (SELECT m.qid, d.n_chars::DOUBLE AS v
+           FROM matches m JOIN documents d USING (doc_id))
+    SELECT qid, count(*) AS n,
+           round(exp(sum(ln(v)) / count(*)), 6) AS geo_r,
+           round(count(*) / sum(1.0 / v), 6) AS harm_r
+    FROM mv GROUP BY 1"""
+    return fn, sql
+
+
+def q_runtime_field_agg() -> Entry:
+    """ES runtime fields: a query-time computed field (chars-per-token
+    = n_chars / doclen, never materialized in the index) used directly
+    as an aggregation bucket over the match set — floor(v) buckets with
+    counts. The Spark side IS the contract: runtime field ≡ a select
+    expression Catalyst folds into the scan."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import _matches
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        vals = docs.select("doc_id", "n_chars").join(
+            idx.docstats.select("doc_id", "doclen"), "doc_id"
+        )
+        runtime = F.floor(
+            F.col("n_chars").cast("double") / F.col("doclen").cast("double")
+        ).alias("cpt")
+        m = _matches(qdf, idx).join(vals, "doc_id").select("qid", runtime)
+        return (
+            m.groupBy("qid", "cpt")
+            .agg(F.count("*").alias("count"))
+            .select("qid", "cpt", "count")
+        )
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    ds AS (SELECT doc_id, len(toks) AS doclen FROM tok),
+    mv AS (SELECT m.qid,
+                  floor(d.n_chars::DOUBLE / ds.doclen::DOUBLE)::BIGINT AS cpt
+           FROM matches m JOIN documents d USING (doc_id)
+                JOIN ds USING (doc_id))
+    SELECT qid, cpt, count(*) AS count FROM mv GROUP BY 1, 2"""
+    return fn, sql
+
+
 SPAN_MULTI_QUERIES = [
     (0, ["spark", "wind*"]),
     (1, ["cust*", "join"]),
@@ -8608,4 +8716,6 @@ def all_entries() -> Dict[str, Entry]:
         "lmjm_topk": q_lmjm_topk(),
         "dfi_topk": q_dfi_topk(),
         "span_multi_topk": q_span_multi_topk(),
+        "scripted_metric": q_scripted_metric(),
+        "runtime_field_agg": q_runtime_field_agg(),
     }

@@ -756,6 +756,41 @@ def value_count_missing_agg(
     )
 
 
+def scripted_metric_agg(
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    fields: Sequence[str],
+    map_partial,
+    reduce_partials,
+    partial_schema: str,
+    out_schema: str,
+) -> DataFrame:
+    """ES `scripted_metric` with Spark-shaped phases: the user's
+    map/combine script runs as `map_partial(pdf) -> partial rows per
+    qid` over each Arrow batch of the match set (the per-shard
+    map+combine), and `reduce_partials(pdf) -> one row` folds a query's
+    partials (the coordinating reduce). Only combined partials shuffle
+    — the map-side-combine contract ES documents for scripted_metric,
+    here enforced by construction.
+
+    Scripts are vectorized pandas (never per-row Python); the match-set
+    join is the only doc-sized motion."""
+    m = _matches(queries, index).join(
+        doc_values.select("doc_id", *fields), "doc_id"
+    )
+
+    def _map(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield map_partial(pdf)
+
+    partials = m.mapInPandas(_map, schema=partial_schema)
+    return partials.groupBy("qid").applyInPandas(
+        lambda pdf: reduce_partials(pdf), schema=out_schema
+    )
+
+
 def pipeline_metrics(
     buckets: DataFrame,
     partition_col: str = "qid",
