@@ -363,6 +363,7 @@ def main() -> None:
         "dup_span_strip", "extended_stats", "dist_aggs",
         "matrix_stats", "t_test_paired", "lmjm_topk", "dfi_topk",
         "span_multi_topk", "scripted_metric", "runtime_field_agg",
+        "geo_bounding_box", "geo_bounds_centroid",
     ]:
         try:
             fn, _ = entries[name]

@@ -8034,6 +8034,95 @@ def q_dist_aggs() -> Entry:
     return fn, sql
 
 
+GEO_BOX_QUERIES = [
+    (0, 30.0, -50.0, -10.0, 40.0),
+    (1, 59.0, 100.0, 20.0, 149.0),
+    (2, -20.0, -149.0, -59.0, -60.0),
+    (3, 5.0, -5.0, -5.0, 5.0),
+    (4, -59.0, 140.0, -60.0, 149.0),  # sliver: few/no docs
+]
+
+
+def q_geo_bounding_box() -> Entry:
+    """ES geo_bounding_box filter (query/geo.py::geo_bounding_box_search):
+    constant-score box containment, doc_id-ascending rank — the join
+    condition is pure lat/lon range predicates (the BKD box visit with
+    no verify phase)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.query.geo import geo_bounding_box_search
+
+        geo = _doc_geo(spark, sf_dir)
+        res = geo_bounding_box_search(spark, GEO_BOX_QUERIES, geo, k=15)
+        return res.select(
+            "qid", "rank", "doc_id",
+            F.round("lat", 6).alias("lat_r"),
+            F.round("lon", 6).alias("lon_r"),
+        )
+
+    qvals = ", ".join(
+        f"({qid}, {t!r}::DOUBLE, {l!r}::DOUBLE, {b!r}::DOUBLE, {r!r}::DOUBLE)"
+        for qid, t, l, b, r in GEO_BOX_QUERIES
+    )
+    sql = f"""
+    WITH geo AS (SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon
+                 FROM documents),
+    gq AS (SELECT * FROM (VALUES {qvals}) AS q(qid, t, l, b, r)),
+    hit AS (SELECT gq.qid, geo.doc_id, geo.lat, geo.lon
+            FROM gq JOIN geo ON geo.lat <= gq.t AND geo.lat >= gq.b
+                 AND geo.lon >= gq.l AND geo.lon <= gq.r),
+    ranked AS (SELECT qid, doc_id, lat, lon,
+                      row_number() OVER (PARTITION BY qid ORDER BY doc_id)
+                        AS rank
+               FROM hit)
+    SELECT qid, rank, doc_id, round(lat, 6) AS lat_r, round(lon, 6) AS lon_r
+    FROM ranked WHERE rank <= 15"""
+    return fn, sql
+
+
+def q_geo_bounds_centroid() -> Entry:
+    """ES geo_bounds + geo_centroid over each query's match set
+    (query/geo.py::geo_bounds_centroid_agg): bounding box of matched
+    points + arithmetic centroid, both engines on bit-identical
+    integer-derived coordinates."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import _matches
+        from dpr_spark.query.geo import geo_bounds_centroid_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = geo_bounds_centroid_agg(
+            _matches(qdf, idx), _doc_geo(spark, sf_dir)
+        )
+        return res.select(
+            "qid", "n",
+            F.round("top", 6).alias("top_r"),
+            F.round("bottom", 6).alias("bottom_r"),
+            F.round("left", 6).alias("left_r"),
+            F.round("right", 6).alias("right_r"),
+            F.round("c_lat", 6).alias("clat_r"),
+            F.round("c_lon", 6).alias("clon_r"),
+        )
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    geo AS (SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon
+            FROM documents),
+    mv AS (SELECT m.qid, g.lat, g.lon
+           FROM matches m JOIN geo g USING (doc_id))
+    SELECT qid, count(*) AS n,
+           round(max(lat), 6) AS top_r, round(min(lat), 6) AS bottom_r,
+           round(min(lon), 6) AS left_r, round(max(lon), 6) AS right_r,
+           round(avg(lat), 6) AS clat_r, round(avg(lon), 6) AS clon_r
+    FROM mv GROUP BY 1"""
+    return fn, sql
+
+
 def q_scripted_metric() -> Entry:
     """ES `scripted_metric` (query/aggs.py::scripted_metric_agg): the
     user map/combine script computes per-batch partials (Σ ln v, Σ 1/v,
@@ -8718,4 +8807,6 @@ def all_entries() -> Dict[str, Entry]:
         "span_multi_topk": q_span_multi_topk(),
         "scripted_metric": q_scripted_metric(),
         "runtime_field_agg": q_runtime_field_agg(),
+        "geo_bounding_box": q_geo_bounding_box(),
+        "geo_bounds_centroid": q_geo_bounds_centroid(),
     }

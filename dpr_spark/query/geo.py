@@ -139,3 +139,56 @@ def geotile_grid_agg(
         .filter(F.col("rank") <= size)
         .select(partition_col, "rank", "tile_x", "tile_y", "count")
     )
+
+def geo_bounding_box_search(
+    spark: SparkSession,
+    queries: Sequence[Tuple[int, float, float, float, float]],
+    doc_geo: DataFrame,
+    k: int = DEFAULT_TOP_K,
+) -> DataFrame:
+    """ES geo_bounding_box filter: queries = (qid, top, left, bottom,
+    right) -> (qid, rank, doc_id, lat, lon) for docs inside the box,
+    doc_id ascending (a filter has no score — the ES constant-score
+    contract; rank is the deterministic tiebreak order).
+
+    Scale shape: boxes broadcast; the join condition is pure range
+    predicates on lat/lon — pushable into the scan at rest, exactly the
+    BKD box visit with no verify phase needed."""
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            list(queries), "qid long, top double, left double, bottom double, right double"
+        )
+    )
+    hit = doc_geo.join(
+        qdf,
+        (F.col("lat") <= F.col("top"))
+        & (F.col("lat") >= F.col("bottom"))
+        & (F.col("lon") >= F.col("left"))
+        & (F.col("lon") <= F.col("right")),
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("doc_id"))
+    return (
+        hit.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "lat", "lon")
+    )
+
+
+def geo_bounds_centroid_agg(
+    matches: DataFrame, doc_geo: DataFrame
+) -> DataFrame:
+    """ES geo_bounds + geo_centroid over a (qid, doc_id) match set:
+    (qid, n, top, bottom, left, right, c_lat, c_lon) — the bounding
+    box of matched points and their arithmetic centroid (valid away
+    from the antimeridian, which the doc-geo contract guarantees)."""
+    m = matches.join(doc_geo, "doc_id")
+    return m.groupBy("qid").agg(
+        F.count("*").alias("n"),
+        F.max("lat").alias("top"),
+        F.min("lat").alias("bottom"),
+        F.min("lon").alias("left"),
+        F.max("lon").alias("right"),
+        F.avg("lat").alias("c_lat"),
+        F.avg("lon").alias("c_lon"),
+    )
+
