@@ -514,3 +514,25 @@ def test_shingled_pushes_resolved_gram_ids_into_stored_scan(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [In(gram_id" in plan
     assert df.count() > 0
+
+def test_span_multi_plan_shapes(spark, index):
+    """span_multi keeps the repo's probe discipline: the capped
+    expansion set is broadcast and the positions side is probed in
+    place (IN-pruned scan, never hash-exchanged on term_id); the glob's
+    leading literal reaches the dictionary scan as a StartsWith."""
+    from dpr_spark.query.phrase import build_positions, span_multi_search_index
+
+    pos = build_positions(
+        index.docstats.select("doc_id", F.lit("word one word").alias("text")),
+        index.dictionary,
+    )
+    df = span_multi_search_index(
+        spark, index, pos, [(0, ["wo*", "one"])], window=8, k=5
+    )
+    plan = _explain(df)
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(term_id" not in plan
+    # the IN-prune survived into the plan (Catalyst spells a large
+    # literal list INSET, a small one IN)
+    flat = plan.replace("#", " ")
+    assert "INSET" in plan or " IN " in flat, plan[:2000]
