@@ -363,7 +363,7 @@ def main() -> None:
         "dup_span_strip", "extended_stats", "dist_aggs",
         "matrix_stats", "t_test_paired", "lmjm_topk", "dfi_topk",
         "span_multi_topk", "scripted_metric", "runtime_field_agg",
-        "geo_bounding_box", "geo_bounds_centroid",
+        "geo_bounding_box", "geo_bounds_centroid", "alias_rollover_topk",
     ]:
         try:
             fn, _ = entries[name]

@@ -8123,6 +8123,50 @@ def q_geo_bounds_centroid() -> Entry:
     return fn, sql
 
 
+def q_alias_rollover_topk() -> Entry:
+    """Alias + rollover lifecycle (index/aliases.py; ES `_rollover` /
+    `_aliases`): the documents table arrives as three rollover
+    generations (doc_id mod 3), each its own index behind one alias;
+    searching the alias merges the generations WITHOUT retokenizing
+    (global df/N/avgdl — the ES coordinator contract) and must rank
+    exactly like one index over the whole table."""
+
+    def fn(spark, sf_dir):
+        import tempfile
+
+        from dpr_spark.index.aliases import AliasCatalog, search_alias
+        from dpr_spark.index.build import build_index_from_docs
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        cat = AliasCatalog(tempfile.mkdtemp(prefix="alias_"))
+        cat.create("corpus", "corpus-000001")
+        cat.rollover("corpus", 1, 1)
+        cat.rollover("corpus", 1, 1)
+        names = cat.resolve("corpus")
+        indexes = {
+            n: build_index_from_docs(
+                spark, docs.filter(F.col("doc_id") % 3 == i),
+                build_blocks=False,
+            )
+            for i, n in enumerate(names)
+        }
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search_alias(spark, cat, "corpus", indexes, qdf, k=10).select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + "SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"
+    )
+    return fn, sql
+
+
 def q_scripted_metric() -> Entry:
     """ES `scripted_metric` (query/aggs.py::scripted_metric_agg): the
     user map/combine script computes per-batch partials (Σ ln v, Σ 1/v,
@@ -8809,4 +8853,5 @@ def all_entries() -> Dict[str, Entry]:
         "runtime_field_agg": q_runtime_field_agg(),
         "geo_bounding_box": q_geo_bounding_box(),
         "geo_bounds_centroid": q_geo_bounds_centroid(),
+        "alias_rollover_topk": q_alias_rollover_topk(),
     }
