@@ -364,6 +364,7 @@ def main() -> None:
         "matrix_stats", "t_test_paired", "lmjm_topk", "dfi_topk",
         "span_multi_topk", "scripted_metric", "runtime_field_agg",
         "geo_bounding_box", "geo_bounds_centroid", "alias_rollover_topk",
+        "significant_terms_bg", "date_range_agg", "indices_boost_topk",
     ]:
         try:
             fn, _ = entries[name]

@@ -8123,6 +8123,176 @@ def q_geo_bounds_centroid() -> Entry:
     return fn, sql
 
 
+def q_significant_terms_bg() -> Entry:
+    """ES significant_terms with background_filter (query/aggs.py): JLH
+    scores where bg% is the term's df WITHIN the lang='en' document set
+    over that set's size (not the global dictionary stats). Terms
+    absent from the background drop out (ES expects the background to
+    contain the foreground)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import significant_terms
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        bg = docs.filter(F.col("lang") == "en").select("doc_id")
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = significant_terms(
+            qdf, idx, size=5, min_fg=2, background=bg
+        ).select(
+            "qid", "term", "fg_count", "bg_count",
+            F.round("score", 6).alias("score_r"),
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("term"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "term", "fg_count", "bg_count", "score_r"
+        )
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    nmatch AS (SELECT qid, count(*) AS n_matches FROM matches GROUP BY 1),
+    bset AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    bstats AS (SELECT count(*)::DOUBLE AS n FROM bset),
+    bdict AS (SELECT tf.term, count(*) AS df
+              FROM tf JOIN bset USING (doc_id) GROUP BY 1),
+    fg AS (
+      SELECT m.qid, tf.term, count(*) AS fg_count
+      FROM matches m JOIN tf USING (doc_id) GROUP BY 1, 2
+      HAVING count(*) >= 2),
+    scored AS (
+      SELECT fg.qid, fg.term, fg.fg_count, bdict.df AS bg_count,
+             ((fg.fg_count / nm.n_matches) - (bdict.df / bstats.n))
+             * ((fg.fg_count / nm.n_matches) / (bdict.df / bstats.n)) AS score
+      FROM fg JOIN bdict USING (term) JOIN nmatch nm USING (qid)
+           CROSS JOIN bstats),
+    ranked_s AS (
+      SELECT qid, term, fg_count, bg_count, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, term) AS rank
+      FROM scored)
+    SELECT qid, rank, term, fg_count, bg_count, score_r
+    FROM ranked_s WHERE rank <= 5"""
+    return fn, sql
+
+
+DATE_RANGES = [
+    (None, "2025-01-15"),
+    ("2025-01-15", "2025-02-01"),
+    ("2025-02-01", None),
+    ("2025-01-10", "2025-01-20"),  # overlaps bucket 1 and 2
+]
+
+
+def q_date_range_agg() -> Entry:
+    """ES `date_range` over the match set (query/aggs.py::
+    date_range_agg): ISO-boundary [from, to) buckets on the synthesized
+    warc_ts (2025-01-01 + doc_id%45 days), possibly overlapping, in ONE
+    pass (conditional sums + stack — N ranges never cost N scans)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import date_range_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        vals = docs.select(
+            "doc_id",
+            F.to_timestamp(
+                F.date_add(
+                    F.lit("2025-01-01").cast("date"),
+                    F.pmod("doc_id", F.lit(45)).cast("int"),
+                )
+            ).alias("warc_ts"),
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        return date_range_agg(qdf, idx, vals, "warc_ts", DATE_RANGES)
+
+    cases = []
+    for lo, hi in DATE_RANGES:
+        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        conds = []
+        if lo is not None:
+            conds.append(f"ts >= TIMESTAMP '{lo}'")
+        if hi is not None:
+            conds.append(f"ts < TIMESTAMP '{hi}'")
+        cond = " AND ".join(conds) or "TRUE"
+        cases.append(
+            f"SELECT qid, '{key}' AS range_key,"
+            f" sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS count"
+            f" FROM mv GROUP BY 1"
+        )
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    mv AS (SELECT m.qid,
+                  (DATE '2025-01-01' + (m.doc_id % 45)::INT)::TIMESTAMP AS ts
+           FROM matches m)
+    {" UNION ALL ".join(cases)}"""
+    return fn, sql
+
+
+ALIAS_BOOSTS = {"corpus-000001": 1.0, "corpus-000002": 1.5, "corpus-000003": 0.5}
+
+
+def q_indices_boost_topk() -> Entry:
+    """ES `indices_boost` on an alias search (index/aliases.py): three
+    rollover generations (doc_id mod 3) searched with per-generation
+    score multipliers — global merged statistics, boost applied after
+    scoring, BEFORE top-k selection. The twin boosts the full-corpus
+    BM25 score by CASE doc_id % 3."""
+
+    def fn(spark, sf_dir):
+        import tempfile
+
+        from dpr_spark.index.aliases import AliasCatalog, search_alias
+        from dpr_spark.index.build import build_index_from_docs
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        cat = AliasCatalog(tempfile.mkdtemp(prefix="alias_"))
+        cat.create("corpus", "corpus-000001")
+        cat.rollover("corpus", 1, 1)
+        cat.rollover("corpus", 1, 1)
+        names = cat.resolve("corpus")
+        indexes = {
+            n: build_index_from_docs(
+                spark, docs.filter(F.col("doc_id") % 3 == i),
+                build_blocks=False,
+            )
+            for i, n in enumerate(names)
+        }
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search_alias(
+            spark, cat, "corpus", indexes, qdf, k=10, boosts=ALIAS_BOOSTS
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + """,
+      boosted AS (
+        SELECT qid, doc_id,
+               score * (CASE doc_id % 3 WHEN 0 THEN 1.0::DOUBLE
+                        WHEN 1 THEN 1.5::DOUBLE ELSE 0.5::DOUBLE END)
+                 AS bscore
+        FROM scored),
+      branked AS (
+        SELECT qid, doc_id, round(bscore, 6) AS score_r,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY round(bscore, 6) DESC, doc_id) AS rank
+        FROM boosted)
+      SELECT qid, rank, doc_id, score_r FROM branked WHERE rank <= 10"""
+    )
+    return fn, sql
+
+
 def q_alias_rollover_topk() -> Entry:
     """Alias + rollover lifecycle (index/aliases.py; ES `_rollover` /
     `_aliases`): the documents table arrives as three rollover
@@ -8854,4 +9024,7 @@ def all_entries() -> Dict[str, Entry]:
         "geo_bounding_box": q_geo_bounding_box(),
         "geo_bounds_centroid": q_geo_bounds_centroid(),
         "alias_rollover_topk": q_alias_rollover_topk(),
+        "significant_terms_bg": q_significant_terms_bg(),
+        "date_range_agg": q_date_range_agg(),
+        "indices_boost_topk": q_indices_boost_topk(),
     }

@@ -142,13 +142,25 @@ def search_alias(
     indexes: Dict[str, object],
     queries,
     k: int = 10,
+    boosts: Optional[Dict[str, float]] = None,
 ):
     """BM25 top-k over every generation behind `alias`: generations
     merge WITHOUT retokenizing (dictionary union + summed df + term_id
     rewrite — global statistics, the ES coordinator contract), then the
-    production segments engine searches the merged index."""
+    production segments engine searches the merged index.
+
+    `boosts` (ES `indices_boost`): per-generation score multipliers.
+    Scoring stays on the merged global statistics (stricter than ES,
+    which scores each index with its own stats unless dfs_query_
+    then_fetch); the boost joins each doc's origin generation AFTER
+    scoring and BEFORE top-k selection. The origin map is each
+    generation's docstats doc_ids — doc-sized, co-partitioned on
+    doc_id, never broadcast."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     from dpr_spark.index.merge import merge_indexes
-    from dpr_spark.query.scorer import search
+    from dpr_spark.query.scorer import score_exact, search, top_k
 
     names = catalog.resolve(alias)
     missing = [n for n in names if n not in indexes]
@@ -156,4 +168,19 @@ def search_alias(
         raise AliasError(f"unregistered generations {missing}")
     gens = [indexes[n] for n in names]
     idx = gens[0] if len(gens) == 1 else merge_indexes(spark, gens)
-    return search(queries, idx, k=k)
+    if not boosts:
+        return search(queries, idx, k=k)
+    origin = None
+    for n in names:
+        part = indexes[n].docstats.select(
+            "doc_id", F.lit(float(boosts.get(n, 1.0))).alias("boost")
+        )
+        origin = part if origin is None else origin.unionByName(part)
+    scored = (
+        score_exact(queries, idx)
+        .join(origin, "doc_id")
+        .select(
+            "qid", "doc_id", (F.col("score") * F.col("boost")).alias("score")
+        )
+    )
+    return top_k(scored, k)

@@ -207,6 +207,7 @@ def significant_terms(
     size: int = 10,
     min_fg: int = 2,
     salt_buckets: Optional[int] = None,
+    background: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(qid, term, fg_count, bg_count, score, rank): terms UNUSUALLY
     frequent in a query's match set vs the whole corpus — the ES
@@ -217,6 +218,13 @@ def significant_terms(
 
     fg_count counts MATCHING docs containing the term (document
     frequency within the foreground, like ES); min_fg prunes noise.
+    With `background` (ES background_filter: a (doc_id) set), bg% uses
+    the term's df WITHIN that set over its size instead of the global
+    dictionary stats — the one extra cost is a postings ⋈ background
+    co-partitioned join whose output collapses to vocab-sized counts;
+    compute it once per (background, index) and cache when reused. Terms
+    absent from the background set drop out (ES expects the background
+    to contain the foreground; a 0 bg-count has no defined JLH score).
     Exact — no shard approximation and no sampling (ES's sampler
     aggregation is the knob it needs because a node recomputes term
     vectors; here the postings table already holds the counts).
@@ -238,9 +246,23 @@ def significant_terms(
         .agg(F.count("*").alias("fg_count"))
         .filter(F.col("fg_count") >= min_fg)
     )
-    n_docs = float(index.stats.n_docs)
+    if background is None:
+        n_docs = float(index.stats.n_docs)
+        bg = index.dictionary.select("term_id", "term", "df")
+    else:
+        bset = background.select("doc_id").distinct()
+        n_docs = float(bset.count())
+        bg_counts = (
+            index.postings.select("term_id", "doc_id")
+            .join(bset, "doc_id")
+            .groupBy("term_id")
+            .agg(F.count("*").alias("df"))
+        )
+        bg = index.dictionary.select("term_id", "term").join(
+            bg_counts, "term_id"
+        )
     scored = (
-        fg.join(index.dictionary.select("term_id", "term", "df"), "term_id")
+        fg.join(bg, "term_id")
         .join(F.broadcast(n_match), "qid")
         .withColumn("_fgr", F.col("fg_count") / F.col("n_matches"))
         .withColumn("_bgr", F.col("df").cast("double") / F.lit(n_docs))
@@ -542,6 +564,39 @@ def sample_docs(
     return cap_per_key(s, ["qid"], order, shard_size, salt_buckets)
 
 
+def _range_conditions(field_col, ranges, cast_fn):
+    """[(key, condition)] for explicit [lo, hi) buckets; None unbounded."""
+    out = []
+    for lo, hi in ranges:
+        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (field_col >= cast_fn(lo))
+        if hi is not None:
+            cond = cond & (field_col < cast_fn(hi))
+        out.append((key, cond))
+    return out
+
+
+def _one_pass_ranges(m: DataFrame, conds) -> DataFrame:
+    """ONE pass over the match set: every range is a conditional sum in
+    a single (qid) groupBy, then a stack() unpivot emits the
+    (qid, range_key, count) rows — ranges-sized output, zero extra
+    scans. (ES ranges may overlap: a doc lands in every range containing
+    its value; empty ranges emit 0 — the range list is the schema.)"""
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).alias(f"_r{i}")
+        for i, (_k, cond) in enumerate(conds)
+    ]
+    per_q = m.groupBy("qid").agg(*aggs)
+    stack = ", ".join(
+        f"'{k}', _r{i}" for i, (k, _c) in enumerate(conds)
+    )
+    return per_q.selectExpr(
+        "qid", f"stack({len(conds)}, {stack}) as (range_key, count)"
+    )
+
+
 def range_agg(
     queries: DataFrame,
     index: InvertedIndex,
@@ -550,41 +605,35 @@ def range_agg(
     ranges: Sequence[tuple],
 ) -> DataFrame:
     """(qid, range_key, count) — ES `range` aggregation over the match
-    set: explicit [lo, hi) buckets; None = unbounded. A doc lands in
-    EVERY range containing its value (ES ranges may overlap). Empty
-    ranges emit count 0 (the ES contract — the range list is the
-    schema), via a per-qid range cross that is ranges-sized, never
-    doc-sized."""
+    set: explicit [lo, hi) buckets; None = unbounded. One pass — each
+    range is a conditional sum in the same groupBy (N ranges never cost
+    N scans of the match set)."""
     m = _matches(queries, index).join(
         doc_values.select("doc_id", field), "doc_id"
     )
     v = F.col(field).cast("double")
-    rows = []
-    for lo, hi in ranges:
-        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
-        rows.append((key, lo, hi))
-    counts = None
-    for key, lo, hi in rows:
-        cond = F.lit(True)
-        if lo is not None:
-            cond = cond & (v >= F.lit(float(lo)))
-        if hi is not None:
-            cond = cond & (v < F.lit(float(hi)))
-        c = m.filter(cond).groupBy("qid").agg(F.count("*").alias("count"))
-        c = c.select("qid", F.lit(key).alias("range_key"), "count")
-        counts = c if counts is None else counts.unionByName(c)
-    # densify: every (matched qid, range) appears, zero-filled
-    qids = m.select("qid").distinct()
-    keys = qids.crossJoin(
-        qids.sparkSession.createDataFrame(
-            [(k,) for k, _, _ in rows], "range_key string"
-        )
+    conds = _range_conditions(v, ranges, lambda x: F.lit(float(x)))
+    return _one_pass_ranges(m, conds)
+
+
+def date_range_agg(
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    field: str,
+    ranges: Sequence[tuple],
+) -> DataFrame:
+    """(qid, range_key, count) — ES `date_range`: the range aggregation
+    on a timestamp field with ISO-date boundaries, [from, to) like ES
+    (from inclusive, to exclusive). Same one-pass shape as range_agg."""
+    v = F.col(field)
+    conds = _range_conditions(
+        v, ranges, lambda x: F.to_timestamp(F.lit(x))
     )
-    return (
-        keys.join(counts, ["qid", "range_key"], "left")
-        .fillna(0, ["count"])
-        .select("qid", "range_key", "count")
+    m = _matches(queries, index).join(
+        doc_values.select("doc_id", field), "doc_id"
     )
+    return _one_pass_ranges(m, conds)
 
 
 def composite_agg(
