@@ -29,7 +29,7 @@ OTHER = (
 )
 
 
-def _write_batch(path, rows):
+def _write_batch(path, rows, order=0):
     pq.write_table(
         pa.table(
             {
@@ -43,6 +43,13 @@ def _write_batch(path, rows):
         ),
         path,
     )
+    # the file source orders batches by modification time; two files
+    # written in the same clock tick would arrive in UNDEFINED order —
+    # pin arrival order explicitly (this test models sequenced arrival)
+    import os
+
+    t = 1_700_000_000 + order * 60
+    os.utime(path, (t, t))
 
 
 def test_streaming_neardup_within_and_across_batches(spark, tmp_path):
@@ -54,12 +61,14 @@ def test_streaming_neardup_within_and_across_batches(spark, tmp_path):
     _write_batch(
         str(src / "b1.parquet"),
         [("a1", 10, BASE), ("a2", 5, NEAR), ("b1", 7, OTHER)],
+        order=0,
     )
     # b2: a near-copy of BASE from a new url (ledger hit), an exact copy
     # of OTHER (ledger hit), and a brand-new doc
     _write_batch(
         str(src / "b2.parquet"),
         [("c1", 20, NEAR), ("c2", 21, OTHER), ("d1", 22, BASE + " extra tail entirely new words appended here")],
+        order=1,
     )
 
     d = StreamingNearDeduper(spark, str(tmp_path / "nd"), threshold=0.5)
