@@ -8123,6 +8123,60 @@ def q_geo_bounds_centroid() -> Entry:
     return fn, sql
 
 
+COMMON_TERMS_CUTOFF = 0.78
+
+
+def q_common_terms_topk() -> Entry:
+    """Lucene CommonTermsQuery (query/commonterms.py): terms with
+    df > cutoff·N are scoring-only — candidates come from the
+    low-frequency terms' short posting lists; a query whose terms are
+    all high-frequency falls back to all-generate. The twin filters the
+    full BM25 ranking to the candidate contract. (cutoff=0.78 splits
+    the synthetic corpus's query terms both ways, including one
+    all-high query.)"""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.commonterms import common_terms_search
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = common_terms_search(
+            qdf, idx, cutoff=COMMON_TERMS_CUTOFF, k=10
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + f""",
+      qdf AS (SELECT qt.qid, qt.term, dict.df
+              FROM qt JOIN dict USING (term)),
+      nlow AS (SELECT qid,
+                      sum(CASE WHEN df <= {COMMON_TERMS_CUTOFF} * (SELECT n FROM stats)
+                               THEN 1 ELSE 0 END) AS n_low
+               FROM qdf GROUP BY 1),
+      gens AS (SELECT q.qid, q.term
+               FROM qdf q JOIN nlow USING (qid)
+               WHERE q.df <= {COMMON_TERMS_CUTOFF} * (SELECT n FROM stats)
+                  OR nlow.n_low = 0),
+      cand AS (SELECT DISTINCT g.qid, tf.doc_id
+               FROM gens g JOIN tf USING (term)),
+      cranked AS (
+        SELECT s.qid, s.doc_id, round(s.score, 6) AS score_r,
+               row_number() OVER (PARTITION BY s.qid
+                                  ORDER BY round(s.score, 6) DESC, s.doc_id)
+                 AS rank
+        FROM scored s JOIN cand USING (qid, doc_id))
+      SELECT qid, rank, doc_id, score_r FROM cranked WHERE rank <= 10"""
+    )
+    return fn, sql
+
+
 def q_significant_terms_bg() -> Entry:
     """ES significant_terms with background_filter (query/aggs.py): JLH
     scores where bg% is the term's df WITHIN the lang='en' document set
@@ -9027,4 +9081,5 @@ def all_entries() -> Dict[str, Entry]:
         "significant_terms_bg": q_significant_terms_bg(),
         "date_range_agg": q_date_range_agg(),
         "indices_boost_topk": q_indices_boost_topk(),
+        "common_terms_topk": q_common_terms_topk(),
     }
