@@ -52,10 +52,18 @@ def main(argv=None) -> None:
                     help="dictionary terms the phrase_prefix last token "
                          "expands to (term order, Lucene TermEnum contract)")
     ap.add_argument("--eval", action="store_true")
-    ap.add_argument("--similarity", choices=["bm25", "classic", "lmdirichlet"],
+    ap.add_argument("--similarity",
+                    choices=["bm25", "classic", "lmdirichlet",
+                             "lmjelinekmercer", "dfi"],
                     default="bm25",
                     help="scoring formula (--engine exact only): Lucene "
-                         "ClassicSimilarity / LMDirichletSimilarity analogs")
+                         "ClassicSimilarity / LMDirichletSimilarity / "
+                         "LMJelinekMercerSimilarity / DFISimilarity analogs")
+    ap.add_argument("--common-terms", type=float, default=None,
+                    metavar="CUTOFF",
+                    help="CommonTermsQuery: terms with df > CUTOFF*N are "
+                         "scoring-only (candidates come from the rare "
+                         "terms' short posting lists)")
     ap.add_argument("--regexp", action="store_true",
                     help="treat each question as an anchored regex over the "
                          "term dictionary (RegexpQuery rewrite; --engine "
@@ -266,6 +274,12 @@ def main(argv=None) -> None:
             lambda c: decay_expr(c, kind, origin=origin, scale=scale, decay=decay),
             k=args.k, deletes=deletes,
         )
+    elif args.common_terms is not None:
+        from dpr_spark.query.commonterms import common_terms_search
+
+        results = common_terms_search(
+            queries, idx, cutoff=args.common_terms, k=args.k
+        )
     elif args.similarity != "bm25":
         from dpr_spark.query.similarity import search_similarity
 
@@ -373,6 +387,8 @@ def main(argv=None) -> None:
         engine_label = "regexp"
     elif args.boost:
         engine_label = "exact+boost"
+    elif args.common_terms is not None:
+        engine_label = "common_terms"
     elif args.similarity != "bm25":
         engine_label = args.similarity
     else:

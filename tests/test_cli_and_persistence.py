@@ -119,6 +119,19 @@ def test_cli_build_and_query(tmp_path, pages_pdf, queries_pdf):
     nrows = _pq.read_table(str(tmp_path / "run_rm3" / "results")).num_rows
     assert nrows > 0
 
+    # CommonTermsQuery mode: rare terms generate, frequent terms score
+    out5 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "query.py"),
+         "--index", str(tmp_path / "idx"), "--queries", str(tmp_path / "qa.tsv"),
+         "--k", "5", "--out", str(tmp_path / "run_ct"),
+         "--engine", "exact", "--common-terms", "0.5"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out5.returncode == 0, out5.stderr[-2000:]
+    assert "[common_terms]" in out5.stdout
+    nrows = _pq.read_table(str(tmp_path / "run_ct" / "results")).num_rows
+    assert nrows > 0
+
 
 @pytest.mark.slow
 def test_cli_blockmax_storage_roundtrip(tmp_path, pages_pdf, queries_pdf):
