@@ -8123,6 +8123,44 @@ def q_geo_bounds_centroid() -> Entry:
     return fn, sql
 
 
+def q_rollup_events_agg() -> Entry:
+    """ES rollup / TSDB downsampling (extras/rollup.py): the events
+    table pre-aggregated into a DAY rollup per event_type, then a WEEK
+    histogram answered from the rollup ONLY — must equal the twin's
+    direct aggregation over raw events (the exactness-of-aligned-
+    rollup contract: sum of sums, min of mins, avg re-derived as
+    sum/count)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.rollup import build_rollup, rollup_histogram
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        day = build_rollup(
+            ev, ts_col="ts", unit="day", group_cols=["event_type"]
+        )
+        res = rollup_histogram(day, "day", "week", group_cols=["event_type"])
+        return res.select(
+            F.date_format("bucket", "yyyy-MM-dd").alias("week"),
+            "event_type",
+            "n",
+            F.round("sum_v", 6).alias("sum_r"),
+            F.round("min_v", 6).alias("min_r"),
+            F.round("max_v", 6).alias("max_r"),
+            F.round("avg_v", 6).alias("avg_r"),
+        )
+
+    sql = """
+    SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 6) AS sum_r,
+           round(min(value), 6) AS min_r,
+           round(max(value), 6) AS max_r,
+           round(sum(value) / count(*), 6) AS avg_r
+    FROM events GROUP BY 1, 2"""
+    return fn, sql
+
+
 COMMON_TERMS_CUTOFF = 0.78
 
 
@@ -9082,4 +9120,5 @@ def all_entries() -> Dict[str, Entry]:
         "date_range_agg": q_date_range_agg(),
         "indices_boost_topk": q_indices_boost_topk(),
         "common_terms_topk": q_common_terms_topk(),
+        "rollup_events_agg": q_rollup_events_agg(),
     }
