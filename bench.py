@@ -365,7 +365,7 @@ def main() -> None:
         "span_multi_topk", "scripted_metric", "runtime_field_agg",
         "geo_bounding_box", "geo_bounds_centroid", "alias_rollover_topk",
         "significant_terms_bg", "date_range_agg", "indices_boost_topk",
-        "common_terms_topk", "rollup_events_agg",
+        "common_terms_topk", "rollup_events_agg", "transform_pivot",
     ]:
         try:
             fn, _ = entries[name]

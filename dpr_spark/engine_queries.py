@@ -8123,6 +8123,58 @@ def q_geo_bounds_centroid() -> Entry:
     return fn, sql
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_transform_pivot() -> Entry:
+    """ES transform (pivot): the continuous entity-centric job — events
+    pivoted to one row per user_id with per-event_type counts and value
+    sums plus overall totals (the destination index a transform
+    materializes). Spark-side this is groupBy(user).pivot(type) with
+    the type set PINNED (never inferred — an inference scan over 10^12
+    events is the classic pivot trap); the twin spells the same thing
+    as conditional sums."""
+
+    def fn(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        wide = (
+            ev.groupBy("user_id")
+            .pivot("event_type", EVENT_TYPES)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 6).alias("sum"),
+            )
+        )
+        tot = ev.groupBy("user_id").agg(
+            F.count("*").alias("total_n"),
+            F.round(F.sum("value"), 6).alias("total_sum_r"),
+        )
+        cols = [F.col("user_id"), F.col("total_n"), F.col("total_sum_r")]
+        for t in EVENT_TYPES:
+            cols.append(
+                F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"{t}_n")
+            )
+            cols.append(
+                F.coalesce(F.col(f"{t}_sum"), F.lit(0.0)).alias(f"{t}_sum_r")
+            )
+        return wide.join(tot, "user_id").select(*cols)
+
+    parts = []
+    for t in EVENT_TYPES:
+        parts.append(
+            f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}_n"
+        )
+        parts.append(
+            f"round(coalesce(sum(value) FILTER (event_type = '{t}'), 0.0), 6)"
+            f" AS {t}_sum_r"
+        )
+    sql = f"""
+    SELECT user_id, count(*) AS total_n, round(sum(value), 6) AS total_sum_r,
+           {", ".join(parts)}
+    FROM events GROUP BY 1"""
+    return fn, sql
+
+
 def q_rollup_events_agg() -> Entry:
     """ES rollup / TSDB downsampling (extras/rollup.py): the events
     table pre-aggregated into a DAY rollup per event_type, then a WEEK
@@ -9121,4 +9173,5 @@ def all_entries() -> Dict[str, Entry]:
         "indices_boost_topk": q_indices_boost_topk(),
         "common_terms_topk": q_common_terms_topk(),
         "rollup_events_agg": q_rollup_events_agg(),
+        "transform_pivot": q_transform_pivot(),
     }
