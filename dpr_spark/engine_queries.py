@@ -8123,6 +8123,40 @@ def q_geo_bounds_centroid() -> Entry:
     return fn, sql
 
 
+def q_eql_sequence() -> Entry:
+    """EQL sequence detection (extras/eql.py): `sequence by user_id
+    with maxspan=7d [click][view][purchase]` — every click anchors a
+    greedy chain to the earliest strictly-later view, then the earliest
+    strictly-later purchase; emit when the chain fits in the span. The
+    twin spells the same greedy chain as two min-over-later self-joins
+    (quadratic in the twin, ONE window pass + narrow joins in the
+    engine)."""
+    SPAN = 7 * 86400.0
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.eql import sequence_match
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        res = sequence_match(
+            ev, ["click", "view", "purchase"], maxspan_seconds=SPAN
+        )
+        return res.select("user_id", "t1", "t2", "t3")
+
+    sql = f"""
+    WITH a AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    b AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    s2 AS (SELECT a.user_id, a.ts AS t1, min(b.ts) AS t2
+           FROM a JOIN b ON b.user_id = a.user_id AND b.ts > a.ts
+           GROUP BY 1, 2),
+    s3 AS (SELECT s2.user_id, s2.t1, s2.t2, min(c.ts) AS t3
+           FROM s2 JOIN c ON c.user_id = s2.user_id AND c.ts > s2.t2
+           GROUP BY 1, 2, 3)
+    SELECT user_id, t1, t2, t3 FROM s3
+    WHERE epoch(t3) - epoch(t1) <= {SPAN!r}"""
+    return fn, sql
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -9174,4 +9208,5 @@ def all_entries() -> Dict[str, Entry]:
         "common_terms_topk": q_common_terms_topk(),
         "rollup_events_agg": q_rollup_events_agg(),
         "transform_pivot": q_transform_pivot(),
+        "eql_sequence": q_eql_sequence(),
     }
