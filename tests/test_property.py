@@ -98,3 +98,64 @@ def test_pagerank_matches_python_on_random_digraphs(spark, edges):
             s[v] += rank[u] // od[u]
         rank = {v: tele + (85 * (s[v] + dsh)) // 100 for v in nodes}
     assert got == rank
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # user
+        st.integers(min_value=0, max_value=50),         # seconds
+        st.sampled_from(["A", "B", "C"]),               # type
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _naive_sequences(rows, steps, maxspan):
+    """Brute-force greedy earliest-strictly-after chains."""
+    out = []
+    by_user = collections.defaultdict(list)
+    for u, s, t in rows:
+        by_user[u].append((s, t))
+    for u, evs in by_user.items():
+        for s0, t0 in evs:
+            if t0 != steps[0]:
+                continue
+            chain = [s0]
+            ok = True
+            for st_ in steps[1:]:
+                nxts = [s for s, t in evs if t == st_ and s > chain[-1]]
+                if not nxts:
+                    ok = False
+                    break
+                chain.append(min(nxts))
+            if ok and chain[-1] - chain[0] <= maxspan:
+                out.append((u, *chain))
+    return sorted(out)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=events_strategy)
+def test_eql_sequence_agrees_with_naive(spark, rows):
+    import datetime
+
+    from dpr_spark.extras.eql import sequence_match
+
+    T0 = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(u, T0 + datetime.timedelta(seconds=s), t) for u, s, t in rows]
+        or [(99, T0, "X")],  # createDataFrame needs >= 1 row
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = sorted(
+        (r.user_id, *[int((getattr(r, f"t{i}") - T0).total_seconds())
+                      for i in range(1, 4)])
+        for r in sequence_match(
+            ev, ["A", "B", "C"], maxspan_seconds=30
+        ).collect()
+    )
+    assert got == _naive_sequences(rows, ["A", "B", "C"], 30)
