@@ -8123,6 +8123,78 @@ def q_geo_bounds_centroid() -> Entry:
     return fn, sql
 
 
+def q_serial_diff_pct_bucket() -> Entry:
+    """ES `serial_diff` (lag=2, first-lag buckets omitted) +
+    `percentiles_bucket` (exact interpolated p25/50/75 of the sibling
+    count series) over the weekly date_histogram parent
+    (query/aggs.py::serial_diff/percentiles_bucket). Diff math is
+    integer-derived; percentiles are the shared exact-interpolation
+    contract."""
+    LAG = 2
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import (
+            date_histogram_agg,
+            percentiles_bucket,
+            serial_diff,
+        )
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        vals = docs.select(
+            "doc_id",
+            F.to_timestamp(
+                F.date_add(
+                    F.lit("2025-01-01").cast("date"),
+                    F.pmod("doc_id", F.lit(45)).cast("int"),
+                )
+            ).alias("warc_ts"),
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        hist = date_histogram_agg(qdf, idx, vals, "warc_ts", unit="week").select(
+            "qid", F.date_format("bucket", "yyyy-MM-dd").alias("week"), "count"
+        )
+        sd = serial_diff(hist, lag=LAG, order_col="week")
+        pb = percentiles_bucket(hist)
+        return sd.join(pb, "qid").select(
+            "qid", "week", "count",
+            F.round("diff", 6).alias("diff_r"),
+            F.round("p25", 6).alias("p25_r"),
+            F.round("p50", 6).alias("p50_r"),
+            F.round("p75", 6).alias("p75_r"),
+        )
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    hist AS (
+      SELECT m.qid,
+             strftime(date_trunc('week',
+                      DATE '2025-01-01' + (m.doc_id % 45)::INT), '%Y-%m-%d')
+               AS week,
+             count(*) AS count
+      FROM matches m GROUP BY 1, 2),
+    sd AS (
+      SELECT qid, week, count,
+             count::DOUBLE - lag(count::DOUBLE, {LAG})
+               OVER (PARTITION BY qid ORDER BY week) AS diff
+      FROM hist),
+    pb AS (
+      SELECT qid,
+             quantile_cont(count::DOUBLE, 0.25) AS p25,
+             quantile_cont(count::DOUBLE, 0.5) AS p50,
+             quantile_cont(count::DOUBLE, 0.75) AS p75
+      FROM hist GROUP BY 1)
+    SELECT sd.qid, sd.week, sd.count,
+           round(sd.diff, 6) AS diff_r,
+           round(pb.p25, 6) AS p25_r, round(pb.p50, 6) AS p50_r,
+           round(pb.p75, 6) AS p75_r
+    FROM sd JOIN pb USING (qid) WHERE sd.diff IS NOT NULL"""
+    return fn, sql
+
+
 def q_eql_sequence() -> Entry:
     """EQL sequence detection (extras/eql.py): `sequence by user_id
     with maxspan=7d [click][view][purchase]` — every click anchors a
@@ -9209,4 +9281,5 @@ def all_entries() -> Dict[str, Entry]:
         "rollup_events_agg": q_rollup_events_agg(),
         "transform_pivot": q_transform_pivot(),
         "eql_sequence": q_eql_sequence(),
+        "serial_diff_pct_bucket": q_serial_diff_pct_bucket(),
     }

@@ -874,6 +874,47 @@ def pipeline_metrics(
     )
 
 
+def serial_diff(
+    buckets: DataFrame,
+    lag: int = 1,
+    partition_col: str = "qid",
+    order_col: str = "bucket",
+    count_col: str = "count",
+) -> DataFrame:
+    """ES `serial_diff` pipeline agg: count − count(lag buckets back)
+    over the parent series; the first `lag` buckets have no referent —
+    ES omits them, we emit NULL-as-0 is WRONG for diffs, so they are
+    DROPPED (the ES omission contract). Same single-window-pass shape
+    as pipeline_metrics."""
+    w = Window.partitionBy(partition_col).orderBy(order_col)
+    c = F.col(count_col).cast("double")
+    prev = F.lag(c, lag).over(w)
+    return (
+        buckets.withColumn("_p", prev)
+        .filter(F.col("_p").isNotNull())
+        .select(
+            partition_col, order_col, count_col,
+            (c - F.col("_p")).alias("diff"),
+        )
+    )
+
+
+def percentiles_bucket(
+    buckets: DataFrame,
+    pcts: Sequence[float] = (25.0, 50.0, 75.0),
+    partition_col: str = "qid",
+    count_col: str = "count",
+) -> DataFrame:
+    """ES `percentiles_bucket`: exact interpolated percentiles of the
+    SIBLING bucket-count series per query (Spark `percentile` ≡ DuckDB
+    `quantile_cont`); one bucket-count-sized groupBy."""
+    aggs = [
+        F.expr(f"percentile({count_col}, {p / 100.0})").alias(f"p{int(p)}")
+        for p in pcts
+    ]
+    return buckets.groupBy(partition_col).agg(*aggs)
+
+
 def bucket_sort(
     buckets: DataFrame,
     partition_col: str = "qid",
