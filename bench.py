@@ -366,7 +366,7 @@ def main() -> None:
         "geo_bounding_box", "geo_bounds_centroid", "alias_rollover_topk",
         "significant_terms_bg", "date_range_agg", "indices_boost_topk",
         "common_terms_topk", "rollup_events_agg", "transform_pivot",
-        "eql_sequence", "serial_diff_pct_bucket",
+        "eql_sequence", "serial_diff_pct_bucket", "frequent_pairs",
     ]:
         try:
             fn, _ = entries[name]

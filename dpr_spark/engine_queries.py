@@ -8123,6 +8123,30 @@ def q_geo_bounds_centroid() -> Entry:
     return fn, sql
 
 
+def q_frequent_pairs() -> Entry:
+    """ES `frequent_item_sets` at the exact pair level (query/aggs.py::
+    frequent_pairs): event_type pairs co-occurring for >= 5 distinct
+    users, with the Apriori single-item prune running before the
+    within-basket self-join."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.query.aggs import frequent_pairs
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return frequent_pairs(
+            ev, "user_id", "event_type", min_support=5
+        ).select("item_a", "item_b", "support")
+
+    sql = """
+    WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+    p AS (SELECT x.event_type AS item_a, y.event_type AS item_b
+          FROM b x JOIN b y
+            ON y.user_id = x.user_id AND x.event_type < y.event_type)
+    SELECT item_a, item_b, count(*) AS support
+    FROM p GROUP BY 1, 2 HAVING count(*) >= 5"""
+    return fn, sql
+
+
 def q_serial_diff_pct_bucket() -> Entry:
     """ES `serial_diff` (lag=2, first-lag buckets omitted) +
     `percentiles_bucket` (exact interpolated p25/50/75 of the sibling
@@ -9282,4 +9306,5 @@ def all_entries() -> Dict[str, Entry]:
         "transform_pivot": q_transform_pivot(),
         "eql_sequence": q_eql_sequence(),
         "serial_diff_pct_bucket": q_serial_diff_pct_bucket(),
+        "frequent_pairs": q_frequent_pairs(),
     }

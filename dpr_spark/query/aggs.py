@@ -874,6 +874,43 @@ def pipeline_metrics(
     )
 
 
+def frequent_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """ES `frequent_item_sets` at max_size=2 (the Apriori pair level,
+    exact): items co-occurring in >= min_support distinct baskets.
+    (a, b) with a < b lexicographically; support = distinct-basket
+    count.
+
+    Scale shape: one distinct collapse on (basket, item), one
+    within-basket self-join (a < b keeps each pair once) co-partitioned
+    on the basket key, one map-side-combined pair count. Pair blowup is
+    bounded by per-basket item-set size squared — the honest Apriori
+    cost; a min_support prune on single items runs FIRST so items too
+    rare to pair never enter the join (the Apriori downward-closure
+    property)."""
+    b = baskets.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    # Apriori prune: an item in < min_support baskets can't be in a pair
+    freq = b.groupBy("_i").agg(F.count("*").alias("_n")).filter(
+        F.col("_n") >= min_support
+    )
+    b = b.join(freq.select("_i"), "_i").select("_b", "_i")
+    pairs = b.alias("x").join(
+        b.alias("y"),
+        (F.col("x._b") == F.col("y._b")) & (F.col("x._i") < F.col("y._i")),
+    ).select(F.col("x._i").alias("item_a"), F.col("y._i").alias("item_b"))
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
 def serial_diff(
     buckets: DataFrame,
     lag: int = 1,
