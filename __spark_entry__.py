@@ -31,7 +31,15 @@ oracle_sql()    -> DuckDB twins for EVERY entry — len(oracle_sql()) ==
                    the web-corpus cleaning family (Gopher repetition
                    stats, n-gram decontamination, PII redaction, URL
                    canonicalization + latest-wins, boilerplate
-                   stripping) —
+                   stripping), plus session-4: LM Jelinek-Mercer / DFI
+                   similarities, CommonTermsQuery, span_multi,
+                   matrix_stats / t_test / boxplot+percentile_ranks /
+                   scripted_metric / runtime fields / date_range /
+                   background-filtered significant_terms / serial_diff
+                   + percentiles_bucket / frequent_item_sets,
+                   geo_bounding_box + bounds/centroid, index aliases +
+                   rollover + indices_boost, rollup downsampling,
+                   transform pivot, and EQL sequence detection —
                    every one DuckDB-twinned (the exact count is
                    len(queries()), asserted == len(oracle_sql()) in
                    tests/test_entry.py).
