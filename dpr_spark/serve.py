@@ -195,6 +195,7 @@ def serve_loop(
     max_batches: Optional[int] = None,
     stop_file: str = "STOP",
     log=print,
+    dedupe_questions: bool = False,
 ) -> dict:
     """Process query-batch files (*.tsv / *.parquet) landing in in_dir in
     name order; results go to out_dir/<stem>/ as parquet.
@@ -252,7 +253,34 @@ def serve_loop(
         for q in qdfs[1:]:
             wave = wave.unionByName(q)
         t0 = time.perf_counter()
-        results = searcher(wave)
+        if dedupe_questions and not has_cursor:
+            # ES-request-cache analog for a wave: many clients asking the
+            # SAME question (hot queries under load) are searched once —
+            # the searcher sees one representative qid per distinct
+            # question and a tiny (qid -> rep) join fans results back
+            # out. Off by default: on all-distinct waves it only adds
+            # the distinct + join. Cursor waves skip it (a cursor makes
+            # two identical questions different searches).
+            wave = wave.persist()
+            reps = wave.groupBy("question").agg(
+                F.min("qid").alias("_rep")
+            )
+            qmap = wave.join(F.broadcast(reps), "question").select(
+                "qid", "_rep"
+            )
+            rep_wave = (
+                wave.join(
+                    F.broadcast(reps.select(F.col("_rep").alias("qid"))),
+                    "qid",
+                    "left_semi",
+                )
+            )
+            rep_results = searcher(rep_wave).withColumnRenamed("qid", "_rep")
+            results = qmap.join(F.broadcast(rep_results), "_rep").drop("_rep")
+            cached_wave = wave
+        else:
+            cached_wave = None
+            results = searcher(wave)
         if len(names) > 1:
             results = results.persist()
         for i, name in enumerate(names):
@@ -262,6 +290,8 @@ def serve_loop(
             ).withColumn("qid", F.col("qid") - F.lit(i).cast("long") * _BASE)
             part.write.mode("overwrite").parquet(os.path.join(out_dir, stem))
         wall = time.perf_counter() - t0
+        if cached_wave is not None:
+            cached_wave.unpersist()
         if len(names) > 1:
             results.unpersist()
         for _name, q, _n in entries:

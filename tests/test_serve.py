@@ -233,3 +233,45 @@ def test_serve_loop_paged_batch_mixed_wave(spark, index, queries_pdf, tmp_path):
     with pytest.raises(ValueError, match="search_after"):
         blk(spark.createDataFrame(paged))
     bclose()
+
+
+def test_serve_loop_dedupe_questions_same_results(spark, index, queries_pdf, tmp_path):
+    """dedupe_questions=True: a wave where many qids ask the SAME
+    question searches each distinct question once and fans results back
+    out — per-qid output identical to the non-deduped path."""
+    import pandas as pd
+
+    from dpr_spark.query.scorer import search
+    from dpr_spark.serve import make_searcher, serve_loop
+
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    os.makedirs(in_dir)
+
+    base = queries_pdf.head(4)[["qid", "question"]].reset_index(drop=True)
+    # 12 qids over 4 distinct questions (each repeated 3x)
+    dup = pd.DataFrame(
+        {
+            "qid": range(12),
+            "question": [base.question[i % 4] for i in range(12)],
+        }
+    )
+    dup.to_parquet(in_dir / "batch_dup.parquet", index=False)
+    (in_dir / "STOP").touch()
+
+    searcher, close = make_searcher(spark, index, engine="segments", k=5)
+    serve_loop(
+        spark, searcher, str(in_dir), str(out_dir), poll_sec=0.05,
+        dedupe_questions=True,
+    )
+    close()
+
+    got = sorted(
+        (r.qid, r.rank, r.doc_id, r.score)
+        for r in spark.read.parquet(str(out_dir / "batch_dup")).collect()
+    )
+    exp = sorted(
+        (r.qid, r.rank, r.doc_id, r.score)
+        for r in search(spark.createDataFrame(dup), index, k=5).collect()
+    )
+    assert got == exp and len(got) > 0
