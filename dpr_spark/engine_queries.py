@@ -9138,6 +9138,114 @@ def q_pipeline_e2e() -> Entry:
     return fn, sql
 
 
+def q_stratified_sample() -> Entry:
+    """Training-mix construction: EXACT per-language quota sample
+    (ceil(count_lang · fraction_lang) docs, seeded-hash pick) — the
+    deterministic replacement for sampleBy's Bernoulli draw. Uses the
+    portable md5 shuffle key and the salted two-level exact cap
+    (extras/training.py), so DuckDB replays the identical sample."""
+    FRACS = {"en": 0.5, "de": 0.3, "fr": 0.2, "zh": 0.1}
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.training import stratified_sample
+
+        return stratified_sample(
+            _docs(spark, sf_dir).select("doc_id", "lang"),
+            "lang",
+            FRACS,
+            seed=7,
+            portable=True,
+            salt_buckets=4,
+        ).select("lang", "doc_id")
+
+    vals = ", ".join(f"('{s}', {f})" for s, f in sorted(FRACS.items()))
+    sql = f"""
+      WITH fr AS (SELECT * FROM (VALUES {vals}) v(lang, f)),
+      q AS (SELECT d.lang, ceil(count(*) * any_value(fr.f))::BIGINT AS quota
+            FROM documents d JOIN fr USING (lang) GROUP BY d.lang),
+      r AS (SELECT doc_id, lang,
+                   row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 15))::BIGINT,
+                              doc_id) AS rn
+            FROM documents WHERE lang IN (SELECT lang FROM fr))
+      SELECT lang, doc_id FROM r JOIN q USING (lang) WHERE rn <= quota"""
+    return fn, sql
+
+
+def q_pack_sequences() -> Entry:
+    """GPT-style concat-and-chunk sequence packing manifest: docs hash-
+    sharded (portable key % 4), concatenated in doc_id order, token
+    stream cut into seq_len=64 training sequences; per-doc (shard,
+    offset, bin). One shuffle + one per-shard running-sum window
+    (extras/training.py)."""
+    SEQ, SHARDS = 64, 4
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.training import pack_sequences
+
+        nt = _tokenized(spark, sf_dir).select(
+            "doc_id", F.size("toks").cast("long").alias("n_tokens")
+        )
+        return pack_sequences(
+            nt, seq_len=SEQ, n_shards=SHARDS, portable=True
+        ).select("doc_id", F.col("shard").cast("long").alias("shard"), "offset", "bin")
+
+    sql = f"""
+      WITH tok AS (SELECT doc_id, len({_DUCK_TOKS}) AS nt FROM documents),
+      sh AS (SELECT doc_id, nt,
+                    ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 15))::BIGINT % {SHARDS}
+                      AS shard
+             FROM tok),
+      cum AS (SELECT doc_id, shard,
+                     (sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - nt)::BIGINT
+                       AS "offset"
+              FROM sh)
+      SELECT doc_id, shard, "offset", ("offset" // {SEQ})::BIGINT AS bin FROM cum"""
+    return fn, sql
+
+
+def q_sparse_vector_topk() -> Entry:
+    """Learned-sparse retrieval (ES sparse_vector / SPLADE family):
+    embeddings pruned to their top-16 positive components as (dim,
+    weight) activations, served from a dim-keyed inverted posting
+    table; score = Σ w_q·w_d over shared dims — no crossJoin, the
+    candidate set is the union of the query's dim posting lists
+    (query/sparsevec.py). Queries = vec_id 0..4 (self-match included:
+    it is the deterministic rank-1 sanity row)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.query.sparsevec import sparse_vector_search, sparsify
+
+        sp = sparsify(_emb(spark, sf_dir), top_m=16)
+        q = sp.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), "dim", F.col("weight")
+        )
+        return sparse_vector_search(q, sp, k=10)
+
+    sql = """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      x AS (SELECT vec_id, i AS dim, v[i + 1] AS w
+            FROM e, unnest(range(0, len(v))) t(i)
+            WHERE v[i + 1] > 0),
+      kept AS (SELECT vec_id, dim, round(w, 6) AS weight
+               FROM (SELECT vec_id, dim, w,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY w DESC, dim DESC) AS rn
+                     FROM x)
+               WHERE rn <= 16),
+      q AS (SELECT vec_id AS qid, dim, weight AS qw FROM kept WHERE vec_id < 5),
+      scored AS (SELECT qid, k.vec_id, round(sum(qw * weight), 6) AS score_r
+                 FROM q JOIN kept k USING (dim) GROUP BY 1, 2),
+      ranked AS (SELECT qid, vec_id, score_r,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY score_r DESC, vec_id) AS rank
+                 FROM scored)
+      SELECT qid, rank, vec_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -9307,4 +9415,7 @@ def all_entries() -> Dict[str, Entry]:
         "eql_sequence": q_eql_sequence(),
         "serial_diff_pct_bucket": q_serial_diff_pct_bucket(),
         "frequent_pairs": q_frequent_pairs(),
+        "stratified_sample": q_stratified_sample(),
+        "pack_sequences": q_pack_sequences(),
+        "sparse_vector_topk": q_sparse_vector_topk(),
     }
