@@ -9246,6 +9246,86 @@ def q_sparse_vector_topk() -> Entry:
     return fn, sql
 
 
+def q_sessionize_events() -> Entry:
+    """Gap-based sessionization via Spark's NATIVE session_window (no
+    gaps-and-islands emulation on the engine side; the DuckDB twin IS
+    the islands spelling, proving the semantics line up): 6-hour
+    inactivity gap per user over the events table; session_end = last
+    event + gap (the session_window contract). Timestamps compare as
+    formatted strings (shared entry convention)."""
+    GAP_H = 6
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.sessions import sessionize
+
+        res = sessionize(_events(spark, sf_dir), gap=f"{GAP_H} hours")
+        return res.select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+
+    sql = f"""
+      WITH o AS (SELECT user_id, ts, value,
+                        CASE WHEN lag(ts) OVER w IS NULL
+                                  OR ts - lag(ts) OVER w > INTERVAL {GAP_H} HOUR
+                             THEN 1 ELSE 0 END AS brk
+                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o)
+      SELECT user_id,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(max(ts) + INTERVAL {GAP_H} HOUR, '%Y-%m-%d %H:%M:%S')
+               AS session_end,
+             count(*) AS n_events,
+             round(sum(value), 4) AS value_sum
+      FROM s GROUP BY user_id, sid"""
+    return fn, sql
+
+
+def q_multivector_maxsim() -> Entry:
+    """Late-interaction multi-vector scoring (ES 8.x max_sim / ColBERT
+    pooling, extras/ann.py): docs = label-grouped chunk embeddings,
+    queries = 2 two-token multi-vector queries (vec_id 0..3 folded as
+    qid=vec_id//2, qtok=vec_id%2); score = Σ_token max_chunk cosine."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.ann import multivector_maxsim_topk
+
+        e = _emb(spark, sf_dir)
+        q = e.filter(F.col("vec_id") < 4).select(
+            F.floor(F.col("vec_id") / 2).cast("long").alias("qid"),
+            F.pmod(F.col("vec_id"), F.lit(2)).cast("long").alias("qtok"),
+            F.col("embedding").alias("qv"),
+        )
+        return multivector_maxsim_topk(
+            e, q, group_col="label", k=5, qtok_col="qtok"
+        )
+
+    sql = """
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id // 2 AS qid, vec_id % 2 AS qtok, v AS qv
+            FROM e WHERE vec_id < 4),
+      pairs AS (SELECT qid, qtok, label AS "group",
+                       list_dot_product(qv, v)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(v, v))) AS c
+                FROM q CROSS JOIN e),
+      pt AS (SELECT qid, qtok, "group", max(c) AS m FROM pairs GROUP BY 1, 2, 3),
+      sc AS (SELECT qid, "group", round(sum(m), 6) AS score_r FROM pt GROUP BY 1, 2),
+      ranked AS (SELECT qid, "group", score_r,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY score_r DESC, "group") AS rank
+                 FROM sc)
+      SELECT qid, rank, "group", score_r FROM ranked WHERE rank <= 5"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -9418,4 +9498,6 @@ def all_entries() -> Dict[str, Entry]:
         "stratified_sample": q_stratified_sample(),
         "pack_sequences": q_pack_sequences(),
         "sparse_vector_topk": q_sparse_vector_topk(),
+        "sessionize_events": q_sessionize_events(),
+        "multivector_maxsim": q_multivector_maxsim(),
     }

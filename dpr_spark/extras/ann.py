@@ -504,3 +504,56 @@ def ivfpq_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "vec_id", "cosine", "adc")
     )
+
+
+def multivector_maxsim_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    group_col: str = "label",
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qtok_col: str = None,
+    qvec_col: str = "qv",
+) -> DataFrame:
+    """(qid, rank, group, score_r): multi-vector document scoring — a
+    document is a GROUP of vectors (chunk/passage embeddings of one
+    long page) and the score is late-interaction MaxSim:
+
+        score(Q, doc) = Σ_{q ∈ Q's vectors} max_{v ∈ doc's vectors} cos(q, v)
+
+    (the ES 8.x `max_sim` / ColBERT pooling contract). A single-vector
+    query (qtok_col=None) degenerates to plain max-pooling — how a RAG
+    stack scores a long document from its chunk embeddings without
+    losing to single-vector averaging.
+
+    Scale shape: queries broadcast, ONE pass over the corpus vectors
+    (same plan as brute_cosine_topk); the MaxSim fold is two map-side-
+    combined aggs — max per (qid, qtok, group), then sum per (qid,
+    group) — whose shuffles carry |qids|·|qtoks|·|groups| scalar rows,
+    never vectors. Rounds to 6dp before ranking; ties break on group
+    asc."""
+    e = emb.select(
+        F.col(group_col).alias("group"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    qtok = F.col(qtok_col) if qtok_col else F.lit(0)
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        qtok.alias("qtok"),
+        F.transform(qvec_col, lambda x: x.cast("double")).alias("qv"),
+    )
+    pairs = F.broadcast(q).crossJoin(e).select(
+        "qid", "qtok", "group", cosine_expr(F.col("qv"), F.col("v")).alias("c")
+    )
+    per_tok = pairs.groupBy("qid", "qtok", "group").agg(F.max("c").alias("m"))
+    scored = per_tok.groupBy("qid", "group").agg(
+        F.round(F.sum("m"), 6).alias("score_r")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("group"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "group", "score_r")
+    )

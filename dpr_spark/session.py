@@ -35,6 +35,15 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
+    # experiment hook: JSON dict of spark confs injected from the
+    # environment (scaling_bench A/B runs use it to vary shuffle
+    # compression / local-dir without touching call sites)
+    env_conf = os.environ.get("DPR_SPARK_CONF_JSON")
+    if env_conf:
+        import json
+
+        for k, v in json.loads(env_conf).items():
+            b = b.config(k, str(v))
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
