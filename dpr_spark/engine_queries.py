@@ -4020,10 +4020,10 @@ def q_filters_agg() -> Entry:
                            OR coalesce(source = 'src0', FALSE))
             THEN 1 ELSE 0 END) AS otherb
       FROM j GROUP BY 1)
-    SELECT qid, 'english' AS bucket, english AS count FROM wide
-    UNION ALL SELECT qid, 'long', longb FROM wide
-    UNION ALL SELECT qid, 'web0', web0 FROM wide
-    UNION ALL SELECT qid, '_other_', otherb FROM wide"""
+    SELECT qid, 'english' AS bucket, CAST(english AS BIGINT) AS count FROM wide
+    UNION ALL SELECT qid, 'long', CAST(longb AS BIGINT) FROM wide
+    UNION ALL SELECT qid, 'web0', CAST(web0 AS BIGINT) FROM wide
+    UNION ALL SELECT qid, '_other_', CAST(otherb AS BIGINT) FROM wide"""
     return fn, sql
 
 
@@ -4069,7 +4069,8 @@ def q_adjacency_matrix() -> Entry:
       UNION ALL SELECT qid, 'long', b_long FROM wide
       UNION ALL SELECT qid, 'long&zh', b_long_zh FROM wide
       UNION ALL SELECT qid, 'zh', b_zh FROM wide)
-    SELECT qid, bucket, count FROM longf WHERE count > 0"""
+    SELECT qid, bucket, CAST(count AS BIGINT) AS count
+    FROM longf WHERE count > 0"""
     return fn, sql
 
 
@@ -8292,7 +8293,8 @@ def q_transform_pivot() -> Entry:
     parts = []
     for t in EVENT_TYPES:
         parts.append(
-            f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}_n"
+            f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS {t}_n"
         )
         parts.append(
             f"round(coalesce(sum(value) FILTER (event_type = '{t}'), 0.0), 6)"
@@ -8497,7 +8499,7 @@ def q_date_range_agg() -> Entry:
         cond = " AND ".join(conds) or "TRUE"
         cases.append(
             f"SELECT qid, '{key}' AS range_key,"
-            f" sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS count"
+            f" CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS count"
             f" FROM mv GROUP BY 1"
         )
     sql = f"""
@@ -9326,6 +9328,87 @@ def q_multivector_maxsim() -> Entry:
     return fn, sql
 
 
+def q_string_stats() -> Entry:
+    """ES `string_stats` (+ show_distribution entropy) over the match
+    set's `source` field (query/aggs.py::string_stats_agg): value
+    count, min/max/avg length, Shannon entropy of the character
+    distribution. Exact integer counts; one float expression per
+    derived metric, rounded at 6dp in both engines."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import string_stats_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        return string_stats_agg(qdf, idx, docs.select("doc_id", "source"), "source")
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    mv AS (SELECT m.qid, d.source AS v
+           FROM matches m JOIN documents d USING (doc_id)
+           WHERE d.source IS NOT NULL),
+    lens AS (SELECT qid, count(*) AS count,
+                    min(length(v)) AS min_length,
+                    max(length(v)) AS max_length,
+                    CAST(sum(length(v)) AS BIGINT) AS sum_len
+             FROM mv GROUP BY 1),
+    chars AS (SELECT qid, unnest(string_split(v, '')) AS ch FROM mv),
+    cn AS (SELECT qid, ch, count(*) AS n FROM chars
+           WHERE length(ch) > 0 GROUP BY 1, 2),
+    tot AS (SELECT qid, CAST(sum(n) AS BIGINT) AS tot FROM cn GROUP BY 1),
+    ent AS (SELECT cn.qid,
+                   round(-sum((cn.n::DOUBLE / tot.tot::DOUBLE)
+                              * log2(cn.n::DOUBLE / tot.tot::DOUBLE)), 6)
+                     AS entropy_r
+            FROM cn JOIN tot USING (qid) GROUP BY 1)
+    SELECT l.qid, l.count, l.min_length, l.max_length,
+           round(l.sum_len::DOUBLE / l.count::DOUBLE, 6) AS avg_r,
+           coalesce(e.entropy_r, 0.0) AS entropy_r
+    FROM lens l LEFT JOIN ent e USING (qid)"""
+    return fn, sql
+
+
+def q_random_sampler_agg() -> Entry:
+    """ES `random_sampler` (query/aggs.py::random_sampler_agg): terms
+    counts per `source` over a deterministic p=0.25 subset of the match
+    set (md5-derived portable draw, threshold 262144/2^20), estimates
+    scaled by 1/p — the DuckDB twin replays the identical sample."""
+    P, SEED = 0.25, 7
+    M = 1 << 20
+    THR = int(round(P * M))
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import random_sampler_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        return random_sampler_agg(
+            qdf, idx, docs.select("doc_id", "source"), "source",
+            probability=P, seed=SEED, portable=True,
+        )
+
+    sql = f"""
+    WITH {_MATCH_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    s AS (SELECT m.qid, m.doc_id FROM matches m
+          WHERE ('0x' || substr(md5(m.doc_id::VARCHAR || ':{SEED}'), 1, 15))::BIGINT
+                  % {M} < {THR}),
+    c AS (SELECT s.qid, d.source AS value, count(*) AS doc_count
+          FROM s JOIN documents d USING (doc_id) GROUP BY 1, 2)
+    SELECT qid, value, doc_count,
+           CAST(round(doc_count::DOUBLE * {float(M) / THR!r}) AS BIGINT)
+             AS est_count
+    FROM c"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -9500,4 +9583,6 @@ def all_entries() -> Dict[str, Entry]:
         "sparse_vector_topk": q_sparse_vector_topk(),
         "sessionize_events": q_sessionize_events(),
         "multivector_maxsim": q_multivector_maxsim(),
+        "string_stats": q_string_stats(),
+        "random_sampler_agg": q_random_sampler_agg(),
     }

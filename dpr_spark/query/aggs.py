@@ -1153,3 +1153,112 @@ def multi_terms_agg(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "qid", *fields, "count", "rank"
     )
+
+
+def string_stats_agg(
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    field: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """(qid, count, min_length, max_length, avg_r, entropy_r) — ES
+    `string_stats` (with show_distribution's entropy) over a string doc
+    value of the match set: value count, min/max/avg character length,
+    and the Shannon entropy -Σ p_c·log2(p_c) of the CHARACTER
+    distribution across all matched values (the ES contract). NULL
+    values are skipped; a bucket whose values are all empty strings has
+    entropy 0.
+
+    Scale shape: lengths collapse map-side to one row per qid; the
+    entropy pass explodes characters but immediately combines map-side
+    to (qid, char) rows — the shuffle carries ≤ |qids|·|alphabet| rows,
+    never the text. avg/entropy derive from exact integer counts with
+    one float expression (the extended_stats discipline), rounded to
+    `round_to` before comparison."""
+    m = (
+        _matches(queries, index)
+        .join(doc_values.select("doc_id", F.col(field).alias("v")), "doc_id")
+        .filter(F.col("v").isNotNull())
+    )
+    lens = m.groupBy("qid").agg(
+        F.count("*").alias("count"),
+        F.min(F.length("v")).alias("min_length"),
+        F.max(F.length("v")).alias("max_length"),
+        F.sum(F.length("v")).alias("_sum_len"),
+    )
+    chars = (
+        m.select("qid", F.explode(F.split("v", "")).alias("ch"))
+        .filter(F.length("ch") > 0)
+        .groupBy("qid", "ch")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = chars.groupBy("qid").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot").cast("double")
+    ent = (
+        chars.join(F.broadcast(tot), "qid")
+        .groupBy("qid")
+        .agg(F.round(-F.sum(p * F.log2(p)), round_to).alias("entropy_r"))
+    )
+    return (
+        lens.join(ent, "qid", "left")
+        .na.fill({"entropy_r": 0.0})
+        .select(
+            "qid",
+            "count",
+            "min_length",
+            "max_length",
+            F.round(
+                F.col("_sum_len").cast("double") / F.col("count").cast("double"),
+                round_to,
+            ).alias("avg_r"),
+            "entropy_r",
+        )
+    )
+
+
+def random_sampler_agg(
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    field: str,
+    probability: float,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """(qid, value, doc_count, est_count) — ES `random_sampler`: run the
+    downstream terms aggregation over a probability-`probability` subset
+    of the match set and scale the counts back up by 1/p. Unlike ES's
+    per-shard RNG, the draw is a PURE FUNCTION of (doc_id, seed): doc is
+    sampled iff hash(doc_id, seed) mod 2^20 < round(p·2^20), so re-runs,
+    repartitions, and any SQL engine (portable=True → md5-derived hash,
+    replayed by the DuckDB twin) reproduce the identical sample.
+    est_count = round(doc_count / p_effective) with p_effective =
+    threshold/2^20 — the integer threshold keeps both engines' float
+    scaling bit-identical.
+
+    Scale shape: the sample predicate is a map-side filter on the match
+    rows (no extra shuffle); everything downstream touches only the
+    sampled subset — the whole point of the agg at 100 TB."""
+    if not (0.0 < probability <= 1.0):
+        raise ValueError(f"probability must be in (0,1], got {probability}")
+    from dpr_spark.functions.chunking import shuffle_key
+
+    M = 1 << 20
+    threshold = int(round(probability * M))
+    key = F.pmod(shuffle_key("doc_id", seed, portable=portable), F.lit(M))
+    sampled = _matches(queries, index).filter(key < F.lit(threshold))
+    counts = (
+        sampled.join(doc_values.select("doc_id", F.col(field).alias("value")), "doc_id")
+        .groupBy("qid", "value")
+        .agg(F.count("*").alias("doc_count"))
+    )
+    scale = float(M) / float(threshold)
+    return counts.select(
+        "qid",
+        "value",
+        "doc_count",
+        F.round(F.col("doc_count").cast("double") * F.lit(scale))
+        .cast("bigint")
+        .alias("est_count"),
+    )

@@ -624,3 +624,93 @@ def test_auto_date_histogram_unit_selection(spark, index, queries_pdf):
     # the chosen unit actually fits the target
     per_q = Counter(r.qid for r in rows)
     assert all(c <= 10 for c in per_q.values())
+
+
+def test_string_stats_entropy_vs_python(spark, index, queries_pdf, oracle):
+    """string_stats: lengths + character-distribution Shannon entropy
+    match a brute-force python twin over the match set."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dpr_spark.query.aggs import string_stats_agg
+
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(8))
+    # synthetic string value: varied lengths and alphabets per doc
+    vals = index.docstats.select(
+        "doc_id",
+        F.concat(
+            F.lit("s"),
+            F.pmod("doc_id", F.lit(7)).cast("string"),
+            F.repeat(F.lit("x"), F.pmod("doc_id", F.lit(4)).cast("int")),
+        ).alias("sval"),
+    )
+    got = {
+        r.qid: (r["count"], r.min_length, r.max_length, r.avg_r, r.entropy_r)
+        for r in string_stats_agg(qdf, index, vals, "sval").collect()
+    }
+    checked = 0
+    for _, q in queries_pdf.head(8).iterrows():
+        docs = _oracle_matches(oracle, q.question)
+        if not docs:
+            continue
+        svals = [f"s{d % 7}" + "x" * (d % 4) for d in docs]
+        lens = [len(s) for s in svals]
+        freq = {}
+        for s in svals:
+            for ch in s:
+                freq[ch] = freq.get(ch, 0) + 1
+        tot = sum(freq.values())
+        ent = -sum((n / tot) * math.log2(n / tot) for n in freq.values())
+        n, mn, mx, avg, e = got[int(q.qid)]
+        assert (n, mn, mx) == (len(svals), min(lens), max(lens))
+        assert avg == pytest.approx(sum(lens) / len(lens), abs=1e-6)
+        assert e == pytest.approx(ent, abs=1e-5)
+        checked += 1
+    assert checked >= 6
+
+
+def test_random_sampler_deterministic_and_scaled(spark, index, queries_pdf, oracle):
+    """random_sampler: the sample is a pure function of (doc_id, seed) —
+    identical across re-runs and portable/xxhash draws differ; counts
+    equal the python replay of the md5 predicate; est = round(n/p)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dpr_spark.query.aggs import random_sampler_agg
+
+    qdf = spark.createDataFrame(queries_pdf[["qid", "question"]].head(6))
+    vals = index.docstats.select(
+        "doc_id", F.pmod("doc_id", F.lit(3)).cast("string").alias("bucket")
+    )
+    P, SEED, M = 0.5, 11, 1 << 20
+    thr = int(round(P * M))
+
+    def draw(doc_id):
+        h = int(hashlib.md5(f"{doc_id}:{SEED}".encode()).hexdigest()[:15], 16)
+        return h % M < thr
+
+    res = random_sampler_agg(
+        qdf, index, vals, "bucket", probability=P, seed=SEED, portable=True
+    )
+    got = {(r.qid, r.value): (r.doc_count, r.est_count) for r in res.collect()}
+    rerun = {
+        (r.qid, r.value): (r.doc_count, r.est_count) for r in res.collect()
+    }
+    assert got == rerun  # deterministic across jobs
+    checked = 0
+    for _, q in queries_pdf.head(6).iterrows():
+        docs = _oracle_matches(oracle, q.question)
+        exp = {}
+        for d in docs:
+            if draw(d):
+                exp[str(d % 3)] = exp.get(str(d % 3), 0) + 1
+        for b, n in exp.items():
+            dc, est = got[(int(q.qid), b)]
+            assert dc == n
+            assert est == round(n * M / thr)
+            checked += 1
+        # buckets absent from the sample are absent from the result
+        assert {b for (qq, b) in got if qq == int(q.qid)} == set(exp)
+    assert checked >= 6
