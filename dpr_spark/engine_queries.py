@@ -9409,6 +9409,113 @@ def q_random_sampler_agg() -> Entry:
     return fn, sql
 
 
+def q_intervals_topk() -> Entry:
+    """ES `intervals` query (query/intervals.py): four rules — 2-term
+    ordered w/ max_gaps, 2-term unordered, any_of over two filtered
+    branches (cross-source re-minimization), and a 3-term unordered
+    match — ranked by minimal-interval count (integer-exact). The twin
+    spells the minimal-interval algebra END-ANCHORED: every minimal
+    interval ends at some term position p with start = the latest
+    occurrence(s) of the other term(s) before p; absorption is an
+    anti-join; max_gaps filters AFTER minimization (the Lucene
+    Intervals.maxgaps contract, asserted in tests/test_intervals.py)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.intervals import (
+            AnyOf,
+            Match,
+            intervals_search_index,
+        )
+        from dpr_spark.query.phrase import build_positions
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        pos = build_positions(docs, idx.dictionary)
+        rules = [
+            (0, Match("spark window", ordered=True, max_gaps=3)),
+            (1, Match("merge batch", max_gaps=5)),
+            (2, AnyOf([Match("customer join", ordered=True, max_gaps=4),
+                       Match("fast scan", max_gaps=6)])),
+            (3, Match("data value column", max_gaps=8)),
+        ]
+        return intervals_search_index(spark, idx, pos, rules, k=10)
+
+    def lasts(terms):
+        cols = ", ".join(
+            f"max(CASE WHEN term = '{t}' THEN p END) OVER "
+            f"(PARTITION BY doc_id ORDER BY p "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS l_{t}"
+            for t in terms
+        )
+        tl = ", ".join(f"'{t}'" for t in terms)
+        return f"SELECT doc_id, p, term, {cols} FROM pos WHERE term IN ({tl})"
+
+    def branch(tag, terms, ordered, gaps):
+        k = len(terms)
+        if ordered:  # 2-term a-then-b
+            a, b = terms
+            cand = (f"SELECT doc_id, l_{a} AS s, p AS e FROM w_{tag} "
+                    f"WHERE term = '{b}' AND l_{a} IS NOT NULL")
+        elif k == 2:
+            a, b = terms
+            cand = (f"SELECT doc_id, CASE WHEN term = '{a}' THEN l_{b} "
+                    f"ELSE l_{a} END AS s, p AS e FROM w_{tag} "
+                    f"WHERE (term = '{a}' AND l_{b} IS NOT NULL) "
+                    f"OR (term = '{b}' AND l_{a} IS NOT NULL)")
+        else:  # unordered k-term: start = least of the other terms' lasts
+            parts = []
+            for t in terms:
+                others = [o for o in terms if o != t]
+                nn = " AND ".join(f"l_{o} IS NOT NULL" for o in others)
+                lst = ", ".join(f"l_{o}" for o in others)
+                parts.append(
+                    f"SELECT doc_id, least({lst}) AS s, p AS e FROM w_{tag} "
+                    f"WHERE term = '{t}' AND {nn}"
+                )
+            cand = " UNION ALL ".join(parts)
+        return f"""
+    w_{tag} AS ({lasts(terms)}),
+    cd_{tag} AS (SELECT DISTINCT doc_id, s, e FROM ({cand})),
+    f_{tag} AS (
+      SELECT c1.doc_id, c1.s, c1.e FROM cd_{tag} c1
+      WHERE NOT EXISTS (SELECT 1 FROM cd_{tag} c2
+                        WHERE c2.doc_id = c1.doc_id AND c2.s >= c1.s
+                          AND c2.e <= c1.e
+                          AND (c2.s <> c1.s OR c2.e <> c1.e))
+        AND (c1.e - c1.s + 1) - {k} <= {gaps})"""
+
+    sql = f"""
+    WITH {_POS_CTES},{branch("r0", ["spark", "window"], True, 3)},
+    {branch("r1", ["merge", "batch"], False, 5)},
+    {branch("r2a", ["customer", "join"], True, 4)},
+    {branch("r2b", ["fast", "scan"], False, 6)},
+    u2 AS (SELECT DISTINCT doc_id, s, e FROM
+           (SELECT * FROM f_r2a UNION ALL SELECT * FROM f_r2b)),
+    f_r2 AS (
+      SELECT c1.doc_id, c1.s, c1.e FROM u2 c1
+      WHERE NOT EXISTS (SELECT 1 FROM u2 c2
+                        WHERE c2.doc_id = c1.doc_id AND c2.s >= c1.s
+                          AND c2.e <= c1.e
+                          AND (c2.s <> c1.s OR c2.e <> c1.e))),
+    {branch("r3", ["data", "value", "column"], False, 8).lstrip().lstrip(",")}
+    ,
+    allc AS (
+      SELECT 0 AS qid, doc_id, count(*) AS n_intervals FROM f_r0 GROUP BY 2
+      UNION ALL SELECT 1, doc_id, count(*) FROM f_r1 GROUP BY 2
+      UNION ALL SELECT 2, doc_id, count(*) FROM f_r2 GROUP BY 2
+      UNION ALL SELECT 3, doc_id, count(*) FROM f_r3 GROUP BY 2),
+    ranked AS (SELECT qid, doc_id, n_intervals,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY n_intervals DESC, doc_id)
+                        AS rank
+               FROM allc)
+    SELECT qid::BIGINT AS qid, rank::INT AS rank, doc_id,
+           n_intervals::BIGINT AS n_intervals
+    FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -9585,4 +9692,5 @@ def all_entries() -> Dict[str, Entry]:
         "multivector_maxsim": q_multivector_maxsim(),
         "string_stats": q_string_stats(),
         "random_sampler_agg": q_random_sampler_agg(),
+        "intervals_topk": q_intervals_topk(),
     }
