@@ -39,7 +39,13 @@ oracle_sql()    -> DuckDB twins for EVERY entry — len(oracle_sql()) ==
                    + percentiles_bucket / frequent_item_sets,
                    geo_bounding_box + bounds/centroid, index aliases +
                    rollover + indices_boost, rollup downsampling,
-                   transform pivot, and EQL sequence detection —
+                   transform pivot, and EQL sequence detection,
+                   plus session-5: exact stratified sampling, sequence
+                   packing, learned-sparse (SPLADE-style) retrieval,
+                   gap-based sessionization (native session_window),
+                   late-interaction multi-vector MaxSim, string_stats,
+                   random_sampler, and the nestable minimal-interval
+                   `intervals` query —
                    every one DuckDB-twinned (the exact count is
                    len(queries()), asserted == len(oracle_sql()) in
                    tests/test_entry.py).

@@ -367,6 +367,10 @@ def main() -> None:
         "significant_terms_bg", "date_range_agg", "indices_boost_topk",
         "common_terms_topk", "rollup_events_agg", "transform_pivot",
         "eql_sequence", "serial_diff_pct_bucket", "frequent_pairs",
+        # round-5 session-5 additions
+        "stratified_sample", "pack_sequences", "sparse_vector_topk",
+        "sessionize_events", "multivector_maxsim", "string_stats",
+        "random_sampler_agg", "intervals_topk",
     ]:
         try:
             fn, _ = entries[name]

@@ -9424,6 +9424,7 @@ def q_intervals_topk() -> Entry:
         from dpr_spark.index.build import build_index_from_docs
         from dpr_spark.query.intervals import (
             AnyOf,
+            Filtered,
             Match,
             intervals_search_index,
         )
@@ -9438,6 +9439,8 @@ def q_intervals_topk() -> Entry:
             (2, AnyOf([Match("customer join", ordered=True, max_gaps=4),
                        Match("fast scan", max_gaps=6)])),
             (3, Match("data value column", max_gaps=8)),
+            (4, Filtered(Match("merge batch", max_gaps=5), Match("spark"),
+                         "not_containing")),
         ]
         return intervals_search_index(spark, idx, pos, rules, k=10)
 
@@ -9500,11 +9503,17 @@ def q_intervals_topk() -> Entry:
                           AND (c2.s <> c1.s OR c2.e <> c1.e))),
     {branch("r3", ["data", "value", "column"], False, 8).lstrip().lstrip(",")}
     ,
+    f_r4 AS (
+      SELECT f.doc_id, f.s, f.e FROM f_r1 f
+      WHERE NOT EXISTS (SELECT 1 FROM pos p WHERE p.term = 'spark'
+                        AND p.doc_id = f.doc_id
+                        AND p.p >= f.s AND p.p <= f.e)),
     allc AS (
       SELECT 0 AS qid, doc_id, count(*) AS n_intervals FROM f_r0 GROUP BY 2
       UNION ALL SELECT 1, doc_id, count(*) FROM f_r1 GROUP BY 2
       UNION ALL SELECT 2, doc_id, count(*) FROM f_r2 GROUP BY 2
-      UNION ALL SELECT 3, doc_id, count(*) FROM f_r3 GROUP BY 2),
+      UNION ALL SELECT 3, doc_id, count(*) FROM f_r3 GROUP BY 2
+      UNION ALL SELECT 4, doc_id, count(*) FROM f_r4 GROUP BY 2),
     ranked AS (SELECT qid, doc_id, n_intervals,
                       row_number() OVER (PARTITION BY qid
                                          ORDER BY n_intervals DESC, doc_id)

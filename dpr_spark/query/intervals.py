@@ -89,6 +89,39 @@ class AnyOf:
         object.__setattr__(self, "children", tuple(children))
 
 
+_FILTER_KINDS = (
+    "containing",
+    "contained_by",
+    "not_containing",
+    "not_contained_by",
+    "overlapping",
+    "not_overlapping",
+    "before",
+    "after",
+)
+
+
+@dataclass(frozen=True)
+class Filtered:
+    """ES intervals `filter`: keep the source rule's minimal intervals
+    standing in `kind` relation to the filter rule's intervals —
+    containing / contained_by (and their not_ negations), overlapping /
+    not_overlapping, before / after (source interval entirely before /
+    after SOME filter interval). Filtering a minimal stream preserves
+    minimality, so no re-minimization happens (the Lucene
+    IntervalsSource filtering contract)."""
+
+    source: object
+    filter: object
+    kind: str = "containing"
+
+    def __post_init__(self):
+        if self.kind not in _FILTER_KINDS:
+            raise ValueError(
+                f"kind must be one of {_FILTER_KINDS}, got {self.kind!r}"
+            )
+
+
 # ---------------------------------------------------------------- algebra
 
 
@@ -125,6 +158,26 @@ def eval_tree(node, pos: Dict[int, Sequence[int]]) -> List[Tuple[int, int, int]]
         for c in node[1]:
             cands.extend(eval_tree(c, pos))
         return _absorb(cands)
+    if kind == "filter":
+        src = eval_tree(node[1], pos)
+        flt = eval_tree(node[2], pos)
+        rel = node[3]
+
+        def hit(i):
+            s, e, _ = i
+            if rel in ("containing", "not_containing"):
+                m = any(s <= fs and fe <= e for fs, fe, _ in flt)
+            elif rel in ("contained_by", "not_contained_by"):
+                m = any(fs <= s and e <= fe for fs, fe, _ in flt)
+            elif rel in ("overlapping", "not_overlapping"):
+                m = any(fs <= e and s <= fe for fs, fe, _ in flt)
+            elif rel == "before":
+                return any(e < fs for fs, _fe, _ in flt)
+            else:  # after
+                return any(fe < s for _fs, fe, _ in flt)
+            return m if not rel.startswith("not_") else not m
+
+        return [i for i in src if hit(i)]
     # kind == "all"
     children = [eval_tree(c, pos) for c in node[1]]
     ordered, max_gaps = node[2], node[3]
@@ -190,6 +243,13 @@ def _compile(node, leaf_of: Dict[str, int], analyzer) -> tuple:
     if isinstance(node, AnyOf):
         kids = tuple(_compile(c, leaf_of, analyzer) for c in node.children)
         return ("any", kids)
+    if isinstance(node, Filtered):
+        return (
+            "filter",
+            _compile(node.source, leaf_of, analyzer),
+            _compile(node.filter, leaf_of, analyzer),
+            node.kind,
+        )
     raise TypeError(f"unknown intervals rule: {type(node).__name__}")
 
 
@@ -205,6 +265,12 @@ def _conjunct_masks(node) -> List[int]:
         out: List[int] = []
         for c in node[1]:
             out.extend(_conjunct_masks(c))
+        return out
+    if kind == "filter":
+        out = _conjunct_masks(node[1])
+        if not node[3].startswith("not_"):
+            # positive relations need the filter rule to match too
+            out = out + _conjunct_masks(node[2])
         return out
     m = 0
     for c in node[1]:

@@ -9,7 +9,7 @@ import random
 
 import pytest
 
-from dpr_spark.query.intervals import AllOf, AnyOf, Match, eval_tree
+from dpr_spark.query.intervals import AllOf, AnyOf, Filtered, Match, eval_tree
 
 
 # ---------------------------------------------------------- brute twin
@@ -38,6 +38,25 @@ def _brute(node, pos):
         for c in node[1]:
             cands.extend(_brute(c, pos))
         return _brute_absorb(cands)
+    if kind == "filter":
+        src, flt, rel = _brute(node[1], pos), _brute(node[2], pos), node[3]
+        out = []
+        for s, e, g in src:
+            if rel == "before":
+                keep = any(e < fs for fs, _fe, _ in flt)
+            elif rel == "after":
+                keep = any(fe < s for _fs, fe, _ in flt)
+            else:
+                if rel.endswith("containing") and not rel.endswith("_by"):
+                    m = any(s <= fs and fe <= e for fs, fe, _ in flt)
+                elif rel.endswith("contained_by"):
+                    m = any(fs <= s and e <= fe for fs, fe, _ in flt)
+                else:  # overlapping
+                    m = any(fs <= e and s <= fe for fs, fe, _ in flt)
+                keep = (not m) if rel.startswith("not_") else m
+            if keep:
+                out.append((s, e, g))
+        return out
     children = [_brute(c, pos) for c in node[1]]
     ordered, max_gaps = node[2], node[3]
     if any(not c for c in children):
@@ -95,6 +114,32 @@ def test_any_of_cross_source_absorption():
     assert eval_tree(t, pos) == [(3, 3, 0), (4, 4, 0)]
 
 
+def test_filter_combinators_hand_cases():
+    pos = {0: [1, 10], 1: [3], 2: [2, 11]}
+    pair = ("all", (("leaf", 0), ("leaf", 1)), False, None)  # (1,3)
+    # minimal pairs: (1,3) and (3,10)
+    f = ("filter", pair, ("leaf", 2), "containing")
+    assert eval_tree(f, pos) == [(1, 3, 1)]  # contains 2; (3,10) doesn't
+    f = ("filter", pair, ("leaf", 2), "not_containing")
+    assert eval_tree(f, pos) == [(3, 10, 6)]
+    f = ("filter", ("leaf", 2), pair, "contained_by")
+    assert eval_tree(f, pos) == [(2, 2, 0)]  # 11 outside both pairs
+    f = ("filter", ("leaf", 0), ("leaf", 2), "before")
+    assert eval_tree(f, pos) == [(1, 1, 0), (10, 10, 0)]  # both < 11
+    f = ("filter", ("leaf", 0), ("leaf", 2), "after")
+    assert eval_tree(f, pos) == [(10, 10, 0)]
+    f = ("filter", pair, ("leaf", 2), "overlapping")
+    assert eval_tree(f, pos) == [(1, 3, 1)]
+    f = ("filter", pair, ("leaf", 2), "not_overlapping")
+    assert eval_tree(f, pos) == [(3, 10, 6)]
+    # doc lacking the filter term: positive kinds drop, negations keep
+    pos2 = {0: [1], 1: [3]}
+    assert eval_tree(("filter", pair, ("leaf", 2), "containing"), pos2) == []
+    assert eval_tree(
+        ("filter", pair, ("leaf", 2), "not_containing"), pos2
+    ) == [(1, 3, 1)]
+
+
 def test_nested_all_of_over_any_of():
     pos = {0: [2], 1: [10], 2: [4]}
     inner = ("any", (("leaf", 1), ("leaf", 2)))  # {4, 10}
@@ -118,11 +163,25 @@ def test_engine_equals_brute_force_randomized():
         def leaf(i):
             return ("leaf", i)
 
+        KINDS = [
+            "containing", "contained_by", "not_containing",
+            "not_contained_by", "overlapping", "not_overlapping",
+            "before", "after",
+        ]
+
         def rand_tree(depth):
             if depth == 0 or rng.random() < 0.4:
                 return leaf(rng.randrange(n_leaves))
+            r = rng.random()
+            if r < 0.2:
+                return (
+                    "filter",
+                    rand_tree(depth - 1),
+                    rand_tree(depth - 1),
+                    rng.choice(KINDS),
+                )
             kids = tuple(rand_tree(depth - 1) for _ in range(rng.randint(2, 3)))
-            if rng.random() < 0.5:
+            if r < 0.6:
                 mg = rng.choice([None, 0, 1, 3, 8])
                 return ("all", kids, rng.random() < 0.5, mg)
             return ("any", kids)
@@ -155,6 +214,9 @@ def test_search_index_vs_python_scan(spark, index, pages_pdf):
                    Match("café naïve", max_gaps=4)])),
         (2, AllOf([Match("the"), Match("of"), Match("and")], max_gaps=10)),
         (3, Match("zzznope the")),  # OOV leaf -> all_of never matches
+        (4, Filtered(Match("of the", ordered=True, max_gaps=2),
+                     Match("café"), "not_containing")),
+        (5, Filtered(Match("the and", max_gaps=6), Match("café"), "before")),
     ]
     got = {
         (r.qid, r.doc_id): (r.rank, r.n_intervals)
@@ -179,6 +241,9 @@ def test_search_index_vs_python_scan(spark, index, pages_pdf):
         if isinstance(rule, AllOf):
             return ("all", tuple(compile_brute(c, leaf_of) for c in rule.children),
                     rule.ordered, rule.max_gaps)
+        if isinstance(rule, Filtered):
+            return ("filter", compile_brute(rule.source, leaf_of),
+                    compile_brute(rule.filter, leaf_of), rule.kind)
         return ("any", tuple(compile_brute(c, leaf_of) for c in rule.children))
 
     exp = {}
