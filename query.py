@@ -64,6 +64,14 @@ def main(argv=None) -> None:
                     help="CommonTermsQuery: terms with df > CUTOFF*N are "
                          "scoring-only (candidates come from the rare "
                          "terms' short posting lists)")
+    ap.add_argument("--intervals", action="store_true",
+                    help="intervals mode: each question is an intervals "
+                         "Match rule (minimal-interval semantics, needs a "
+                         "positional index); rank = interval count")
+    ap.add_argument("--intervals-ordered", action="store_true",
+                    help="--intervals: require terms in order")
+    ap.add_argument("--max-gaps", type=int, default=None,
+                    help="--intervals: max internal gaps per interval")
     ap.add_argument("--regexp", action="store_true",
                     help="treat each question as an anchored regex over the "
                          "term dictionary (RegexpQuery rewrite; --engine "
@@ -254,6 +262,23 @@ def main(argv=None) -> None:
             for r in queries.select("qid", "question").collect()
         ]
         results = regexp_search(spark, patterns, idx, k=args.k)
+    elif args.intervals:
+        from pyspark.sql import functions as F
+
+        from dpr_spark.query.intervals import Match, intervals_search_index
+
+        if idx.positions is None:
+            raise SystemExit("--intervals needs positional postings; "
+                             "rebuild the index with build_index.py --positional")
+        rules = [
+            (int(r.qid),
+             Match(r.question, ordered=args.intervals_ordered,
+                   max_gaps=args.max_gaps))
+            for r in queries.select("qid", "question").collect()
+        ]
+        results = intervals_search_index(
+            spark, idx, idx.positions, rules, k=args.k
+        ).withColumn("score", F.col("n_intervals").cast("double"))
     elif args.boost:
         from dpr_spark.query.funcscore import decay_expr, search_function_score
 
@@ -383,6 +408,8 @@ def main(argv=None) -> None:
     results.write.mode("overwrite").parquet(os.path.join(args.out, "results"))
     if args.query_string:
         engine_label = "query-string"
+    elif args.intervals:
+        engine_label = "intervals" + ("-ordered" if args.intervals_ordered else "")
     elif args.regexp:
         engine_label = "regexp"
     elif args.boost:

@@ -346,3 +346,45 @@ def test_cli_query_string_and_phrase_suggest(tmp_path, pages_pdf, queries_pdf):
     assert _pq.read_table(
         str(tmp_path / "run_ps" / "phrase_suggestions")
     ).num_rows > 0
+
+
+def test_cli_intervals_mode(tmp_path, pages_pdf, queries_pdf):
+    """--intervals treats each question as an intervals Match rule over
+    the positional index; --intervals-ordered + --max-gaps wire through."""
+    from dpr_spark.fixtures.corpus import write_queries_tsv
+    from dpr_spark.functions.tokenizer import tokenize
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(pages_pdf[["url", "text"]].head(120), preserve_index=False),
+        pages_path,
+    )
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    out1 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "build_index.py"),
+         "--pages", pages_path, "--out", str(tmp_path / "idx"), "--positional"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out1.returncode == 0, out1.stderr[-2000:]
+
+    toks = tokenize(pages_pdf["text"].iloc[0])
+    qs = queries_pdf.head(1).copy()
+    qs.loc[qs.index[0], "question"] = f"{toks[0]} {toks[3]}"
+    write_queries_tsv(str(tmp_path / "qs.tsv"), qs)
+    out2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "query.py"),
+         "--index", str(tmp_path / "idx"), "--queries", str(tmp_path / "qs.tsv"),
+         "--k", "5", "--out", str(tmp_path / "run_iv"),
+         "--intervals", "--intervals-ordered", "--max-gaps", "12"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "[intervals-ordered]" in out2.stdout
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(str(tmp_path / "run_iv" / "results"))
+    assert t.num_rows > 0
+    assert "n_intervals" in t.schema.names and "score" in t.schema.names
