@@ -371,6 +371,8 @@ def main() -> None:
         "stratified_sample", "pack_sequences", "sparse_vector_topk",
         "sessionize_events", "multivector_maxsim", "string_stats",
         "random_sampler_agg", "intervals_topk",
+        # round-5 session-6 additions
+        "term_range_topk",
     ]:
         try:
             fn, _ = entries[name]

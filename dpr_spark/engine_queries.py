@@ -2093,6 +2093,77 @@ def q_prefix_topk() -> Entry:
     return fn, sql
 
 
+# (qid, lo, hi, inc_lo, inc_hi) — lexicographic term-range clauses:
+# bounded, exclusive-hi, open-hi, open-lo, and empty-range cases
+TERM_RANGE_QUERIES = [
+    (0, "q", "sz", True, True),
+    (1, "a", "c", True, False),
+    (2, "t", None, True, True),
+    (3, None, "b", True, False),
+    (4, "x", "z", True, True),
+]
+TERM_RANGE_EXPANSIONS = 4
+
+
+def q_term_range_topk() -> Entry:
+    """Term-range top-10 (Lucene TermRangeQuery twin,
+    query/boolquery.py::term_range_search): each clause's lexicographic
+    [lo, hi] interval (NULL = open side, inc_* inclusivity) expands to
+    the {TERM_RANGE_EXPANSIONS} highest-df in-range dictionary terms
+    (ties term ASC) and scores as a disjunction — the rewrite contract
+    shared with prefix/wildcard/regexp. Binary UTF-8 string order in
+    both engines."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.boolquery import term_range_search
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        res = term_range_search(
+            spark, TERM_RANGE_QUERIES, idx, k=10,
+            max_expansions=TERM_RANGE_EXPANSIONS,
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    def lit(v):
+        return "NULL::VARCHAR" if v is None else f"'{v}'"
+
+    range_values = ", ".join(
+        f"({qid}, {lit(lo)}, {lit(hi)}, {str(il).upper()}, {str(ih).upper()})"
+        for qid, lo, hi, il, ih in TERM_RANGE_QUERIES
+    )
+    sql = f"""
+    WITH {_POS_CTES},
+    r AS (SELECT * FROM (VALUES {range_values})
+          AS r(qid, lo, hi, inc_lo, inc_hi)),
+    exp AS (
+      SELECT r.qid, d.term,
+             row_number() OVER (PARTITION BY r.qid
+                                ORDER BY d.df DESC, d.term) AS rr
+      FROM r JOIN dict d
+        ON (r.lo IS NULL OR
+            CASE WHEN r.inc_lo THEN d.term >= r.lo ELSE d.term > r.lo END)
+       AND (r.hi IS NULL OR
+            CASE WHEN r.inc_hi THEN d.term <= r.hi ELSE d.term < r.hi END)),
+    qt AS (SELECT qid, term FROM exp WHERE rr <= {TERM_RANGE_EXPANSIONS}),
+    scored AS (
+      SELECT qt.qid, tf.doc_id, sum({_BM25_COMPONENT}) AS score
+      FROM qt JOIN dict USING (term) JOIN tf USING (term)
+           JOIN ds ON tf.doc_id = ds.doc_id CROSS JOIN stats
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 # (qid, query) — misspellings of corpus vocabulary + one exact + one far
 FUZZY_QUERIES = [
     (0, "spark"),        # exact term (dist-0 expansion, boost 1.0)
@@ -9571,6 +9642,7 @@ def all_entries() -> Dict[str, Entry]:
         "phrase_topk": q_phrase_topk(),
         "bool_topk": q_bool_topk(),
         "prefix_topk": q_prefix_topk(),
+        "term_range_topk": q_term_range_topk(),
         "fuzzy_topk": q_fuzzy_topk(),
         "highlight_topk": q_highlight_topk(),
         "mlt_topk": q_mlt_topk(),

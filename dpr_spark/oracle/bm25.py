@@ -736,6 +736,40 @@ class BM25Oracle:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def term_range_search(
+        self,
+        lo,
+        hi,
+        k: int = 10,
+        max_expansions: int = 16,
+        inc_lo: bool = True,
+        inc_hi: bool = True,
+    ) -> List[Tuple[int, float]]:
+        """TermRangeQuery twin (query/boolquery.py term_range_search):
+        vocabulary terms in the lexicographic [lo, hi] interval (None =
+        open side), expansion ranked (df DESC, term ASC), scored as a
+        disjunction."""
+        lo = lo.lower() if lo else lo
+        hi = hi.lower() if hi else hi
+
+        def ok(t: str) -> bool:
+            if lo is not None and not (t >= lo if inc_lo else t > lo):
+                return False
+            if hi is not None and not (t <= hi if inc_hi else t < hi):
+                return False
+            return True
+
+        cand = sorted(
+            (t for t in self.postings if ok(t)),
+            key=lambda t: (-self.df[t], t),
+        )[:max_expansions]
+        scores: Dict[int, float] = {}
+        for t in cand:
+            for d in self.postings[t]:
+                scores[d] = scores.get(d, 0.0) + self.score_one(t, d)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def spell_suggest(
         self,
         query: str,

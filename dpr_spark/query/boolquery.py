@@ -449,6 +449,98 @@ def prefix_search(
     return _topk(scored, k)
 
 
+def expand_term_range(
+    index: InvertedIndex,
+    ranges: DataFrame,
+    max_expansions: int = 16,
+    envelope: Optional[Tuple[Optional[str], Optional[str]]] = None,
+) -> DataFrame:
+    """ranges(qid, lo, hi, inc_lo, inc_hi) -> (qid, term, term_id, idf):
+    the `max_expansions` highest-df dictionary terms per clause whose
+    term falls in the clause's lexicographic [lo, hi] interval (NULL
+    bound = open side; inc_* toggles inclusive/exclusive), ties term
+    ASC — Lucene TermRangeQuery under its TopTermsRewrite.
+
+    envelope: the (min lo, max hi) literals over all clauses when the
+    caller has them driver-side (it does — they arrived as query
+    strings). They become pushable >=/<= range predicates on the
+    dictionary scan (the FST range-seek analog; same discipline as the
+    prefix/wildcard literal pruning) — a superset the join condition
+    then exacts. A side with any open-bound clause passes None for
+    that side and that predicate is skipped (the honest cost of an
+    open-ended range)."""
+    dic = index.dictionary.select("term", "term_id", "idf", "df")
+    if envelope is not None:
+        lo_min, hi_max = envelope
+        if lo_min is not None:
+            dic = dic.filter(F.col("term") >= lo_min)
+        if hi_max is not None:
+            dic = dic.filter(F.col("term") <= hi_max)
+    in_range = (
+        F.col("lo").isNull()
+        | F.when(F.col("inc_lo"), F.col("term") >= F.col("lo")).otherwise(
+            F.col("term") > F.col("lo")
+        )
+    ) & (
+        F.col("hi").isNull()
+        | F.when(F.col("inc_hi"), F.col("term") <= F.col("hi")).otherwise(
+            F.col("term") < F.col("hi")
+        )
+    )
+    cand = F.broadcast(ranges).join(dic, in_range)
+    w = Window.partitionBy("qid").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_expansions)
+        .select("qid", "term", "term_id", "idf")
+    )
+
+
+def term_range_search(
+    spark: SparkSession,
+    ranges: Sequence[Tuple],
+    index: InvertedIndex,
+    k: int = DEFAULT_TOP_K,
+    max_expansions: int = 16,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Lucene TermRangeQuery: each clause is (qid, lo, hi[, inc_lo,
+    inc_hi]) — lexicographic term bounds, None = open side, inclusive
+    by default — expanded to the `max_expansions` highest-df in-range
+    terms and scored as a disjunction (the same rewrite contract as
+    prefix/wildcard/regexp). Bounds compare lowercased, matching the
+    lowercased vocabulary; term order is binary UTF-8 in both Spark
+    and the DuckDB twin."""
+    rows = []
+    for r in ranges:
+        qid, lo, hi = r[0], r[1], r[2]
+        inc_lo = bool(r[3]) if len(r) > 3 else True
+        inc_hi = bool(r[4]) if len(r) > 4 else True
+        if lo is None and hi is None:
+            raise ValueError(f"qid {qid}: at least one bound is required")
+        rows.append(
+            (qid, lo.lower() if lo else lo, hi.lower() if hi else hi, inc_lo, inc_hi)
+        )
+    pdf = spark.createDataFrame(
+        rows, "qid long, lo string, hi string, inc_lo boolean, inc_hi boolean"
+    )
+    los = [r[1] for r in rows]
+    his = [r[2] for r in rows]
+    envelope = (
+        None if any(v is None for v in los) else min(los),
+        None if any(v is None for v in his) else max(his),
+    )
+    qt = expand_term_range(index, pdf, max_expansions, envelope=envelope)
+    joined = index.postings.join(
+        F.broadcast(qt.select("qid", "term_id", "idf")), "term_id"
+    )
+    scored = joined.groupBy("qid", "doc_id").agg(
+        F.sum(_component(index.stats.avgdl, k1, b)).alias("score")
+    )
+    return _topk(scored, k)
+
+
 def match_bool_prefix_search(
     spark: SparkSession,
     queries: Sequence[Tuple[int, str]],

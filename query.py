@@ -76,6 +76,12 @@ def main(argv=None) -> None:
                     help="treat each question as an anchored regex over the "
                          "term dictionary (RegexpQuery rewrite; --engine "
                          "exact/segments result schema)")
+    ap.add_argument("--term-range", action="store_true",
+                    help="treat each question as a lexicographic term range "
+                         "'LO..HI' over the dictionary (TermRangeQuery "
+                         "rewrite; omit a side for an open bound, [ / ( "
+                         "prefix and ] / ) suffix toggle inclusivity, "
+                         "e.g. '[query..spark)' or 'table..')")
     ap.add_argument("--query-string", action="store_true",
                     help='parse questions as the +must -not "phrase" glob* '
                          "fuzzy~N query-string language "
@@ -262,6 +268,28 @@ def main(argv=None) -> None:
             for r in queries.select("qid", "question").collect()
         ]
         results = regexp_search(spark, patterns, idx, k=args.k)
+    elif args.term_range:
+        from dpr_spark.query.boolquery import term_range_search
+
+        def parse_range(s):
+            s = s.strip()
+            inc_lo, inc_hi = True, True
+            if s.startswith(("[", "(")):
+                inc_lo = s[0] == "["
+                s = s[1:]
+            if s.endswith(("]", ")")):
+                inc_hi = s[-1] == "]"
+                s = s[:-1]
+            if ".." not in s:
+                raise SystemExit(f"--term-range wants 'LO..HI', got {s!r}")
+            lo, hi = s.split("..", 1)
+            return lo or None, hi or None, inc_lo, inc_hi
+
+        ranges = [
+            (int(r.qid), *parse_range(r.question))
+            for r in queries.select("qid", "question").collect()
+        ]
+        results = term_range_search(spark, ranges, idx, k=args.k)
     elif args.intervals:
         from pyspark.sql import functions as F
 
@@ -412,6 +440,8 @@ def main(argv=None) -> None:
         engine_label = "intervals" + ("-ordered" if args.intervals_ordered else "")
     elif args.regexp:
         engine_label = "regexp"
+    elif args.term_range:
+        engine_label = "term-range"
     elif args.boost:
         engine_label = "exact+boost"
     elif args.common_terms is not None:

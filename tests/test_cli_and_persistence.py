@@ -388,3 +388,18 @@ def test_cli_intervals_mode(tmp_path, pages_pdf, queries_pdf):
     t = _pq.read_table(str(tmp_path / "run_iv" / "results"))
     assert t.num_rows > 0
     assert "n_intervals" in t.schema.names and "score" in t.schema.names
+
+    # --term-range against the same index: '[LO..HI)' bracket syntax
+    lo, hi = sorted({toks[0], toks[3], toks[1]})[:2]
+    qs2 = queries_pdf.head(1).copy()
+    qs2.loc[qs2.index[0], "question"] = f"[{lo}..{hi}z]"
+    write_queries_tsv(str(tmp_path / "qr.tsv"), qs2)
+    out3 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "query.py"),
+         "--index", str(tmp_path / "idx"), "--queries", str(tmp_path / "qr.tsv"),
+         "--k", "5", "--out", str(tmp_path / "run_tr"), "--term-range"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out3.returncode == 0, out3.stderr[-2000:]
+    assert "[term-range]" in out3.stdout
+    assert _pq.read_table(str(tmp_path / "run_tr" / "results")).num_rows > 0

@@ -316,6 +316,52 @@ def test_wildcard_search_vs_oracle(spark, index, oracle):
     _check_topk(rows, expect, "wildcard")
 
 
+def test_term_range_search_vs_oracle(spark, index, oracle):
+    from dpr_spark.query.boolquery import term_range_search
+
+    terms = sorted(oracle.df)
+    mid = terms[len(terms) // 2]
+    cases = [
+        (0, terms[0], mid, True, True),       # bounded inclusive
+        (1, terms[0], mid, False, False),     # exclusive both ends
+        (2, mid, None, True, True),           # open hi
+        (3, None, mid, True, True),           # open lo
+        (4, "zz", "zzz", True, True),         # (almost surely) empty
+        (5, terms[2], terms[2], True, True),  # single-term degenerate
+    ]
+    expect = {
+        qid: oracle.term_range_search(
+            lo, hi, k=15, max_expansions=4, inc_lo=il, inc_hi=ih
+        )
+        for qid, lo, hi, il, ih in cases
+    }
+    assert sum(len(v) for v in expect.values()) > 0
+    rows = term_range_search(spark, cases, index, k=15, max_expansions=4).collect()
+    _check_topk(rows, expect, "term_range")
+
+
+def test_term_range_envelope_prunes_but_preserves(spark, index, oracle):
+    """The pushed envelope filter is a superset of every clause: results
+    with and without it are identical (bounded clauses only — the case
+    where the envelope actually applies)."""
+    from dpr_spark.query.boolquery import expand_term_range, term_range_search
+
+    terms = sorted(oracle.df)
+    cases = [(0, terms[1], terms[-2], True, False), (1, terms[0], terms[3], True, True)]
+    got = {
+        (r.qid, r.rank): (r.doc_id, round(r.score, 9))
+        for r in term_range_search(spark, cases, index, k=10, max_expansions=4).collect()
+    }
+    pdf = spark.createDataFrame(
+        [(q, lo, hi, il, ih) for q, lo, hi, il, ih in cases],
+        "qid long, lo string, hi string, inc_lo boolean, inc_hi boolean",
+    )
+    no_env = expand_term_range(index, pdf, 4, envelope=None)
+    env = expand_term_range(index, pdf, 4, envelope=(terms[0], terms[-2]))
+    assert sorted(map(tuple, no_env.collect())) == sorted(map(tuple, env.collect()))
+    assert got  # the bounded clauses matched something
+
+
 def test_index_save_load_roundtrip_with_positions(
     spark, pages_df, oracle, tmp_path
 ):
