@@ -394,6 +394,19 @@ def test_phrase_suggest_lm_never_broadcasts(spark, index, pages_df):
     assert "StartsWith" in plan
 
 
+def test_term_range_envelope_pushes_to_dictionary_scan(spark, stored_index):
+    """term_range_search's (min lo, max hi) envelope reaches the parquet
+    dictionary scan as pushed >=/<= range filters — the FST range-seek
+    analog (W88); the broadcast join condition then exacts per clause."""
+    from dpr_spark.query.boolquery import term_range_search
+
+    plan = _explain(
+        term_range_search(spark, [(0, "ka", "wz")], stored_index, k=5)
+    )
+    assert "GreaterThanOrEqual(term,ka)" in plan, plan
+    assert "LessThanOrEqual(term,wz)" in plan, plan
+
+
 def test_prefix_search_pushes_literals_to_dictionary_scan(spark, stored_index):
     """expand_prefix's literal superset filter: the prefix reaches the
     parquet dictionary scan as StringStartsWith — no full-vocab
