@@ -7720,6 +7720,70 @@ def _multiline_docs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_gopher_rules() -> Entry:
+    """Gopher non-repetition quality rules (extras/webclean
+    gopher_quality_rules; Rae et al. 2021 §A1.1): word-count bounds,
+    mean word length, symbol-to-word ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, and the 8-word stop-word
+    requirement — raw metrics + per-rule booleans + the AND. Pure
+    per-row column math (no shuffle) on the Spark side; the twin
+    recomputes every metric from the same reconstructed multi-line
+    text. min_words=60 / min_stop_word_hits=1 tuned so the synthetic
+    corpus splits on both rules."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.webclean import gopher_quality_rules
+
+        return gopher_quality_rules(
+            _multiline_docs(spark, sf_dir).select("doc_id", "text"),
+            min_words=60,
+            min_stop_word_hits=1,
+        ).orderBy("doc")
+
+    wc = "list_sum(list_transform(ws, w -> length(w)))"
+    joined = "array_to_string(ws, ' ')"
+    sql = f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    base AS (SELECT doc_id AS doc, toks AS ws, {_DUCK_LINES} AS ls FROM t),
+    m AS (
+      SELECT doc,
+        len(ws)::BIGINT AS n_words,
+        round(coalesce({wc}, 0) / greatest(len(ws), 1)::DOUBLE, 6)
+          AS mean_word_len,
+        round((coalesce(list_sum(list_transform(ws,
+                 w -> length(w) - length(replace(w, '#', '')))), 0)
+               + length({joined}) - length(replace({joined}, '…', ''))
+               + (length({joined})
+                  - length(regexp_replace({joined}, '\\.\\.\\.', '', 'g'))) / 3.0
+              ) / greatest(len(ws), 1)::DOUBLE, 6) AS symbol_word_ratio,
+        round(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[•‣▪*-]')))
+              / greatest(len(ls), 1)::DOUBLE, 6) AS bullet_line_frac,
+        round(len(list_filter(ls, l -> ends_with(rtrim(l), '…')
+                                    OR ends_with(rtrim(l), '...')))
+              / greatest(len(ls), 1)::DOUBLE, 6) AS ellipsis_line_frac,
+        round(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+              / greatest(len(ws), 1)::DOUBLE, 6) AS alpha_word_frac,
+        len(list_filter(['the','be','to','of','and','that','have','with'],
+                        s -> list_contains(ws, s)))::BIGINT AS stop_word_hits
+      FROM base)
+    SELECT doc, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+      ellipsis_line_frac, alpha_word_frac, stop_word_hits,
+      (n_words >= 60 AND n_words <= 100000) AS rule_word_count,
+      (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS rule_mean_word_len,
+      (symbol_word_ratio <= 0.1) AS rule_symbol_ratio,
+      (bullet_line_frac <= 0.9) AS rule_bullet_lines,
+      (ellipsis_line_frac <= 0.3) AS rule_ellipsis_lines,
+      (alpha_word_frac >= 0.8) AS rule_alpha_words,
+      (stop_word_hits >= 1) AS rule_stop_words,
+      ((n_words >= 60 AND n_words <= 100000)
+       AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+       AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+       AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+       AND stop_word_hits >= 1) AS gopher_pass
+    FROM m ORDER BY doc"""
+    return fn, sql
+
+
 def q_repetition_stats() -> Entry:
     """Gopher-style intra-document repetition metrics (extras/webclean
     repetition_stats): duplicate-line fractions over 2-token chunk lines
@@ -9739,6 +9803,7 @@ def all_entries() -> Dict[str, Entry]:
         "hits_topk": q_hits_topk(),
         "link_graph_stats": q_link_graph_stats(),
         "repetition_stats": q_repetition_stats(),
+        "gopher_rules": q_gopher_rules(),
         "decontaminate_ngrams": q_decontaminate_ngrams(),
         "pii_redact": q_pii_redact(),
         "url_canonical_latest": q_url_canonical_latest(),

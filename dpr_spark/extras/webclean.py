@@ -186,6 +186,125 @@ def repetition_stats(
     return d.select(*cols)
 
 
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_BULLETS = ("•", "‣", "▪", "-", "*")
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_word_hits: int = 2,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Gopher non-repetition quality rules (Rae et al. 2021 §A1.1 —
+    MassiveText filtering; the repetition half is `repetition_stats`).
+    One row per document with the raw metrics, one boolean per rule,
+    and `gopher_pass` = AND of all rules. Default thresholds are the
+    paper's. Pure per-row Catalyst column math — zero shuffle, one
+    corpus scan, whole-stage-codegen — so at 100 TB the filter costs
+    exactly one pass over the pages it reads.
+
+    Word = whitespace-delimited run (the paper's notion, punctuation
+    attached); metric definitions:
+    - n_words in [min_words, max_words]
+    - mean_word_len in [min_mean_word_len, max_mean_word_len]
+    - symbol_word_ratio: (count '#' + count ellipsis '…'/'...') /
+      n_words <= max_symbol_word_ratio
+    - bullet_line_frac: lines whose lstrip starts with a bullet glyph
+      (• ‣ ▪ - *) <= max_bullet_line_frac of lines
+    - ellipsis_line_frac: lines whose rstrip ends with '…' or '...'
+      <= max_ellipsis_line_frac
+    - alpha_word_frac: words containing >=1 [a-zA-Z] >=
+      min_alpha_word_frac
+    - stop_word_hits: distinct members of the paper's 8-word stop set
+      present (lowercased word match) >= min_stop_word_hits
+    """
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    lines = F.split(F.col(text_col), line_sep)
+    d = df.select(
+        F.col(id_col).alias("doc"), words.alias("ws"), lines.alias("ls")
+    )
+    n_words = F.size("ws").cast("long")
+    word_chars = F.aggregate(
+        "ws", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = word_chars / F.greatest(n_words, F.lit(1)).cast("double")
+    n_hash = F.aggregate(
+        "ws",
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w) - F.length(F.replace(w, F.lit("#"))),
+    )
+    # ellipses: unicode '…' anywhere + literal '...' runs (count
+    # non-overlapping '...' occurrences via length arithmetic)
+    text_c = F.concat_ws(" ", F.col("ws"))
+    n_uni_ell = F.length(text_c) - F.length(F.replace(text_c, F.lit("…")))
+    n_dot_ell = (
+        F.length(text_c) - F.length(F.regexp_replace(text_c, r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = (n_hash + n_uni_ell + n_dot_ell) / F.greatest(
+        n_words, F.lit(1)
+    ).cast("double")
+    bullet_rx = "^[•‣▪*-]"
+    n_bullet = F.size(
+        F.filter("ls", lambda l: F.ltrim(l).rlike(bullet_rx))
+    ).cast("long")
+    n_ell_end = F.size(
+        F.filter(
+            "ls",
+            lambda l: F.rtrim(l).endswith("…") | F.rtrim(l).endswith("..."),
+        )
+    ).cast("long")
+    n_lines = F.greatest(F.size("ls"), F.lit(1)).cast("double")
+    n_alpha = F.size(
+        F.filter("ws", lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("long")
+    alpha_frac = n_alpha / F.greatest(n_words, F.lit(1)).cast("double")
+    lower_ws = F.transform("ws", F.lower)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS]),
+            lambda s: F.array_contains(lower_ws, s),
+        )
+    ).cast("long")
+    m = d.select(
+        "doc",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(n_bullet / n_lines, 6).alias("bullet_line_frac"),
+        F.round(n_ell_end / n_lines, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stop_word_hits"),
+    )
+    rules = {
+        "rule_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "rule_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "rule_symbol_ratio": F.col("symbol_word_ratio") <= max_symbol_word_ratio,
+        "rule_bullet_lines": F.col("bullet_line_frac") <= max_bullet_line_frac,
+        "rule_ellipsis_lines": F.col("ellipsis_line_frac")
+        <= max_ellipsis_line_frac,
+        "rule_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "rule_stop_words": F.col("stop_word_hits") >= min_stop_word_hits,
+    }
+    out = m
+    passing = None
+    for name, c in rules.items():
+        out = out.withColumn(name, c)
+        passing = c if passing is None else (passing & c)
+    return out.withColumn("gopher_pass", passing)
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination
 # ---------------------------------------------------------------------------

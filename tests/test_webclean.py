@@ -52,6 +52,45 @@ def test_repetition_stats_no_shuffle(spark):
     assert "Exchange" not in plan  # pure per-row column math
 
 
+def test_gopher_quality_rules_exact(spark):
+    from dpr_spark.extras.webclean import gopher_quality_rules
+
+    rows = [
+        # 8 words, mean len (3+3+3+2+4+3+3+4)/8=3.125, stops the/with/and
+        (1, "the cat sat on with mat and hats"),
+        (2, "# ## #"),                             # 3 hash-words, symbol 3/3
+        (3, "- one\n- two\n• three\nplain line"),  # 3/4 bullet lines
+        (4, "wait...\nmore…\nplain"),              # 2/3 ellipsis ends
+        (5, "12 99 42"),                           # zero alpha words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc: r for r in gopher_quality_rules(df, min_words=3).collect()}
+    r1 = out[1]
+    assert r1.n_words == 8
+    assert r1.mean_word_len == pytest.approx(3.125, abs=1e-6)
+    assert r1.stop_word_hits == 3  # the, with, and
+    assert r1.gopher_pass
+    r2 = out[2]
+    assert r2.symbol_word_ratio == pytest.approx(4 / 3, abs=1e-6)
+    assert not r2.rule_symbol_ratio and not r2.gopher_pass
+    r3 = out[3]
+    assert r3.bullet_line_frac == pytest.approx(3 / 4, abs=1e-6)
+    assert r3.rule_bullet_lines  # 0.75 <= 0.9 default
+    r4 = out[4]
+    assert r4.ellipsis_line_frac == pytest.approx(2 / 3, abs=1e-6)
+    assert not r4.rule_ellipsis_lines
+    r5 = out[5]
+    assert r5.alpha_word_frac == 0.0 and not r5.rule_alpha_words
+
+
+def test_gopher_quality_rules_no_shuffle(spark):
+    from dpr_spark.extras.webclean import gopher_quality_rules
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = _plan(gopher_quality_rules(df))
+    assert "Exchange" not in plan  # one corpus pass, per-row math
+
+
 def test_pii_redact_exact(spark):
     df = spark.createDataFrame(
         [(1, "mail a@b.co or 10.0.0.1 or 555-123-4567 done"), (2, "clean")],
