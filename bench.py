@@ -372,7 +372,7 @@ def main() -> None:
         "sessionize_events", "multivector_maxsim", "string_stats",
         "random_sampler_agg", "intervals_topk",
         # round-5 session-6 additions
-        "term_range_topk", "gopher_rules",
+        "term_range_topk", "gopher_rules", "c4_clean",
     ]:
         try:
             fn, _ = entries[name]

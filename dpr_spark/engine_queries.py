@@ -7720,6 +7720,100 @@ def _multiline_docs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_c4_clean() -> Entry:
+    """C4 cleaning heuristics (extras/webclean c4_clean; Raffel et al.
+    2020 §2.2): terminal-punctuation + min-word line filter, kept-text
+    sentence minimum, lorem-ipsum / curly-brace / badword page rules.
+    Both engines synthesize the same punctuated multi-line text from
+    the token stream (5-token lines; every 3rd line unterminated; 1-in-7
+    docs get a brace line, 1-in-11 a lorem-ipsum lead, 1-in-13 a
+    badword line), so every rule fires on a real subset."""
+
+    LW = 5  # tokens per synthetic line
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.webclean import c4_clean
+
+        toks = _tok_col()
+        n_lines = F.ceil(F.size(toks) / LW).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat(
+                F.concat_ws(" ", F.slice(toks, i * LW + 1, LW)),
+                F.when(i % 3 == 0, F.lit("."))
+                .when(i % 3 == 1, F.lit(""))
+                .otherwise(F.lit("?")),
+            ),
+        )
+        text = F.concat_ws("\n", lines)
+        text = F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("lorem ipsum comes first here.\n"), text),
+        ).otherwise(text)
+        text = F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(text, F.lit("\ncurly brace line { here okay.")),
+        ).otherwise(text)
+        text = F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(text, F.lit("\nthis verboten word line ends.")),
+        ).otherwise(text)
+        d = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+        return c4_clean(d, badwords=("verboten",)).orderBy("doc")
+
+    sql = f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    built AS (
+      SELECT doc_id,
+        array_to_string(list_transform(
+          range(0, cast(ceil(len(toks) / {LW}.0) AS INT)),
+          i -> array_to_string(toks[i * {LW} + 1 : i * {LW} + {LW}], ' ')
+               || CASE WHEN i % 3 = 0 THEN '.'
+                       WHEN i % 3 = 1 THEN ''
+                       ELSE '?' END), chr(10)) AS base
+      FROM t),
+    txt AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 11 = 0
+              THEN 'lorem ipsum comes first here.' || chr(10) ELSE '' END)
+        || base
+        || (CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'curly brace line {{ here okay.' ELSE '' END)
+        || (CASE WHEN doc_id % 13 = 0
+                 THEN chr(10) || 'this verboten word line ends.' ELSE '' END)
+        AS text
+      FROM built),
+    m AS (
+      SELECT doc_id AS doc, text,
+        string_split(text, chr(10)) AS ls,
+        list_filter(string_split(text, chr(10)),
+          l -> regexp_matches(rtrim(l), '[.!?"]$')
+           AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                               w -> w <> '')) >= 5) AS kept
+      FROM txt),
+    o AS (
+      SELECT doc,
+        array_to_string(kept, chr(10)) AS clean_text,
+        len(kept)::BIGINT AS n_kept_lines,
+        len(ls)::BIGINT AS n_lines,
+        (length(array_to_string(kept, chr(10)))
+         - length(regexp_replace(array_to_string(kept, chr(10)),
+                                 '[.!?]', '', 'g')))::BIGINT AS n_sentences,
+        NOT (lower(text) LIKE '%lorem ipsum%') AS rule_no_lorem_ipsum,
+        NOT (lower(text) LIKE '%{{%') AS rule_no_brace,
+        NOT list_has_any(
+          list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                      w -> w <> ''), ['verboten']) AS rule_no_badword
+      FROM m)
+    SELECT doc, clean_text, n_kept_lines, n_lines, n_sentences,
+      (n_sentences >= 3) AS rule_min_sentences,
+      rule_no_lorem_ipsum, rule_no_brace, rule_no_badword,
+      ((n_sentences >= 3) AND rule_no_lorem_ipsum AND rule_no_brace
+       AND rule_no_badword) AS c4_keep
+    FROM o ORDER BY doc"""
+    return fn, sql
+
+
 def q_gopher_rules() -> Entry:
     """Gopher non-repetition quality rules (extras/webclean
     gopher_quality_rules; Rae et al. 2021 §A1.1): word-count bounds,
@@ -9804,6 +9898,7 @@ def all_entries() -> Dict[str, Entry]:
         "link_graph_stats": q_link_graph_stats(),
         "repetition_stats": q_repetition_stats(),
         "gopher_rules": q_gopher_rules(),
+        "c4_clean": q_c4_clean(),
         "decontaminate_ngrams": q_decontaminate_ngrams(),
         "pii_redact": q_pii_redact(),
         "url_canonical_latest": q_url_canonical_latest(),

@@ -305,6 +305,79 @@ def gopher_quality_rules(
     return out.withColumn("gopher_pass", passing)
 
 
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+    badwords: Sequence[str] = (),
+    line_sep: str = "\n",
+) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2 — the "Colossal
+    Clean Crawled Corpus" rules), one row per document, pure per-row
+    Catalyst column math (zero shuffle, one corpus scan):
+
+    - line filter: keep only lines that end in terminal punctuation
+      (. ! ? ") after rtrim AND contain >= min_line_words
+      whitespace-words; `clean_text` = kept lines re-joined in order.
+    - n_sentences: terminal-punctuation marks ([.!?]) in the KEPT text
+      (the paper's sentence heuristic); rule_min_sentences compares to
+      min_sentences.
+    - rule_no_lorem_ipsum: the ORIGINAL text (lowercased) does not
+      contain "lorem ipsum"; rule_no_brace: it does not contain "{"
+      (the paper drops code-looking pages).
+    - rule_no_badword: no lowercased word of the original text is in
+      `badwords` (the paper uses a public blocklist; parameterized
+      here, empty default = rule passes).
+    - c4_keep = AND of the four rules.
+
+    The paper's fourth stage (three-sentence-span dedup across the
+    corpus) is the separate `dup_span_strip` operator."""
+    lines = F.split(F.col(text_col), line_sep)
+    d = df.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("_t"), lines.alias("ls")
+    )
+    line_words = lambda l: F.size(  # noqa: E731
+        F.filter(F.split(l, r"\s+"), lambda w: w != "")
+    )
+    keep_line = lambda l: F.rtrim(l).rlike('[.!?"]$') & (  # noqa: E731
+        line_words(l) >= min_line_words
+    )
+    kept = F.filter("ls", keep_line)
+    clean_text = F.concat_ws(line_sep, kept)
+    n_sent = (
+        F.length(clean_text)
+        - F.length(F.regexp_replace(clean_text, r"[.!?]", ""))
+    ).cast("long")
+    low = F.lower(F.col("_t"))
+    words_low = F.filter(F.split(low, r"\s+"), lambda w: w != "")
+    if badwords:
+        bad = F.arrays_overlap(
+            words_low, F.array(*[F.lit(b.lower()) for b in badwords])
+        )
+    else:
+        bad = F.lit(False)
+    out = d.select(
+        "doc",
+        clean_text.alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.size("ls").cast("long").alias("n_lines"),
+        n_sent.alias("n_sentences"),
+        (n_sent >= min_sentences).alias("rule_min_sentences"),
+        (~low.contains("lorem ipsum")).alias("rule_no_lorem_ipsum"),
+        (~low.contains("{")).alias("rule_no_brace"),
+        (~bad).alias("rule_no_badword"),
+    )
+    return out.withColumn(
+        "c4_keep",
+        F.col("rule_min_sentences")
+        & F.col("rule_no_lorem_ipsum")
+        & F.col("rule_no_brace")
+        & F.col("rule_no_badword"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination
 # ---------------------------------------------------------------------------

@@ -91,6 +91,52 @@ def test_gopher_quality_rules_no_shuffle(spark):
     assert "Exchange" not in plan  # one corpus pass, per-row math
 
 
+def test_c4_clean_exact(spark):
+    from dpr_spark.extras.webclean import c4_clean
+
+    rows = [
+        # 3 kept lines (terminal punct + >=5 words) -> 3 sentences, keeps
+        (1, "This line has five good words.\nshort one.\n"
+            "Another fine long line here!\nno punct ending line five\n"
+            "A third proper sentence right here?"),
+        (2, "Lorem Ipsum dolor sit amet etc.\nGood line with five words.\n"
+            "One more fine line right here.\nAnd a fourth proper one too."),
+        (3, "var x = { a: 1 }. This is code-ish with braces here.\nYes."),
+        (4, 'He said "these quoted ends count."\nShort.'),
+        (5, "this has the badword verboten inside.\nPlus two more fine "
+            "lines here.\nAnd a third full sentence too."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc: r
+        for r in c4_clean(df, badwords=("verboten",), min_sentences=3).collect()
+    }
+    r1 = out[1]
+    assert r1.n_lines == 5 and r1.n_kept_lines == 3
+    assert r1.n_sentences == 3 and r1.c4_keep
+    assert "short one." not in r1.clean_text        # <5 words
+    assert "no punct" not in r1.clean_text          # no terminal punct
+    r2 = out[2]
+    assert not r2.rule_no_lorem_ipsum and not r2.c4_keep
+    assert r2.rule_min_sentences                    # 4 kept sentences
+    r3 = out[3]
+    assert not r3.rule_no_brace and not r3.c4_keep
+    r4 = out[4]
+    assert r4.n_kept_lines == 1                     # quote-terminated kept
+    assert r4.n_sentences == 1 and not r4.rule_min_sentences
+    r5 = out[5]
+    assert not r5.rule_no_badword and not r5.c4_keep
+    assert r5.rule_min_sentences                    # 3 kept sentences
+
+
+def test_c4_clean_no_shuffle(spark):
+    from dpr_spark.extras.webclean import c4_clean
+
+    df = spark.createDataFrame([(1, "a b c d e.")], "doc_id long, text string")
+    plan = _plan(c4_clean(df))
+    assert "Exchange" not in plan
+
+
 def test_pii_redact_exact(spark):
     df = spark.createDataFrame(
         [(1, "mail a@b.co or 10.0.0.1 or 555-123-4567 done"), (2, "clean")],
