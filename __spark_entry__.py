@@ -45,7 +45,11 @@ oracle_sql()    -> DuckDB twins for EVERY entry — len(oracle_sql()) ==
                    gap-based sessionization (native session_window),
                    late-interaction multi-vector MaxSim, string_stats,
                    random_sampler, and the nestable minimal-interval
-                   `intervals` query —
+                   `intervals` query, plus session-6: term-range
+                   queries (Lucene TermRangeQuery with a pushed
+                   range-seek envelope), the full Gopher
+                   non-repetition quality rule set, and the C4
+                   cleaning heuristics —
                    every one DuckDB-twinned (the exact count is
                    len(queries()), asserted == len(oracle_sql()) in
                    tests/test_entry.py).
