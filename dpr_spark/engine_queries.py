@@ -9754,6 +9754,347 @@ def q_intervals_topk() -> Entry:
     return fn, sql
 
 
+def q_significant_text() -> Entry:
+    """ES significant_text aggregation (query/aggs.py): JLH over a
+    15-doc top-hit sample whose stored text is RE-ANALYZED (no term
+    vectors), with filter_duplicate_text collapsing identical texts to
+    their best-ranked copy. Background df reads the dictionary. Rank
+    re-derived from the 6-dp score on both sides."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import significant_text
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = significant_text(
+            qdf, idx, docs.select("doc_id", "text"),
+            size=5, sample_size=15, min_fg=2,
+        ).select(
+            "qid", "term", "fg_count", "bg_count",
+            F.round("score", 6).alias("score_r"),
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("term"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "term", "fg_count", "bg_count", "score_r"
+        )
+
+    sql = f"""
+    WITH {_BM25_CTES.replace("{QTERMS}", _qterm_values_sql())},
+    samp AS (
+      SELECT r.qid, r.doc_id,
+             row_number() OVER (PARTITION BY r.qid, d.text
+                                ORDER BY r.rank) AS dup
+      FROM ranked r JOIN documents d USING (doc_id) WHERE r.rank <= 15),
+    sampled AS (SELECT qid, doc_id FROM samp WHERE dup = 1),
+    nsamp AS (SELECT qid, count(*) AS n_sampled FROM sampled GROUP BY 1),
+    fg AS (
+      SELECT s.qid, t.term, count(*) AS fg_count
+      FROM sampled s JOIN (SELECT doc_id, unnest(list_distinct(toks)) AS term
+                           FROM tok) t USING (doc_id)
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    scored_t AS (
+      SELECT fg.qid, fg.term, fg.fg_count, dict.df AS bg_count,
+             ((fg.fg_count::DOUBLE / ns.n_sampled) - (dict.df::DOUBLE / stats.n))
+             * ((fg.fg_count::DOUBLE / ns.n_sampled) / (dict.df::DOUBLE / stats.n))
+               AS score
+      FROM fg JOIN dict USING (term) JOIN nsamp ns USING (qid)
+           CROSS JOIN stats),
+    ranked_st AS (
+      SELECT qid, term, fg_count, bg_count, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, term) AS rank
+      FROM scored_t)
+    SELECT qid, rank, term, fg_count, bg_count, score_r
+    FROM ranked_st WHERE rank <= 5"""
+    return fn, sql
+
+
+def q_rate_agg() -> Entry:
+    """ES `rate` aggregation nested in a monthly date_histogram
+    (query/aggs.py::rate_agg): per-month match counts normalized to a
+    per-DAY rate by that month's actual calendar length (31 for
+    January — ES's unit_rate contract), over the synthesized warc_ts
+    (2025-01-01 + doc_id%75 days so three month lengths appear)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import rate_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        vals = docs.select(
+            "doc_id",
+            F.to_timestamp(
+                F.date_add(
+                    F.lit("2025-01-01").cast("date"),
+                    F.pmod("doc_id", F.lit(75)).cast("int"),
+                )
+            ).alias("warc_ts"),
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        return rate_agg(qdf, idx, vals, "warc_ts", unit="month", rate_unit="day").select(
+            "qid",
+            F.date_format("bucket", "yyyy-MM").alias("month"),
+            "count",
+            F.round("rate", 6).alias("rate_r"),
+        )
+
+    sql = f"""
+    WITH {{MATCH}},
+    hist AS (
+      SELECT m.qid,
+             date_trunc('month', DATE '2025-01-01' + (m.doc_id % 75)::INT) AS mth,
+             count(*) AS count
+      FROM matches m GROUP BY 1, 2)
+    SELECT qid, strftime(mth, '%Y-%m') AS month, count,
+           round(count::DOUBLE / date_part('day', last_day(mth)), 6) AS rate_r
+    FROM hist"""
+    sql = sql.replace("{MATCH}", _MATCH_CTES.replace("{QTERMS}", _qterm_values_sql()))
+    return fn, sql
+
+
+def q_moving_percentiles() -> Entry:
+    """ES moving_percentiles pipeline aggregation (query/aggs.py):
+    exact interpolated median of the trailing 3 PRESENT weekly buckets
+    (quantile_cont semantics — the trailing window is tiny and exact,
+    nothing to TDigest). Weeks order lexicographically ==
+    chronologically; counts are integers so both engines interpolate
+    the same doubles."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import date_histogram_agg, moving_percentiles
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        vals = docs.select(
+            "doc_id",
+            F.to_timestamp(
+                F.date_add(
+                    F.lit("2025-01-01").cast("date"),
+                    F.pmod("doc_id", F.lit(45)).cast("int"),
+                )
+            ).alias("warc_ts"),
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        hist = date_histogram_agg(qdf, idx, vals, "warc_ts", unit="week").select(
+            "qid", F.date_format("bucket", "yyyy-MM-dd").alias("week"), "count"
+        )
+        return moving_percentiles(hist, order_col="week", window=3, pct=0.5)
+
+    sql = f"""
+    WITH {{MATCH}},
+    hist AS (
+      SELECT m.qid,
+             strftime(date_trunc('week',
+                      DATE '2025-01-01' + (m.doc_id % 45)::INT), '%Y-%m-%d')
+               AS week,
+             count(*) AS count
+      FROM matches m GROUP BY 1, 2)
+    SELECT qid, week, count,
+           round(quantile_cont(count::DOUBLE, 0.5) OVER (
+                   PARTITION BY qid ORDER BY week
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_pct
+    FROM hist"""
+    sql = sql.replace("{MATCH}", _MATCH_CTES.replace("{QTERMS}", _qterm_values_sql()))
+    return fn, sql
+
+
+IP_RANGES = [(None, "10.1.0.0"), ("10.1.0.0", "10.3.0.0"), ("10.2.128.0", None)]
+
+
+def _ip_num(s: str) -> int:
+    a, b, c, d = (int(x) for x in s.split("."))
+    return (a << 24) + (b << 16) + (c << 8) + d
+
+
+def q_ip_range_agg() -> Entry:
+    """ES `ip_range` aggregation over the match set (query/aggs.py::
+    ip_range_agg): [from, to) buckets on dotted-quad IPv4 doc values
+    (synthesized 10.{doc_id%4}.{doc_id%200}.1), compared in address
+    space, overlapping allowed, ONE pass (conditional sums + stack)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import ip_range_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        ips = docs.select(
+            "doc_id",
+            F.concat_ws(
+                ".",
+                F.lit("10"),
+                F.pmod("doc_id", F.lit(4)).cast("string"),
+                F.pmod("doc_id", F.lit(200)).cast("string"),
+                F.lit("1"),
+            ).alias("ip"),
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        return ip_range_agg(qdf, idx, ips, "ip", IP_RANGES)
+
+    arms = []
+    for i, (lo, hi) in enumerate(IP_RANGES):
+        conds = []
+        if lo is not None:
+            conds.append(f"v >= {_ip_num(lo)}")
+        if hi is not None:
+            conds.append(f"v < {_ip_num(hi)}")
+        cond = " AND ".join(conds) or "TRUE"
+        arms.append(
+            f"SELECT qid, {i} AS range_idx, '{lo or ''}' AS range_from,"
+            f" '{hi or ''}' AS range_to,"
+            f" sum(CASE WHEN {cond} THEN 1 ELSE 0 END)::BIGINT AS count"
+            f" FROM ipn GROUP BY 1"
+        )
+    sql = f"""
+    WITH {{MATCH}},
+    ipn AS (
+      SELECT m.qid,
+             (167772160 + (m.doc_id % 4) * 65536
+              + (m.doc_id % 200) * 256 + 1)::BIGINT AS v
+      FROM matches m)
+    {" UNION ALL ".join(arms)}"""
+    sql = sql.replace("{MATCH}", _MATCH_CTES.replace("{QTERMS}", _qterm_values_sql()))
+    return fn, sql
+
+
+def q_filter_context_topk() -> Entry:
+    """ES FILTER CONTEXT (query/boolquery.py::filter_context_search):
+    constant_score wrapping bool.filter = query terms (ANY) + `ids`
+    allowlist + `exists` on a sparse field + `terms` LOOKUP (the
+    allowed-source list comes from another stored row set, not the
+    request). Every hit scores the constant boost; order is doc_id asc
+    — the deterministic no-relevance contract."""
+    IDS = list(range(0, 400, 2))
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.boolquery import filter_context_search
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        meta = docs.select(
+            "doc_id",
+            F.when(F.pmod("doc_id", F.lit(3)) != 0, F.lit("present")).alias("fld"),
+            "source",
+        )
+        lookup = docs.filter(F.col("doc_id") < 20).select("source").distinct()
+        return filter_context_search(
+            spark, BENCH_QUERIES, idx,
+            doc_meta=meta, ids=IDS, exists_field="fld",
+            terms_lookup=(lookup, "source"), boost=1.5, k=10,
+        )
+
+    sql = f"""
+    WITH {{MATCH}},
+    hits_f AS (
+      SELECT m.qid, m.doc_id
+      FROM matches m JOIN documents d USING (doc_id)
+      WHERE m.doc_id % 2 = 0 AND m.doc_id >= 0 AND m.doc_id < 400
+        AND m.doc_id % 3 != 0
+        AND d.source IN (SELECT DISTINCT source FROM documents
+                         WHERE doc_id < 20)),
+    ranked_f AS (
+      SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid ORDER BY doc_id) AS rank
+      FROM hits_f)
+    SELECT qid, rank, doc_id, 1.5::DOUBLE AS score
+    FROM ranked_f WHERE rank <= 10"""
+    sql = sql.replace("{MATCH}", _MATCH_CTES.replace("{QTERMS}", _qterm_values_sql()))
+    return fn, sql
+
+
+def _geohash_sql(lat_sql: str, lon_sql: str, precision: int):
+    """DuckDB spelling of query/geo.py::geohash_cols — the SAME integer
+    arithmetic (floor-division bit extraction, lon-first interleave,
+    base-32 render), generated so both engines share one formula."""
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    x = (
+        f"least(floor(({lon_sql} + 180.0) / 360.0 * {float(1 << lon_bits)})::BIGINT,"
+        f" {(1 << lon_bits) - 1})"
+    )
+    y = (
+        f"least(floor(({lat_sql} + 90.0) / 180.0 * {float(1 << lat_bits)})::BIGINT,"
+        f" {(1 << lat_bits) - 1})"
+    )
+    terms = []
+    for i in range(nbits):
+        if i % 2 == 0:
+            src, sb = "gx", lon_bits - 1 - i // 2
+        else:
+            src, sb = "gy", lat_bits - 1 - (i - 1) // 2
+        terms.append(
+            f"(floor({src}::DOUBLE / {float(1 << sb)})::BIGINT % 2)"
+            f" * {1 << (nbits - 1 - i)}"
+        )
+    chars = []
+    for i in range(precision):
+        d = (
+            f"(floor(gcell::DOUBLE / {float(1 << (5 * (precision - 1 - i)))})::BIGINT"
+            f" % 32)"
+        )
+        chars.append(
+            f"substring('0123456789bcdefghjkmnpqrstuvwxyz', ({d} + 1)::INT, 1)"
+        )
+    return x, y, " + ".join(terms), " || ".join(chars)
+
+
+def q_geohash_grid_agg() -> Entry:
+    """ES geohash_grid aggregation over the match set (query/geo.py::
+    geohash_grid_agg): precision-3 Niemeyer geohash cells, top-5 per
+    query by doc count (ties by hash). Both engines evaluate the same
+    generated floor-division bit-interleave, so cells are integer-
+    exact (pytest cross-checks the classic bisection algorithm)."""
+    PREC, SIZE = 3, 5
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import _matches
+        from dpr_spark.query.geo import geohash_grid_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        pts = _matches(qdf, idx).join(_doc_geo(spark, sf_dir), "doc_id")
+        return geohash_grid_agg(pts, precision=PREC, size=SIZE)
+
+    gx, gy, gcell, ghash = _geohash_sql("lat", "lon", PREC)
+    sql = f"""
+    WITH {{MATCH}},
+    geo AS (SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon
+            FROM documents),
+    xy AS (SELECT m.qid, geo.doc_id, {gx} AS gx, {gy} AS gy
+           FROM matches m JOIN geo USING (doc_id)),
+    cells AS (SELECT qid, doc_id, {gcell} AS gcell FROM xy),
+    hashed AS (SELECT qid, {ghash} AS geohash FROM cells),
+    counts AS (SELECT qid, geohash, count(*) AS count
+               FROM hashed GROUP BY 1, 2),
+    ranked_gh AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY count DESC, geohash) AS rank
+      FROM counts)
+    SELECT qid, rank, geohash, count FROM ranked_gh WHERE rank <= {SIZE}"""
+    sql = sql.replace("{MATCH}", _MATCH_CTES.replace("{QTERMS}", _qterm_values_sql()))
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -9934,4 +10275,10 @@ def all_entries() -> Dict[str, Entry]:
         "string_stats": q_string_stats(),
         "random_sampler_agg": q_random_sampler_agg(),
         "intervals_topk": q_intervals_topk(),
+        "significant_text": q_significant_text(),
+        "rate_agg": q_rate_agg(),
+        "moving_percentiles": q_moving_percentiles(),
+        "ip_range_agg": q_ip_range_agg(),
+        "filter_context_topk": q_filter_context_topk(),
+        "geohash_grid_agg": q_geohash_grid_agg(),
     }

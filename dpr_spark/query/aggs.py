@@ -1262,3 +1262,205 @@ def random_sampler_agg(
         .cast("bigint")
         .alias("est_count"),
     )
+
+
+def significant_text(
+    queries: DataFrame,
+    index: InvertedIndex,
+    docs_text: DataFrame,
+    size: int = 10,
+    sample_size: int = 50,
+    min_fg: int = 2,
+    filter_duplicate_text: bool = True,
+) -> DataFrame:
+    """(qid, rank, term, fg_count, bg_count, score) — ES
+    `significant_text` aggregation: significant_terms' JLH heuristic,
+    but the foreground counts come from RE-ANALYZING the stored text of
+    a bounded sample of top hits (ES: free_text fields have no term
+    vectors / fielddata, so the agg re-tokenizes _source), with ES's
+    `filter_duplicate_text` first: near-boilerplate duplicate texts in
+    the sample are collapsed to their best-ranked copy so one
+    syndicated page can't mint fake significance.
+
+        sample  = top `sample_size` BM25 hits per query
+        fg%     = fg_count / n_sampled,  bg% = df / N  (index stats)
+        score   = (fg% − bg%) · (fg% / bg%)
+
+    Scale shape: the only text ever touched is queries × sample_size
+    stored docs (bounded by the request, never the corpus); duplicate
+    collapse groups on sha2(text) — a 32-byte shuffle key, the text
+    itself moves once from the stored-fields join. Background df reads
+    the dictionary (vocab-sized, broadcast as the small side of a
+    term-string join against the sample's re-analyzed vocabulary).
+    Terms absent from the background drop out (same contract as
+    significant_terms: JLH needs bg_count > 0)."""
+    from dpr_spark.functions.analysis import tokenize_analyze_udf
+    from dpr_spark.query.scorer import search
+
+    hits = search(queries, index, k=sample_size).select("qid", "rank", "doc_id")
+    sample = hits.join(docs_text.select("doc_id", "text"), "doc_id")
+    if filter_duplicate_text:
+        wdup = Window.partitionBy("qid", F.sha2(F.col("text"), 256)).orderBy(
+            F.asc("rank")
+        )
+        sample = (
+            sample.withColumn("_dup", F.row_number().over(wdup))
+            .filter(F.col("_dup") == 1)
+            .drop("_dup")
+        )
+    # re-analyze with the INDEX's recorded chain (ES: the field's
+    # analyzer), so fg term spellings join the dictionary's
+    sample = sample.select(
+        "qid",
+        "doc_id",
+        tokenize_analyze_udf(index.analyzer)(F.col("text")).alias("toks"),
+    )
+    n_sampled = sample.groupBy("qid").agg(F.count("*").alias("n_sampled"))
+    fg = (
+        sample.select("qid", "doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+        .groupBy("qid", "term")
+        .agg(F.count("*").alias("fg_count"))
+        .filter(F.col("fg_count") >= min_fg)
+    )
+    n_docs = float(index.stats.n_docs)
+    bg = index.dictionary.select("term", "df")
+    scored = (
+        fg.join(bg, "term")
+        .join(F.broadcast(n_sampled), "qid")
+        .withColumn("_fgr", F.col("fg_count") / F.col("n_sampled"))
+        .withColumn("_bgr", F.col("df").cast("double") / F.lit(n_docs))
+        .withColumn(
+            "score",
+            (F.col("_fgr") - F.col("_bgr")) * (F.col("_fgr") / F.col("_bgr")),
+        )
+        .select("qid", "term", "fg_count", F.col("df").alias("bg_count"), "score")
+    )
+    order = [F.col("score").desc(), F.col("term").asc()]
+    top = cap_per_key(scored, ["qid"], order, size)
+    w = Window.partitionBy("qid").orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "qid", "rank", "term", "fg_count", "bg_count", "score"
+    )
+
+
+def rate_agg(
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    ts_field: str,
+    unit: str = "month",
+    rate_unit: str = "day",
+) -> DataFrame:
+    """(qid, bucket, count, rate) — ES `rate` aggregation nested in a
+    date_histogram: each calendar bucket's doc count normalized to a
+    per-`rate_unit` rate by dividing by the number of rate_units in
+    THAT bucket's calendar interval (ES divides by the actual month
+    length — 31 for January — not an average). Supported pairs:
+    month→day (days in that month), week→day (7), month→week (len/7).
+
+    Same scale shape as date_histogram_agg (map-side combined counts,
+    bucket-sized output); the divisor is a per-bucket Catalyst
+    expression, no extra pass."""
+    buckets = date_histogram_agg(queries, index, doc_values, ts_field, unit=unit)
+    if unit == "month" and rate_unit == "day":
+        div = F.dayofmonth(F.last_day(F.col("bucket"))).cast("double")
+    elif unit == "week" and rate_unit == "day":
+        div = F.lit(7.0)
+    elif unit == "month" and rate_unit == "week":
+        div = F.dayofmonth(F.last_day(F.col("bucket"))).cast("double") / F.lit(7.0)
+    else:
+        raise ValueError(f"unsupported rate pair {unit}->{rate_unit}")
+    return buckets.select(
+        "qid",
+        "bucket",
+        "count",
+        (F.col("count").cast("double") / div).alias("rate"),
+    )
+
+
+def moving_percentiles(
+    buckets: DataFrame,
+    partition_col: str = "qid",
+    order_col: str = "bucket",
+    count_col: str = "count",
+    window: int = 3,
+    pct: float = 0.5,
+) -> DataFrame:
+    """(partition, order, count, mov_pct) — ES `moving_percentiles`
+    pipeline aggregation: the interpolated `pct` percentile of the
+    trailing `window` PRESENT buckets (min_doc_count>=1 series, like
+    pipeline_metrics). Exact linear interpolation at h = (n−1)·pct over
+    the sorted trailing values — the quantile_cont contract, NOT ES's
+    TDigest approximation: Spark's shuffle-free window already holds
+    the exact trailing values (bounded by `window`, never doc count),
+    so there is nothing to sketch.
+
+    Scale shape: one window pass over bucket-count-sized rows; state
+    per row is `window` doubles."""
+    if not (0.0 <= pct <= 1.0):
+        raise ValueError(f"pct must be in [0,1], got {pct}")
+    w = Window.partitionBy(partition_col).orderBy(order_col).rowsBetween(
+        -(window - 1), 0
+    )
+    arr = F.array_sort(F.collect_list(F.col(count_col).cast("double")).over(w))
+    n = F.size(arr)
+    h = (n.cast("double") - F.lit(1.0)) * F.lit(float(pct))
+    lo_i = F.floor(h).cast("int")
+    hi_i = F.ceil(h).cast("int")
+    lo = F.element_at(arr, lo_i + F.lit(1))
+    hi = F.element_at(arr, hi_i + F.lit(1))
+    val = lo + (hi - lo) * (h - lo_i.cast("double"))
+    return buckets.select(
+        partition_col, order_col, count_col, F.round(val, 6).alias("mov_pct")
+    )
+
+
+def ip_range_agg(
+    queries: DataFrame,
+    index: InvertedIndex,
+    doc_values: DataFrame,
+    ip_field: str,
+    ranges: Sequence,
+) -> DataFrame:
+    """(qid, range_idx, range_from, range_to, count) — ES `ip_range`
+    aggregation over the match set: [from, to) buckets on dotted-quad
+    IPv4 strings, compared in address space (numeric uint32), possibly
+    overlapping, computed in ONE pass like range_agg (conditional sums
+    + stack — N ranges never cost N scans). None = unbounded end.
+
+    Scale shape: the dotted-quad parse and every range predicate are
+    Catalyst column math on the candidate rows; output is
+    ranges-per-qid sized."""
+    def ip_num(col):
+        p = F.split(col, r"\.")
+        return (
+            F.element_at(p, 1).cast("long") * F.lit(16777216)
+            + F.element_at(p, 2).cast("long") * F.lit(65536)
+            + F.element_at(p, 3).cast("long") * F.lit(256)
+            + F.element_at(p, 4).cast("long")
+        )
+
+    m = _matches(queries, index).join(
+        doc_values.select("doc_id", F.col(ip_field).alias("_ip")), "doc_id"
+    )
+    v = ip_num(F.col("_ip"))
+    sums = []
+    for i, (lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (v >= ip_num(F.lit(lo)))
+        if hi is not None:
+            cond = cond & (v < ip_num(F.lit(hi)))
+        sums.append(
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).alias(f"_r{i}")
+        )
+    wide = m.groupBy("qid").agg(*sums)
+    stack = ", ".join(
+        f"{i}, '{lo or ''}', '{hi or ''}', _r{i}" for i, (lo, hi) in enumerate(ranges)
+    )
+    return wide.select(
+        "qid",
+        F.expr(
+            f"stack({len(ranges)}, {stack}) AS (range_idx, range_from, range_to, count)"
+        ),
+    ).select("qid", "range_idx", "range_from", "range_to", "count")

@@ -702,3 +702,76 @@ def terms_set_search(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "doc_id", "score")
     )
+
+
+def filter_context_search(
+    spark: SparkSession,
+    queries: Sequence[Tuple[int, str]],
+    index: InvertedIndex,
+    doc_meta: DataFrame = None,
+    ids: Sequence[int] = None,
+    exists_field: str = None,
+    terms_lookup: Tuple[DataFrame, str] = None,
+    boost: float = 1.0,
+    k: int = DEFAULT_TOP_K,
+) -> DataFrame:
+    """ES FILTER CONTEXT: `constant_score` wrapping a bool.filter — the
+    query-cache/scoring-off half of the ES query DSL. Clauses:
+
+    - the query's terms (ANY-match via the inverted index — the scored
+      retrieval demoted to a filter);
+    - `ids`: an explicit doc_id allowlist (ES `ids` query);
+    - `exists_field`: doc_meta[field] IS NOT NULL and non-empty
+      (ES `exists` query — our columnar analog of "field is indexed");
+    - `terms_lookup`: (df, col) — doc_meta[col] must be IN the values
+      of a single-column DataFrame fetched from ANOTHER table (ES
+      `terms` lookup: the value list lives in a stored document, not
+      in the request body).
+
+    Every hit scores exactly `boost` (the constant_score contract —
+    no BM25, no tf; Lucene rewrites to a ConstantScoreQuery and skips
+    the similarity entirely), so results order by doc_id asc — the
+    deterministic tiebreak ES applies when scores tie.
+
+    Scale shape: term resolution rides query_term_pairs (queries
+    broadcast into the dictionary scan, analyzer-aware); the ids list
+    is a literal IN filter on the candidate rows; the lookup side is
+    request-bounded (one stored document's field values) and
+    broadcasts; the exists predicate is a pushable IsNotNull + length
+    filter on the meta scan. Only candidate (qid, doc_id) rows reach
+    the meta join."""
+    from dpr_spark.query.wand import query_term_pairs
+
+    qdf = spark.createDataFrame(
+        [(int(qid), q) for qid, q in queries], "qid long, question string"
+    )
+    qt = query_term_pairs(qdf, index, with_idf=False)
+    cand = (
+        index.postings.select("term_id", "doc_id")
+        .join(F.broadcast(qt), "term_id")
+        .select("qid", "doc_id")
+        .distinct()
+    )
+    if ids is not None:
+        cand = cand.filter(F.col("doc_id").isin([int(i) for i in ids]))
+    if doc_meta is not None and (exists_field or terms_lookup):
+        meta = doc_meta
+        if exists_field:
+            meta = meta.filter(
+                F.col(exists_field).isNotNull()
+                & (F.length(F.col(exists_field).cast("string")) > 0)
+            )
+        if terms_lookup is not None:
+            ldf, lcol = terms_lookup
+            meta = meta.join(
+                F.broadcast(ldf.select(F.col(ldf.columns[0]).alias(lcol)).distinct()),
+                lcol,
+                "left_semi",
+            )
+        cand = cand.join(meta.select("doc_id"), "doc_id", "left_semi")
+    w = Window.partitionBy("qid").orderBy(F.asc("doc_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", F.lit(float(boost)).alias("score"))
+    )

@@ -192,3 +192,82 @@ def geo_bounds_centroid_agg(
         F.avg("lon").alias("c_lon"),
     )
 
+
+
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_cols(lat, lon, precision: int):
+    """(cell, geohash) at `precision` chars — the classic geohash cell:
+    5·precision bits interleaved lon-first over the equirectangular
+    split of (lon+180)/360 and (lat+90)/180, then base-32 encoded
+    (Niemeyer alphabet — ES geohash_grid's bucket keys).
+
+    All math is exact integer arithmetic on cell indices < 2^25
+    (precision <= 5 covers the ES default grid sizes), carried in
+    doubles only through floor() — bit-identical across engines, the
+    same float discipline as geotile_cols. The integer `cell` is
+    returned alongside the string so grouping can shuffle an 8-byte
+    key and render the string once per bucket."""
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    x = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits)))
+        .cast("long"),
+        F.lit((1 << lon_bits) - 1),
+    )
+    y = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits)))
+        .cast("long"),
+        F.lit((1 << lat_bits) - 1),
+    )
+    cell = None
+    for i in range(nbits):  # bit i from the MSB; even bits are longitude
+        if i % 2 == 0:
+            src, sb = x, lon_bits - 1 - i // 2
+        else:
+            src, sb = y, lat_bits - 1 - (i - 1) // 2
+        bit = F.pmod(
+            F.floor(src.cast("double") / F.lit(float(1 << sb))).cast("long"),
+            F.lit(2),
+        )
+        term = bit * F.lit(1 << (nbits - 1 - i))
+        cell = term if cell is None else cell + term
+    alphabet = F.array(*[F.lit(c) for c in GEOHASH_B32])
+    chars = []
+    for i in range(precision):
+        digit = F.pmod(
+            F.floor(
+                cell.cast("double") / F.lit(float(1 << (5 * (precision - 1 - i))))
+            ).cast("long"),
+            F.lit(32),
+        )
+        chars.append(F.element_at(alphabet, (digit + F.lit(1)).cast("int")))
+    return cell, F.concat(*chars)
+
+
+def geohash_grid_agg(
+    points: DataFrame,
+    precision: int = 4,
+    size: int = 5,
+    partition_col: str = "qid",
+) -> DataFrame:
+    """points(qid, doc_id, lat, lon) -> top `size` geohash cells per
+    query by doc count (ties by hash asc) — ES geohash_grid. Same
+    shape as geotile_grid_agg: one map-side-combined groupBy on the
+    8-byte integer cell; the base-32 string renders per BUCKET (first
+    value in the group — a function of the cell), never per doc."""
+    cell, ghash = geohash_cols(F.col("lat"), F.col("lon"), precision)
+    counts = (
+        points.withColumn("_cell", cell)
+        .withColumn("_gh", ghash)
+        .groupBy(partition_col, "_cell")
+        .agg(F.count("*").alias("count"), F.first("_gh").alias("geohash"))
+    )
+    w = Window.partitionBy(partition_col).orderBy(F.desc("count"), F.asc("geohash"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= size)
+        .select(partition_col, "rank", "geohash", "count")
+    )
