@@ -373,6 +373,9 @@ def main() -> None:
         "random_sampler_agg", "intervals_topk",
         # round-5 session-6 additions
         "term_range_topk", "gopher_rules", "c4_clean",
+        # round-5 session-7 additions
+        "significant_text", "rate_agg", "moving_percentiles",
+        "ip_range_agg", "filter_context_topk", "geohash_grid_agg",
     ]:
         try:
             fn, _ = entries[name]
