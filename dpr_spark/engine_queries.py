@@ -10095,6 +10095,66 @@ def q_geohash_grid_agg() -> Entry:
     return fn, sql
 
 
+def q_dsir_resample() -> Entry:
+    """DSIR importance resampling (extras/dsir.py; Xie et al. 2023):
+    hashed unigram+bigram bucket features, add-λ bag-of-ngrams models
+    for the target domain (source='src0') vs the raw corpus, per-doc
+    log importance weights, Gumbel top-k selection without replacement.
+    The entry runs the portable md5 hash family and a hash-seeded
+    Gumbel draw so DuckDB replays the exact selection; ranks order by
+    the rounded key (ties by doc)."""
+    B, LAM, K, SEED = 1024, 0.5, 60, 7
+    DEN = float(1 << 60)
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.dsir import dsir_resample
+
+        docs = _docs(spark, sf_dir)
+        return dsir_resample(
+            docs,
+            docs.filter(F.col("source") == "src0"),
+            k=K,
+            seed=SEED,
+            buckets=B,
+            lam=LAM,
+            portable=True,
+            lowercase_first=True,
+        )
+
+    sql = f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(toks) AS g FROM tok
+      UNION ALL
+      SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+      FROM tok, unnest(range(1, len(toks))) AS t(i)
+    ),
+    feats AS (SELECT doc_id AS doc,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT % {B} AS bucket,
+                     count(*)::BIGINT AS c
+              FROM grams GROUP BY 1, 2),
+    tgt AS (SELECT bucket, sum(c)::DOUBLE AS ct
+            FROM feats JOIN documents ON doc = doc_id
+            WHERE source = 'src0' GROUP BY 1),
+    raw AS (SELECT bucket, sum(c)::DOUBLE AS cq FROM feats GROUP BY 1),
+    tot AS (SELECT (SELECT sum(ct) FROM tgt) AS tt,
+                   (SELECT sum(cq) FROM raw) AS tq),
+    ratio AS (SELECT raw.bucket,
+                     ln((coalesce(tgt.ct, 0) + {LAM}) / (tot.tt + {LAM * B}))
+                   - ln((raw.cq + {LAM}) / (tot.tq + {LAM * B})) AS r
+              FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+    w AS (SELECT doc, sum(c * r) AS logw
+          FROM feats JOIN ratio USING (bucket) GROUP BY 1),
+    keyed AS (SELECT doc, round(logw, 6) AS logw,
+                     round(logw - ln(-ln(
+                       (('0x' || substr(md5(doc::VARCHAR || ':{SEED}'), 1, 15))::BIGINT
+                        + 0.5) / {DEN})), 6) AS key
+              FROM w)
+    SELECT row_number() OVER (ORDER BY key DESC, doc) AS rank, doc, logw, key
+    FROM keyed ORDER BY key DESC, doc LIMIT {K}"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -10281,4 +10341,5 @@ def all_entries() -> Dict[str, Entry]:
         "ip_range_agg": q_ip_range_agg(),
         "filter_context_topk": q_filter_context_topk(),
         "geohash_grid_agg": q_geohash_grid_agg(),
+        "dsir_resample": q_dsir_resample(),
     }
