@@ -376,7 +376,7 @@ def main() -> None:
         # round-5 session-7 additions
         "significant_text", "rate_agg", "moving_percentiles",
         "ip_range_agg", "filter_context_topk", "geohash_grid_agg",
-        "dsir_resample",
+        "dsir_resample", "quality_clf_scores",
     ]:
         try:
             fn, _ = entries[name]

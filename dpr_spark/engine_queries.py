@@ -10155,6 +10155,81 @@ def q_dsir_resample() -> Entry:
     return fn, sql
 
 
+def q_quality_clf() -> Entry:
+    """Learned quality classifier (extras/quality_clf.py; the
+    CCNet/fastText wiki-vs-crawl shape): logistic regression over
+    binary hashed unigram+bigram buckets, trained in-domain
+    (source='src0') vs rest with 3 fixed full-batch GD steps, scoring
+    every doc a probability. The twin unrolls the GD steps as SQL CTEs
+    — with zero initial weights step 1's residual is exactly 0.5 - y,
+    and each later step is (margin join, residual, per-bucket gradient,
+    weight update); both engines round the final sigmoid at 6 dp."""
+    B, ETA, STEPS = 1024, 2.0, 3
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.quality_clf import quality_classifier_scores
+
+        docs = _docs(spark, sf_dir)
+        return quality_classifier_scores(
+            spark,
+            docs,
+            docs.filter(F.col("source") == "src0"),
+            buckets=B,
+            eta=ETA,
+            steps=STEPS,
+            portable=True,
+            lowercase_first=True,
+        )
+
+    ctes = [
+        f"""tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(toks) AS g FROM tok
+      UNION ALL
+      SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+      FROM tok, unnest(range(1, len(toks))) AS t(i)
+    ),
+    feats AS (SELECT DISTINCT doc_id AS doc,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT % {B} AS bucket
+              FROM grams),
+    lab AS (SELECT doc_id AS doc,
+                   CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+            FROM documents
+            WHERE doc_id IN (SELECT doc FROM feats)),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM lab),
+    r1 AS (SELECT doc, 0.5 - y AS r FROM lab),
+    g1 AS (SELECT bucket, sum(r) / (SELECT n FROM nn) AS g
+           FROM feats JOIN r1 USING (doc) GROUP BY 1),
+    w1 AS (SELECT bucket, -{ETA} * g AS w FROM g1),
+    b1 AS (SELECT -{ETA} * avg(r) AS bias FROM r1)"""
+    ]
+    for t in range(2, STEPS + 1):
+        p = t - 1
+        ctes.append(
+            f"""m{t} AS (SELECT f.doc, (SELECT bias FROM b{p}) + sum(w.w) AS m
+           FROM feats f JOIN w{p} w USING (bucket) GROUP BY f.doc),
+    r{t} AS (SELECT lab.doc, 1.0 / (1.0 + exp(-m{t}.m)) - lab.y AS r
+             FROM lab JOIN m{t} USING (doc)),
+    g{t} AS (SELECT bucket, sum(r) / (SELECT n FROM nn) AS g
+             FROM feats JOIN r{t} USING (doc) GROUP BY 1),
+    w{t} AS (SELECT bucket, w.w - {ETA} * g{t}.g AS w
+             FROM w{p} w JOIN g{t} USING (bucket)),
+    b{t} AS (SELECT (SELECT bias FROM b{p}) - {ETA} * avg(r) AS bias FROM r{t})"""
+        )
+    sql = (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT lab.doc, lab.y,
+           round(1.0 / (1.0 + exp(-((SELECT bias FROM b{STEPS}) + s.m))), 6)
+             AS prob
+    FROM lab JOIN (SELECT f.doc, sum(w.w) AS m
+                   FROM feats f JOIN w{STEPS} w USING (bucket)
+                   GROUP BY f.doc) s USING (doc)"""
+    )
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -10342,4 +10417,5 @@ def all_entries() -> Dict[str, Entry]:
         "filter_context_topk": q_filter_context_topk(),
         "geohash_grid_agg": q_geohash_grid_agg(),
         "dsir_resample": q_dsir_resample(),
+        "quality_clf_scores": q_quality_clf(),
     }
