@@ -377,6 +377,8 @@ def main() -> None:
         "significant_text", "rate_agg", "moving_percentiles",
         "ip_range_agg", "filter_context_topk", "geohash_grid_agg",
         "dsir_resample", "quality_clf_scores",
+        # round-5 session-8 additions
+        "routed_topk", "routed_dfs_topk",
     ]:
         try:
             fn, _ = entries[name]

@@ -10230,6 +10230,136 @@ def q_quality_clf() -> Entry:
     return fn, sql
 
 
+_ROUTE_NB = 8
+
+
+def _routed_common_sql() -> str:
+    """Shared CTEs for the routed entries: routing(qid) = the
+    (qid % n)-th distinct source in sorted order; bucket = the portable
+    md5-derived shard hash (query/routing.py::route_bucket_sql)."""
+    from dpr_spark.query.routing import route_bucket_sql
+
+    qids = ", ".join(f"({qid})" for qid, _ in BENCH_QUERIES)
+    return f"""
+      srcs AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS rn,
+                      count(*) OVER () AS n
+               FROM (SELECT DISTINCT source FROM documents)),
+      qroute AS (
+        SELECT q.qid, {route_bucket_sql('s.source', _ROUTE_NB)} AS qbucket
+        FROM (VALUES {qids}) AS q(qid)
+        JOIN srcs s ON s.rn = q.qid % s.n),
+      docsb AS (SELECT doc_id, text,
+                       {route_bucket_sql('source', _ROUTE_NB)} AS bucket
+                FROM documents),
+      tok AS (SELECT doc_id, bucket, {_DUCK_TOKS} AS toks FROM docsb),
+      ds AS (SELECT doc_id, bucket, len(toks) AS doclen FROM tok),
+      qt AS (SELECT * FROM (VALUES {_qterm_values_sql()}) AS q(qid, term)),
+      tf AS (SELECT bucket, doc_id, term, count(*) AS tf
+             FROM (SELECT bucket, doc_id, unnest(toks) AS term FROM tok)
+             GROUP BY 1, 2, 3)"""
+
+
+def _routed_fn(mode: str):
+    def fn(spark, sf_dir):
+        import tempfile
+
+        from dpr_spark.query.routing import build_routed_layout, search_routed
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+        path = tempfile.mkdtemp(prefix="routed_layout_")
+        build_routed_layout(
+            spark, docs, "source", path, num_buckets=_ROUTE_NB, portable=True
+        )
+        srcs = sorted(
+            r["source"] for r in docs.select("source").distinct().collect()
+        )
+        queries = [(qid, q, srcs[qid % len(srcs)]) for qid, q in BENCH_QUERIES]
+        res = search_routed(
+            spark, path, queries, num_buckets=_ROUTE_NB, k=10,
+            mode=mode, portable=True,
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    return fn
+
+
+def q_routed_topk() -> Entry:
+    """Custom routing, ES default query_then_fetch (query/routing.py):
+    each query searches ONLY the shard its routing key (a source value)
+    hashes to, scored with SHARD-LOCAL df/N/avgdl — the documented ES
+    default, small-shard idf bias included. The layout is parquet
+    partitioned by bucket; the scan partition-prunes to the routed
+    shards (asserted in tests/test_routing.py / test_plans bar)."""
+    sql = (
+        "WITH "
+        + _routed_common_sql()
+        + f""",
+      bstats AS (SELECT bucket, count(*)::DOUBLE AS n, avg(doclen) AS avgdl
+                 FROM ds GROUP BY 1),
+      dict AS (SELECT bucket, term, count(*) AS df FROM tf GROUP BY 1, 2),
+      scored AS (
+        SELECT qt.qid, tf.doc_id,
+               sum(ln((bs.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                   * tf.tf * {BM25_K1 + 1.0}
+                   / (tf.tf + {BM25_K1}
+                      * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / bs.avgdl))
+               ) AS score
+        FROM qt
+        JOIN qroute r ON r.qid = qt.qid
+        JOIN dict ON dict.term = qt.term AND dict.bucket = r.qbucket
+        JOIN tf ON tf.term = qt.term AND tf.bucket = r.qbucket
+        JOIN ds ON ds.doc_id = tf.doc_id AND ds.bucket = tf.bucket
+        JOIN bstats bs ON bs.bucket = r.qbucket
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT qid, doc_id, round(score, 6) AS score_r,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY round(score, 6) DESC, doc_id) AS rank
+        FROM scored)
+      SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    )
+    return _routed_fn("local"), sql
+
+
+def q_routed_dfs_topk() -> Entry:
+    """Custom routing, dfs_query_then_fetch: candidates still come from
+    the routed shard only, but scoring uses CORPUS-WIDE df/N/avgdl (ES's
+    dfs phase; here a build-time aggregation — the Spark-idiomatic
+    place for it). Must agree with the full-corpus BM25 restricted to
+    the shard's documents, which is exactly what the twin computes."""
+    sql = (
+        "WITH "
+        + _routed_common_sql()
+        + f""",
+      gstats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM ds),
+      gdict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT qt.qid, tf.doc_id,
+               sum(ln((g.n - gdict.df + 0.5) / (gdict.df + 0.5) + 1.0)
+                   * tf.tf * {BM25_K1 + 1.0}
+                   / (tf.tf + {BM25_K1}
+                      * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / g.avgdl))
+               ) AS score
+        FROM qt
+        JOIN qroute r ON r.qid = qt.qid
+        JOIN gdict ON gdict.term = qt.term
+        JOIN tf ON tf.term = qt.term AND tf.bucket = r.qbucket
+        JOIN ds ON ds.doc_id = tf.doc_id AND ds.bucket = tf.bucket
+        CROSS JOIN gstats g
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT qid, doc_id, round(score, 6) AS score_r,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY round(score, 6) DESC, doc_id) AS rank
+        FROM scored)
+      SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    )
+    return _routed_fn("global"), sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -10291,6 +10421,8 @@ def all_entries() -> Dict[str, Entry]:
         "wildcard_topk": q_wildcard_topk(),
         "spell_suggest": q_spell_suggest(),
         "bm25f_topk": q_bm25f_topk(),
+        "routed_topk": q_routed_topk(),
+        "routed_dfs_topk": q_routed_dfs_topk(),
         "span_ordered_topk": q_span_ordered_topk(),
         "search_after_page2": q_search_after_page2(),
         "sliced_scroll": q_sliced_scroll(),
