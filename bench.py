@@ -378,7 +378,7 @@ def main() -> None:
         "ip_range_agg", "filter_context_topk", "geohash_grid_agg",
         "dsir_resample", "quality_clf_scores",
         # round-5 session-8 additions
-        "routed_topk", "routed_dfs_topk",
+        "routed_topk", "routed_dfs_topk", "nested_topk",
     ]:
         try:
             fn, _ = entries[name]

@@ -10360,6 +10360,77 @@ def q_routed_dfs_topk() -> Entry:
     return _routed_fn("global"), sql
 
 
+def q_nested_topk() -> Entry:
+    """ES `nested` query (query/nestedquery.py; Lucene
+    ToParentBlockJoinQuery): each document's 8-token paragraph chunks
+    are indexed as their OWN child documents (child-level BM25 stats —
+    the ES nested contract), parent score = max over matching children,
+    inner_hits = the best child (ties -> smallest child_ix). The engine
+    retrieves via the segments searcher with the exact k·maxc bound;
+    the twin scores every child and folds the same max in SQL."""
+    W = 8
+
+    def fn(spark, sf_dir):
+        from dpr_spark.query.nestedquery import nested_children, nested_search
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        children = nested_children(docs, width=W)
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = nested_search(spark, qdf, children, k=10, score_mode="max").select(
+            "qid",
+            "doc_id",
+            F.round("score", 6).alias("score_r"),
+            "best_child_ix",
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r", "best_child_ix"
+        )
+
+    sql = f"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      ch AS (SELECT doc_id, i AS child_ix,
+                    array_to_string(words[i * {W} + 1 : (i + 1) * {W}], ' ') AS chunk
+             FROM w, unnest(range(0, greatest(ceil(len(words) / {W}.0)::INT, 1))) AS u(i)),
+      tok AS (SELECT doc_id, child_ix,
+                     regexp_extract_all(lower(chunk), '{TOKEN_PATTERN_SQL}') AS toks
+              FROM ch),
+      ds AS (SELECT doc_id, child_ix, len(toks) AS doclen FROM tok),
+      stats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM ds),
+      tf AS (SELECT doc_id, child_ix, term, count(*) AS tf
+             FROM (SELECT doc_id, child_ix, unnest(toks) AS term FROM tok)
+             GROUP BY 1, 2, 3),
+      dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      qt AS (SELECT * FROM (VALUES {_qterm_values_sql()}) AS q(qid, term)),
+      cscored AS (
+        SELECT qt.qid, tf.doc_id, tf.child_ix,
+               sum(ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)
+                   * tf.tf * {BM25_K1 + 1.0}
+                   / (tf.tf + {BM25_K1}
+                      * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl))
+               ) AS cscore
+        FROM qt JOIN dict USING (term) JOIN tf USING (term)
+             JOIN ds ON ds.doc_id = tf.doc_id AND ds.child_ix = tf.child_ix
+             CROSS JOIN stats
+        GROUP BY 1, 2, 3),
+      bc AS (
+        SELECT qid, doc_id, child_ix, round(cscore, 6) AS score_r,
+               row_number() OVER (PARTITION BY qid, doc_id
+                                  ORDER BY cscore DESC, child_ix) AS rn
+        FROM cscored),
+      parents AS (
+        SELECT qid, doc_id, score_r, child_ix::INT AS best_child_ix
+        FROM bc WHERE rn = 1),
+      ranked AS (
+        SELECT qid, doc_id, score_r, best_child_ix,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score_r DESC, doc_id) AS rank
+        FROM parents)
+      SELECT qid, rank, doc_id, score_r, best_child_ix
+      FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -10423,6 +10494,7 @@ def all_entries() -> Dict[str, Entry]:
         "bm25f_topk": q_bm25f_topk(),
         "routed_topk": q_routed_topk(),
         "routed_dfs_topk": q_routed_dfs_topk(),
+        "nested_topk": q_nested_topk(),
         "span_ordered_topk": q_span_ordered_topk(),
         "search_after_page2": q_search_after_page2(),
         "sliced_scroll": q_sliced_scroll(),
