@@ -10431,6 +10431,79 @@ def q_nested_topk() -> Entry:
     return fn, sql
 
 
+def q_phrase_highlight_topk() -> Entry:
+    """Phrase-aware highlighting (query/phrase.py::
+    phrase_search_index_highlight; Lucene unified highlighter over a
+    PhraseQuery): exact-phrase BM25 top-3, each hit carrying the FIRST
+    phrase occurrence and a lead+span+trail token fragment around it —
+    the term-window highlighter (highlight_topk) can't know where the
+    PHRASE matched, only where its words landed individually. The twin
+    derives first_pos as the min qualifying start and slices the same
+    token window in SQL."""
+    LEAD, TRAIL, HK = 3, 3, 3
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.phrase import phrase_search_index_highlight
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(
+            spark, docs, build_blocks=False, build_positional=True
+        )
+        res = phrase_search_index_highlight(
+            spark, idx, idx.positions, docs, PHRASE_QUERIES,
+            k=HK, lead=LEAD, trail=TRAIL,
+        ).select(
+            "qid",
+            "doc_id",
+            F.round("score", 6).alias("score_r"),
+            F.col("first_pos").cast("int").alias("first_pos"),
+            "fragment",
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r", "first_pos", "fragment"
+        )
+
+    sql = f"""
+    WITH {_POS_CTES},
+    q AS (SELECT * FROM (VALUES {_phrase_values_sql()}) AS q(qid, off, term)),
+    qn AS (SELECT qid, count(*) AS n_off, max(off) + 1 AS span FROM q GROUP BY 1),
+    idf AS (
+      SELECT q.qid,
+             sum(ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)) AS idf_sum,
+             count(*) AS n_res
+      FROM q JOIN dict USING (term) CROSS JOIN stats GROUP BY 1),
+    idf_ok AS (SELECT idf.qid, idf.idf_sum FROM idf JOIN qn USING (qid)
+               WHERE idf.n_res = qn.n_off),
+    cand AS (
+      SELECT q.qid, pos.doc_id, pos.p - q.off AS start, count(*) AS n_hit
+      FROM q JOIN pos USING (term) GROUP BY 1, 2, 3),
+    pf AS (
+      SELECT cand.qid, cand.doc_id, count(*) AS pf,
+             min(cand.start) - 1 AS first_pos
+      FROM cand JOIN qn USING (qid) WHERE cand.n_hit = qn.n_off GROUP BY 1, 2),
+    scored AS (
+      SELECT pf.qid, pf.doc_id, pf.first_pos,
+             idf_ok.idf_sum * pf.pf * {BM25_K1 + 1.0}
+             / (pf.pf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl))
+             AS score
+      FROM pf JOIN idf_ok USING (qid)
+           JOIN ds ON pf.doc_id = ds.doc_id CROSS JOIN stats),
+    ranked AS (
+      SELECT qid, doc_id, first_pos, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT r.qid, r.rank, r.doc_id, r.score_r, r.first_pos::INT AS first_pos,
+           array_to_string(
+             t.toks[greatest(r.first_pos - {LEAD}, 0) + 1 :
+                    r.first_pos + qn.span + {TRAIL}], ' ') AS fragment
+    FROM ranked r JOIN tok t ON t.doc_id = r.doc_id JOIN qn ON qn.qid = r.qid
+    WHERE r.rank <= {HK}"""
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -10495,6 +10568,7 @@ def all_entries() -> Dict[str, Entry]:
         "routed_topk": q_routed_topk(),
         "routed_dfs_topk": q_routed_dfs_topk(),
         "nested_topk": q_nested_topk(),
+        "phrase_highlight_topk": q_phrase_highlight_topk(),
         "span_ordered_topk": q_span_ordered_topk(),
         "search_after_page2": q_search_after_page2(),
         "sliced_scroll": q_sliced_scroll(),
