@@ -379,7 +379,7 @@ def main() -> None:
         "dsir_resample", "quality_clf_scores",
         # round-5 session-8 additions
         "routed_topk", "routed_dfs_topk", "nested_topk",
-        "phrase_highlight_topk",
+        "phrase_highlight_topk", "mmr_rerank_topk",
     ]:
         try:
             fn, _ = entries[name]

@@ -10504,6 +10504,95 @@ def q_phrase_highlight_topk() -> Entry:
     return fn, sql
 
 
+def q_mmr_rerank_topk() -> Entry:
+    """MMR diversified reranking (extras/ann.py::mmr_rerank; Carbonell &
+    Goldstein 1998 — the vector-store "diversity" reranker): cosine
+    top-12 candidates per query, then 5 greedy selections maximizing
+    0.7·rel − 0.3·max-sim-to-selected. The greedy loop is inherently
+    sequential, so the twin UNROLLS the 5 selection steps as CTEs (the
+    same trick the quality-classifier entry uses for GD steps); rel and
+    pairwise sims are rounded to 6 dp in BOTH engines before selection
+    so the argmax replays exactly."""
+    LAM, KC, KS = 0.7, 12, 5
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.ann import cosine_expr, mmr_rerank
+
+        e = _emb(spark, sf_dir).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        q = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        )
+        pairs = (
+            q.crossJoin(e)
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid",
+                F.col("vec_id").alias("id"),
+                "v",
+                F.round(cosine_expr(F.col("qv"), F.col("v")), 6).alias("rel"),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("id"))
+        cand = pairs.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= KC
+        ).drop("rn")
+        res = mmr_rerank(cand, k=KS, lam=LAM, sim_decimals=6)
+        return res.select(
+            "qid", "step", "id", F.round("util", 6).alias("util_r")
+        )
+
+    def _cos(a, b):
+        return (
+            f"round(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b}))), 6)"
+        )
+
+    ctes = [
+        f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      pairs AS (
+        SELECT q.qid, e.vec_id, e.v, {_cos('q.qv', 'e.v')} AS rel
+        FROM q CROSS JOIN e WHERE e.vec_id != q.qid),
+      cand AS (SELECT qid, vec_id, v, rel FROM pairs
+               QUALIFY row_number() OVER (PARTITION BY qid
+                                          ORDER BY rel DESC, vec_id) <= {KC}),
+      sims AS (SELECT a.qid, a.vec_id AS a_id, b.vec_id AS b_id,
+                      {_cos('a.v', 'b.v')} AS sim
+               FROM cand a JOIN cand b ON a.qid = b.qid),
+      s1 AS (SELECT qid, vec_id, {LAM} * rel AS util FROM cand
+             QUALIFY row_number() OVER (PARTITION BY qid
+                                        ORDER BY {LAM} * rel DESC, vec_id) = 1),
+      sel1 AS (SELECT qid, vec_id FROM s1)"""
+    ]
+    for i in range(2, KS + 1):
+        p = i - 1
+        ctes.append(
+            f"""u{i} AS (
+        SELECT c.qid, c.vec_id,
+               {LAM} * c.rel - {round(1.0 - LAM, 10)} * max(s.sim) AS util
+        FROM cand c
+        JOIN sims s ON s.qid = c.qid AND s.a_id = c.vec_id
+        JOIN sel{p} ON sel{p}.qid = s.qid AND sel{p}.vec_id = s.b_id
+        WHERE NOT EXISTS (SELECT 1 FROM sel{p} x
+                          WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+        GROUP BY 1, 2, c.rel),
+      s{i} AS (SELECT qid, vec_id, util FROM u{i}
+               QUALIFY row_number() OVER (PARTITION BY qid
+                                          ORDER BY util DESC, vec_id) = 1),
+      sel{i} AS (SELECT * FROM sel{p} UNION ALL SELECT qid, vec_id FROM s{i})"""
+        )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT qid, {i} AS step, vec_id AS id, round(util, 6) AS util_r FROM s{i}"
+        for i in range(1, KS + 1)
+    )
+    sql = "WITH " + ",\n      ".join(ctes) + f"\n      {unions}"
+    return fn, sql
+
+
 def all_entries() -> Dict[str, Entry]:
     return {
         "docstats": q_docstats(),
@@ -10569,6 +10658,7 @@ def all_entries() -> Dict[str, Entry]:
         "routed_dfs_topk": q_routed_dfs_topk(),
         "nested_topk": q_nested_topk(),
         "phrase_highlight_topk": q_phrase_highlight_topk(),
+        "mmr_rerank_topk": q_mmr_rerank_topk(),
         "span_ordered_topk": q_span_ordered_topk(),
         "search_after_page2": q_search_after_page2(),
         "sliced_scroll": q_sliced_scroll(),

@@ -557,3 +557,78 @@ def multivector_maxsim_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "group", "score_r")
     )
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    sim_decimals: int = None,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified reranking (Carbonell &
+    Goldstein 1998; ES/vector-store "diversity" rerankers): from each
+    query's candidate set, greedily select k items maximizing
+    ``lam * rel - (1 - lam) * max_{s in selected} cos(v, v_s)`` — the
+    result list trades raw relevance for novelty, the standard fix for
+    near-duplicate-saturated web results that `collapse` (one per key)
+    can't express when duplicates share no key.
+
+    cand: (qid, id, rel, v: array<double>) — the per-query candidate
+    pool, e.g. a brute/IVF cosine or BM25 top-N. -> (qid, step, id,
+    util) with step = selection order (1-based) and util = the MMR
+    utility at selection time (step 1's util is lam * rel: the seed is
+    the pure-relevance winner, the textbook convention).
+
+    Scale shape: MMR is sequential per query BUT over an already-bounded
+    candidate pool (N ≤ a few hundred), so the kernel is one Arrow batch
+    per query — grouped applyInPandas, queries partition-parallel,
+    pairwise sims an N×N numpy product per group. Nothing corpus-sized
+    moves: the expensive part (candidate generation) stays the existing
+    distributed top-N plans. sim_decimals rounds rel and pairwise sims
+    before the greedy loop so a SQL twin can replay selection exactly.
+    Ties break (util desc, id asc) — deterministic."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+
+    def _group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        ids = pdf["id"].to_numpy(np.int64)
+        rel = pdf["rel"].to_numpy(np.float64)
+        V = np.stack(pdf["v"].to_numpy())
+        nrm = np.linalg.norm(V, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        sims = (V @ V.T) / np.outer(nrm, nrm)
+        if sim_decimals is not None:
+            rel = np.round(rel, sim_decimals)
+            sims = np.round(sims, sim_decimals)
+        n = len(ids)
+        kk = min(k, n)
+        selected = []
+        utils = []
+        remaining = np.ones(n, dtype=bool)
+        maxsim = np.full(n, -np.inf)
+        for step in range(kk):
+            if step == 0:
+                util = lam * rel
+            else:
+                util = lam * rel - (1.0 - lam) * maxsim
+            util_m = np.where(remaining, util, -np.inf)
+            # argmax with id-asc tie-break: ids are sorted, argmax takes
+            # the first (smallest id) among equals
+            pick = int(np.argmax(util_m))
+            selected.append(pick)
+            utils.append(float(util_m[pick]))
+            remaining[pick] = False
+            maxsim = np.maximum(maxsim, sims[:, pick])
+        return pd.DataFrame(
+            {
+                "qid": pdf["qid"].iloc[0],
+                "step": np.arange(1, kk + 1, dtype=np.int32),
+                "id": ids[selected],
+                "util": utils,
+            }
+        )
+
+    return cand.groupBy("qid").applyInPandas(
+        _group, "qid long, step int, id long, util double"
+    )
