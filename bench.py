@@ -380,6 +380,7 @@ def main() -> None:
         # round-5 session-8 additions
         "routed_topk", "routed_dfs_topk", "nested_topk",
         "phrase_highlight_topk", "mmr_rerank_topk",
+        "pruned_index_topk", "semdedup",
     ]:
         try:
             fn, _ = entries[name]

@@ -10508,12 +10508,15 @@ def q_mmr_rerank_topk() -> Entry:
     """MMR diversified reranking (extras/ann.py::mmr_rerank; Carbonell &
     Goldstein 1998 — the vector-store "diversity" reranker): cosine
     top-12 candidates per query, then 5 greedy selections maximizing
-    0.7·rel − 0.3·max-sim-to-selected. The greedy loop is inherently
-    sequential, so the twin UNROLLS the 5 selection steps as CTEs (the
-    same trick the quality-classifier entry uses for GD steps); rel and
-    pairwise sims are rounded to 6 dp in BOTH engines before selection
-    so the argmax replays exactly."""
-    LAM, KC, KS = 0.7, 12, 5
+    λ·rel − (1−λ)·max-sim-to-selected with λ = 7/10. The greedy loop is
+    inherently sequential, so the twin UNROLLS the 5 selection steps as
+    CTEs (the same trick the quality-classifier entry uses for GD
+    steps). Utilities are EXACT BIGINT micro-units (util = 7·rel_i −
+    3·sim_i over round(cos·10^6) integers): a float spelling would sit
+    on x.xxxxxx5 decimal boundaries systematically (λ·(6-dp decimal)
+    products), where Spark's decimal HALF_UP round and DuckDB's
+    float round disagree."""
+    KC, KS = 12, 5
 
     def fn(spark, sf_dir):
         from dpr_spark.extras.ann import cosine_expr, mmr_rerank
@@ -10532,16 +10535,150 @@ def q_mmr_rerank_topk() -> Entry:
                 "qid",
                 F.col("vec_id").alias("id"),
                 "v",
-                F.round(cosine_expr(F.col("qv"), F.col("v")), 6).alias("rel"),
+                cosine_expr(F.col("qv"), F.col("v")).alias("rel"),
             )
         )
-        w = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("id"))
+        rel_i = F.round(F.col("rel") * 1e6, 0).cast("long")
+        w = Window.partitionBy("qid").orderBy(rel_i.desc(), F.asc("id"))
         cand = pairs.withColumn("rn", F.row_number().over(w)).filter(
             F.col("rn") <= KC
         ).drop("rn")
-        res = mmr_rerank(cand, k=KS, lam=LAM, sim_decimals=6)
+        res = mmr_rerank(cand, k=KS, micro_lam=(7, 10))
+        return res.select("qid", "step", "id", F.col("util").alias("util_i"))
+
+    def _cosi(a, b):
+        return (
+            f"CAST(round(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b}))) * 1000000) AS BIGINT)"
+        )
+
+    ctes = [
+        f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      pairs AS (
+        SELECT q.qid, e.vec_id, e.v, {_cosi('q.qv', 'e.v')} AS rel_i
+        FROM q CROSS JOIN e WHERE e.vec_id != q.qid),
+      cand AS (SELECT qid, vec_id, v, rel_i FROM pairs
+               QUALIFY row_number() OVER (PARTITION BY qid
+                                          ORDER BY rel_i DESC, vec_id) <= {KC}),
+      sims AS (SELECT a.qid, a.vec_id AS a_id, b.vec_id AS b_id,
+                      {_cosi('a.v', 'b.v')} AS sim_i
+               FROM cand a JOIN cand b ON a.qid = b.qid),
+      s1 AS (SELECT qid, vec_id, 7 * rel_i AS util FROM cand
+             QUALIFY row_number() OVER (PARTITION BY qid
+                                        ORDER BY 7 * rel_i DESC, vec_id) = 1),
+      sel1 AS (SELECT qid, vec_id FROM s1)"""
+    ]
+    for i in range(2, KS + 1):
+        p = i - 1
+        ctes.append(
+            f"""u{i} AS (
+        SELECT c.qid, c.vec_id, 7 * c.rel_i - 3 * max(s.sim_i) AS util
+        FROM cand c
+        JOIN sims s ON s.qid = c.qid AND s.a_id = c.vec_id
+        JOIN sel{p} ON sel{p}.qid = s.qid AND sel{p}.vec_id = s.b_id
+        WHERE NOT EXISTS (SELECT 1 FROM sel{p} x
+                          WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+        GROUP BY 1, 2, c.rel_i),
+      s{i} AS (SELECT qid, vec_id, util FROM u{i}
+               QUALIFY row_number() OVER (PARTITION BY qid
+                                          ORDER BY util DESC, vec_id) = 1),
+      sel{i} AS (SELECT * FROM sel{p} UNION ALL SELECT qid, vec_id FROM s{i})"""
+        )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT qid, {i} AS step, vec_id AS id, util AS util_i FROM s{i}"
+        for i in range(1, KS + 1)
+    )
+    sql = "WITH " + ",\n      ".join(ctes) + f"\n      {unions}"
+    return fn, sql
+
+
+def q_pruned_index_topk() -> Entry:
+    """Static index pruning (index/prune.py; Carmel et al. 2001 top-N
+    variant): every posting list keeps only its 8 highest-impact entries
+    (rounded impact desc, doc_id asc), full-corpus statistics retained,
+    then BM25 top-10 over the pruned index — surviving postings score
+    bit-identically to the unpruned index; the twin prunes with the same
+    window rule in SQL."""
+    KEEP = 8
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.index.prune import prune_postings
+        from dpr_spark.query.scorer import search
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        pidx = prune_postings(idx, keep_n=KEEP)
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        res = search(qdf, pidx, k=10).select(
+            "qid", "doc_id", F.round("score", 6).alias("score_r")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    comp = (
+        f"ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)"
+        f" * tf.tf * {BM25_K1 + 1.0}"
+        f" / (tf.tf + {BM25_K1}"
+        f" * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl))"
+    )
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + f""",
+      imp AS (
+        SELECT tf.doc_id, tf.term, {comp} AS comp, round({comp}, 6) AS imp_r
+        FROM tf JOIN dict USING (term)
+             JOIN ds ON ds.doc_id = tf.doc_id CROSS JOIN stats),
+      kept AS (
+        SELECT doc_id, term, comp FROM (
+          SELECT *, row_number() OVER (PARTITION BY term
+                                       ORDER BY imp_r DESC, doc_id) AS rn
+          FROM imp) WHERE rn <= {KEEP}),
+      pscored AS (
+        SELECT qt.qid, kept.doc_id, sum(kept.comp) AS score
+        FROM qt JOIN kept USING (term) GROUP BY 1, 2),
+      pranked AS (
+        SELECT qid, doc_id, round(score, 6) AS score_r,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY round(score, 6) DESC, doc_id) AS rank
+        FROM pscored)
+      SELECT qid, rank, doc_id, score_r FROM pranked WHERE rank <= 10"""
+    )
+    return fn, sql
+
+
+def q_semdedup() -> Entry:
+    """SemDeDup (extras/dedup.py::semdedup; Abbas et al. 2023): semantic
+    near-dedup by embedding — coarse-cluster the corpus (nlist=8 sampled
+    centroids, the SQL-replayable quantizer the IVF entries use), then
+    drop any vector whose rounded cosine to a smaller-id cluster-mate is
+    >= 0.95. The corpus is augmented with scaled clones (vec_id + 10^6,
+    vector × 2) of every 10th vector — cosine-identical, so they MUST
+    drop with dup_of = the original; organic near-dups drop too. The
+    quadratic term stays inside clusters (the paper's scaling point)."""
+    NLIST, TAU, STRIDE, OFF = 8, 0.95, 10, 1_000_000
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.ann import sampled_centroids
+        from dpr_spark.extras.dedup import semdedup
+
+        e0 = _emb(spark, sf_dir).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        clones = e0.filter(F.col("vec_id") % STRIDE == 0).select(
+            (F.col("vec_id") + OFF).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+        )
+        cent = sampled_centroids(e0, nlist=NLIST)
+        res = semdedup(e0.unionByName(clones), cent, tau=TAU)
         return res.select(
-            "qid", "step", "id", F.round("util", 6).alias("util_r")
+            F.col("id").alias("vec_id"), "cluster", "keep", "dup_of"
         )
 
     def _cos(a, b):
@@ -10551,45 +10688,29 @@ def q_mmr_rerank_topk() -> Entry:
             f"sqrt(list_dot_product({b}, {b}))), 6)"
         )
 
-    ctes = [
-        f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
-      pairs AS (
-        SELECT q.qid, e.vec_id, e.v, {_cos('q.qv', 'e.v')} AS rel
-        FROM q CROSS JOIN e WHERE e.vec_id != q.qid),
-      cand AS (SELECT qid, vec_id, v, rel FROM pairs
-               QUALIFY row_number() OVER (PARTITION BY qid
-                                          ORDER BY rel DESC, vec_id) <= {KC}),
-      sims AS (SELECT a.qid, a.vec_id AS a_id, b.vec_id AS b_id,
-                      {_cos('a.v', 'b.v')} AS sim
-               FROM cand a JOIN cand b ON a.qid = b.qid),
-      s1 AS (SELECT qid, vec_id, {LAM} * rel AS util FROM cand
-             QUALIFY row_number() OVER (PARTITION BY qid
-                                        ORDER BY {LAM} * rel DESC, vec_id) = 1),
-      sel1 AS (SELECT qid, vec_id FROM s1)"""
-    ]
-    for i in range(2, KS + 1):
-        p = i - 1
-        ctes.append(
-            f"""u{i} AS (
-        SELECT c.qid, c.vec_id,
-               {LAM} * c.rel - {round(1.0 - LAM, 10)} * max(s.sim) AS util
-        FROM cand c
-        JOIN sims s ON s.qid = c.qid AND s.a_id = c.vec_id
-        JOIN sel{p} ON sel{p}.qid = s.qid AND sel{p}.vec_id = s.b_id
-        WHERE NOT EXISTS (SELECT 1 FROM sel{p} x
-                          WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
-        GROUP BY 1, 2, c.rel),
-      s{i} AS (SELECT qid, vec_id, util FROM u{i}
-               QUALIFY row_number() OVER (PARTITION BY qid
-                                          ORDER BY util DESC, vec_id) = 1),
-      sel{i} AS (SELECT * FROM sel{p} UNION ALL SELECT qid, vec_id FROM s{i})"""
-        )
-    unions = "\n      UNION ALL ".join(
-        f"SELECT qid, {i} AS step, vec_id AS id, round(util, 6) AS util_r FROM s{i}"
-        for i in range(1, KS + 1)
-    )
-    sql = "WITH " + ",\n      ".join(ctes) + f"\n      {unions}"
+    sql = f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT * FROM e0
+          UNION ALL
+          SELECT vec_id + {OFF}, list_transform(v, x -> x * 2.0)
+          FROM e0 WHERE vec_id % {STRIDE} = 0),
+    m AS (SELECT greatest((max(vec_id) + 1) // {NLIST}, 1) AS md FROM e0),
+    c AS (SELECT (e0.vec_id // m.md)::INT AS cid, e0.v AS cv
+          FROM e0, m WHERE e0.vec_id % m.md = 0 AND e0.vec_id // m.md < {NLIST}),
+    assigned AS (SELECT vec_id, v, cid AS cluster FROM (
+        SELECT e.vec_id, e.v, c.cid, {_cos('e.v', 'c.cv')} AS cs,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos('e.v', 'c.cv')} DESC, c.cid) AS rn
+        FROM e CROSS JOIN c) WHERE rn = 1),
+    dups AS (
+      SELECT b.vec_id AS yid, min(a.vec_id) AS dup_of
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_cos('a.v', 'b.v')} >= {TAU}
+      GROUP BY 1)
+    SELECT a.vec_id, a.cluster, d.dup_of IS NULL AS keep,
+           coalesce(d.dup_of, -1) AS dup_of
+    FROM assigned a LEFT JOIN dups d ON d.yid = a.vec_id"""
     return fn, sql
 
 
@@ -10659,6 +10780,8 @@ def all_entries() -> Dict[str, Entry]:
         "nested_topk": q_nested_topk(),
         "phrase_highlight_topk": q_phrase_highlight_topk(),
         "mmr_rerank_topk": q_mmr_rerank_topk(),
+        "pruned_index_topk": q_pruned_index_topk(),
+        "semdedup": q_semdedup(),
         "span_ordered_topk": q_span_ordered_topk(),
         "search_after_page2": q_search_after_page2(),
         "sliced_scroll": q_sliced_scroll(),

@@ -564,6 +564,8 @@ def mmr_rerank(
     k: int = 10,
     lam: float = 0.7,
     sim_decimals: int = None,
+    micro_lam: tuple = None,
+    micro: int = 10**6,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversified reranking (Carbonell &
     Goldstein 1998; ES/vector-store "diversity" rerankers): from each
@@ -586,9 +588,23 @@ def mmr_rerank(
     moves: the expensive part (candidate generation) stays the existing
     distributed top-N plans. sim_decimals rounds rel and pairwise sims
     before the greedy loop so a SQL twin can replay selection exactly.
-    Ties break (util desc, id asc) — deterministic."""
+    Ties break (util desc, id asc) — deterministic.
+
+    For a cross-engine-exact twin use ``micro_lam=(num, den)`` instead
+    of sim_decimals: rel and sims become integer micro-units
+    (round(x·10^6)) and util = num·rel_i − (den−num)·sim_i — pure BIGINT
+    math, immune to the decimal-vs-float rounding split (Spark's round
+    is decimal HALF_UP via the shortest string; DuckDB/python round the
+    raw double — they disagree EXACTLY on the x.xxxxxx5 boundaries that
+    λ·(6-dp decimal) products systematically produce). The float path
+    never re-rounds a short-decimal product, so it keeps the
+    conventional (lam, float util) API for library callers."""
     if not 0.0 <= lam <= 1.0:
         raise ValueError("lam must be in [0, 1]")
+    if micro_lam is not None:
+        lam_num, lam_den = micro_lam
+        if not 0 <= lam_num <= lam_den:
+            raise ValueError("micro_lam must satisfy 0 <= num <= den")
 
     def _group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id").reset_index(drop=True)
@@ -598,7 +614,11 @@ def mmr_rerank(
         nrm = np.linalg.norm(V, axis=1)
         nrm[nrm == 0.0] = 1.0
         sims = (V @ V.T) / np.outer(nrm, nrm)
-        if sim_decimals is not None:
+        if micro_lam is not None:
+            # integer micro-units: exact BIGINT utility, no float rounding
+            rel_i = np.round(rel * micro).astype(np.int64)
+            sims_i = np.round(sims * micro).astype(np.int64)
+        elif sim_decimals is not None:
             rel = np.round(rel, sim_decimals)
             sims = np.round(sims, sim_decimals)
         n = len(ids)
@@ -606,6 +626,28 @@ def mmr_rerank(
         selected = []
         utils = []
         remaining = np.ones(n, dtype=bool)
+        if micro_lam is not None:
+            int_min = np.iinfo(np.int64).min
+            maxsim_i = np.full(n, int_min)
+            for step in range(kk):
+                if step == 0:
+                    util = lam_num * rel_i
+                else:
+                    util = lam_num * rel_i - (lam_den - lam_num) * maxsim_i
+                util_m = np.where(remaining, util, int_min)
+                pick = int(np.argmax(util_m))
+                selected.append(pick)
+                utils.append(int(util_m[pick]))
+                remaining[pick] = False
+                maxsim_i = np.maximum(maxsim_i, sims_i[:, pick])
+            return pd.DataFrame(
+                {
+                    "qid": pdf["qid"].iloc[0],
+                    "step": np.arange(1, kk + 1, dtype=np.int32),
+                    "id": ids[selected],
+                    "util": np.array(utils, dtype=np.int64),
+                }
+            )
         maxsim = np.full(n, -np.inf)
         for step in range(kk):
             if step == 0:
@@ -629,6 +671,7 @@ def mmr_rerank(
             }
         )
 
+    util_type = "long" if micro_lam is not None else "double"
     return cand.groupBy("qid").applyInPandas(
-        _group, "qid long, step int, id long, util double"
+        _group, f"qid long, step int, id long, util {util_type}"
     )

@@ -454,3 +454,55 @@ def dedup_clusters(
         )
     )
     return out.withColumn("is_canonical", F.col(id_col) == F.col("component"))
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dedup by embedding —
+    cluster the corpus with a coarse quantizer, then drop any document
+    whose rounded cosine to a SMALLER-id cluster-mate is >= tau (the
+    same keep-lowest-id rule as the simhash/minhash dedup family, made
+    semantic). This is the LLM-data-pipeline step that removes
+    paraphrase-level duplicates exact/MinHash dedup can't see.
+
+    -> (id, cluster, keep, dup_of) with dup_of = the smallest similar
+    cluster-mate id, -1 when kept.
+
+    Scale shape: the quadratic term is confined WITHIN clusters — the
+    paper's whole point — so the self-join shuffles on cluster id and
+    compares |cluster|^2 pairs per cluster, never corpus^2; the
+    assignment is one Arrow map pass with the centroid matrix in the
+    UDF closure (extras/ann.py::ivf_assign). Cosines are rounded so a
+    SQL twin replays the exact keep/drop set."""
+    from dpr_spark.extras.ann import cosine_expr, ivf_assign
+
+    a = ivf_assign(emb, centroids, vec_col=vec_col, out_col="cluster").select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+        "cluster",
+    )
+    x = a.select(F.col("id").alias("xid"), F.col("v").alias("xv"), "cluster")
+    y = a.select(F.col("id").alias("yid"), F.col("v").alias("yv"), "cluster")
+    sim = F.round(cosine_expr(F.col("xv"), F.col("yv")), decimals)
+    dups = (
+        x.join(y, "cluster")
+        .filter(F.col("xid") < F.col("yid"))
+        .filter(sim >= F.lit(tau))
+        .groupBy("yid")
+        .agg(F.min("xid").alias("dup_of"))
+    )
+    return (
+        a.join(dups, a["id"] == dups["yid"], "left")
+        .select(
+            "id",
+            "cluster",
+            F.col("dup_of").isNull().alias("keep"),
+            F.coalesce("dup_of", F.lit(-1)).alias("dup_of"),
+        )
+    )

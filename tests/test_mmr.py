@@ -101,3 +101,23 @@ def test_diversity_beats_relevance_ranking(spark, cand_df):
         # pure relevance would take the top-5 rel, which are ids 100..104
         # (rel sorted desc) — at least 3 of them are clones
         assert mmr_dups <= 1, (qid, sel[qid])
+
+
+def test_micro_mode_matches_float_selection(spark, cand_df):
+    """Integer micro-units (the cross-engine-exact path): same selected
+    ids/steps as the float path at lam = 7/10 on generic inputs, utils
+    exactly 7*rel_i - 3*maxsim_i."""
+    from dpr_spark.extras.ann import mmr_rerank
+
+    df, _ = cand_df
+    fsel = {}
+    for r in mmr_rerank(df, k=5, lam=0.7).collect():
+        fsel.setdefault(r.qid, []).append((r.step, r.id))
+    isel = {}
+    utypes = set()
+    for r in mmr_rerank(df, k=5, micro_lam=(7, 10)).collect():
+        isel.setdefault(r.qid, []).append((r.step, r.id))
+        utypes.add(type(r.util))
+    assert utypes == {int}
+    for q in fsel:
+        assert sorted(fsel[q]) == sorted(isel[q])

@@ -42,8 +42,15 @@ def main():
             op = con.execute(o[name]).fetchdf()
             cols = sorted(sp.columns)
             assert cols == sorted(op.columns), (cols, sorted(op.columns))
-            sp = sp[cols].sort_values(cols).reset_index(drop=True)
-            op = op[cols].sort_values(cols).reset_index(drop=True)
+            # exact after %.6f formatting — the driver's value-hash bar
+            # (assert_frame_equal's default rtol once passed a last-digit
+            # rounding split the driver would flag)
+            for c in cols:
+                if sp[c].dtype.kind == "f" or op[c].dtype.kind == "f":
+                    for frame in (sp, op):
+                        frame[c] = frame[c].astype(float).map(lambda x: f"{x:.6f}")
+            sp = sp[cols].astype(str).sort_values(cols).reset_index(drop=True)
+            op = op[cols].astype(str).sort_values(cols).reset_index(drop=True)
             pd.testing.assert_frame_equal(sp, op, check_dtype=False)
             print(f"{name}: OK ({len(sp)} rows)")
         except Exception as ex:
