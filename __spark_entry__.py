@@ -49,7 +49,12 @@ oracle_sql()    -> DuckDB twins for EVERY entry — len(oracle_sql()) ==
                    queries (Lucene TermRangeQuery with a pushed
                    range-seek envelope), the full Gopher
                    non-repetition quality rule set, and the C4
-                   cleaning heuristics —
+                   cleaning heuristics, plus session-8: custom routing
+                   (shard-targeted search, both ES search types),
+                   nested block-join queries with inner_hits,
+                   phrase-aware highlighting, MMR diversified
+                   reranking, static index pruning, and SemDeDup
+                   semantic near-dedup —
                    every one DuckDB-twinned (the exact count is
                    len(queries()), asserted == len(oracle_sql()) in
                    tests/test_entry.py).
