@@ -54,7 +54,11 @@ oracle_sql()    -> DuckDB twins for EVERY entry — len(oracle_sql()) ==
                    nested block-join queries with inner_hits,
                    phrase-aware highlighting, MMR diversified
                    reranking, static index pruning, and SemDeDup
-                   semantic near-dedup —
+                   semantic near-dedup, plus session-9:
+                   transposition-aware fuzzy (Damerau-Levenshtein,
+                   Lucene's default), children / reverse_nested /
+                   geo_distance-rings / categorize_text aggregations,
+                   and gapped ordered spans (SpanGapQuery) —
                    every one DuckDB-twinned (the exact count is
                    len(queries()), asserted == len(oracle_sql()) in
                    tests/test_entry.py).

@@ -1863,6 +1863,107 @@ def q_span_ordered_topk() -> Entry:
     return fn, sql
 
 
+SPAN_GAP_SLOP = 1
+SPAN_GAP_QUERIES = [
+    (0, [("spark", 0), ("window", 1)]),       # spark _ window
+    (1, [("customer", 0), ("join", 0)]),      # plain ordered pair
+    (2, [("fast", 0), ("scan", 2)]),          # two-token gap
+    (3, [("stream", 0), ("window", 1), ("data", 0)]),
+    (4, [("spark", 0), ("zzznope", 3)]),      # OOV term -> no rows
+]
+
+
+def q_span_gap_topk() -> Entry:
+    """Gapped ordered span top-10 (Lucene SpanNearQuery.Builder
+    addGap(width) / SpanGapQuery twin, query/phrase.py::
+    span_gap_search_index): a gap of g between tokens inflates the
+    query offset by g and the matched positions must leave room for it
+    (pos_next >= pos_prev + off_delta — NearSpansOrdered non-overlap);
+    a start qualifies when Lucene's slack cur - start <= off_max +
+    slop. The twin unrolls the greedy chain into per-step min-
+    aggregation CTEs carrying the inflated offsets."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.phrase import span_gap_search_index
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(
+            spark, docs, build_blocks=False, build_positional=True
+        )
+        res = span_gap_search_index(
+            spark, idx, idx.positions, SPAN_GAP_QUERIES,
+            slop=SPAN_GAP_SLOP, k=10,
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    vals, max_n = [], 0
+    for qid, seq in SPAN_GAP_QUERIES:
+        max_n = max(max_n, len(seq))
+        off = 0
+        for i, (t, gap) in enumerate(seq):
+            if i > 0:
+                off += 1 + gap
+            vals.append(f"({qid}, {i}, {off}, '{t}')")
+    chain_ctes, done_parts = [], [
+        "SELECT c0.qid, c0.doc_id, c0.p0, c0.cur FROM c0"
+        " JOIN qn ON qn.qid = c0.qid AND qn.n_off = 1"
+    ]
+    for i in range(1, max_n):
+        chain_ctes.append(
+            f"""c{i} AS (
+      SELECT c.qid, c.doc_id, c.p0, min(h.p) AS cur, h.off AS off
+      FROM c{i - 1} c JOIN h ON h.qid = c.qid AND h.idx = {i}
+           AND h.doc_id = c.doc_id AND h.p >= c.cur + (h.off - c.off)
+      GROUP BY 1, 2, 3, 5)"""
+        )
+        done_parts.append(
+            f"SELECT c{i}.qid, c{i}.doc_id, c{i}.p0, c{i}.cur FROM c{i}"
+            f" JOIN qn ON qn.qid = c{i}.qid AND qn.n_off = {i + 1}"
+        )
+    vals_sql = ", ".join(vals)
+    chains_sql = ",\n    ".join(chain_ctes)
+    done_sql = " UNION ALL ".join(done_parts)
+    sql = f"""
+    WITH {_POS_CTES},
+    q AS (SELECT * FROM (VALUES {vals_sql}) AS q(qid, idx, off, term)),
+    qn AS (SELECT qid, count(*) AS n_off, max(off) AS span_1 FROM q GROUP BY 1),
+    idf AS (
+      SELECT q.qid,
+             sum(ln((stats.n - dict.df + 0.5) / (dict.df + 0.5) + 1.0)) AS idf_sum,
+             count(*) AS n_res
+      FROM q JOIN dict USING (term) CROSS JOIN stats GROUP BY 1),
+    idf_ok AS (SELECT idf.qid, idf.idf_sum FROM idf JOIN qn USING (qid)
+               WHERE idf.n_res = qn.n_off),
+    h AS (SELECT q.qid, q.idx, q.off, pos.doc_id, pos.p
+          FROM q JOIN pos USING (term)),
+    c0 AS (SELECT qid, doc_id, p AS p0, p AS cur, off FROM h WHERE idx = 0),
+    {chains_sql},
+    done AS ({done_sql}),
+    pf AS (
+      SELECT d.qid, d.doc_id, count(*) AS pf
+      FROM done d JOIN qn USING (qid)
+      WHERE d.cur - d.p0 <= qn.span_1 + {SPAN_GAP_SLOP}
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT pf.qid, pf.doc_id,
+             idf_ok.idf_sum * pf.pf * {BM25_K1 + 1.0}
+             / (pf.pf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * ds.doclen / stats.avgdl))
+             AS score
+      FROM pf JOIN idf_ok USING (qid)
+           JOIN ds ON pf.doc_id = ds.doc_id CROSS JOIN stats),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 def q_bool_topk() -> Entry:
     """Boolean must/should/must_not top-10 (BooleanQuery twin,
     query/boolquery.py): doc qualifies iff every must term present and
@@ -2212,6 +2313,77 @@ def q_fuzzy_topk() -> Entry:
                PARTITION BY c.qid, c.clause
                ORDER BY levenshtein(d.term, c.clause), d.df DESC, d.term) AS r
       FROM c JOIN dict d ON levenshtein(d.term, c.clause) <= {FUZZY_MAX_EDITS}),
+    qt AS (
+      SELECT qid, clause, term,
+             1.0 - dist::DOUBLE / greatest(length(clause), length(term)) AS boost
+      FROM exp WHERE r <= {FUZZY_MAX_EXP}),
+    scored AS (
+      SELECT qt.qid, tf.doc_id, sum(qt.boost * {_BM25_COMPONENT}) AS score
+      FROM qt JOIN dict USING (term) JOIN tf USING (term)
+           JOIN ds ON tf.doc_id = ds.doc_id CROSS JOIN stats
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
+FUZZY_T_QUERIES = [
+    (0, "spark"),        # exact (dist-0, boost 1.0 — unchanged by the variant)
+    (1, "sprak"),        # a/r swap: DL=1 from 'spark', plain Levenshtein 2
+    (2, "jion"),         # i/o swap: DL=1 from 'join'
+    (3, "tabel"),        # l/e swap: DL=1 from 'table'
+    (4, "winodw scan"),  # multi-clause: swap + exact
+    (5, "qzqzqz"),       # far from all vocabulary -> no rows
+]
+
+
+def q_fuzzy_transpose_topk() -> Entry:
+    """Transposition-aware fuzzy top-10 (query/fuzzy.py,
+    transpositions=True — Lucene FuzzyQuery's DEFAULT: an adjacent swap
+    is ONE edit). Distance is unrestricted Damerau–Levenshtein, the
+    exact semantics of DuckDB's damerau_levenshtein (verified
+    DL('CA','ABC')=2), so the twin is the fuzzy twin with one function
+    swapped. Each query here holds a swap typo that plain max_edits=1
+    Levenshtein CANNOT reach (lev=2) — the entry fails against the
+    non-transposing engine by construction."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.fuzzy import fuzzy_search
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        res = fuzzy_search(
+            spark, FUZZY_T_QUERIES, idx, k=10,
+            max_edits=FUZZY_MAX_EDITS, max_expansions=FUZZY_MAX_EXP,
+            transpositions=True,
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    from dpr_spark.query.fuzzy import _clauses
+
+    clause_values = ", ".join(
+        f"({qid}, '{c}')" for qid, c in _clauses(FUZZY_T_QUERIES)
+    )
+    sql = f"""
+    WITH {_POS_CTES},
+    c AS (SELECT * FROM (VALUES {clause_values}) AS c(qid, clause)),
+    exp AS (
+      SELECT c.qid, c.clause, d.term,
+             damerau_levenshtein(d.term, c.clause) AS dist,
+             row_number() OVER (
+               PARTITION BY c.qid, c.clause
+               ORDER BY damerau_levenshtein(d.term, c.clause), d.df DESC,
+                        d.term) AS r
+      FROM c JOIN dict d
+        ON damerau_levenshtein(d.term, c.clause) <= {FUZZY_MAX_EDITS}),
     qt AS (
       SELECT qid, clause, term,
              1.0 - dist::DOUBLE / greatest(length(clause), length(term)) AS boost
@@ -5021,6 +5193,69 @@ def q_geotile_grid_agg() -> Entry:
                                    ORDER BY count DESC, tile_x, tile_y) AS rank
       FROM counts)
     SELECT qid, rank, tile_x, tile_y, count FROM ranked_t WHERE rank <= {SIZE}"""
+    sql = sql.replace("{MATCH}", _MATCH_CTES.replace("{QTERMS}", _qterm_values_sql()))
+    return fn, sql
+
+
+RING_ORIGIN_LAT, RING_ORIGIN_LON = -5.0, 40.0
+RING_EDGES = [1000.0, 3000.0, 7000.0]
+
+
+def q_geo_distance_rings() -> Entry:
+    """ES `geo_distance` aggregation (query/geo.py::
+    geo_distance_rings_agg): distance rings around one origin over each
+    query's match set — every ring reported (empty rings count 0, the
+    ES dense-response shape), half-open [from, to) bounds, haversine
+    rounded to 6 dp before the edge test. One Catalyst pass: no UDF,
+    no per-ring scan."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import _matches
+        from dpr_spark.query.geo import geo_distance_rings_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        pts = _matches(qdf, idx).join(_doc_geo(spark, sf_dir), "doc_id")
+        return geo_distance_rings_agg(
+            pts, RING_ORIGIN_LAT, RING_ORIGIN_LON, RING_EDGES
+        )
+
+    bounds_vals = ", ".join(
+        f"({i}, {0.0 if i == 0 else RING_EDGES[i - 1]!r}::DOUBLE, "
+        + (f"{RING_EDGES[i]!r}::DOUBLE" if i < len(RING_EDGES) else "NULL::DOUBLE")
+        + ")"
+        for i in range(len(RING_EDGES) + 1)
+    )
+    case_rings = "CASE "
+    for i, e in enumerate(RING_EDGES):
+        case_rings += f"WHEN dist < {e!r} THEN {i} "
+    case_rings += f"ELSE {len(RING_EDGES)} END"
+    sql = f"""
+    WITH {{MATCH}},
+    geo AS (SELECT doc_id, {GEO_LAT_SQL} AS lat, {GEO_LON_SQL} AS lon
+            FROM documents),
+    hav AS (
+      SELECT m.qid,
+             round(2.0::DOUBLE * 6371.0088::DOUBLE * asin(sqrt(
+               sin(radians(geo.lat - {RING_ORIGIN_LAT!r}) / 2.0::DOUBLE)
+                 * sin(radians(geo.lat - {RING_ORIGIN_LAT!r}) / 2.0::DOUBLE)
+               + cos(radians({RING_ORIGIN_LAT!r}::DOUBLE)) * cos(radians(geo.lat))
+                 * sin(radians(geo.lon - {RING_ORIGIN_LON!r}) / 2.0::DOUBLE)
+                 * sin(radians(geo.lon - {RING_ORIGIN_LON!r}) / 2.0::DOUBLE)
+             )), 6) AS dist
+      FROM matches m JOIN geo USING (doc_id)),
+    ringed AS (SELECT qid, {case_rings} AS ring FROM hav),
+    counts AS (SELECT qid, ring, count(*) AS count FROM ringed GROUP BY 1, 2),
+    bounds AS (SELECT * FROM (VALUES {bounds_vals}) AS b(ring, from_km, to_km)),
+    spine AS (SELECT q.qid, b.ring, b.from_km, b.to_km
+              FROM (SELECT DISTINCT qid FROM matches) q CROSS JOIN bounds b)
+    SELECT s.qid, s.ring, s.from_km, s.to_km,
+           coalesce(c.count, 0) AS count
+    FROM spine s LEFT JOIN counts c ON s.qid = c.qid AND s.ring = c.ring"""
     sql = sql.replace("{MATCH}", _MATCH_CTES.replace("{QTERMS}", _qterm_values_sql()))
     return fn, sql
 
@@ -10431,6 +10666,139 @@ def q_nested_topk() -> Entry:
     return fn, sql
 
 
+_NESTED_CH_SQL = """
+    w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    ch AS (SELECT doc_id, i AS child_ix,
+                  words[i * 8 + 1 : (i + 1) * 8] AS cw
+           FROM w, unnest(range(0, greatest(ceil(len(words) / 8.0)::INT, 1))) AS u(i))
+"""
+
+
+def q_children_agg() -> Entry:
+    """ES `children` aggregation (query/joinquery.py::
+    children_bucket_agg — the aggregation twin of has_child): bucket
+    parent documents by `source`, switch context to their 8-word
+    nested paragraph children, and aggregate over the children —
+    (bucket, n_parents, n_children, avg child word count). n_parents
+    comes from the parent side alone so child fan-out can't inflate
+    it; the child fold is one map-side-combined groupBy."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.query.joinquery import children_bucket_agg
+        from dpr_spark.query.nestedquery import nested_children
+
+        docs = _docs(spark, sf_dir)
+        children = nested_children(docs.select("doc_id", "text"), width=8)
+        res = children_bucket_agg(
+            docs.select("doc_id", "source"),
+            children.withColumn("nw", F.size(F.split("chunk", " "))),
+            bucket_col="source",
+            child_value_col="nw",
+        )
+        return res.select(
+            "bucket", "n_parents", "n_children",
+            F.round("avg_child_value", 6).alias("avg_child_words"),
+        )
+
+    sql = f"""
+    WITH {_NESTED_CH_SQL},
+    p AS (SELECT source AS bucket, count(DISTINCT doc_id) AS n_parents
+          FROM documents GROUP BY 1),
+    c AS (SELECT d.source AS bucket, count(*) AS n_children,
+                 round(avg(len(ch.cw)::DOUBLE), 6) AS avg_child_words
+          FROM ch JOIN documents d USING (doc_id) GROUP BY 1)
+    SELECT p.bucket, p.n_parents,
+           coalesce(c.n_children, 0) AS n_children, c.avg_child_words
+    FROM p LEFT JOIN c USING (bucket)"""
+    return fn, sql
+
+
+def q_reverse_nested_agg() -> Entry:
+    """ES `reverse_nested` aggregation (query/joinquery.py::
+    reverse_nested_agg; also the `parent` agg shape): bucket the 8-word
+    nested children by their LEADING word, jump back out to the parent
+    context, and report per bucket the DISTINCT parent count plus the
+    mean parent n_chars — top-10 buckets (n_parents DESC, key ASC).
+    The (key, parent) dedup happens before any parent column joins in,
+    so one parent counts once per bucket however many of its children
+    hit — the reverse_nested contract."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.query.joinquery import reverse_nested_agg
+        from dpr_spark.query.nestedquery import nested_children
+
+        docs = _docs(spark, sf_dir)
+        children = nested_children(docs.select("doc_id", "text"), width=8)
+        res = reverse_nested_agg(
+            children.withColumn(
+                "lead", F.element_at(F.split("chunk", " "), 1)
+            ),
+            docs.select("doc_id", "n_chars"),
+            child_key_col="lead",
+            parent_value_col="n_chars",
+            size=10,
+        )
+        return res.select(
+            "rank", "key", "n_parents",
+            F.round("avg_parent_value", 6).alias("avg_n_chars"),
+        )
+
+    sql = f"""
+    WITH {_NESTED_CH_SQL},
+    pairs AS (SELECT DISTINCT ch.cw[1] AS key, doc_id FROM ch),
+    agg AS (SELECT key, count(*) AS n_parents,
+                   round(avg(d.n_chars::DOUBLE), 6) AS avg_n_chars
+            FROM pairs JOIN documents d USING (doc_id) GROUP BY 1),
+    ranked AS (SELECT key, n_parents, avg_n_chars,
+                      row_number() OVER (ORDER BY n_parents DESC, key) AS rank
+               FROM agg)
+    SELECT rank, key, n_parents, avg_n_chars FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
+def q_categorize_text_agg() -> Entry:
+    """ES `categorize_text` aggregation (query/aggs.py::
+    categorize_text_agg), deterministic variant: matched docs group by
+    the first 4 all-letter tokens of their lowercased text (digit-
+    bearing tokens dropped — the categorizer's number-wildcard rule),
+    top-10 categories per query by (count DESC, signature ASC). Pure
+    Catalyst array math — no UDF, no drain-tree order dependence."""
+    MT, SIZE = 4, 10
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.aggs import _matches, categorize_text_agg
+
+        docs = _docs(spark, sf_dir)
+        idx = build_index_from_docs(
+            spark, docs.select("doc_id", "text"), build_blocks=False
+        )
+        qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
+        return categorize_text_agg(
+            _matches(qdf, idx), docs.select("doc_id", "text"),
+            size=SIZE, max_tokens=MT,
+        )
+
+    sql = f"""
+    WITH {{MATCH}},
+    cats AS (
+      SELECT m.qid,
+             array_to_string(
+               (list_filter(string_split_regex(lower(d.text), '\\s+'),
+                            x -> regexp_full_match(x, '[a-z]+')))[1:{MT}],
+               ' ') AS category
+      FROM matches m JOIN documents d USING (doc_id)),
+    counts AS (SELECT qid, category, count(*) AS count
+               FROM cats WHERE category <> '' GROUP BY 1, 2),
+    ranked AS (SELECT qid, category, count,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY count DESC, category) AS rank
+               FROM counts)
+    SELECT qid, rank, category, count FROM ranked WHERE rank <= {SIZE}"""
+    sql = sql.replace("{MATCH}", _MATCH_CTES.replace("{QTERMS}", _qterm_values_sql()))
+    return fn, sql
+
+
 def q_phrase_highlight_topk() -> Entry:
     """Phrase-aware highlighting (query/phrase.py::
     phrase_search_index_highlight; Lucene unified highlighter over a
@@ -10762,6 +11130,7 @@ def all_entries() -> Dict[str, Entry]:
         "prefix_topk": q_prefix_topk(),
         "term_range_topk": q_term_range_topk(),
         "fuzzy_topk": q_fuzzy_topk(),
+        "fuzzy_transpose_topk": q_fuzzy_transpose_topk(),
         "highlight_topk": q_highlight_topk(),
         "mlt_topk": q_mlt_topk(),
         "rm3_topk": q_rm3_topk(),
@@ -10778,11 +11147,15 @@ def all_entries() -> Dict[str, Entry]:
         "routed_topk": q_routed_topk(),
         "routed_dfs_topk": q_routed_dfs_topk(),
         "nested_topk": q_nested_topk(),
+        "children_agg": q_children_agg(),
+        "reverse_nested_agg": q_reverse_nested_agg(),
+        "categorize_text_agg": q_categorize_text_agg(),
         "phrase_highlight_topk": q_phrase_highlight_topk(),
         "mmr_rerank_topk": q_mmr_rerank_topk(),
         "pruned_index_topk": q_pruned_index_topk(),
         "semdedup": q_semdedup(),
         "span_ordered_topk": q_span_ordered_topk(),
+        "span_gap_topk": q_span_gap_topk(),
         "search_after_page2": q_search_after_page2(),
         "sliced_scroll": q_sliced_scroll(),
         "sort_by_field_topk": q_sort_by_field_topk(),
@@ -10825,6 +11198,7 @@ def all_entries() -> Dict[str, Entry]:
         "diversified_sampler": q_diversified_sampler(),
         "terms_set_topk": q_terms_set_topk(),
         "geo_distance_topk": q_geo_distance_topk(),
+        "geo_distance_rings": q_geo_distance_rings(),
         "geotile_grid_agg": q_geotile_grid_agg(),
         "distance_feature_topk": q_distance_feature_topk(),
         "auto_date_histogram": q_auto_date_histogram(),

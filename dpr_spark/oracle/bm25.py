@@ -451,6 +451,52 @@ class BM25Oracle:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def span_gap_search(
+        self,
+        gapped: Sequence[Tuple[str, int]],
+        k: int = 10,
+        slop: int = 0,
+    ) -> List[Tuple[int, float]]:
+        """Gapped ordered-span twin (query/phrase.py::
+        span_gap_search_index contract — Lucene SpanGapQuery): gapped =
+        [(term, gap_before), ...]; offsets inflate by the gaps, the
+        greedy chain honors per-step minimum spacing pos >= cur + Δoff,
+        and a start qualifies when cur - p0 <= off_max + slop."""
+        seq: List[Tuple[int, str]] = []
+        off = 0
+        for i, (term, gap) in enumerate(gapped):
+            ts = tokenize(normalize_question(term))
+            if len(ts) != 1:
+                raise ValueError(f"span_gap clause must be one token: {term!r}")
+            if i > 0:
+                off += 1 + gap
+            seq.append((off, ts[0]))
+        toks = [t for _, t in seq]
+        if not toks or any(t not in self.postings for t in toks):
+            return []
+        idf_sum = sum(self.idf(t) for t in toks)
+        span_1 = seq[-1][0] - seq[0][0]
+        scores: Dict[int, float] = {}
+        for d in self.postings[toks[0]]:
+            dt = self.doc_tokens[d]
+            pos = {t: [i for i, tok in enumerate(dt) if tok == t] for t in set(toks)}
+            pf = 0
+            for p0 in pos[toks[0]]:
+                cur, prev_off, ok = p0, seq[0][0], True
+                for off_i, t in seq[1:]:
+                    delta = off_i - prev_off
+                    nxt = next((p for p in pos[t] if p >= cur + delta), None)
+                    if nxt is None:
+                        ok = False
+                        break
+                    cur, prev_off = nxt, off_i
+                if ok and cur - p0 <= span_1 + slop:
+                    pf += 1
+            if pf:
+                scores[d] = self._score_pf(pf, d, idf_sum)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def span_first_search(
         self, query: str, k: int = 10, window: int = 8, first_n: int = 50
     ) -> List[Tuple[int, float]]:

@@ -1464,3 +1464,53 @@ def ip_range_agg(
             f"stack({len(ranges)}, {stack}) AS (range_idx, range_from, range_to, count)"
         ),
     ).select("qid", "range_idx", "range_from", "range_to", "count")
+
+
+def categorize_text_agg(
+    matches: DataFrame,
+    docs_text: DataFrame,
+    size: int = 10,
+    max_tokens: int = 4,
+    partition_col: str = "qid",
+    salt_buckets: Optional[int] = None,
+) -> DataFrame:
+    """ES `categorize_text` aggregation, made deterministic: group a
+    query's matched docs into message categories by a token signature —
+    the first `max_tokens` all-letter tokens of the lowercased text
+    (tokens containing digits/punctuation are dropped, the ES
+    categorizer's number-wildcard behavior; docs with NO letter tokens
+    are uncategorized and emit no row). Top `size` categories per query
+    by (count DESC, signature ASC).
+
+    ES's implementation is a streaming drain-tree whose categories
+    depend on arrival order; this contract keeps its use case (log/
+    boilerplate grouping) reproducible and cross-engine checkable.
+
+    Scale shape: the signature is pure Catalyst array math on the doc's
+    own text (no UDF, no vocabulary); categories collapse with map-side
+    combine; the per-query top-size runs over (qid, signature, count)
+    rows through the exact two-level salted top-N."""
+    sig = F.array_join(
+        F.slice(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: x.rlike("^[a-z]+$"),
+            ),
+            1,
+            max_tokens,
+        ),
+        " ",
+    )
+    m = matches.join(docs_text.select("doc_id", "text"), "doc_id")
+    cats = (
+        m.withColumn("category", sig)
+        .filter(F.col("category") != "")
+        .groupBy(partition_col, "category")
+        .agg(F.count("*").alias("count"))
+    )
+    order = [F.col("count").desc(), F.col("category").asc()]
+    top = cap_per_key(cats, [partition_col], order, size, salt_buckets)
+    w = Window.partitionBy(partition_col).orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        partition_col, "rank", "category", "count"
+    )

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -50,6 +51,56 @@ def _clauses(queries: Sequence[Tuple[int, str]]):
     return rows
 
 
+def damerau_distance(a: str, b: str) -> int:
+    """Unrestricted Damerau–Levenshtein distance (adjacent transposition
+    counts as ONE edit and the transposed block may be edited again) —
+    the exact semantics of DuckDB's ``damerau_levenshtein`` (verified:
+    DL('CA','ABC') = 2, where the restricted/OSA variant says 3), so the
+    oracle twin is a one-token SQL substitution. Lucene's
+    ``FuzzyQuery(transpositions=true)`` — its DEFAULT — is the same
+    contract for the max_edits ≤ 2 terms it expands."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la or lb
+    maxd = la + lb
+    da: dict = {}
+    d = [[maxd] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l_ = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l_] + (i - k - 1) + 1 + (j - l_ - 1),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def _damerau_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    def dl(term: pd.Series, clause: pd.Series) -> pd.Series:
+        return pd.Series(
+            [damerau_distance(t, c) for t, c in zip(term, clause)],
+            dtype="int32",
+        )
+
+    return pandas_udf(dl, "int")
+
+
 def expand_fuzzy(
     index: InvertedIndex,
     clauses: DataFrame,
@@ -57,10 +108,19 @@ def expand_fuzzy(
     max_expansions: int = 8,
     prefix_len: int = 0,
     prefix_literals: Sequence[str] = None,
+    transpositions: bool = False,
 ) -> DataFrame:
     """clauses(qid, clause) -> (qid, clause, term_id, idf, boost):
     per-clause dictionary expansion within `max_edits`, ranked
     (distance ASC, df DESC, term ASC), top `max_expansions`.
+
+    transpositions=True measures unrestricted Damerau–Levenshtein
+    (Lucene FuzzyQuery's default: a swap is one edit). The Catalyst
+    scan still prunes with the SAME length band (|Δlen| ≤ DL ≤ lev) and
+    a RELAXED levenshtein bar (lev ≤ 2·DL ≤ 2·max_edits — a
+    transposition costs at most two plain edits); only band survivors
+    reach the Arrow-batched exact-DL kernel, so the vocab scan work is
+    unchanged and the Python cost is bounded by candidate pairs.
 
     prefix_literals: the clause strings as driver-side literals. With
     prefix_len > 0, their `prefix_len`-char prefixes become a pushed
@@ -94,17 +154,24 @@ def expand_fuzzy(
                 F.length("term").between(min(lens) - max_edits, max(lens) + max_edits)
             )
     dic = dic.select("term", "term_id", "df", "idf")
+    lev_bar = 2 * max_edits if transpositions else max_edits
     cond = (
         F.abs(F.length("term") - F.length("clause")) <= F.lit(max_edits)
-    ) & (F.levenshtein(F.col("term"), F.col("clause"), max_edits) >= F.lit(0))
+    ) & (F.levenshtein(F.col("term"), F.col("clause"), lev_bar) >= F.lit(0))
     if prefix_len > 0:
         cond = cond & (
             F.substring("term", 1, prefix_len)
             == F.substring("clause", 1, prefix_len)
         )
-    cand = F.broadcast(clauses).join(dic, cond).withColumn(
-        "dist", F.levenshtein(F.col("term"), F.col("clause"), max_edits)
-    )
+    cand = F.broadcast(clauses).join(dic, cond)
+    if transpositions:
+        cand = cand.withColumn(
+            "dist", _damerau_udf()(F.col("term"), F.col("clause"))
+        ).filter(F.col("dist") <= F.lit(max_edits))
+    else:
+        cand = cand.withColumn(
+            "dist", F.levenshtein(F.col("term"), F.col("clause"), max_edits)
+        )
     w = Window.partitionBy("qid", "clause").orderBy(
         F.asc("dist"), F.desc("df"), F.asc("term")
     )
@@ -182,6 +249,7 @@ def fuzzy_search(
     prefix_len: int = 0,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    transpositions: bool = False,
 ) -> DataFrame:
     rows = _clauses(queries)
     if not rows:
@@ -191,6 +259,7 @@ def fuzzy_search(
         index, cdf, max_edits=max_edits,
         max_expansions=max_expansions, prefix_len=prefix_len,
         prefix_literals=[c for _, c in rows],
+        transpositions=transpositions,
     )
     joined = index.postings.join(
         F.broadcast(qt.select("qid", "clause", "term_id", "idf", "boost")),

@@ -271,3 +271,59 @@ def geohash_grid_agg(
         .filter(F.col("rank") <= size)
         .select(partition_col, "rank", "geohash", "count")
     )
+
+
+def geo_distance_rings_agg(
+    points: DataFrame,
+    origin_lat: float,
+    origin_lon: float,
+    edges: "Sequence[float]",
+    partition_col: str = "qid",
+) -> DataFrame:
+    """ES `geo_distance` AGGREGATION: distance rings around one origin.
+    points(qid, doc_id, lat, lon) -> one row per (qid, ring) with the
+    ring's [from_km, to_km) bounds (NULL to = unbounded last ring) and
+    the doc count — ES's half-open ring contract, every ring reported
+    even when empty.
+
+    Scale shape: ONE pass — haversine to the (literal) origin is pure
+    Catalyst column math, the ring index is a CASE fold over the edge
+    literals, and the count is a map-side-combined groupBy over
+    (qid, ring); rings × queries rows reach the driver, never docs.
+    Distances round to 6 dp before the edge test (the cross-engine
+    trig discipline of geo_distance_search)."""
+    es = [float(e) for e in edges]
+    if es != sorted(es) or len(set(es)) != len(es) or not es:
+        raise ValueError("edges must be strictly increasing and non-empty")
+    dist = F.round(
+        haversine_km(
+            F.lit(origin_lat), F.lit(origin_lon), F.col("lat"), F.col("lon")
+        ),
+        6,
+    )
+    ring = F.lit(len(es))
+    for i in range(len(es) - 1, -1, -1):
+        ring = F.when(dist < F.lit(es[i]), F.lit(i)).otherwise(ring)
+    counts = (
+        points.withColumn("ring", ring)
+        .groupBy(partition_col, "ring")
+        .agg(F.count("*").alias("count"))
+    )
+    # dense ring spine per qid so empty rings report count 0 (ES shape)
+    qids = points.select(partition_col).distinct()
+    bounds = [(i,
+               0.0 if i == 0 else es[i - 1],
+               es[i] if i < len(es) else None)
+              for i in range(len(es) + 1)]
+    spine = qids.crossJoin(
+        points.sparkSession.createDataFrame(
+            bounds, "ring int, from_km double, to_km double"
+        )
+    )
+    return (
+        spine.join(counts, [partition_col, "ring"], "left")
+        .select(
+            partition_col, "ring", "from_km", "to_km",
+            F.coalesce("count", F.lit(0)).alias("count"),
+        )
+    )

@@ -161,3 +161,105 @@ def has_child_inner_hits(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "qid", "parent", "rank", "doc_id", "score"
     )
+
+
+def children_bucket_agg(
+    parents: DataFrame,
+    children: DataFrame,
+    bucket_col: str,
+    child_value_col: str,
+    parent_id_col: str = "doc_id",
+) -> DataFrame:
+    """ES `children` AGGREGATION (the aggregation twin of has_child):
+    bucket PARENTS by `bucket_col`, then switch context to their CHILD
+    documents and aggregate over them —
+    (bucket, n_parents, n_children, avg_child_value).
+
+    Scale shape: the parent side is projected to the 2 columns the agg
+    needs before the join (id, bucket — narrow at any corpus size);
+    children join on the parent id (sort-merge, or exchange-free when
+    both sides are bucketed by parent id, the block-join layout) and
+    fold with map-side partial aggregation. n_parents counts DISTINCT
+    parents per bucket from the parent side alone — no fan-out through
+    the child join can inflate it."""
+    p = parents.select(
+        F.col(parent_id_col).alias("_pid"), F.col(bucket_col).alias("bucket")
+    )
+    by_parent = p.groupBy("bucket").agg(
+        F.countDistinct("_pid").alias("n_parents")
+    )
+    ch = children.select(
+        F.col(parent_id_col).alias("_pid"),
+        F.col(child_value_col).alias("_v"),
+    )
+    by_children = (
+        ch.join(p, "_pid")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_children"),
+            F.avg(F.col("_v").cast("double")).alias("avg_child_value"),
+        )
+    )
+    return by_parent.join(by_children, "bucket", "left").select(
+        "bucket",
+        "n_parents",
+        F.coalesce("n_children", F.lit(0)).alias("n_children"),
+        "avg_child_value",
+    )
+
+
+def reverse_nested_agg(
+    children: DataFrame,
+    parents: DataFrame,
+    child_key_col: str,
+    parent_value_col: str,
+    parent_id_col: str = "doc_id",
+    size: int = 10,
+    salt_buckets=None,
+) -> DataFrame:
+    """ES `reverse_nested` aggregation (also the `parent` agg shape):
+    bucket CHILD documents by `child_key_col`, then jump back OUT to the
+    parent context — per child-key bucket, the number of DISTINCT
+    parent documents owning a qualifying child and the mean of a
+    parent-level value over those parents. Top `size` buckets by
+    (n_parents DESC, key ASC).
+
+    Scale shape: (key, parent) pairs collapse map-side BEFORE any
+    parent data joins in (the dedup is the reverse_nested semantic:
+    one parent counts once per bucket however many children hit); the
+    parent table then joins only the collapsed pairs. The final
+    bucket ranking sees one row per DISTINCT key (vocab-sized, not
+    corpus-sized); salt_buckets runs it as the two-level exact top-N
+    when even that is funnel-shaped."""
+    pairs = (
+        children.select(
+            F.col(child_key_col).alias("key"),
+            F.col(parent_id_col).alias("_pid"),
+        )
+        .distinct()
+    )
+    pv = parents.select(
+        F.col(parent_id_col).alias("_pid"),
+        F.col(parent_value_col).cast("double").alias("_pv"),
+    )
+    agg = (
+        pairs.join(pv, "_pid")
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("n_parents"),
+            F.avg("_pv").alias("avg_parent_value"),
+        )
+    )
+    from dpr_spark.extras.domains import cap_per_key
+
+    order = [F.desc("n_parents"), F.asc("key")]
+    top = cap_per_key(
+        agg.withColumn("_g", F.lit(0)), ["_g"], order, size,
+        salt_buckets=salt_buckets,
+    )
+    w = Window.partitionBy("_g").orderBy(*order)
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= size)
+        .select("rank", "key", "n_parents", "avg_parent_value")
+    )

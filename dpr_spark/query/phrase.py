@@ -1231,3 +1231,101 @@ def phrase_search_index_highlight(
         ),
     )
     return frags
+
+
+def _verify_and_count_gapped(grouped: DataFrame, slop: int) -> DataFrame:
+    """Gapped ordered-span verify (Lucene SpanNearQuery.Builder with
+    addGap(width) elements — SpanGapQuery): offsets are the INFLATED
+    query positions (a gap of g between tokens i and i+1 adds g to
+    every later offset), and the greedy in-order chain must respect
+    each step's minimum spacing — the gap subspan has to FIT between
+    the two matched tokens (NearSpansOrdered's non-overlap rule):
+    pos_{i+1} >= pos_i + (off_{i+1} - off_i). A start qualifies when
+    Lucene's slack (end - start) - totalLength <= slop, i.e.
+    cur - start <= off_max - off_min + slop. With all gaps 0 this is
+    exactly _verify_and_count_ordered. Greedy minimizes the chain end
+    under lower-bound constraints, so existence == greedy
+    qualification. Pure Catalyst fold; no UDF."""
+    s = F.sort_array("structs")
+    first = F.element_at(s, 1)
+    rest = F.slice(s, 2, F.size(s) - 1)
+    base = F.transform(
+        first["positions"],
+        lambda p: F.struct(
+            p.alias("start"), p.alias("cur"), first["off"].alias("off")
+        ),
+    )
+    chains = F.aggregate(
+        rest,
+        base,
+        lambda acc, x: F.filter(
+            F.transform(
+                acc,
+                lambda e: F.struct(
+                    e["start"].alias("start"),
+                    F.array_min(
+                        F.filter(
+                            x["positions"],
+                            lambda y: y >= e["cur"] + (x["off"] - e["off"]),
+                        )
+                    ).alias("cur"),
+                    x["off"].alias("off"),
+                ),
+            ),
+            lambda e: e["cur"].isNotNull(),
+        ),
+    )
+    span_1 = F.element_at(s, F.size(s))["off"] - first["off"]
+    ok = F.filter(
+        chains, lambda e: e["cur"] - e["start"] <= span_1 + F.lit(slop)
+    )
+    return (
+        grouped.withColumn("pf", F.size(ok))
+        .filter(F.col("pf") > 0)
+        .select("qid", "doc_id", "doclen", "pf")
+    )
+
+
+def span_gap_search_index(
+    spark: SparkSession,
+    index,
+    positions: DataFrame,
+    gapped: Sequence[Tuple[int, Sequence[Tuple[str, int]]]],
+    slop: int = 0,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Gapped ordered span top-k over a prebuilt positional index —
+    Lucene ``SpanNearQuery.Builder(field, true).addClause(a)
+    .addGap(g).addClause(b)`` (SpanGapQuery): `gapped` is
+    [(qid, [(term, gap_before), ...])] where gap_before is the fixed
+    gap width between the previous token and this one (ignored on the
+    first). Each term must tokenize to exactly one token. tf =
+    qualifying start positions under the gapped greedy-chain contract
+    (_verify_and_count_gapped); scoring, OOV semantics and candidate
+    plumbing are shared with the other positional searchers."""
+    from dpr_spark.functions.normalize import normalize_question
+    from dpr_spark.functions.tokenizer import tokenize
+
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    rows: List[Tuple[int, int, str]] = []
+    for qid, seq in gapped:
+        off = 0
+        for i, (term, gap) in enumerate(seq):
+            toks = tokenize(normalize_question(term))
+            if len(toks) != 1:
+                raise ValueError(
+                    f"span_gap clause must be one token: {term!r}"
+                )
+            if i > 0:
+                if gap < 0:
+                    raise ValueError("gap must be >= 0")
+                off += 1 + gap
+            rows.append((qid, off, toks[0]))
+    if not rows:
+        raise ValueError("no tokenizable clauses")
+    grouped, idf_sums = _index_plumbing(spark, index, positions, rows)
+    matched = _verify_and_count_gapped(grouped, slop)
+    return _topk(_score_phrases(matched, idf_sums, index.stats.avgdl, k1, b), k)

@@ -125,3 +125,51 @@ def test_fuzzy_exact_term_includes_plain_bm25(spark, index, oracle):
     plain = dict(oracle.search(term, k=oracle.N))
     for r in rows:
         assert r.score >= plain.get(r.doc_id, 0.0) - 1e-9
+
+
+def test_damerau_distance_matches_duckdb():
+    """damerau_distance implements DuckDB's damerau_levenshtein exactly
+    (unrestricted DL — the oracle twin swaps one SQL function name)."""
+    import random
+
+    import duckdb
+
+    from dpr_spark.query.fuzzy import damerau_distance
+
+    rng = random.Random(42)
+    alpha = "abcde"
+    pairs = [("CA", "ABC"), ("ab", "ba"), ("sprak", "spark"), ("", "xy")]
+    for _ in range(200):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 8)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 8)))
+        pairs.append((a, b))
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.sql(
+            "select damerau_levenshtein(?, ?)", params=[a, b]
+        ).fetchone()[0]
+        assert damerau_distance(a, b) == want, (a, b)
+
+
+def test_fuzzy_transpositions_reach_swaps(spark, index, oracle):
+    """An adjacent-swap typo is 1 edit with transpositions=True (Lucene's
+    default) and 2 without: the swap term expands at max_edits=1 only in
+    transposition mode, and exact-term queries are mode-invariant."""
+    from dpr_spark.query.fuzzy import expand_fuzzy, fuzzy_search
+
+    term = next(
+        t for t in sorted(oracle.df, key=lambda x: -oracle.df[x])
+        if len(t) >= 4 and any(a != b for a, b in zip(t, t[1:]))
+    )
+    i = next(j for j in range(len(term) - 1) if term[j] != term[j + 1])
+    swap = term[:i] + term[i + 1] + term[i] + term[i + 2:]
+    cdf = spark.createDataFrame([(0, swap)], "qid long, clause string")
+    with_t = expand_fuzzy(index, cdf, max_edits=1, transpositions=True).collect()
+    without = expand_fuzzy(index, cdf, max_edits=1).collect()
+    assert any(r.term == term and r.dist == 1 for r in with_t), (term, swap)
+    assert all(r.term != term for r in without)
+    # mode-invariance on an exact in-vocabulary query
+    a = fuzzy_search(spark, [(0, term)], index, k=10).collect()
+    b = fuzzy_search(spark, [(0, term)], index, k=10, transpositions=True).collect()
+    key = lambda r: (r.qid, r.rank, r.doc_id, round(r.score, 9))
+    assert sorted(map(key, a)) == sorted(map(key, b))

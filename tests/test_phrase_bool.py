@@ -690,3 +690,81 @@ def test_span_multi_literal_only_equals_span_near(spark, index, positions, oracl
         )
     )
     assert a == b and len(a) > 0
+
+
+def _gap_cases(oracle):
+    """Gapped clauses over real doc token slices: (a, gap, b) triples
+    where the gap width is exactly the real spacing (matches), too big
+    (must NOT match at slop 0), plus an OOV clause."""
+    d0 = sorted(oracle.doc_tokens)[0]
+    toks = oracle.doc_tokens[d0]
+    cases = [
+        (0, [(toks[0], 0), (toks[2], 1)]),        # exact one-token gap
+        (1, [(toks[0], 0), (toks[1], 0)]),        # adjacent (gap 0)
+        (2, [(toks[0], 0), (toks[1], 3)]),        # gap too wide for slop 0
+        (3, [(toks[3], 0), (toks[5], 1), (toks[6], 0)]),
+        (4, [(toks[0], 0), ("zzzunseen", 2)]),    # OOV -> no rows
+    ]
+    return cases
+
+
+@pytest.mark.parametrize("slop", [0, 1, 3])
+def test_span_gap_vs_oracle(spark, index, positions, oracle, slop):
+    """Gapped ordered spans (Lucene SpanGapQuery): engine == pure-Python
+    twin across slops; the gap enforces minimum spacing AND counts
+    toward the width bound."""
+    from dpr_spark.query.phrase import span_gap_search_index
+
+    cases = _gap_cases(oracle)
+    expect = {qid: oracle.span_gap_search(seq, k=20, slop=slop) for qid, seq in cases}
+    assert sum(len(v) for v in expect.values()) > 0
+    rows = span_gap_search_index(
+        spark, index, positions, cases, slop=slop, k=20
+    ).collect()
+    _check_topk(rows, expect, f"span_gap_s{slop}")
+
+
+def test_span_gap_zero_gaps_equals_ordered(spark, index, positions, oracle):
+    """All-zero gaps must reproduce span_ordered exactly (same greedy
+    contract, same width bound) — the degeneracy that anchors the gap
+    semantics to the existing oracle-proven operator."""
+    from dpr_spark.query.phrase import (
+        span_gap_search_index,
+        span_ordered_search_index,
+    )
+
+    phrases = [(qid, p) for qid, p in _corpus_phrases(oracle) if " " in p][:4]
+    gapped = [
+        (qid, [(t, 0) for t in p.split()])
+        for qid, p in phrases
+    ]
+    for slop in (0, 2):
+        a = sorted(map(tuple, span_gap_search_index(
+            spark, index, positions, gapped, slop=slop, k=30
+        ).collect()))
+        b = sorted(map(tuple, span_ordered_search_index(
+            spark, index, positions, phrases, slop=slop, k=30
+        ).collect()))
+        assert a == b and len(a) > 0
+
+
+def test_span_gap_requires_spacing(spark, index, positions, oracle):
+    """At slop 0 a gap-g clause pair matches docs where the tokens sit
+    EXACTLY g+1 apart — never adjacent occurrences (the minimum-spacing
+    rule) and never wider ones (the width bound)."""
+    from dpr_spark.query.phrase import span_gap_search_index
+
+    d0 = sorted(oracle.doc_tokens)[0]
+    toks = oracle.doc_tokens[d0]
+    a, b = toks[0], toks[2]
+    rows = span_gap_search_index(
+        spark, index, positions, [(0, [(a, 0), (b, 1)])], slop=0, k=1000
+    ).collect()
+    got = {r.doc_id for r in rows}
+    want = set()
+    for d, dt in oracle.doc_tokens.items():
+        pa = [i for i, t in enumerate(dt) if t == a]
+        pb = {i for i, t in enumerate(dt) if t == b}
+        if any(p + 2 in pb for p in pa):
+            want.add(d)
+    assert got == want and d0 in want
