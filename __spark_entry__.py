@@ -58,7 +58,10 @@ oracle_sql()    -> DuckDB twins for EVERY entry — len(oracle_sql()) ==
                    transposition-aware fuzzy (Damerau-Levenshtein,
                    Lucene's default), children / reverse_nested /
                    geo_distance-rings / categorize_text aggregations,
-                   and gapped ordered spans (SpanGapQuery) —
+                   gapped ordered spans (SpanGapQuery), and distributed
+                   BPE tokenizer training (iteration-0 pair statistics
+                   twinned; the merge loop is pytest-verified against
+                   the pure-Python Sennrich twin) —
                    every one DuckDB-twinned (the exact count is
                    len(queries()), asserted == len(oracle_sql()) in
                    tests/test_entry.py).

@@ -316,6 +316,28 @@ def main() -> None:
         except Exception as e:
             print(f"bench phrase extras failed: {e}", file=sys.stderr)
 
+        # --- BPE tokenizer training (extra-only): corpus -> distinct
+        # word table once, then 30 merge iterations over it — the
+        # vocab-sized loop whose per-iteration cost is the number that
+        # matters at crawl scale (the corpus pass is amortized away)
+        try:
+            from dpr_spark.extras.bpe import bpe_train
+            from dpr_spark.extras.bpe import word_counts as _bpe_wc
+
+            t0 = time.perf_counter()
+            wc = _bpe_wc(spark.read.parquet(pages_path)).persist()
+            n_vocab = wc.count()
+            extra["bpe_word_counts_50k_sec"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            merges = bpe_train(spark, wc, num_merges=30)
+            w = time.perf_counter() - t0
+            extra["bpe_train_30merges_sec"] = round(w, 3)
+            extra["bpe_merge_iters_per_sec"] = round(len(merges) / w, 2)
+            extra["bpe_distinct_words"] = int(n_vocab)
+            wc.unpersist()
+        except Exception as e:
+            print(f"bench bpe extras failed: {e}", file=sys.stderr)
+
     # --- round-4 Lucene-parity query surface (extra-only, 1 rep each:
     # the driver-table corpus; each entry is self-contained incl. its
     # index build, so these are end-to-end entry latencies, not engine
@@ -381,6 +403,10 @@ def main() -> None:
         "routed_topk", "routed_dfs_topk", "nested_topk",
         "phrase_highlight_topk", "mmr_rerank_topk",
         "pruned_index_topk", "semdedup",
+        # round-5 session-9 additions
+        "fuzzy_transpose_topk", "span_gap_topk", "children_agg",
+        "reverse_nested_agg", "geo_distance_rings",
+        "categorize_text_agg", "bpe_pair_counts",
     ]:
         try:
             fn, _ = entries[name]

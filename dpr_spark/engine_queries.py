@@ -767,6 +767,49 @@ def q_token_counts() -> Entry:
     return fn, sql
 
 
+def q_bpe_pair_counts() -> Entry:
+    """Distributed BPE tokenizer training, the SQL-replayable slice
+    (extras/bpe.py::initial_pair_counts): iteration-0 adjacent-symbol
+    pair statistics over the documents corpus — per word (repo
+    tokenizer, lowercased), symbols are its characters plus a trailing
+    '</w>' marker, and every adjacent pair counts once per corpus
+    occurrence of the word. Top-50 by (cnt DESC, left ASC, right ASC).
+    The FULL merge loop is iterative (not SQL-expressible) and is
+    verified against the pure-Python Sennrich twin in tests/test_bpe.py;
+    this entry pins the statistics every merge decision derives from.
+    The unpartitioned rank window is safe: iteration-0 pair space is
+    bounded by charset², not corpus or vocab size."""
+    N = 50
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.bpe import initial_pair_counts, word_counts
+
+        pc = initial_pair_counts(word_counts(_docs(spark, sf_dir)))
+        w = Window.orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+        return (
+            pc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= N)
+            .select("rank", "left", "right", "cnt")
+        )
+
+    sql = f"""
+    WITH tok AS (SELECT {_DUCK_TOKS} AS toks FROM documents),
+    words AS (SELECT w AS word, count(*)::BIGINT AS cnt
+              FROM tok, unnest(toks) AS t(w) GROUP BY 1),
+    pairs AS (
+      SELECT substr(word, i, 1) AS "left",
+             CASE WHEN i < length(word) THEN substr(word, i + 1, 1)
+                  ELSE '</w>' END AS "right",
+             cnt
+      FROM words, unnest(generate_series(1, length(word)::BIGINT)) AS g(i)),
+    agg AS (SELECT "left", "right", sum(cnt)::BIGINT AS cnt
+            FROM pairs GROUP BY 1, 2),
+    ranked AS (SELECT row_number() OVER (ORDER BY cnt DESC, "left", "right")
+                 AS rank, "left", "right", cnt FROM agg)
+    SELECT rank, "left", "right", cnt FROM ranked WHERE rank <= {N}"""
+    return fn, sql
+
+
 def q_bm25_topk_wand() -> Entry:
     """The full engine path on the driver corpus: build_index_from_docs ->
     impact segments -> doc-partitioned searcher (query/wand.py), checked
@@ -11104,6 +11147,7 @@ def all_entries() -> Dict[str, Entry]:
         "simhash_dedup": q_simhash_dedup(),
         "ann_lsh_topk": q_ann_lsh_topk(),
         "token_counts": q_token_counts(),
+        "bpe_pair_counts": q_bpe_pair_counts(),
         "chunk_100w": q_chunk_100w(),
         "deterministic_shuffle": q_deterministic_shuffle(),
         "has_answer_kilt": q_has_answer_kilt(),
