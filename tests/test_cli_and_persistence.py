@@ -403,3 +403,55 @@ def test_cli_intervals_mode(tmp_path, pages_pdf, queries_pdf):
     assert out3.returncode == 0, out3.stderr[-2000:]
     assert "[term-range]" in out3.stdout
     assert _pq.read_table(str(tmp_path / "run_tr" / "results")).num_rows > 0
+
+
+@pytest.mark.slow
+def test_cli_tokenizer_train(tmp_path, pages_pdf):
+    """tokenizer_train.py end to end: merges match the pure-Python
+    Sennrich twin on the same pages; vocab covers chars+merges+marker;
+    --encode output reconstructs losslessly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(
+            pages_pdf[["url", "text"]].head(120), preserve_index=False
+        ),
+        pages_path,
+    )
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tokenizer_train.py"),
+         "--pages", pages_path, "--out", str(tmp_path / "bpe"),
+         "--merges", "12", "--encode", str(tmp_path / "enc")],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "merges=12" in out.stdout
+
+    from dpr_spark.extras.bpe import END, bpe_train_local
+    from dpr_spark.functions.tokenizer import tokenize
+
+    wc = {}
+    for t in pages_pdf["text"].head(120):
+        for w in tokenize(t):
+            wc[w] = wc.get(w, 0) + 1
+    want = bpe_train_local(wc, num_merges=12)
+
+    got = pq.read_table(str(tmp_path / "bpe" / "merges.parquet")).to_pylist()
+    got = [(r["step"], r["left"], r["right"], r["pair_count"]) for r in got]
+    assert sorted(got) == want
+
+    vocab = {r["symbol"]: r["kind"]
+             for r in pq.read_table(str(tmp_path / "bpe" / "vocab.parquet")).to_pylist()}
+    assert vocab[END] == "marker"
+    for _, l, r, _ in want:
+        assert vocab[l + r] == "merge"
+
+    enc = {r["doc_id"]: r["subwords"]
+           for r in pq.read_table(str(tmp_path / "enc")).to_pylist()}
+    row = pages_pdf.head(120).iloc[7]
+    assert "".join(enc[row["url"]]) == "".join(
+        t + END for t in tokenize(row["text"])
+    )
