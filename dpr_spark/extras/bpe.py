@@ -163,6 +163,107 @@ def bpe_train(
     return merges
 
 
+def bpe_train_resumable(
+    spark: SparkSession,
+    docs_or_wc: DataFrame,
+    workdir: str,
+    num_merges: int = 100,
+    min_pair_count: int = 1,
+    checkpoint_every: int = 20,
+    text_col: str = "text",
+) -> List[Tuple[int, str, str, int]]:
+    """`bpe_train` with kill-and-resume (the manifest discipline of
+    index/manifest.py, applied to the trainer): the symbol-table state
+    checkpoints to parquet every `checkpoint_every` merges (tmp-write +
+    atomic rename) and every chosen merge appends one JSONL line BEFORE
+    it is applied. A restarted run loads the newest checkpoint, replays
+    the ≤ checkpoint_every logged merges past it as Catalyst folds, and
+    continues — the merge sequence is bit-identical to an uninterrupted
+    run because every decision derives from the checkpointed state, not
+    the input. Calling again with a larger `num_merges` on the same
+    workdir EXTENDS the vocabulary without retraining."""
+    import json
+    import os
+
+    os.makedirs(workdir, exist_ok=True)
+    log_path = os.path.join(workdir, "merges.jsonl")
+    merges: List[Tuple[int, str, str, int]] = []
+    if os.path.exists(log_path):
+        with open(log_path) as f:
+            for line in f:
+                d = json.loads(line)
+                merges.append(
+                    (d["step"], d["left"], d["right"], d["cnt"])
+                )
+    ckpts = sorted(
+        int(n.split("_")[1])
+        for n in os.listdir(workdir)
+        if n.startswith("words_") and not n.endswith(".tmp")
+    )
+    if ckpts:
+        at = max(s for s in ckpts if s <= len(merges))
+        words = spark.read.parquet(
+            os.path.join(workdir, f"words_{at:06d}")
+        ).localCheckpoint()
+    else:
+        at = 0
+        cols = set(docs_or_wc.columns)
+        wc = docs_or_wc if cols == {"word", "cnt"} else word_counts(
+            docs_or_wc, text_col
+        )
+        words = wc.select(
+            _symbols(F.col("word")).alias("syms"), F.col("cnt")
+        ).localCheckpoint()
+        _ckpt_words(words, workdir, 0)
+    # replay logged merges past the checkpoint (crash landed mid-window)
+    for step, left, right, _ in merges[at:]:
+        touched = F.array_contains("syms", left) & F.array_contains(
+            "syms", right
+        )
+        words = words.withColumn(
+            "syms",
+            F.when(touched, _merge_fold(left, right)).otherwise(F.col("syms")),
+        ).localCheckpoint()
+    for step in range(len(merges) + 1, num_merges + 1):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        left, right, cnt = best[0]["left"], best[0]["right"], best[0]["cnt"]
+        with open(log_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {"step": step, "left": left, "right": right,
+                     "cnt": int(cnt)}
+                )
+                + "\n"
+            )
+        merges.append((step, left, right, int(cnt)))
+        touched = F.array_contains("syms", left) & F.array_contains(
+            "syms", right
+        )
+        words = words.withColumn(
+            "syms",
+            F.when(touched, _merge_fold(left, right)).otherwise(F.col("syms")),
+        ).localCheckpoint()
+        if step % checkpoint_every == 0:
+            _ckpt_words(words, workdir, step)
+    return merges[:num_merges]
+
+
+def _ckpt_words(words: DataFrame, workdir: str, step: int) -> None:
+    import os
+
+    tmp = os.path.join(workdir, f"words_{step:06d}.tmp")
+    dst = os.path.join(workdir, f"words_{step:06d}")
+    words.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, dst)
+
+
 def bpe_train_local(
     wc: Dict[str, int], num_merges: int = 100, min_pair_count: int = 1
 ) -> List[Tuple[int, str, str, int]]:

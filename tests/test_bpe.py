@@ -100,3 +100,23 @@ def test_early_stop_on_min_count(spark):
     # pairs with count >= 2: (a,b)x2 -> 'ab', then (ab,</w>)x2; the xy
     # word never produces a pair with count 2
     assert [(l, r) for _, l, r, _ in merges] == [("a", "b"), ("ab", END)]
+
+
+def test_resumable_extends_and_resumes(spark, docs, wc_dict, tmp_path):
+    from dpr_spark.extras.bpe import bpe_train_resumable
+
+    want = bpe_train_local(wc_dict, num_merges=14)
+    wd = str(tmp_path / "bpe_work")
+    # first run stops at 7 with a checkpoint window of 4: state on disk
+    # is ckpt@4 + 7 logged merges (a crash mid-window looks the same)
+    first = bpe_train_resumable(
+        spark, docs, wd, num_merges=7, checkpoint_every=4
+    )
+    assert first == want[:7]
+    # second run replays merges 5-7 from ckpt@4 and extends to 14
+    second = bpe_train_resumable(
+        spark, docs, wd, num_merges=14, checkpoint_every=4
+    )
+    assert second == want
+    # idempotent re-run: nothing recomputed, same answer
+    assert bpe_train_resumable(spark, docs, wd, num_merges=14) == want

@@ -35,6 +35,12 @@ def main(argv=None) -> None:
     ap.add_argument("--encode", default=None,
                     help="also BPE-encode the corpus and write "
                          "(doc_id, subwords, n_subwords) parquet here")
+    ap.add_argument("--resumable", default=None,
+                    help="workdir for checkpointed training: kill it, "
+                         "re-run, it resumes from the newest symbol-table "
+                         "checkpoint; re-run with a larger --merges to "
+                         "EXTEND the vocabulary without retraining")
+    ap.add_argument("--checkpoint-every", type=int, default=20)
     ap.add_argument("--id-col", default="url",
                     help="column to carry as doc_id in --encode output")
     ap.add_argument("--master", default=None)
@@ -42,7 +48,13 @@ def main(argv=None) -> None:
 
     from pyspark.sql import functions as F
 
-    from dpr_spark.extras.bpe import END, bpe_encode, bpe_train, word_counts
+    from dpr_spark.extras.bpe import (
+        END,
+        bpe_encode,
+        bpe_train,
+        bpe_train_resumable,
+        word_counts,
+    )
     from dpr_spark.session import get_spark
 
     spark = get_spark("dpr_spark_bpe", master=args.master)
@@ -53,9 +65,17 @@ def main(argv=None) -> None:
     n_words = wc.count()
     t_wc = time.perf_counter() - t0
     t0 = time.perf_counter()
-    merges = bpe_train(
-        spark, wc, num_merges=args.merges, min_pair_count=args.min_pair_count
-    )
+    if args.resumable:
+        merges = bpe_train_resumable(
+            spark, wc, args.resumable, num_merges=args.merges,
+            min_pair_count=args.min_pair_count,
+            checkpoint_every=args.checkpoint_every,
+        )
+    else:
+        merges = bpe_train(
+            spark, wc, num_merges=args.merges,
+            min_pair_count=args.min_pair_count,
+        )
     t_train = time.perf_counter() - t0
 
     mdf = spark.createDataFrame(
