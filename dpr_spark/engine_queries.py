@@ -9556,6 +9556,99 @@ def q_dup_span_strip() -> Entry:
     return fn, sql
 
 
+_XS_SPAN_CTES = """
+    WITH w AS (
+      SELECT doc_id, text, unnest(generate_series(0, length(text)-{L})) AS pos
+      FROM documents WHERE length(text) >= {L}),
+    k AS (SELECT doc_id, pos, substr(text, pos+1, {L}) AS win FROM w),
+    d AS (SELECT win FROM k GROUP BY win HAVING count(*) > 1),
+    m AS (SELECT k.doc_id, k.pos FROM k JOIN d USING (win)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(lag(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos), -1000000) + {L}
+                  THEN 1 ELSE 0 END AS brk
+      FROM m),
+    g AS (SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+          FROM isl),
+    spans AS (SELECT doc_id, min(pos) AS s, max(pos) + {L} AS e
+              FROM g GROUP BY doc_id, gid)"""
+
+
+def q_dup_spans_exact() -> Entry:
+    """Character-level ExactSubstr span report (extras/substrdedup.py,
+    Lee et al. 2022 at L=25 chars): maximal character spans covered by a
+    length-L window occurring >= 2 times in the corpus (within-doc
+    repeats count, unlike the token-level dup_span_strip's cross-doc
+    rule). The engine keys windows by a 128-bit md5 fingerprint so the
+    shuffle never carries text; the twin groups the literal window."""
+    L = 25
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.substrdedup import duplicate_spans
+
+        return (
+            duplicate_spans(_docs(spark, sf_dir), L)
+            .select(
+                "doc_id",
+                F.col("start").cast("long").alias("start"),
+                F.col("end").cast("long").alias("end"),
+            )
+            .orderBy("doc_id", "start")
+        )
+
+    sql = (
+        _XS_SPAN_CTES.format(L=L)
+        + """
+    SELECT doc_id, s::BIGINT AS start, e::BIGINT AS "end"
+    FROM spans ORDER BY doc_id, start"""
+    )
+    return fn, sql
+
+
+def q_exact_substr_dedup() -> Entry:
+    """ExactSubstr removal (extras/substrdedup.py): every duplicated
+    span (per dup_spans_exact) cut from every occurrence via a pure
+    Catalyst fold over the doc's sorted span array; the twin reassembles
+    the kept segments with string_agg. Docs with no duplicated span pass
+    through byte-identical with removed_chars = 0."""
+    L = 25
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.substrdedup import exact_substr_dedup
+
+        return exact_substr_dedup(_docs(spark, sf_dir), L).orderBy("doc_id")
+
+    sql = (
+        _XS_SPAN_CTES.format(L=L)
+        + """,
+    segs AS (
+      SELECT doc_id,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS ss,
+             s AS se
+      FROM spans
+      UNION ALL
+      SELECT sp.doc_id, max(sp.e), max(length(doc.text))
+      FROM spans sp JOIN documents doc USING (doc_id) GROUP BY sp.doc_id),
+    rem AS (SELECT doc_id, sum(e - s) AS removed FROM spans GROUP BY doc_id),
+    clean AS (
+      SELECT segs.doc_id,
+             string_agg(substr(doc.text, ss + 1, se - ss), '' ORDER BY ss)
+               AS clean_text
+      FROM segs JOIN documents doc USING (doc_id)
+      GROUP BY segs.doc_id)
+    SELECT d.doc_id,
+           coalesce(c.clean_text, d.text) AS clean_text,
+           coalesce(r.removed, 0)::BIGINT AS removed_chars
+    FROM documents d
+    LEFT JOIN clean c USING (doc_id)
+    LEFT JOIN rem r USING (doc_id)
+    ORDER BY d.doc_id"""
+    )
+    return fn, sql
+
+
 def q_pipeline_e2e() -> Entry:
     """The composed training-data/serving pipeline in ONE run: chunked
     crawl text → boilerplate stripping (webclean W73) → benchmark 8-gram
@@ -11290,6 +11383,8 @@ def all_entries() -> Dict[str, Entry]:
         "boilerplate_strip": q_boilerplate_strip(),
         "pipeline_e2e": q_pipeline_e2e(),
         "dup_span_strip": q_dup_span_strip(),
+        "dup_spans_exact": q_dup_spans_exact(),
+        "exact_substr_dedup": q_exact_substr_dedup(),
         "extended_stats": q_extended_stats(),
         "dist_aggs": q_dist_aggs(),
         "matrix_stats": q_matrix_stats(),
