@@ -407,6 +407,8 @@ def main() -> None:
         "fuzzy_transpose_topk", "span_gap_topk", "children_agg",
         "reverse_nested_agg", "geo_distance_rings",
         "categorize_text_agg", "bpe_pair_counts",
+        # round-5 session-10 additions
+        "dup_spans_exact", "exact_substr_dedup",
     ]:
         try:
             fn, _ = entries[name]

@@ -9649,6 +9649,36 @@ def q_exact_substr_dedup() -> Entry:
     return fn, sql
 
 
+def q_variable_width_histogram() -> Entry:
+    """ES variable_width_histogram over documents.n_chars at 8 buckets
+    (query/aggs.py deterministic equal-depth contract: exact-ntile
+    seeding, distinct values pinned to their first row's tile so equal
+    values never split). The twin uses DuckDB's actual ntile + min-tile-
+    per-value — the contract's definition, not the engine's closed-form
+    tile arithmetic."""
+    B = 8
+
+    def fn(spark, sf_dir):
+        from dpr_spark.query.aggs import variable_width_histogram
+
+        return variable_width_histogram(
+            _docs(spark, sf_dir), "n_chars", buckets=B
+        ).orderBy("bucket")
+
+    sql = f"""
+    WITH v AS (SELECT n_chars AS value FROM documents WHERE n_chars IS NOT NULL),
+    t AS (SELECT value, ntile({B}) OVER (ORDER BY value) AS tl FROM v),
+    mt AS (SELECT value, min(tl) AS tile FROM t GROUP BY value),
+    j AS (SELECT v.value, mt.tile FROM v JOIN mt USING (value)),
+    b AS (SELECT tile, min(value)::BIGINT AS vmin, max(value)::BIGINT AS vmax,
+                 round(avg(value), 6) AS centroid, count(*)::BIGINT AS doc_count
+          FROM j GROUP BY tile)
+    SELECT dense_rank() OVER (ORDER BY tile)::BIGINT AS bucket,
+           vmin, vmax, centroid, doc_count
+    FROM b ORDER BY bucket"""
+    return fn, sql
+
+
 def q_pipeline_e2e() -> Entry:
     """The composed training-data/serving pipeline in ONE run: chunked
     crawl text → boilerplate stripping (webclean W73) → benchmark 8-gram
@@ -11385,6 +11415,7 @@ def all_entries() -> Dict[str, Entry]:
         "dup_span_strip": q_dup_span_strip(),
         "dup_spans_exact": q_dup_spans_exact(),
         "exact_substr_dedup": q_exact_substr_dedup(),
+        "variable_width_histogram": q_variable_width_histogram(),
         "extended_stats": q_extended_stats(),
         "dist_aggs": q_dist_aggs(),
         "matrix_stats": q_matrix_stats(),

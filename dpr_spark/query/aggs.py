@@ -1514,3 +1514,65 @@ def categorize_text_agg(
     return top.withColumn("rank", F.row_number().over(w)).select(
         partition_col, "rank", "category", "count"
     )
+
+
+def variable_width_histogram(
+    df: DataFrame, field: str, buckets: int = 10, round_to: int = 6
+) -> DataFrame:
+    """(bucket, vmin, vmax, centroid, doc_count) — ES
+    `variable_width_histogram`: at most `buckets` variable-width value
+    clusters, each reported with min/max/centroid/count.
+
+    ES's streaming nearest-centroid algorithm is shard-order-dependent;
+    this engine uses the DETERMINISTIC equal-depth contract instead:
+    seed `buckets` equal-count tiles (exact ntile semantics — the first
+    `total % buckets` tiles get one extra row), then assign every
+    distinct value to the tile of its FIRST row so equal values never
+    split across buckets (adjacent tiles sharing a boundary value merge
+    into it). Same inputs -> same buckets, on any partitioning, in any
+    engine — which is what makes an oracle twin possible at all.
+
+    Scale shape: raw rows collapse map-side to (value, count) — the only
+    row-sized shuffle. The ntile positions come from a cumulative sum
+    over the DISTINCT-VALUE table ordered by value; that single-
+    partition window sees one row per distinct value, not per doc (the
+    same coordinator-sized merge ES performs), and histogram fields are
+    low-cardinality by construction. Tile arithmetic is closed-form from
+    (first_pos, total, buckets): no second pass, no iteration."""
+    counts = (
+        df.filter(F.col(field).isNotNull())
+        .groupBy(F.col(field).alias("value"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    total_df = counts.agg(F.sum("cnt").alias("total"))
+    w = Window.orderBy("value")
+    pos = counts.join(F.broadcast(total_df)).withColumn(
+        "first_pos", F.sum("cnt").over(w) - F.col("cnt") + 1
+    )
+    B = F.lit(buckets)
+    q = F.floor(F.col("total") / B).cast("long")
+    r = (F.col("total") - q * B).cast("long")
+    big_span = r * (q + 1)  # positions covered by the (q+1)-sized tiles
+    p = F.col("first_pos")
+    tile = F.when(
+        p <= big_span, F.floor((p - 1) / (q + 1)) + 1
+    ).otherwise(
+        # q == 0 implies total < buckets implies every position is in
+        # big_span, so this branch never divides by zero with q >= 1
+        r + F.floor((p - big_span - 1) / F.greatest(q, F.lit(1))) + 1
+    )
+    tiled = pos.withColumn("tile", tile.cast("long"))
+    agg = tiled.groupBy("tile").agg(
+        F.min("value").cast("long").alias("vmin"),
+        F.max("value").cast("long").alias("vmax"),
+        F.round(
+            F.sum(F.col("value").cast("double") * F.col("cnt"))
+            / F.sum("cnt"),
+            round_to,
+        ).alias("centroid"),
+        F.sum("cnt").cast("long").alias("doc_count"),
+    )
+    wb = Window.orderBy("tile")
+    return agg.withColumn(
+        "bucket", F.dense_rank().over(wb).cast("long")
+    ).select("bucket", "vmin", "vmax", "centroid", "doc_count")
