@@ -409,6 +409,7 @@ def main() -> None:
         "categorize_text_agg", "bpe_pair_counts",
         # round-5 session-10 additions
         "dup_spans_exact", "exact_substr_dedup",
+        "variable_width_histogram", "cumulative_cardinality", "change_point",
     ]:
         try:
             fn, _ = entries[name]

@@ -9679,6 +9679,93 @@ def q_variable_width_histogram() -> Entry:
     return fn, sql
 
 
+def q_cumulative_cardinality() -> Entry:
+    """ES cumulative_cardinality over events (query/aggs.py): per
+    event_type, per day, the EXACT number of distinct user_ids seen to
+    date (ES approximates with HLL; the first-seen collapse gives the
+    exact number at the same shuffle class). Day buckets are yyyy-MM-dd
+    strings in both engines (string order == chronological order)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.query.aggs import cumulative_cardinality
+
+        rows = _events(spark, sf_dir).select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("user_id").alias("value"),
+        )
+        return cumulative_cardinality(
+            rows, "event_type", "day", "value"
+        ).orderBy("event_type", "day")
+
+    sql = """
+    WITH r AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                      user_id AS value FROM events),
+    present AS (SELECT DISTINCT event_type, day FROM r),
+    f0 AS (SELECT event_type, value, min(day) AS day FROM r GROUP BY 1, 2),
+    firsts AS (SELECT event_type, day, count(*) AS new_values
+               FROM f0 GROUP BY 1, 2),
+    j AS (SELECT p.event_type, p.day,
+                 coalesce(f.new_values, 0)::BIGINT AS new_values
+          FROM present p LEFT JOIN firsts f USING (event_type, day))
+    SELECT event_type, day, new_values,
+           sum(new_values) OVER (PARTITION BY event_type ORDER BY day)::BIGINT
+             AS cumulative_distinct
+    FROM j ORDER BY event_type, day"""
+    return fn, sql
+
+
+def q_change_point() -> Entry:
+    """ES change_point agg (query/aggs.py deterministic two-segment SSE
+    contract) over the per-day sum(value) series of each event_type:
+    the split minimizing within-segment SSE, costs rounded to 6 dp
+    before the argmin in BOTH engines so float last-ulps can't flip the
+    winner. The daily series itself is rounded to 6 dp in both engines
+    before the detector runs (identical inputs)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.query.aggs import change_point
+
+        series = (
+            _events(spark, sf_dir)
+            .groupBy(
+                "event_type",
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            )
+            .agg(F.round(F.sum("value"), 6).alias("x"))
+        )
+        return change_point(series, "event_type", "day", "x").orderBy(
+            "event_type"
+        )
+
+    sql = """
+    WITH s AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                      round(sum(value), 6) AS x
+               FROM events GROUP BY 1, 2),
+    p AS (SELECT event_type, day, x,
+                 sum(x) OVER w - x AS s1,
+                 sum(x*x) OVER w - x*x AS q1,
+                 row_number() OVER w - 1 AS n1,
+                 sum(x) OVER (PARTITION BY event_type) AS S,
+                 sum(x*x) OVER (PARTITION BY event_type) AS Q,
+                 count(*) OVER (PARTITION BY event_type) AS N
+          FROM s WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    c AS (SELECT *,
+                 (q1 - s1*s1/n1) + ((Q-q1) - (S-s1)*(S-s1)/(N-n1)) AS cost
+          FROM p WHERE n1 >= 1),
+    b AS (SELECT *, row_number() OVER
+            (PARTITION BY event_type ORDER BY round(cost, 6), day) AS rk
+          FROM c)
+    SELECT event_type, day AS change_at,
+           round(s1/n1, 6) AS before_mean,
+           round((S-s1)/(N-n1), 6) AS after_mean,
+           round(CASE WHEN (Q - S*S/N) > 0
+                      THEN 1.0 - cost/(Q - S*S/N) ELSE 0.0 END, 6)
+             AS reduction
+    FROM b WHERE rk = 1 ORDER BY event_type"""
+    return fn, sql
+
+
 def q_pipeline_e2e() -> Entry:
     """The composed training-data/serving pipeline in ONE run: chunked
     crawl text → boilerplate stripping (webclean W73) → benchmark 8-gram
@@ -11416,6 +11503,8 @@ def all_entries() -> Dict[str, Entry]:
         "dup_spans_exact": q_dup_spans_exact(),
         "exact_substr_dedup": q_exact_substr_dedup(),
         "variable_width_histogram": q_variable_width_histogram(),
+        "cumulative_cardinality": q_cumulative_cardinality(),
+        "change_point": q_change_point(),
         "extended_stats": q_extended_stats(),
         "dist_aggs": q_dist_aggs(),
         "matrix_stats": q_matrix_stats(),

@@ -1576,3 +1576,109 @@ def variable_width_histogram(
     return agg.withColumn(
         "bucket", F.dense_rank().over(wb).cast("long")
     ).select("bucket", "vmin", "vmax", "centroid", "doc_count")
+
+
+def cumulative_cardinality(
+    rows: DataFrame,
+    partition_col: str = "qid",
+    order_col: str = "bucket",
+    value_col: str = "value",
+) -> DataFrame:
+    """ES `cumulative_cardinality` pipeline agg, EXACT: for each present
+    bucket of the parent series, the number of distinct values seen in
+    any bucket up to and including it (the "new users per day /
+    total-users-to-date" agg).
+
+    ES layers this over per-bucket HLL sketches and is approximate; the
+    shuffle gives us the exact number at the same cost class via the
+    first-seen collapse: each distinct (partition, value) reduces
+    map-side to its MIN bucket (one row per distinct value, never per
+    event), new-value counts land on their first bucket, and one
+    bucket-series window turns them cumulative. Buckets present in the
+    parent series but with no new values still report (carried
+    cumulative), matching ES with min_doc_count=1."""
+    p, o, v = partition_col, order_col, value_col
+    present = rows.select(p, o).distinct()
+    firsts = (
+        rows.groupBy(p, v)
+        .agg(F.min(o).alias(o))
+        .groupBy(p, o)
+        .agg(F.count("*").alias("new_values"))
+    )
+    joined = present.join(firsts, [p, o], "left").withColumn(
+        "new_values", F.coalesce("new_values", F.lit(0)).cast("long")
+    )
+    w = (
+        Window.partitionBy(p)
+        .orderBy(o)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.withColumn(
+        "cumulative_distinct", F.sum("new_values").over(w).cast("long")
+    )
+
+
+def change_point(
+    buckets: DataFrame,
+    partition_col: str = "qid",
+    order_col: str = "bucket",
+    metric_col: str = "value",
+    round_to: int = 6,
+) -> DataFrame:
+    """ES `change_point` agg under a deterministic contract: the split
+    of the parent bucket series into two contiguous segments that
+    minimizes total within-segment sum of squared error (the classic
+    single change-point / step-detection objective; ES's ML detector
+    family includes exactly this step_change case). Ties break to the
+    earliest split. Output per partition: the first bucket of the right
+    segment (`change_at`), segment means, and the variance reduction
+    1 - SSE_split/SSE_total (0.0 when the series is constant). The
+    argmin compares costs ROUNDED to `round_to` dp so a last-ulp float
+    difference can't flip the winner between engines (the same
+    discipline the top-k scorers apply to ranks).
+
+    One window pass over the parent series (state = bucket count, never
+    doc count): exclusive prefix sums of x and x² give every candidate
+    split's two-segment SSE in closed form — no per-split rescan."""
+    p, o, m = partition_col, order_col, metric_col
+    w = Window.partitionBy(p).orderBy(o)
+    wall = Window.partitionBy(p)
+    x = F.col(m).cast("double")
+    pre = buckets.select(
+        p,
+        o,
+        x.alias("_x"),
+        (F.sum(x).over(w) - x).alias("_s1"),
+        (F.sum(x * x).over(w) - x * x).alias("_q1"),
+        (F.row_number().over(w) - 1).alias("_n1"),
+    ).withColumn("_S", F.sum("_x").over(wall)).withColumn(
+        "_Q", F.sum(F.col("_x") * F.col("_x")).over(wall)
+    ).withColumn("_N", F.count("*").over(wall))
+    cand = pre.filter(F.col("_n1") >= 1)  # both segments non-empty
+    n2 = F.col("_N") - F.col("_n1")
+    s2 = F.col("_S") - F.col("_s1")
+    q2 = F.col("_Q") - F.col("_q1")
+    sse1 = F.col("_q1") - F.col("_s1") * F.col("_s1") / F.col("_n1")
+    sse2 = q2 - s2 * s2 / n2
+    scored = cand.withColumn("_cost", sse1 + sse2)
+    best = scored.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy(p).orderBy(
+                F.round(F.col("_cost"), round_to).asc(), F.col(o).asc()
+            )
+        ),
+    ).filter(F.col("_rk") == 1)
+    sse_total = F.col("_Q") - F.col("_S") * F.col("_S") / F.col("_N")
+    return best.select(
+        p,
+        F.col(o).alias("change_at"),
+        F.round(F.col("_s1") / F.col("_n1"), round_to).alias("before_mean"),
+        F.round(s2 / n2, round_to).alias("after_mean"),
+        F.round(
+            F.when(sse_total > 0, 1.0 - F.col("_cost") / sse_total).otherwise(
+                0.0
+            ),
+            round_to,
+        ).alias("reduction"),
+    )
