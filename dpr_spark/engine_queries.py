@@ -9766,6 +9766,57 @@ def q_change_point() -> Entry:
     return fn, sql
 
 
+def q_geo_line() -> Entry:
+    """ES geo_line agg (query/geo.py): per user, the first 5 positions
+    in (ts, event_id) order as a "lon lat, lon lat" track string.
+    Coordinates synthesize from event_id as exact multiples of 0.25, so
+    %.6f prints identical digits in the JVM and DuckDB (no float-
+    rounding-mode edge). (ts, event_id) is a total order — ES's
+    shard-order tie nondeterminism is refused by contract."""
+    SIZE = 5
+
+    def fn(spark, sf_dir):
+        from dpr_spark.query.geo import geo_line_agg
+
+        pts = (
+            _events(spark, sf_dir)
+            .filter(F.col("user_id") < 20)
+            .select(
+                "user_id",
+                (F.lit(20.0) + F.pmod("event_id", F.lit(160)) * 0.25).alias(
+                    "lon"
+                ),
+                (F.lit(10.0) + F.pmod("event_id", F.lit(80)) * 0.5).alias(
+                    "lat"
+                ),
+                "ts",
+                "event_id",
+            )
+        )
+        return geo_line_agg(
+            pts, "user_id", ["ts", "event_id"], size=SIZE
+        ).orderBy("user_id")
+
+    sql = f"""
+    WITH p AS (SELECT user_id,
+                      20 + (event_id % 160) * 0.25 AS lon,
+                      10 + (event_id % 80) * 0.5 AS lat,
+                      ts, event_id
+               FROM events WHERE user_id < 20),
+    r AS (SELECT *,
+                 row_number() OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS rk,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM p)
+    SELECT user_id,
+           string_agg(printf('%.6f %.6f', lon, lat), ', ' ORDER BY rk)
+             AS line,
+           count(*)::BIGINT AS n_points,
+           any_value(n) <= {SIZE} AS complete
+    FROM r WHERE rk <= {SIZE} GROUP BY user_id ORDER BY user_id"""
+    return fn, sql
+
+
 def q_pipeline_e2e() -> Entry:
     """The composed training-data/serving pipeline in ONE run: chunked
     crawl text → boilerplate stripping (webclean W73) → benchmark 8-gram
@@ -11505,6 +11556,7 @@ def all_entries() -> Dict[str, Entry]:
         "variable_width_histogram": q_variable_width_histogram(),
         "cumulative_cardinality": q_cumulative_cardinality(),
         "change_point": q_change_point(),
+        "geo_line": q_geo_line(),
         "extended_stats": q_extended_stats(),
         "dist_aggs": q_dist_aggs(),
         "matrix_stats": q_matrix_stats(),

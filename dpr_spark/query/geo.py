@@ -327,3 +327,60 @@ def geo_distance_rings_agg(
             F.coalesce("count", F.lit(0)).alias("count"),
         )
     )
+
+
+def geo_line_agg(
+    points: DataFrame,
+    partition_col: str,
+    sort_cols: Sequence[str],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    size: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """ES `geo_line` aggregation: per group, the first `size` points in
+    `sort_cols` order joined into a LINESTRING-style "lon lat, lon lat"
+    string, plus `n_points` (points kept) and `complete` (ES's flag:
+    false when the group had more points than `size` kept).
+
+    `sort_cols` must be a deterministic total order within each group
+    (pass a tiebreaker column; ES sorts on a doc value where ties are
+    shard-order-dependent — this engine refuses that nondeterminism).
+
+    Scale shape: one window rank partitioned by the group key prunes to
+    <= size rows per group BEFORE any list materializes, then one
+    groupBy assembles the capped struct array — per-group state is
+    bounded by `size`, never by group row count."""
+    w = Window.partitionBy(partition_col).orderBy(
+        *[F.col(c).asc() for c in sort_cols]
+    )
+    fmt = f"%.{round_to}f"
+    pt = F.concat_ws(
+        " ",
+        F.format_string(fmt, F.col(lon_col).cast("double")),
+        F.format_string(fmt, F.col(lat_col).cast("double")),
+    )
+    ranked = points.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_pt", pt
+    )
+    return (
+        ranked.groupBy(partition_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rk") <= size,
+                                F.struct("_rk", "_pt"),
+                            )
+                        )
+                    ),
+                    lambda s: s["_pt"],
+                ),
+                ", ",
+            ).alias("line"),
+            F.least(F.count("*"), F.lit(size).cast("long")).alias("n_points"),
+            (F.count("*") <= size).alias("complete"),
+        )
+    )
