@@ -410,7 +410,7 @@ def main() -> None:
         # round-5 session-10 additions
         "dup_spans_exact", "exact_substr_dedup",
         "variable_width_histogram", "cumulative_cardinality", "change_point",
-        "geo_line",
+        "geo_line", "alpha_mix_sample",
     ]:
         try:
             fn, _ = entries[name]

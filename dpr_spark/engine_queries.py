@@ -9817,6 +9817,83 @@ def q_geo_line() -> Entry:
     return fn, sql
 
 
+_ALPHA_MIX_TARGETS_SQL = """
+    c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+    wt AS (SELECT *, round(pow(n, 0.5) * 1e6)::BIGINT AS wu FROM c),
+    tw AS (SELECT *, sum(wu) OVER () AS W FROM wt),
+    bs AS (SELECT *, (150 * wu) // W AS base,
+                  150 * wu - ((150 * wu) // W) * W AS rem
+           FROM tw),
+    rr AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+                  150 - sum(base) OVER () AS leftover
+           FROM bs),
+    tg AS (SELECT lang, n,
+                  least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END,
+                        n)::BIGINT AS target
+           FROM rr)"""
+
+
+def q_alpha_mix_targets() -> Entry:
+    """Temperature-scaled mix targets (extras/training.py): p_lang ∝
+    n^0.5 (the mC4/XLM-R alpha rule), resolved to integers by exact
+    largest-remainder rounding in BIGINT micro-units — sum(target) ==
+    150 exactly, identical in any engine (the one float op, pow, is
+    rounded to micro-units before any arithmetic that could flip a
+    floor)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.training import alpha_mix_targets
+
+        return alpha_mix_targets(
+            _docs(spark, sf_dir), "lang", alpha=0.5, total=150
+        ).orderBy("lang")
+
+    sql = (
+        "\n    WITH "
+        + _ALPHA_MIX_TARGETS_SQL.strip()
+        + "\n    SELECT lang, n, target FROM tg ORDER BY lang"
+    )
+    return fn, sql
+
+
+def q_alpha_mix_sample() -> Entry:
+    """The mixed sample itself: alpha_mix_targets quotas filled per lang
+    by portable seeded-md5 rank (K4 shuffle_key, seed=7) — the exact
+    150-doc training mix, reproducible by any SQL engine."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.training import alpha_mix_sample
+
+        return (
+            alpha_mix_sample(
+                _docs(spark, sf_dir),
+                "lang",
+                alpha=0.5,
+                total=150,
+                seed=7,
+                portable=True,
+            )
+            .select("lang", "doc_id")
+            .orderBy("lang", "doc_id")
+        )
+
+    sql = (
+        "\n    WITH "
+        + _ALPHA_MIX_TARGETS_SQL.strip()
+        + """,
+    s AS (SELECT d.lang, d.doc_id,
+                 row_number() OVER (PARTITION BY d.lang
+                   ORDER BY ('0x' || substr(md5(d.doc_id::VARCHAR || ':7'),
+                                            1, 15))::BIGINT,
+                            d.doc_id) AS rn
+          FROM documents d)
+    SELECT s.lang, s.doc_id
+    FROM s JOIN tg ON s.lang = tg.lang AND s.rn <= tg.target
+    ORDER BY s.lang, s.doc_id"""
+    )
+    return fn, sql
+
+
 def q_pipeline_e2e() -> Entry:
     """The composed training-data/serving pipeline in ONE run: chunked
     crawl text → boilerplate stripping (webclean W73) → benchmark 8-gram
@@ -11557,6 +11634,8 @@ def all_entries() -> Dict[str, Entry]:
         "cumulative_cardinality": q_cumulative_cardinality(),
         "change_point": q_change_point(),
         "geo_line": q_geo_line(),
+        "alpha_mix_targets": q_alpha_mix_targets(),
+        "alpha_mix_sample": q_alpha_mix_sample(),
         "extended_stats": q_extended_stats(),
         "dist_aggs": q_dist_aggs(),
         "matrix_stats": q_matrix_stats(),

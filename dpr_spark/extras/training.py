@@ -148,3 +148,85 @@ def pack_bins_summary(packed: DataFrame, seq_len: int) -> DataFrame:
         F.count("*").alias("n_docs_started"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+def alpha_mix_targets(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float,
+    total: int,
+) -> DataFrame:
+    """(stratum, n, target): per-stratum sample targets under
+    temperature-scaled mixing — p_s ∝ n_s^alpha — the multilingual-LM
+    mix rule (mC4 / XLM-R style: alpha<1 upweights tail domains), with
+    the real-valued targets resolved to integers by the LARGEST-
+    REMAINDER method so sum(target) == total exactly.
+
+    Exactness discipline: the only float op is n_s^alpha, immediately
+    rounded to integer MICRO-UNITS (×1e6, the repo's exact-MMR
+    discipline); every subsequent step — proportional base share via
+    integer division, remainder ranking, leftover distribution — is
+    exact BIGINT math, so any engine reproduces identical targets.
+    Ties in remainder rank break by stratum value.
+
+    Targets are capped at n_s (sampling is without replacement); a
+    capped stratum's shortfall is NOT redistributed — the contract
+    reports what the mix rule asked for, bounded by what exists.
+
+    Scale shape: one map-side-combined count collapses the corpus to
+    |strata| rows; everything after runs on that coordinator-sized
+    table (a single-partition window over strata, same class as every
+    quota table in this module)."""
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n"))
+    wu = F.round(F.pow(F.col("n").cast("double"), F.lit(float(alpha))) * 1e6).cast(
+        "long"
+    )
+    t = counts.withColumn("wu", wu)
+    tot = t.agg(F.sum("wu").alias("W"))
+    t = t.join(F.broadcast(tot))
+    # exact integer proportional share: base = (total*wu) div W,
+    # remainder = total*wu - base*W (both < 2^53 for any sane mix table)
+    t = t.withColumn("base", F.expr(f"({total} * wu) div W")).withColumn(
+        "rem", F.lit(total) * F.col("wu") - F.col("base") * F.col("W")
+    )
+    leftover = F.lit(total) - F.sum("base").over(Window.partitionBy())
+    rk = F.row_number().over(
+        Window.orderBy(F.col("rem").desc(), F.col(stratum_col).asc())
+    )
+    return (
+        t.withColumn("_left", leftover)
+        .withColumn("_rk", rk)
+        .withColumn(
+            "target",
+            F.least(
+                F.col("base")
+                + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0),
+                F.col("n"),
+            ).cast("long"),
+        )
+        .select(stratum_col, F.col("n").cast("long").alias("n"), "target")
+    )
+
+
+def alpha_mix_sample(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float,
+    total: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Temperature-mixed training sample: `alpha_mix_targets` quotas
+    filled per stratum by seeded-hash rank (the stratified_sample pick
+    rule — a pure function of (id, seed), portable=True for SQL-engine
+    replay). Returns the sampled rows of `df` unchanged."""
+    targets = alpha_mix_targets(df, stratum_col, alpha, total)
+    h = shuffle_key(id_col, seed, portable=portable)
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(targets.select(stratum_col, "target")), stratum_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("target"))
+        .drop("_rn", "target")
+    )
