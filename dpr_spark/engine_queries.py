@@ -2524,6 +2524,55 @@ def q_facet_counts() -> Entry:
     return fn, sql
 
 
+def q_drill_sideways_facets() -> Entry:
+    """Lucene DrillSideways over the BM25 top-20: drill-down
+    selections lang='en' AND source='src2'; each dimension's counts
+    computed with the OTHER selection applied and its own lifted, plus
+    a ('_hits','*') row per qid with the fully-drilled hit count
+    (query/facets.py drill_sideways — one pass, no per-dim re-query)."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.query.facets import drill_sideways
+
+        top = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= 20)
+        docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+        return drill_sideways(
+            top, docs, {"lang": "en", "source": "src2"}
+        )
+
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + """,
+    top20 AS (SELECT qid, doc_id FROM ranked WHERE rank <= 20),
+    j AS (SELECT t.qid, d.lang, d.source,
+            (CASE WHEN d.lang IS NOT DISTINCT FROM 'en' THEN 0 ELSE 1 END
+             + CASE WHEN d.source IS NOT DISTINCT FROM 'src2' THEN 0 ELSE 1 END)
+              AS miss,
+            (d.lang IS NOT DISTINCT FROM 'en') AS lang_ok,
+            (d.source IS NOT DISTINCT FROM 'src2') AS src_ok
+          FROM top20 t JOIN documents d USING (doc_id)),
+    fv AS (
+      SELECT qid, 'lang' AS facet, lang::VARCHAR AS value, miss,
+             lang_ok AS own_ok FROM j
+      UNION ALL
+      SELECT qid, 'source', source::VARCHAR, miss, src_ok FROM j),
+    side AS (
+      SELECT qid, facet, value, count(*) AS n
+      FROM fv
+      WHERE (miss = 0 OR (miss = 1 AND NOT own_ok)) AND value IS NOT NULL
+      GROUP BY 1, 2, 3),
+    hits AS (
+      SELECT q.qid, '_hits' AS facet, '*' AS value,
+             coalesce(h.n, 0)::BIGINT AS n
+      FROM (SELECT DISTINCT qid FROM top20) q
+      LEFT JOIN (SELECT qid, count(*) AS n FROM j WHERE miss = 0
+                 GROUP BY 1) h USING (qid))
+    SELECT * FROM side UNION ALL SELECT * FROM hits"""
+    )
+    return fn, sql
+
+
 SPAN_WINDOW = 6
 SPAN_QUERIES = [
     (0, "spark window agg"),
@@ -11523,6 +11572,7 @@ def all_entries() -> Dict[str, Entry]:
         "match_phrase_prefix": q_match_phrase_prefix(),
         "match_bool_prefix": q_match_bool_prefix(),
         "facet_counts": q_facet_counts(),
+        "drill_sideways_facets": q_drill_sideways_facets(),
         "wildcard_topk": q_wildcard_topk(),
         "spell_suggest": q_spell_suggest(),
         "bm25f_topk": q_bm25f_topk(),

@@ -14,7 +14,7 @@ agg — Catalyst-native end to end."""
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -48,3 +48,81 @@ def facet_counts(
         .groupBy("qid", "facet", "value")
         .agg(F.count("*").alias("n"))
     )
+
+
+def drill_sideways(
+    results: DataFrame,
+    docs: DataFrame,
+    selections: Mapping[str, str],
+) -> DataFrame:
+    """Lucene DrillSideways over a result set: the user has drilled down
+    on one value per dimension (`selections`); the HIT set applies every
+    selection, but each dimension's facet counts are computed with all
+    OTHER selections applied and its OWN selection lifted — the counts a
+    faceted-search UI needs to show "what else is available in this
+    dimension" without the dimension filtering itself out
+    (lucene/facet DrillSideways: one query, N+1 perspectives).
+
+    Output: (qid, facet, value, n) — per dimension the sideways value
+    histogram (nulls excluded, exactly like facet_counts), plus one
+    `('_hits', '*')` row per qid carrying the fully-drilled hit count
+    (0-hit queries keep their row, so the sheet is total).
+
+    Scale shape: ONE pass, no per-dimension re-query — the Lucene trick
+    re-expressed relationally. After the k×queries results→docs join,
+    a doc's `_miss` = number of failed selections decides every
+    perspective at once: it is a HIT iff _miss = 0, and it contributes
+    to dimension d's sideways counts iff _miss = 0 (all selections hold)
+    or _miss = 1 with d itself the one miss. The explode emits
+    |selections| rows per candidate; everything downstream is a
+    partial+final hash agg. Null-safe: a NULL dimension value fails its
+    selection (and never appears as a counted value)."""
+    if not selections:
+        raise ValueError("no drill-down selections")
+    dims = list(selections)
+    j = results.select("qid", "doc_id").join(
+        docs.select("doc_id", *dims), "doc_id"
+    )
+    miss = None
+    for d, v in selections.items():
+        m = F.when(F.col(d).eqNullSafe(F.lit(v)), 0).otherwise(1)
+        miss = m if miss is None else miss + m
+    j = j.withColumn("_miss", miss)
+    fv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("facet"),
+                    F.col(d).cast("string").alias("value"),
+                    F.col(d).eqNullSafe(F.lit(selections[d])).alias("own_ok"),
+                )
+                for d in dims
+            ]
+        )
+    ).alias("fv")
+    side = (
+        j.select("qid", "_miss", fv)
+        .filter(
+            (F.col("_miss") == 0)
+            | ((F.col("_miss") == 1) & (~F.col("fv.own_ok")))
+        )
+        .filter(F.col("fv.value").isNotNull())
+        .groupBy("qid", F.col("fv.facet").alias("facet"), F.col("fv.value").alias("value"))
+        .agg(F.count("*").alias("n"))
+    )
+    hits = (
+        results.select("qid")
+        .distinct()
+        .join(
+            j.filter(F.col("_miss") == 0).groupBy("qid").agg(F.count("*").alias("n")),
+            "qid",
+            "left",
+        )
+        .select(
+            "qid",
+            F.lit("_hits").alias("facet"),
+            F.lit("*").alias("value"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    return side.unionByName(hits)
