@@ -3166,6 +3166,80 @@ def q_mlt_topk() -> Entry:
     return fn, sql
 
 
+MLT_UNLIKE = [(0, 1), (1, 3), (2, 5)]  # (qid, unlike doc_id)
+
+
+def q_mlt_unlike_topk() -> Entry:
+    """More-like-this with `unlike` docs (ES more_like_this `unlike` /
+    Lucene MLT skip-terms, query/morelikethis.py): terms occurring in a
+    query's unlike docs are removed from the candidate set BEFORE the
+    tf*idf ranking/cap (the cap refills with next-best liked terms),
+    and unlike docs join the seed in the result exclusion."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.query.morelikethis import more_like_this
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        from dpr_spark.index.build import build_index_from_docs
+
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        seeds = spark.createDataFrame(MLT_SEEDS, "qid int, doc_id long")
+        unlike = spark.createDataFrame(MLT_UNLIKE, "qid int, doc_id long")
+        res = more_like_this(
+            spark, seeds, docs, idx, k=10,
+            min_tf=MLT_MIN_TF, min_df=MLT_MIN_DF,
+            max_query_terms=MLT_MAX_TERMS_E,
+            lowercase_first=True, selection_round=6, unlike=unlike,
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    seed_values = ", ".join(f"({q}, {d})" for q, d in MLT_SEEDS)
+    unlike_values = ", ".join(f"({q}, {d})" for q, d in MLT_UNLIKE)
+    sql = f"""
+    WITH {_POS_CTES},
+    seeds AS (SELECT * FROM (VALUES {seed_values}) AS s(qid, doc_id)),
+    unl AS (SELECT * FROM (VALUES {unlike_values}) AS u(qid, doc_id)),
+    skip AS (SELECT DISTINCT u.qid, tf.term
+             FROM unl u JOIN tf ON tf.doc_id = u.doc_id),
+    stf AS (
+      SELECT s.qid, tf.term, tf.tf
+      FROM seeds s JOIN tf ON tf.doc_id = s.doc_id
+      WHERE tf.tf >= {MLT_MIN_TF}),
+    cand AS (
+      SELECT stf.qid, stf.term,
+             row_number() OVER (
+               PARTITION BY stf.qid
+               ORDER BY round(stf.tf * ln((stats.n - d.df + 0.5)
+                                          / (d.df + 0.5) + 1.0), 6) DESC,
+                        stf.term) AS r
+      FROM stf JOIN dict d USING (term) CROSS JOIN stats
+      WHERE d.df >= {MLT_MIN_DF}
+        AND NOT EXISTS (SELECT 1 FROM skip k
+                        WHERE k.qid = stf.qid AND k.term = stf.term)),
+    qmlt AS (SELECT qid, term FROM cand WHERE r <= {MLT_MAX_TERMS_E}),
+    scored AS (
+      SELECT qmlt.qid, tf.doc_id, sum({_BM25_COMPONENT}) AS score
+      FROM qmlt JOIN dict USING (term) JOIN tf USING (term)
+           JOIN ds ON tf.doc_id = ds.doc_id CROSS JOIN stats
+      GROUP BY 1, 2),
+    surv AS (
+      SELECT sc.* FROM scored sc
+      WHERE NOT EXISTS (SELECT 1 FROM seeds s
+                        WHERE s.qid = sc.qid AND s.doc_id = sc.doc_id)
+        AND NOT EXISTS (SELECT 1 FROM unl u
+                        WHERE u.qid = sc.qid AND u.doc_id = sc.doc_id)),
+    ranked AS (
+      SELECT qid, doc_id, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM surv)
+    SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
+    return fn, sql
+
+
 SPELL_QUERIES = [(0, "spqrk windaw"), (1, "custmer"), (2, "join scan")]
 SPELL_N = 3
 
@@ -11564,6 +11638,7 @@ def all_entries() -> Dict[str, Entry]:
         "fuzzy_transpose_topk": q_fuzzy_transpose_topk(),
         "highlight_topk": q_highlight_topk(),
         "mlt_topk": q_mlt_topk(),
+        "mlt_unlike_topk": q_mlt_unlike_topk(),
         "rm3_topk": q_rm3_topk(),
         "span_near_topk": q_span_near_topk(),
         "span_first_topk": q_span_first_topk(),

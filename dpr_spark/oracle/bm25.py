@@ -718,24 +718,32 @@ class BM25Oracle:
         min_tf: int = 2,
         min_df: int = 3,
         max_query_terms: int = 25,
+        unlike_docs: Sequence[int] = (),
     ) -> List[Tuple[int, float]]:
         """MoreLikeThis twin: seed terms with tf>=min_tf and df>=min_df
         ranked (tf*idf DESC, term ASC), top max_query_terms, run as a
-        BM25 disjunction excluding the seed itself."""
+        BM25 disjunction excluding the seed itself. `unlike_docs`
+        (ES more_like_this `unlike`): any term occurring in an unlike
+        doc is dropped before ranking, and unlike docs are excluded
+        from the results."""
+        skip = set()
+        for u in unlike_docs:
+            skip.update(self.doc_tokens[u])
         tf: Dict[str, int] = {}
         for t in self.doc_tokens[seed_doc]:
             tf[t] = tf.get(t, 0) + 1
         cand = [
             (-(c * self.idf(t)), t)
             for t, c in tf.items()
-            if c >= min_tf and self.df.get(t, 0) >= min_df
+            if c >= min_tf and self.df.get(t, 0) >= min_df and t not in skip
         ]
         cand.sort()
         terms = [t for _s, t in cand[:max_query_terms]]
+        excluded = {seed_doc, *unlike_docs}
         scores: Dict[int, float] = {}
         for t in terms:
             for d in self.postings.get(t, ()):
-                if d == seed_doc:
+                if d in excluded:
                     continue
                 scores[d] = scores.get(d, 0.0) + self.score_one(t, d)
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
