@@ -3282,6 +3282,52 @@ def q_spell_suggest() -> Entry:
     return fn, sql
 
 
+def q_spell_suggest_popular() -> Entry:
+    """ES term-suggester suggest_mode=popular (query/fuzzy.py
+    spell_suggest): EVERY query token gets suggestions, but a
+    suggestion must have df strictly greater than the token's own df
+    (OOV tokens have df 0); the token itself never suggests. Same
+    2-edit / shared-first-letter expansion, ranked (dist ASC, df DESC,
+    term ASC), capped after the popularity bar so the top-{SPELL_N}
+    refills."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.fuzzy import spell_suggest
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        return spell_suggest(
+            spark, SPELL_QUERIES, idx, n_suggestions=SPELL_N,
+            suggest_mode="popular",
+        )
+
+    from dpr_spark.query.fuzzy import _clauses
+
+    clause_values = ", ".join(
+        f"({qid}, '{c}')" for qid, c in _clauses(SPELL_QUERIES)
+    )
+    sql = f"""
+    WITH {_POS_CTES},
+    c AS (SELECT * FROM (VALUES {clause_values}) AS c(qid, clause)),
+    cb AS (
+      SELECT c.qid, c.clause, coalesce(d.df, 0) AS cdf
+      FROM c LEFT JOIN dict d ON d.term = c.clause),
+    exp AS (
+      SELECT cb.qid, cb.clause, d.term, d.df,
+             row_number() OVER (
+               PARTITION BY cb.qid, cb.clause
+               ORDER BY levenshtein(d.term, cb.clause), d.df DESC, d.term) AS r
+      FROM cb JOIN dict d
+        ON levenshtein(d.term, cb.clause) <= 2
+       AND substr(d.term, 1, 1) = substr(cb.clause, 1, 1)
+       AND d.term <> cb.clause
+       AND d.df > cb.cdf)
+    SELECT qid, clause, r::INT AS rank, term AS suggestion, df
+    FROM exp WHERE r <= {SPELL_N}"""
+    return fn, sql
+
+
 HL_WINDOW = 20
 
 
@@ -11639,6 +11685,7 @@ def all_entries() -> Dict[str, Entry]:
         "highlight_topk": q_highlight_topk(),
         "mlt_topk": q_mlt_topk(),
         "mlt_unlike_topk": q_mlt_unlike_topk(),
+        "spell_suggest_popular": q_spell_suggest_popular(),
         "rm3_topk": q_rm3_topk(),
         "span_near_topk": q_span_near_topk(),
         "span_first_topk": q_span_first_topk(),

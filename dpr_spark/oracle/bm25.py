@@ -831,18 +831,27 @@ class BM25Oracle:
         min_df_ratio: float = 0.0,
         n_suggestions: int = 3,
         prefix_len: int = 1,
+        suggest_mode: str = "missing",
     ) -> Dict[str, List[Tuple[int, str, int]]]:
         """DirectSpellChecker twin: per low-df/OOV token, the top
         suggestions (dist ASC, df DESC, term ASC) sharing a prefix.
+        suggest_mode: "missing" (df-bar gate), "popular" (every token;
+        suggestion df must exceed the token's df), "always" (every
+        token, no df bar; self excluded).
         -> {clause: [(rank, suggestion, df)]}."""
         bar = min_df_ratio * self.N
         out: Dict[str, List[Tuple[int, str, int]]] = {}
         for c in sorted(set(tokenize(normalize_question(query)))):
-            if self.df.get(c, 0) > bar:
+            cdf = self.df.get(c, 0)
+            if suggest_mode == "missing" and cdf > bar:
                 continue
             cand = []
             for t in self.postings:
                 if prefix_len > 0 and t[:prefix_len] != c[:prefix_len]:
+                    continue
+                if suggest_mode != "missing" and t == c:
+                    continue
+                if suggest_mode == "popular" and self.df[t] <= cdf:
                     continue
                 d = _levenshtein(c, t, max_edits)
                 if d >= 0:

@@ -109,10 +109,19 @@ def expand_fuzzy(
     prefix_len: int = 0,
     prefix_literals: Sequence[str] = None,
     transpositions: bool = False,
+    exclude_exact: bool = False,
+    clause_min_df: "DataFrame" = None,
 ) -> DataFrame:
     """clauses(qid, clause) -> (qid, clause, term_id, idf, boost):
     per-clause dictionary expansion within `max_edits`, ranked
     (distance ASC, df DESC, term ASC), top `max_expansions`.
+
+    exclude_exact drops the dist-0 candidate (the clause itself) —
+    spell-check callers never suggest the input term.  clause_min_df
+    (clause, _mindf) keeps only candidates with df > _mindf — the ES
+    term-suggester `popular` bar — applied BEFORE the cap so the
+    ranking refills with the next-best qualifying terms. Both are
+    clause-bounded broadcasts; the dictionary-scan shape is unchanged.
 
     transpositions=True measures unrestricted Damerau–Levenshtein
     (Lucene FuzzyQuery's default: a swap is one edit). The Catalyst
@@ -172,6 +181,14 @@ def expand_fuzzy(
         cand = cand.withColumn(
             "dist", F.levenshtein(F.col("term"), F.col("clause"), max_edits)
         )
+    if exclude_exact:
+        cand = cand.filter(F.col("dist") >= F.lit(1))
+    if clause_min_df is not None:
+        cand = (
+            cand.join(F.broadcast(clause_min_df), "clause")
+            .filter(F.col("df") > F.col("_mindf"))
+            .drop("_mindf")
+        )
     w = Window.partitionBy("qid", "clause").orderBy(
         F.asc("dist"), F.desc("df"), F.asc("term")
     )
@@ -196,6 +213,7 @@ def spell_suggest(
     min_df_ratio: float = 0.0,
     n_suggestions: int = 3,
     prefix_len: int = 1,
+    suggest_mode: str = "missing",
 ) -> DataFrame:
     """Did-you-mean suggestions (Lucene DirectSpellChecker analog):
     for every query token whose df is <= min_df_ratio * N (0.0 = only
@@ -203,9 +221,22 @@ def spell_suggest(
     within `max_edits` (sharing a `prefix_len` prefix, the standard
     spell-check pruning), ranked (distance ASC, df DESC, term ASC).
 
+    suggest_mode (the ES term-suggester contract):
+      - "missing" (default): suggest only for tokens at/below the df
+        bar (0.0 = out-of-vocabulary), exactly DirectSpellChecker's
+        default;
+      - "popular": suggest for EVERY token, but a suggestion must have
+        df strictly greater than the input token's df (OOV tokens have
+        df 0, so any in-band term qualifies); the cap refills after
+        the bar;
+      - "always": suggest for every token with no df bar; only the
+        token itself is excluded.
+
     -> (qid, clause, rank, suggestion, df). Tokens above the df bar
     produce no rows. The expansion is the same one-dictionary-scan
     broadcast join as fuzzy_search."""
+    if suggest_mode not in ("missing", "popular", "always"):
+        raise ValueError(f"unknown suggest_mode {suggest_mode!r}")
     rows = _clauses(queries)
     if not rows:
         raise ValueError("no tokenizable queries")
@@ -220,18 +251,34 @@ def spell_suggest(
     resolved = index.dictionary.join(
         F.broadcast(clause_set), F.col("term") == F.col("clause"), "left_semi"
     ).select(F.col("term").alias("clause"), F.col("df").alias("_df"))
-    misspelled = (
-        cdf.join(F.broadcast(resolved), "clause", "left")
-        .filter(F.coalesce(F.col("_df"), F.lit(0)) <= F.lit(df_bar))
-        .select("qid", "clause")
-    )
+    if suggest_mode == "missing":
+        candidates = (
+            cdf.join(F.broadcast(resolved), "clause", "left")
+            .filter(F.coalesce(F.col("_df"), F.lit(0)) <= F.lit(df_bar))
+            .select("qid", "clause")
+        )
+        clause_min_df = None
+    else:
+        candidates = cdf
+        clause_min_df = (
+            cdf.select("clause").distinct()
+            .join(F.broadcast(resolved), "clause", "left")
+            .select(
+                "clause",
+                F.coalesce(F.col("_df"), F.lit(0)).alias("_mindf"),
+            )
+            if suggest_mode == "popular"
+            else None
+        )
     # the full clause set is a driver-side literal superset of the
-    # (data-dependent) misspelled subset — valid for the pushed prefix
-    # filter even before OOV detection runs
+    # (data-dependent) candidate subset — valid for the pushed prefix
+    # filter even before OOV/df-bar detection runs
     exp = expand_fuzzy(
-        index, misspelled, max_edits=max_edits,
+        index, candidates, max_edits=max_edits,
         max_expansions=n_suggestions, prefix_len=prefix_len,
         prefix_literals=[c for _, c in rows],
+        exclude_exact=(suggest_mode != "missing"),
+        clause_min_df=clause_min_df,
     )
     return exp.select(
         "qid", "clause", F.col("r").alias("rank"),

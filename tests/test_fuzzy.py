@@ -173,3 +173,49 @@ def test_fuzzy_transpositions_reach_swaps(spark, index, oracle):
     b = fuzzy_search(spark, [(0, term)], index, k=10, transpositions=True).collect()
     key = lambda r: (r.qid, r.rank, r.doc_id, round(r.score, 9))
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+@pytest.mark.parametrize("mode", ["popular", "always"])
+def test_spell_suggest_modes_vs_oracle(spark, index, oracle, mode):
+    """ES term-suggester suggest_mode: popular (suggestion df must
+    exceed the input token's df) and always (every token, self
+    excluded)."""
+    from dpr_spark.query.fuzzy import spell_suggest
+
+    terms = sorted(oracle.df, key=lambda t: -oracle.df[t])
+    t_long = next(t for t in terms if len(t) >= 5)
+    # mix: a misspelling (OOV), a mid-df in-vocab term (popular should
+    # suggest higher-df neighbours only), and a head term (popular
+    # should usually suggest nothing)
+    cases = [
+        (0, f"{t_long[:2]}z{t_long[2:]}"),
+        (1, terms[len(terms) // 2]),
+        (2, terms[0]),
+    ]
+    rows = spell_suggest(
+        spark, cases, index, n_suggestions=3, suggest_mode=mode
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault((r.qid, r.clause), []).append(
+            (r.rank, r.suggestion, r.df)
+        )
+    for v in got.values():
+        v.sort()
+    expect = {}
+    for qid, q in cases:
+        for clause, sugg in oracle.spell_suggest(
+            q, n_suggestions=3, suggest_mode=mode
+        ).items():
+            if sugg:
+                expect[(qid, clause)] = sugg
+    assert got == expect
+    # always-mode must produce suggestions for the in-vocab tokens
+    if mode == "always":
+        assert any(qid in (1, 2) for qid, _c in got)
+    # no clause ever suggests itself, and popular respects the df bar
+    for (qid, clause), sugg in got.items():
+        assert all(s != clause for _r, s, _d in sugg)
+        if mode == "popular":
+            bar = oracle.df.get(clause, 0)
+            assert all(d > bar for _r, _s, d in sugg)
