@@ -8502,6 +8502,33 @@ def q_pii_redact() -> Entry:
     return fn, sql
 
 
+def q_fix_mojibake() -> Entry:
+    """Encoding repair (extras/mojibake fix_mojibake): Latin-1-class
+    mojibake fixed by a pure-JVM encode/decode roundtrip. Damage is
+    injected deterministically (the synthetic corpus is ASCII — 'a'
+    becomes the 2-byte mojibake of a-acute, 'e' the 3-byte mojibake of
+    an em dash); the twin states the expected repair directly, so the
+    entry cross-checks Spark's real charset roundtrip against the
+    declared byte semantics."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.mojibake import fix_mojibake
+
+        corrupted = F.regexp_replace(
+            F.regexp_replace(F.col("text"), "a", "\u00c3\u00a1"),
+            "e", "\u00e2\u0080\u0094",
+        )
+        d = _docs(spark, sf_dir).select("doc_id", corrupted.alias("text"))
+        return fix_mojibake(d).orderBy("doc")
+
+    sql = """
+    SELECT doc_id AS doc,
+           replace(replace(text, 'a', chr(225)), 'e', chr(8212)) AS fixed,
+           (contains(text, 'a') OR contains(text, 'e')) AS changed
+    FROM documents ORDER BY doc"""
+    return fn, sql
+
+
 _URL_SQL = (
     "'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END"
     " || source || '.example.com/p/' || (doc_id % 3) || CASE"
@@ -11686,6 +11713,7 @@ def all_entries() -> Dict[str, Entry]:
         "mlt_topk": q_mlt_topk(),
         "mlt_unlike_topk": q_mlt_unlike_topk(),
         "spell_suggest_popular": q_spell_suggest_popular(),
+        "fix_mojibake": q_fix_mojibake(),
         "rm3_topk": q_rm3_topk(),
         "span_near_topk": q_span_near_topk(),
         "span_first_topk": q_span_first_topk(),
