@@ -11045,7 +11045,7 @@ def q_quality_clf() -> Entry:
 _ROUTE_NB = 8
 
 
-def _routed_common_sql() -> str:
+def _routed_common_sql(nb: int = _ROUTE_NB) -> str:
     """Shared CTEs for the routed entries: routing(qid) = the
     (qid % n)-th distinct source in sorted order; bucket = the portable
     md5-derived shard hash (query/routing.py::route_bucket_sql)."""
@@ -11057,11 +11057,11 @@ def _routed_common_sql() -> str:
                       count(*) OVER () AS n
                FROM (SELECT DISTINCT source FROM documents)),
       qroute AS (
-        SELECT q.qid, {route_bucket_sql('s.source', _ROUTE_NB)} AS qbucket
+        SELECT q.qid, {route_bucket_sql('s.source', nb)} AS qbucket
         FROM (VALUES {qids}) AS q(qid)
         JOIN srcs s ON s.rn = q.qid % s.n),
       docsb AS (SELECT doc_id, text,
-                       {route_bucket_sql('source', _ROUTE_NB)} AS bucket
+                       {route_bucket_sql('source', nb)} AS bucket
                 FROM documents),
       tok AS (SELECT doc_id, bucket, {_DUCK_TOKS} AS toks FROM docsb),
       ds AS (SELECT doc_id, bucket, len(toks) AS doclen FROM tok),
@@ -11105,9 +11105,15 @@ def q_routed_topk() -> Entry:
     default, small-shard idf bias included. The layout is parquet
     partitioned by bucket; the scan partition-prunes to the routed
     shards (asserted in tests/test_routing.py / test_plans bar)."""
-    sql = (
+    return _routed_fn("local"), _routed_local_sql(_ROUTE_NB)
+
+
+def _routed_local_sql(nb: int) -> str:
+    """query_then_fetch twin at ``nb`` shards (shared with the shrink
+    entry, which must equal a fresh build at the target count)."""
+    return (
         "WITH "
-        + _routed_common_sql()
+        + _routed_common_sql(nb)
         + f""",
       bstats AS (SELECT bucket, count(*)::DOUBLE AS n, avg(doclen) AS avgdl
                  FROM ds GROUP BY 1),
@@ -11133,7 +11139,47 @@ def q_routed_topk() -> Entry:
         FROM scored)
       SELECT qid, rank, doc_id, score_r FROM ranked WHERE rank <= 10"""
     )
-    return _routed_fn("local"), sql
+
+
+_SHRINK_NB = 4
+
+
+def q_routed_shrink_topk() -> Entry:
+    """Index shrink (ES _shrink; index/resize.py): build the routed
+    layout at {_ROUTE_NB} shards, shrink it to {_SHRINK_NB} via the
+    stored routing-space hash (rbucket % M — no re-tokenize, no corpus
+    access; shard-local impacts recomputed exactly from the stored raw
+    tf/doclen), then run query_then_fetch over the SHRUNK layout. The
+    twin scores against a direct {_SHRINK_NB}-shard build — the resize
+    ≡ fresh-build equivalence, checked cross-engine."""
+
+    def fn(spark, sf_dir):
+        import tempfile
+
+        from dpr_spark.index.resize import shrink_layout
+        from dpr_spark.query.routing import build_routed_layout, search_routed
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+        src = tempfile.mkdtemp(prefix="routed_src_")
+        build_routed_layout(
+            spark, docs, "source", src, num_buckets=_ROUTE_NB, portable=True
+        )
+        dst = tempfile.mkdtemp(prefix="routed_shrunk_")
+        shrink_layout(spark, src, dst, _SHRINK_NB)
+        srcs = sorted(
+            r["source"] for r in docs.select("source").distinct().collect()
+        )
+        queries = [(qid, q, srcs[qid % len(srcs)]) for qid, q in BENCH_QUERIES]
+        res = search_routed(
+            spark, dst, queries, num_buckets=_SHRINK_NB, k=10,
+            mode="local", portable=True,
+        ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return res.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "rank", "doc_id", "score_r"
+        )
+
+    return fn, _routed_local_sql(_SHRINK_NB)
 
 
 def q_routed_dfs_topk() -> Entry:
@@ -11714,6 +11760,7 @@ def all_entries() -> Dict[str, Entry]:
         "mlt_unlike_topk": q_mlt_unlike_topk(),
         "spell_suggest_popular": q_spell_suggest_popular(),
         "fix_mojibake": q_fix_mojibake(),
+        "routed_shrink_topk": q_routed_shrink_topk(),
         "rm3_topk": q_rm3_topk(),
         "span_near_topk": q_span_near_topk(),
         "span_first_topk": q_span_first_topk(),

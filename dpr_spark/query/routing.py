@@ -69,6 +69,39 @@ def route_bucket_sql(expr: str, num_buckets: int) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT % {num_buckets})::INT"
 
 
+# number of routing shards (ES ``index.number_of_routing_shards``): the
+# fixed hash space rbucket = hash % R stored in the layout; an index
+# with N shards (N | R) places docs at bucket = rbucket % N, so any
+# resize to M with M | R is pure column math on the stored rbucket —
+# no re-hash, no re-tokenize (see index/resize.py)
+DEFAULT_NUM_ROUTING_SHARDS = 1024
+
+
+def idf_expr(df_col: Column, n) -> Column:
+    """BM25 idf over a df column and a doc count (column or literal)."""
+    return F.log((n - df_col + F.lit(0.5)) / (df_col + F.lit(0.5)) + F.lit(1.0))
+
+
+def impact_expr(idf: Column, avgdl, k1: float = BM25_K1, b: float = BM25_B) -> Column:
+    """Per-posting BM25 impact from tf/doclen columns + an idf column
+    and an avgdl (column or literal) — the ONE impact definition shared
+    by the build and every layout rewrite, so a resize recomputes
+    shard-local impacts bit-identically to a fresh build."""
+    return (
+        idf
+        * F.col("tf").cast("double")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("doclen").cast("double") / avgdl
+            )
+        )
+    )
+
+
 def build_routed_layout(
     spark: SparkSession,
     docs: DataFrame,
@@ -79,29 +112,47 @@ def build_routed_layout(
     k1: float = BM25_K1,
     b: float = BM25_B,
     lowercase_first: bool = True,
+    num_routing_shards: int = DEFAULT_NUM_ROUTING_SHARDS,
 ) -> None:
     """docs(doc_id, text, <routing_col>) -> parquet at ``path``
     partitioned by ``bucket`` with columns
-    (term, doc_id, impact_local, impact_global).
+    (term, doc_id, tf, doclen, rbucket, impact_local, impact_global),
+    plus a ``_layout_meta.json`` sidecar.
 
     One tokenize pass feeds doclen, per-bucket stats, global stats, tf,
     and both df flavors; postings are sorted by term within each shard
-    partition so the term probe row-group-skips at rest."""
+    partition so the term probe row-group-skips at rest.
+
+    The raw (tf, doclen) columns and the routing-space hash
+    ``rbucket = hash % num_routing_shards`` exist so a later shrink or
+    split (index/resize.py) can re-place rows (``rbucket % M``) and
+    recompute shard-local impacts EXACTLY, without the corpus text.
+    ES contract: num_buckets must divide num_routing_shards."""
     from dpr_spark.functions.tokenizer import tokenize_col
 
+    if num_routing_shards % num_buckets != 0:
+        raise ValueError(
+            f"num_buckets={num_buckets} must divide "
+            f"num_routing_shards={num_routing_shards}"
+        )
     toks = docs.select(
         "doc_id",
-        route_bucket(routing_col, num_buckets, portable).alias("bucket"),
+        route_bucket(routing_col, num_routing_shards, portable).alias("rbucket"),
         tokenize_col("text", lowercase_first=lowercase_first).alias("toks"),
+    )
+    # bucket = rbucket % N == hash % N when N | R (pmod output >= 0)
+    toks = toks.withColumn(
+        "bucket", F.pmod(F.col("rbucket"), F.lit(num_buckets)).cast("int")
     )
     tf = (
         toks.select(
             "bucket",
+            "rbucket",
             "doc_id",
             F.size("toks").alias("doclen"),
             F.explode("toks").alias("term"),
         )
-        .groupBy("bucket", "doc_id", "doclen", "term")
+        .groupBy("bucket", "rbucket", "doc_id", "doclen", "term")
         .agg(F.count("*").alias("tf"))
     ).persist()
     ds = tf.select("bucket", "doc_id", "doclen").distinct()
@@ -116,24 +167,6 @@ def build_routed_layout(
     df_local = tf.groupBy("bucket", "term").agg(F.count("*").alias("df_b"))
     df_global = tf.groupBy("term").agg(F.count("*").alias("df_g"))
 
-    def _idf(df_col, n):
-        return F.log((n - df_col + F.lit(0.5)) / (df_col + F.lit(0.5)) + F.lit(1.0))
-
-    def _impact(idf, avgdl):
-        return (
-            idf
-            * F.col("tf").cast("double")
-            * F.lit(k1 + 1.0)
-            / (
-                F.col("tf").cast("double")
-                + F.lit(k1)
-                * (
-                    F.lit(1.0 - b)
-                    + F.lit(b) * F.col("doclen").cast("double") / avgdl
-                )
-            )
-        )
-
     post = (
         tf.join(df_local, ["bucket", "term"])
         .join(df_global, "term")
@@ -142,18 +175,52 @@ def build_routed_layout(
             "bucket",
             "term",
             "doc_id",
-            _impact(_idf(F.col("df_b"), F.col("n_b")), F.col("avgdl_b")).alias(
-                "impact_local"
-            ),
-            _impact(_idf(F.col("df_g"), F.lit(n_g)), F.lit(avgdl_g)).alias(
-                "impact_global"
-            ),
+            "tf",
+            "doclen",
+            "rbucket",
+            impact_expr(
+                idf_expr(F.col("df_b"), F.col("n_b")), F.col("avgdl_b"), k1, b
+            ).alias("impact_local"),
+            impact_expr(
+                idf_expr(F.col("df_g"), F.lit(n_g)), F.lit(avgdl_g), k1, b
+            ).alias("impact_global"),
         )
     )
     post.repartition("bucket").sortWithinPartitions("term", "doc_id").write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(path)
     tf.unpersist()
+    write_layout_meta(
+        path,
+        {
+            "num_buckets": int(num_buckets),
+            "num_routing_shards": int(num_routing_shards),
+            "portable": bool(portable),
+            "k1": float(k1),
+            "b": float(b),
+            "lowercase_first": bool(lowercase_first),
+        },
+    )
+
+
+def _meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_layout_meta.json")
+
+
+def write_layout_meta(path: str, meta: dict) -> None:
+    import json
+
+    with open(_meta_path(path), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+
+
+def read_layout_meta(path: str) -> dict:
+    import json
+
+    with open(_meta_path(path)) as f:
+        return json.load(f)
 
 
 def routed_scan(
