@@ -3377,6 +3377,81 @@ def q_highlight_topk() -> Entry:
     return fn, sql
 
 
+HLM_WINDOW = 8
+HLM_N = 3
+
+
+def q_highlight_multi_topk() -> Entry:
+    """Multi-fragment highlighting (Lucene getBestFragments / ES
+    number_of_fragments; query/highlight.py highlight_multi): up to
+    {HLM_N} non-overlapping {HLM_WINDOW}-token fragments per BM25
+    top-3 hit, greedily selected (hits DESC, start ASC, discard
+    overlaps). The Spark side is a Catalyst aggregate fold; the twin
+    unrolls the same greedy walk into {HLM_N} ranked picks."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.query.highlight import highlight_multi
+
+        top = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= 3)
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        frags = highlight_multi(
+            top, docs, _qterms_df(spark), window=HLM_WINDOW,
+            n_fragments=HLM_N, lowercase_first=True,
+        )
+        return top.select("qid", "rank", "doc_id").join(
+            frags, ["qid", "doc_id"]
+        ).select(
+            "qid", "rank", "doc_id", "frag_rank", "start_tok", "n_hits",
+            "fragment",
+        )
+
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + f""",
+    top3 AS (SELECT qid, rank, doc_id FROM ranked WHERE rank <= 3),
+    pos AS (SELECT doc_id, unnest(toks) AS term,
+                   generate_subscripts(toks, 1) AS p FROM tok),
+    h AS (
+      SELECT t.qid, t.rank, t.doc_id, pos.p
+      FROM top3 t JOIN qt ON qt.qid = t.qid
+           JOIN pos ON pos.doc_id = t.doc_id AND pos.term = qt.term),
+    win AS (
+      SELECT h1.qid, h1.rank, h1.doc_id, h1.p AS s, count(*) AS n_hits
+      FROM h h1 JOIN h h2 ON h2.qid = h1.qid AND h2.doc_id = h1.doc_id
+           AND h2.p >= h1.p AND h2.p < h1.p + {HLM_WINDOW}
+      GROUP BY 1, 2, 3, 4),
+    c1 AS (SELECT *, row_number() OVER (PARTITION BY qid, doc_id
+                                        ORDER BY n_hits DESC, s) AS cr
+           FROM win),
+    f1 AS (SELECT qid, rank, doc_id, s, n_hits FROM c1 WHERE cr = 1),
+    c2 AS (SELECT c1.qid, c1.rank, c1.doc_id, c1.s, c1.n_hits,
+                  row_number() OVER (PARTITION BY c1.qid, c1.doc_id
+                                     ORDER BY c1.n_hits DESC, c1.s) AS cr
+           FROM c1 JOIN f1 ON f1.qid = c1.qid AND f1.doc_id = c1.doc_id
+           WHERE abs(c1.s - f1.s) >= {HLM_WINDOW}),
+    f2 AS (SELECT qid, rank, doc_id, s, n_hits FROM c2 WHERE cr = 1),
+    c3 AS (SELECT c2.qid, c2.rank, c2.doc_id, c2.s, c2.n_hits,
+                  row_number() OVER (PARTITION BY c2.qid, c2.doc_id
+                                     ORDER BY c2.n_hits DESC, c2.s) AS cr
+           FROM c2 JOIN f2 ON f2.qid = c2.qid AND f2.doc_id = c2.doc_id
+           WHERE abs(c2.s - f2.s) >= {HLM_WINDOW}),
+    f3 AS (SELECT qid, rank, doc_id, s, n_hits FROM c3 WHERE cr = 1),
+    frags AS (
+      SELECT qid, rank, doc_id, s, n_hits, 1 AS frag_rank FROM f1
+      UNION ALL
+      SELECT qid, rank, doc_id, s, n_hits, 2 AS frag_rank FROM f2
+      UNION ALL
+      SELECT qid, rank, doc_id, s, n_hits, 3 AS frag_rank FROM f3)
+    SELECT fr.qid, fr.rank, fr.doc_id, fr.frag_rank::INT AS frag_rank,
+           (fr.s - 1)::INT AS start_tok, fr.n_hits::INT AS n_hits,
+           array_to_string(t.toks[fr.s : fr.s + {HLM_WINDOW} - 1], ' ')
+             AS fragment
+    FROM frags fr JOIN tok t USING (doc_id)"""
+    )
+    return fn, sql
+
+
 def q_domain_stats() -> Entry:
     """Per-domain crawl stats (extras/domains.py domain_of +
     per_domain_stats) over synthetic URLs derived from the documents
@@ -11761,6 +11836,7 @@ def all_entries() -> Dict[str, Entry]:
         "spell_suggest_popular": q_spell_suggest_popular(),
         "fix_mojibake": q_fix_mojibake(),
         "routed_shrink_topk": q_routed_shrink_topk(),
+        "highlight_multi_topk": q_highlight_multi_topk(),
         "rm3_topk": q_rm3_topk(),
         "span_near_topk": q_span_near_topk(),
         "span_first_topk": q_span_first_topk(),

@@ -1075,6 +1075,27 @@ def best_fragment(tokens, terms, window: int = 30):
     return s, -neg, " ".join(tokens[s : s + window])
 
 
+def best_fragments(tokens, terms, window: int = 30, n_fragments: int = 3):
+    """Multi-fragment twin (query/highlight.py highlight_multi):
+    candidates ranked (hits DESC, start ASC), greedily accepted while
+    disjoint from every accepted window, up to n_fragments; -> list of
+    (frag_rank, start_tok, n_hits, fragment) in selection order."""
+    tset = set(terms)
+    hits = [i for i, t in enumerate(tokens) if t in tset]
+    ranked = sorted(
+        (-sum(1 for p in hits if st <= p < st + window), st) for st in hits
+    )
+    sel: list = []
+    for neg, st in ranked:
+        if len(sel) >= n_fragments:
+            break
+        if all(abs(st - s0) >= window for _r, s0, _n, _f in sel):
+            sel.append(
+                (len(sel) + 1, st, -neg, " ".join(tokens[st : st + window]))
+            )
+    return sel
+
+
 def _levenshtein(a: str, b: str, threshold: int) -> int:
     """Plain DP edit distance; returns -1 when > threshold (the Spark
     `levenshtein(l, r, threshold)` contract the engine filters on)."""

@@ -52,3 +52,60 @@ def test_highlight_no_hit_docs_dropped(spark):
     qt = spark.createDataFrame([(0, "beta")], "qid int, term string")
     rows = highlight(results, docs, qt, window=2).collect()
     assert [(r.qid, r.doc_id, r.fragment) for r in rows] == [(0, 0, "beta gamma")]
+
+
+@pytest.mark.parametrize("window,n_frags", [(5, 3), (10, 2), (3, 5)])
+def test_highlight_multi_vs_oracle(
+    spark, index, pages_pdf, queries_pdf, oracle, window, n_frags
+):
+    from dpr_spark.fixtures.corpus import assign_doc_ids
+    from dpr_spark.functions.normalize import normalize_question
+    from dpr_spark.functions.tokenizer import tokenize
+    from dpr_spark.oracle.bm25 import best_fragments
+    from dpr_spark.query.highlight import highlight_multi
+    from dpr_spark.query.scorer import search
+
+    qsub = queries_pdf.head(8)
+    qdf = spark.createDataFrame(qsub[["qid", "question"]])
+    results = search(qdf, index, k=5)
+    qt_rows, qterms = [], {}
+    for _, row in qsub.iterrows():
+        terms = sorted(set(tokenize(normalize_question(row.question))))
+        qterms[row.qid] = terms
+        qt_rows += [(int(row.qid), t) for t in terms]
+    qt = spark.createDataFrame(qt_rows, "qid int, term string")
+    pw = assign_doc_ids(pages_pdf)
+    docs = spark.createDataFrame(pw[["doc_id", "text"]])
+
+    rows = highlight_multi(
+        results, docs, qt, window=window, n_fragments=n_frags
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault((r.qid, r.doc_id), []).append(
+            (r.frag_rank, r.start_tok, r.n_hits, r.fragment)
+        )
+    for v in got.values():
+        v.sort()
+    n_checked = 0
+    for (qid, doc_id), frags in got.items():
+        exp = best_fragments(
+            oracle.doc_tokens[doc_id], qterms[qid], window, n_frags
+        )
+        assert frags == exp, (qid, doc_id)
+        # fragments are pairwise non-overlapping
+        starts = [s for _r, s, _n, _f in frags]
+        for i, a in enumerate(starts):
+            for b in starts[i + 1:]:
+                assert abs(a - b) >= window
+        n_checked += len(frags)
+    assert n_checked > results.count()  # small windows split into multis
+    # frag_rank 1 equals the single-fragment highlighter everywhere
+    from dpr_spark.query.highlight import highlight
+
+    single = {
+        (r.qid, r.doc_id): (r.start_tok, r.n_hits, r.fragment)
+        for r in highlight(results, docs, qt, window=window).collect()
+    }
+    for key, frags in got.items():
+        assert (frags[0][1], frags[0][2], frags[0][3]) == single[key], key
