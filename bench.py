@@ -411,6 +411,9 @@ def main() -> None:
         "dup_spans_exact", "exact_substr_dedup",
         "variable_width_histogram", "cumulative_cardinality", "change_point",
         "geo_line", "alpha_mix_sample",
+        # round-5 session-11 additions
+        "mlt_unlike_topk", "spell_suggest_popular", "fix_mojibake",
+        "routed_shrink_topk", "highlight_multi_topk", "charset_sniff",
     ]:
         try:
             fn, _ = entries[name]

@@ -3452,6 +3452,60 @@ def q_highlight_multi_topk() -> Entry:
     return fn, sql
 
 
+def q_charset_sniff() -> Entry:
+    """Charset sniffing + decode (WHATWG HTML encoding prescan;
+    functions/textextract.py charset_report): html binary is
+    constructed in-query per doc — a utf-8 <meta>, a Latin-1-labelled
+    <meta> (the spec maps the whole Latin-1 family to windows-1252),
+    and a BOM'd UTF-16LE page — sniffed and decoded by the Arrow UDF
+    pair; the twin states the expected label/source/decoded string per
+    case, cross-checking the real byte-level sniff."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.functions.textextract import charset_report
+
+        d = _docs(spark, sf_dir)
+        m = F.col("doc_id") % 3
+        utf8_doc = F.concat(
+            F.lit('<html><head><meta charset="utf-8"></head><body>'),
+            F.col("text"), F.lit("</body></html>"),
+        )
+        lat1_doc = F.concat(
+            F.lit('<html><head><meta charset="iso-8859-1"></head><body>'),
+            F.col("text"), F.lit("</body></html>"),
+        )
+        u16_doc = F.concat(
+            F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")
+        )
+        html = (
+            F.when(m == 0, F.encode(utf8_doc, "UTF-8"))
+            .when(m == 1, F.encode(lat1_doc, "UTF-8"))
+            .otherwise(
+                F.concat(
+                    F.lit(bytes([0xFF, 0xFE])), F.encode(u16_doc, "UTF-16LE")
+                )
+            )
+        )
+        return charset_report(
+            d.select("doc_id", html.alias("html"))
+        ).orderBy("doc")
+
+    sql = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'cp1252'
+                ELSE 'utf-16-le' END AS charset,
+           CASE WHEN doc_id % 3 = 2 THEN 'bom' ELSE 'meta' END AS source,
+           CASE doc_id % 3
+             WHEN 0 THEN '<html><head><meta charset="utf-8"></head><body>'
+                         || text || '</body></html>'
+             WHEN 1 THEN '<html><head><meta charset="iso-8859-1"></head><body>'
+                         || text || '</body></html>'
+             ELSE '<html><body>' || text || '</body></html>'
+           END AS text
+    FROM documents ORDER BY doc"""
+    return fn, sql
+
+
 def q_domain_stats() -> Entry:
     """Per-domain crawl stats (extras/domains.py domain_of +
     per_domain_stats) over synthetic URLs derived from the documents
@@ -11837,6 +11891,7 @@ def all_entries() -> Dict[str, Entry]:
         "fix_mojibake": q_fix_mojibake(),
         "routed_shrink_topk": q_routed_shrink_topk(),
         "highlight_multi_topk": q_highlight_multi_topk(),
+        "charset_sniff": q_charset_sniff(),
         "rm3_topk": q_rm3_topk(),
         "span_near_topk": q_span_near_topk(),
         "span_first_topk": q_span_first_topk(),

@@ -35,3 +35,66 @@ def test_udf_matches_pure(spark, pages_df, pages_pdf):
         .collect()[0]
     )
     assert got.bad == 0
+
+
+# --------------------------- charset sniffing ---------------------------
+
+CS_TEXT = "café o’brien — plain words here"
+
+
+def _page(kind):
+    """(html_bytes, want_charset, want_source, want_text)."""
+    from dpr_spark.functions.textextract import decode_html
+
+    if kind == "utf8_meta":
+        doc = '<html><head><meta charset="utf-8"></head><body>%s</body></html>' % CS_TEXT
+        return doc.encode("utf-8"), "utf-8", "meta", doc
+    if kind == "cp1252_meta":
+        doc = '<html><head><meta charset="iso-8859-1"></head><body>%s</body></html>' % CS_TEXT
+        return doc.encode("cp1252"), "cp1252", "meta", doc
+    if kind == "http_equiv":
+        doc = ('<html><head><meta http-equiv="Content-Type" '
+               'content="text/html; charset=windows-1252"></head>'
+               "<body>%s</body></html>") % CS_TEXT
+        return doc.encode("cp1252"), "cp1252", "meta", doc
+    if kind == "utf16_bom":
+        doc = "<html><body>%s</body></html>" % CS_TEXT
+        return b"\xff\xfe" + doc.encode("utf-16-le"), "utf-16-le", "bom", doc
+    if kind == "utf8_bom":
+        doc = "<html><body>%s</body></html>" % CS_TEXT
+        return b"\xef\xbb\xbf" + doc.encode("utf-8"), "utf-8", "bom", doc
+    if kind == "default":
+        doc = "<html><body>%s</body></html>" % CS_TEXT
+        return doc.encode("utf-8"), "utf-8", "default", doc
+    raise ValueError(kind)
+
+
+KINDS = ["utf8_meta", "cp1252_meta", "http_equiv", "utf16_bom", "utf8_bom", "default"]
+
+
+def test_detect_and_decode_pure():
+    from dpr_spark.functions.textextract import decode_html, detect_charset
+
+    for kind in KINDS:
+        raw, cs, src, doc = _page(kind)
+        assert detect_charset(raw) == (cs, src), kind
+        assert decode_html(raw) == doc, kind
+
+
+def test_charset_report_udfs(spark):
+    from dpr_spark.functions.textextract import charset_report
+
+    rows = [(i, bytearray(_page(k)[0])) for i, k in enumerate(KINDS)]
+    df = spark.createDataFrame(rows, "doc_id long, html binary")
+    got = {r.doc: (r.charset, r.source, r.text) for r in charset_report(df).collect()}
+    for i, k in enumerate(KINDS):
+        _raw, cs, src, doc = _page(k)
+        assert got[i] == (cs, src, doc), k
+
+
+def test_decode_never_raises_on_garbage():
+    from dpr_spark.functions.textextract import decode_html
+
+    # declared utf-8 but invalid bytes -> U+FFFD, no exception
+    out = decode_html(b'<meta charset="utf-8">ok\xc3ok')
+    assert "ok�ok" in out
