@@ -172,3 +172,117 @@ def assert_healthy(spark: SparkSession, index: InvertedIndex, **kw) -> None:
     bad = [(c, v, det) for c, v, det in check_index(spark, index, **kw) if v]
     if bad:
         raise AssertionError(f"index integrity violations: {bad}")
+
+
+def check_layout(
+    spark: SparkSession, path: str, tol: float = 1e-9
+) -> List[Tuple[str, int, str]]:
+    """CheckIndex for the ROUTED layout (query/routing.py /
+    index/resize.py): verify the invariants a resize depends on, so an
+    operator can gate an alias swap on a green report after every
+    shrink/split. [(check, violations, detail)], 0 everywhere when
+    healthy.
+
+    - meta_consistent:   num_buckets divides num_routing_shards
+    - rbucket_range:     0 <= rbucket < num_routing_shards
+    - bucket_placement:  bucket == rbucket % num_buckets on every row
+    - postings_unique:   one row per (term, doc_id)
+    - doclen_consistent: doclen constant per doc_id
+    - impact_local_exact / impact_global_exact: stored impacts match a
+      recompute from the raw (tf, doclen) columns and re-aggregated
+      stats within `tol` (summation order may differ by one ulp)
+    """
+    from dpr_spark.query.routing import idf_expr, impact_expr, read_layout_meta
+
+    out: List[Tuple[str, int, str]] = []
+    meta = read_layout_meta(path)
+    n, r = int(meta["num_buckets"]), int(meta["num_routing_shards"])
+    k1, b = float(meta["k1"]), float(meta["b"])
+    out.append(
+        (
+            "meta_consistent",
+            0 if (n > 0 and r % n == 0) else 1,
+            f"num_buckets={n} num_routing_shards={r}",
+        )
+    )
+    post = spark.read.parquet(path)
+    out.append(
+        (
+            "rbucket_range",
+            _violations(
+                post.filter((F.col("rbucket") < 0) | (F.col("rbucket") >= r))
+            ),
+            f"rbucket outside [0,{r})",
+        )
+    )
+    out.append(
+        (
+            "bucket_placement",
+            _violations(
+                post.filter(
+                    F.col("bucket")
+                    != F.pmod(F.col("rbucket"), F.lit(n)).cast("int")
+                )
+            ),
+            "bucket != rbucket % num_buckets",
+        )
+    )
+    dup = (
+        post.groupBy("term", "doc_id")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    out.append(("postings_unique", _violations(dup), "dup (term, doc_id) rows"))
+    dl = (
+        post.groupBy("doc_id")
+        .agg(F.countDistinct("doclen").alias("nd"))
+        .filter(F.col("nd") > 1)
+    )
+    out.append(("doclen_consistent", _violations(dl), "doclen varies per doc"))
+
+    ds = post.select("bucket", "doc_id", "doclen").distinct()
+    bstats = ds.groupBy("bucket").agg(
+        F.count("*").cast("double").alias("n_b"),
+        F.avg("doclen").alias("avgdl_b"),
+    )
+    grow = ds.agg(
+        F.count("*").cast("double").alias("n_g"),
+        F.avg("doclen").alias("avgdl_g"),
+    ).first()
+    df_local = post.groupBy("bucket", "term").agg(F.count("*").alias("df_b"))
+    df_global = post.groupBy("term").agg(F.count("*").alias("df_g"))
+    re_l = impact_expr(idf_expr(F.col("df_b"), F.col("n_b")), F.col("avgdl_b"), k1, b)
+    re_g = impact_expr(
+        idf_expr(F.col("df_g"), F.lit(float(grow["n_g"]))),
+        F.lit(float(grow["avgdl_g"])),
+        k1,
+        b,
+    )
+    joined = post.join(df_local, ["bucket", "term"]).join(df_global, "term").join(
+        F.broadcast(bstats), "bucket"
+    )
+    out.append(
+        (
+            "impact_local_exact",
+            _violations(
+                joined.filter(F.abs(F.col("impact_local") - re_l) > F.lit(tol))
+            ),
+            f"stored impact_local off by > {tol}",
+        )
+    )
+    out.append(
+        (
+            "impact_global_exact",
+            _violations(
+                joined.filter(F.abs(F.col("impact_global") - re_g) > F.lit(tol))
+            ),
+            f"stored impact_global off by > {tol}",
+        )
+    )
+    return out
+
+
+def assert_layout_healthy(spark: SparkSession, path: str, **kw) -> None:
+    bad = [(c, v, det) for c, v, det in check_layout(spark, path, **kw) if v]
+    if bad:
+        raise AssertionError(f"layout integrity violations: {bad}")

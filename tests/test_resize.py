@@ -129,3 +129,47 @@ def test_resized_scan_still_prunes(spark, src_layout, tmp_path_factory):
     assert "PartitionFilters" in plan and "bucket" in plan, plan
     # and the pruned scan actually returns only that shard's rows
     assert [r.bucket for r in scan.select("bucket").distinct().collect()] == [1]
+
+
+def test_check_layout_healthy_and_catches_corruption(
+    spark, src_layout, tmp_path_factory
+):
+    """check_layout (index/check.py): green after build and after both
+    resizes; a tampered layout fails the right checks."""
+    from dpr_spark.index.check import assert_layout_healthy, check_layout
+    from dpr_spark.index.resize import resize_layout
+    from dpr_spark.query.routing import read_layout_meta, write_layout_meta
+
+    assert_layout_healthy(spark, src_layout)
+    for nb in (2, 16):
+        dst = str(tmp_path_factory.mktemp(f"chk_{nb}"))
+        resize_layout(spark, src_layout, dst, nb)
+        assert_layout_healthy(spark, dst)
+
+    # tamper: bump one row's impact_local and misplace one row's bucket
+    bad = str(tmp_path_factory.mktemp("chk_bad"))
+    post = spark.read.parquet(src_layout)
+    t = (
+        post.withColumn(
+            "impact_local",
+            F.when(F.col("doc_id") == 0, F.col("impact_local") + 1.0).otherwise(
+                F.col("impact_local")
+            ),
+        )
+        .withColumn(
+            "rbucket",
+            F.when(F.col("doc_id") == 1, F.col("rbucket") + 1).otherwise(
+                F.col("rbucket")
+            ),
+        )
+    )
+    t.write.mode("overwrite").partitionBy("bucket").parquet(bad)
+    write_layout_meta(bad, read_layout_meta(src_layout))
+    res = {c: v for c, v, _ in check_layout(spark, bad)}
+    assert res["impact_local_exact"] > 0
+    assert res["bucket_placement"] > 0
+    assert res["impact_global_exact"] == 0
+    with pytest.raises(AssertionError):
+        from dpr_spark.index.check import assert_layout_healthy as alh
+
+        alh(spark, bad)
