@@ -455,3 +455,61 @@ def test_cli_tokenizer_train(tmp_path, pages_pdf):
     assert "".join(enc[row["url"]]) == "".join(
         t + END for t in tokenize(row["text"])
     )
+
+
+def test_index_admin_cli(tmp_path, pages_pdf):
+    """index_admin.py end-to-end as subprocesses: build-layout ->
+    shrink (self-verifying) -> check-layout; check over a saved index;
+    a corrupted layout exits nonzero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pages_path = str(tmp_path / "pages.parquet")
+    pdf = pages_pdf.head(120).reset_index(drop=True).copy()
+    pdf["doc_id"] = pdf.index.astype("int64")
+    pq.write_table(
+        pa.Table.from_pandas(pdf[["doc_id", "text", "lang"]],
+                             preserve_index=False),
+        pages_path,
+    )
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    layout = str(tmp_path / "layout")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "index_admin.py"),
+         "build-layout", "--pages", pages_path, "--out", layout,
+         "--routing-col", "lang", "--buckets", "8", "--portable"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "built layout: 8 buckets" in out.stdout
+
+    shrunk = str(tmp_path / "layout4")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "index_admin.py"),
+         "shrink", "--src", layout, "--out", shrunk, "--buckets", "4"],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "shrink:" in out.stdout and "4 buckets" in out.stdout
+    assert "BAD" not in out.stdout
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "index_admin.py"),
+         "check-layout", "--src", shrunk],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    # corrupt the meta (wrong bucket count) -> placement check fails
+    import json
+    meta_p = os.path.join(shrunk, "_layout_meta.json")
+    meta = json.load(open(meta_p))
+    meta["num_buckets"] = 2
+    json.dump(meta, open(meta_p, "w"))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "index_admin.py"),
+         "check-layout", "--src", shrunk],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out.returncode == 1
+    assert "BAD bucket_placement" in out.stdout
