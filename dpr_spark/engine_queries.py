@@ -3452,6 +3452,91 @@ def q_highlight_multi_topk() -> Entry:
     return fn, sql
 
 
+def q_robots_allowed() -> Entry:
+    """robots.txt evaluation (RFC 9309; extras/robots.py): per-host
+    rule groups (a catch-all '*' template on every host plus a
+    'webbot'-specific allow-all group on the first host, which REPLACES
+    '*' there), longest-raw-pattern match wins, allow wins equal-length
+    ties, no match/group -> allowed. Both engines compile patterns to
+    the same LIKE spelling, so the twin runs the identical decision
+    procedure."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.extras.robots import robots_allowed
+
+        docs = _docs(spark, sf_dir)
+        m = F.col("doc_id") % 5
+        urls = docs.select(
+            "doc_id",
+            F.concat("source", F.lit(".example.com")).alias("host"),
+            F.when(m == 0, F.lit("/"))
+            .when(m == 1, F.concat(F.lit("/public/page"), F.col("doc_id")))
+            .when(m == 2, F.concat(F.lit("/public/private/"), F.col("doc_id")))
+            .when(m == 3, F.concat(F.lit("/files/doc"), F.col("doc_id"), F.lit(".pdf")))
+            .otherwise(F.concat(F.lit("/ok/"), F.col("doc_id")))
+            .alias("path"),
+        )
+        srcs = sorted(r["source"] for r in docs.select("source").distinct().collect())
+        tmpl = [
+            ("*", "disallow", "/"),
+            ("*", "allow", "/public*"),
+            ("*", "disallow", "/public/private*"),
+            ("*", "disallow", "/*.pdf$"),
+        ]
+        rows = [
+            (f"{s}.example.com", a, r, p) for s in srcs for a, r, p in tmpl
+        ] + [(f"{srcs[0]}.example.com", "webbot", "allow", "/*")]
+        rules = spark.createDataFrame(
+            rows, "host string, agent string, rule string, path string"
+        )
+        return robots_allowed(urls, rules, "webbot").orderBy("doc_id")
+
+    from dpr_spark.extras.robots import LIKE_PATTERN_SQL
+
+    sql = f"""
+    WITH srcs AS (SELECT DISTINCT source FROM documents),
+    s0 AS (SELECT min(source) AS source FROM srcs),
+    tmpl(agent, rule, path) AS (VALUES
+      ('*', 'disallow', '/'), ('*', 'allow', '/public*'),
+      ('*', 'disallow', '/public/private*'), ('*', 'disallow', '/*.pdf$')),
+    rules AS (
+      SELECT source || '.example.com' AS host, agent, rule, path
+      FROM srcs CROSS JOIN tmpl
+      UNION ALL
+      SELECT source || '.example.com', 'webbot', 'allow', '/*' FROM s0),
+    urls AS (
+      SELECT doc_id, source || '.example.com' AS host,
+             CASE doc_id % 5
+               WHEN 0 THEN '/'
+               WHEN 1 THEN '/public/page' || doc_id
+               WHEN 2 THEN '/public/private/' || doc_id
+               WHEN 3 THEN '/files/doc' || doc_id || '.pdf'
+               ELSE '/ok/' || doc_id END AS path
+      FROM documents),
+    rl AS (
+      SELECT host, lower(agent) AS agent, lower(rule) AS rule, path,
+             {LIKE_PATTERN_SQL} AS pat, length(path) AS plen
+      FROM rules WHERE lower(agent) IN ('webbot', '*')),
+    spec AS (SELECT DISTINCT host FROM rl WHERE agent = 'webbot'),
+    grp AS (
+      SELECT rl.host, rl.rule, rl.path, rl.pat, rl.plen
+      FROM rl LEFT JOIN spec ON spec.host = rl.host
+      WHERE CASE WHEN spec.host IS NOT NULL THEN rl.agent = 'webbot'
+                 ELSE rl.agent = '*' END),
+    m AS (
+      SELECT u.doc_id, u.host, u.path, g.rule, g.path AS rpath,
+             row_number() OVER (
+               PARTITION BY u.doc_id
+               ORDER BY g.plen DESC, (g.rule = 'allow') DESC, g.path) AS rn
+      FROM urls u LEFT JOIN grp g
+        ON g.host = u.host AND u.path LIKE g.pat ESCAPE '\\')
+    SELECT doc_id, host, path,
+           coalesce(rule <> 'disallow', TRUE) AS allowed,
+           rule AS matched_rule, rpath AS matched_path
+    FROM m WHERE rn = 1 ORDER BY doc_id"""
+    return fn, sql
+
+
 def q_charset_sniff() -> Entry:
     """Charset sniffing + decode (WHATWG HTML encoding prescan;
     functions/textextract.py charset_report): html binary is
@@ -11892,6 +11977,7 @@ def all_entries() -> Dict[str, Entry]:
         "routed_shrink_topk": q_routed_shrink_topk(),
         "highlight_multi_topk": q_highlight_multi_topk(),
         "charset_sniff": q_charset_sniff(),
+        "robots_allowed": q_robots_allowed(),
         "rm3_topk": q_rm3_topk(),
         "span_near_topk": q_span_near_topk(),
         "span_first_topk": q_span_first_topk(),
