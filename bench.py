@@ -414,7 +414,7 @@ def main() -> None:
         # round-5 session-11 additions
         "mlt_unlike_topk", "spell_suggest_popular", "fix_mojibake",
         "routed_shrink_topk", "highlight_multi_topk", "charset_sniff",
-        "robots_allowed",
+        "robots_allowed", "taxonomy_facets",
     ]:
         try:
             fn, _ = entries[name]

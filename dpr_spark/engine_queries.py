@@ -3452,6 +3452,50 @@ def q_highlight_multi_topk() -> Entry:
     return fn, sql
 
 
+def q_taxonomy_facets() -> Entry:
+    """Hierarchical taxonomy facets (lucene/facet getTopChildren;
+    query/facets.py taxonomy_facets): per query, the top immediate
+    children UNDER a drill-down path, counted over the BM25 top-10 and
+    ranked (n DESC, label ASC). Paths are synthesized 3 levels deep
+    from doc_id so every engine sees the same taxonomy."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.query.facets import taxonomy_facets
+
+        top = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= 10)
+        paths = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.lit("cat"), F.col("doc_id") % 2,
+                F.lit("/sub"), F.col("doc_id") % 3,
+                F.lit("/leaf"), F.col("doc_id") % 5,
+            ).alias("path"),
+        )
+        return taxonomy_facets(top, paths, under="cat0", top_n=10)
+
+    sql = (
+        "WITH "
+        + _BM25_CTES.replace("{QTERMS}", _qterm_values_sql())
+        + """,
+    top AS (SELECT qid, doc_id FROM ranked WHERE rank <= 10),
+    paths AS (SELECT doc_id,
+                     'cat' || (doc_id % 2) || '/sub' || (doc_id % 3)
+                     || '/leaf' || (doc_id % 5) AS path
+              FROM documents),
+    j AS (SELECT t.qid, string_split(p.path, '/') AS parts
+          FROM top t JOIN paths p USING (doc_id)),
+    f AS (SELECT qid, parts[1] || '/' || parts[2] AS child,
+                 parts[2] AS label
+          FROM j WHERE len(parts) >= 2 AND parts[1] = 'cat0'),
+    c AS (SELECT qid, child, label, count(*) AS n FROM f GROUP BY 1, 2, 3),
+    r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY n DESC, label) AS rn
+          FROM c)
+    SELECT qid, rn::INT AS rank, child, label, n FROM r WHERE rn <= 10"""
+    )
+    return fn, sql
+
+
 def q_robots_allowed() -> Entry:
     """robots.txt evaluation (RFC 9309; extras/robots.py): per-host
     rule groups (a catch-all '*' template on every host plus a
@@ -11978,6 +12022,7 @@ def all_entries() -> Dict[str, Entry]:
         "highlight_multi_topk": q_highlight_multi_topk(),
         "charset_sniff": q_charset_sniff(),
         "robots_allowed": q_robots_allowed(),
+        "taxonomy_facets": q_taxonomy_facets(),
         "rm3_topk": q_rm3_topk(),
         "span_near_topk": q_span_near_topk(),
         "span_first_topk": q_span_first_topk(),

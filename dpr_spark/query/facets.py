@@ -126,3 +126,64 @@ def drill_sideways(
         )
     )
     return side.unionByName(hits)
+
+
+def taxonomy_facets(
+    results: DataFrame,
+    doc_paths: DataFrame,
+    path_col: str = "path",
+    sep: str = "/",
+    under: str = "",
+    top_n: int = 10,
+) -> DataFrame:
+    """Hierarchical (taxonomy) facets — the lucene/facet path taxonomy:
+    each result doc carries a path like ``"science/physics/quantum"``;
+    the UI asks "what are the top child categories under <under> for
+    this query's hits?" and drills down a level at a time.
+
+    results(qid, doc_id[, ...]) ⋈ doc_paths(doc_id, <path_col>) ->
+    (qid, rank, child, label, n): the ``top_n`` IMMEDIATE children of
+    ``under`` ranked (n DESC, label ASC), where ``n`` counts result
+    docs whose path passes through that child (Lucene
+    ``FacetsCollector`` + ``getTopChildren(n, path...)``). ``child`` is
+    the full path of the child node, ``label`` its last segment.
+    ``under=""`` lists the taxonomy roots.
+
+    Scale shape: the k×queries result set joins doc paths (narrow J1
+    join); the level selection is pure string column math (no explode
+    of all ancestors — only the one requested level materializes), then
+    a partial+final hash agg and the exact per-qid top-N window."""
+    from pyspark.sql import Window
+
+    depth = 0 if not under else len(under.split(sep))
+    j = results.select("qid", "doc_id").join(
+        doc_paths.select("doc_id", F.col(path_col).alias("_p")), "doc_id"
+    )
+    parts = F.split(F.col("_p"), re_escape_sep(sep))
+    if under:
+        j = j.filter(
+            (F.size(parts) > depth)
+            & (F.array_join(F.slice(parts, 1, depth), sep) == F.lit(under))
+        )
+    else:
+        j = j.filter(F.size(parts) > 0)
+    child = F.array_join(F.slice(parts, 1, depth + 1), sep)
+    label = F.element_at(parts, depth + 1)
+    counts = (
+        j.select("qid", child.alias("child"), label.alias("label"))
+        .groupBy("qid", "child", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("qid", "rank", "child", "label", "n")
+    )
+
+
+def re_escape_sep(sep: str) -> str:
+    """F.split takes a regex; escape the separator literally."""
+    import re as _re
+
+    return _re.escape(sep)

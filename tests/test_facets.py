@@ -116,3 +116,60 @@ def test_drill_sideways_requires_selection(spark, facet_fixture):
             ),
             {},
         )
+
+
+def _tax_twin(doc_paths, results, under, top_n, sep="/"):
+    depth = 0 if not under else len(under.split(sep))
+    counts = {}
+    for qid, doc_id in results:
+        p = doc_paths.get(doc_id)
+        if p is None:
+            continue
+        parts = p.split(sep)
+        if len(parts) <= depth:
+            continue
+        if under and sep.join(parts[:depth]) != under:
+            continue
+        child = sep.join(parts[: depth + 1])
+        counts[(qid, child, parts[depth])] = (
+            counts.get((qid, child, parts[depth]), 0) + 1
+        )
+    out = {}
+    by_qid = {}
+    for (qid, child, label), n in counts.items():
+        by_qid.setdefault(qid, []).append((-n, label, child))
+    for qid, lst in by_qid.items():
+        lst.sort()
+        out[qid] = [
+            (r + 1, child, label, -negn)
+            for r, (negn, label, child) in enumerate(lst[:top_n])
+        ]
+    return out
+
+
+@pytest.mark.parametrize("under,top_n", [("", 3), ("sci", 5), ("sci/phys", 2)])
+def test_taxonomy_facets_vs_twin(spark, under, top_n):
+    from dpr_spark.query.facets import taxonomy_facets
+
+    paths = [
+        "sci/phys/quantum", "sci/phys/classical", "sci/bio",
+        "sci/phys/quantum", "arts/music", "arts", "sci",
+        "sci/bio/genetics", "arts/music/jazz", "sci/phys",
+    ]
+    doc_paths = {i: p for i, p in enumerate(paths)}
+    results = [(1, i) for i in range(len(paths))] + [
+        (2, i) for i in range(0, len(paths), 2)
+    ]
+    rdf = spark.createDataFrame(results, "qid int, doc_id long")
+    pdf = spark.createDataFrame(
+        list(doc_paths.items()), "doc_id long, path string"
+    )
+    rows = taxonomy_facets(rdf, pdf, under=under, top_n=top_n).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.qid, []).append((r.rank, r.child, r.label, r.n))
+    for v in got.values():
+        v.sort()
+    want = _tax_twin(doc_paths, results, under, top_n)
+    want = {q: v for q, v in want.items() if v}
+    assert got == want, (under, got, want)
