@@ -414,7 +414,7 @@ def main() -> None:
         # round-5 session-11 additions
         "mlt_unlike_topk", "spell_suggest_popular", "fix_mojibake",
         "routed_shrink_topk", "highlight_multi_topk", "charset_sniff",
-        "robots_allowed", "taxonomy_facets",
+        "robots_allowed", "taxonomy_facets", "query_string_and_topk",
     ]:
         try:
             fn, _ = entries[name]

@@ -7729,7 +7729,7 @@ QS_QUERIES = [
 QS_EXP = 8
 
 
-def q_query_string_topk() -> Entry:
+def _query_string_entry(qs, default_operator: str = "or") -> Entry:
     """Lucene query-string language (query/querystring.py): `+must`,
     `-must_not`, `"phrases"`, `glob*`, `fuzzy~` clauses compiled onto
     the engine's term/expansion/phrase machinery in ONE scoring pass.
@@ -7737,7 +7737,9 @@ def q_query_string_topk() -> Entry:
     expansion windows (dist ASC / df DESC / term ASC for fuzzy, df DESC
     / term ASC for globs, cap {QS_EXP}), phrase adjacency via start-
     position grouping, must coverage counted over distinct clause ids,
-    must_not as NOT EXISTS."""
+    must_not as NOT EXISTS. default_operator="and" (ES
+    simple_query_string contract) makes unprefixed clauses MUST —
+    the SAME parse drives both engines, so the twin inherits it."""
 
     def fn(spark, sf_dir):
         from dpr_spark.index.build import build_index_from_docs
@@ -7748,8 +7750,9 @@ def q_query_string_topk() -> Entry:
             spark, docs, build_blocks=False, build_positional=True
         )
         res = query_string_search(
-            spark, QS_QUERIES, idx, positions=idx.positions,
+            spark, qs, idx, positions=idx.positions,
             k=10, max_expansions=QS_EXP,
+            default_operator=default_operator,
         ).select("qid", "doc_id", F.round("score", 6).alias("score_r"))
         w = Window.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
         return res.withColumn("rank", F.row_number().over(w)).select(
@@ -7760,8 +7763,8 @@ def q_query_string_topk() -> Entry:
     from dpr_spark.query.querystring import parse_query_string
 
     term_v, fuzzy_v, wild_v, phrase_v, nmust_v = [], [], [], [], []
-    for qid, q in QS_QUERIES:
-        clauses = parse_query_string(q)
+    for qid, q in qs:
+        clauses = parse_query_string(q, default_operator)
         nmust_v.append(
             f"({qid}, {sum(1 for c in clauses if c.occur == 'must')})"
         )
@@ -7897,6 +7900,26 @@ def q_query_string_topk() -> Entry:
       FROM ok)
     SELECT qid, rank, doc_id, score_r FROM ranked_qs WHERE rank <= 10"""
     return fn, sql
+
+
+def q_query_string_topk() -> Entry:
+    return _query_string_entry(QS_QUERIES, "or")
+
+
+QS_AND_QUERIES = [
+    (0, 'spark window agg'),
+    (1, 'customer join -batch'),
+    (2, 'fast filt* scan'),
+    (3, '"hash join" table'),
+]
+
+
+def q_query_string_and_topk() -> Entry:
+    """simple_query_string with default_operator=AND: every unprefixed
+    clause (terms, globs, phrases alike) is required; explicit `-`
+    still vetoes. Same parse -> same twin SQL, with n_must counting the
+    promoted clauses."""
+    return _query_string_entry(QS_AND_QUERIES, "and")
 
 
 def q_has_parent_topk() -> Entry:
@@ -12119,6 +12142,7 @@ def all_entries() -> Dict[str, Entry]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk(),
         "matched_queries_topk": q_matched_queries_topk(),
         "query_string_topk": q_query_string_topk(),
+        "query_string_and_topk": q_query_string_and_topk(),
         "has_parent_topk": q_has_parent_topk(),
         "inner_hits": q_inner_hits(),
         "metric_aggs_misc": q_metric_aggs_misc(),

@@ -1205,7 +1205,8 @@ def phrase_suggest_twin(
     return [(i + 1, s, sc) for i, (s, sc) in enumerate(ranked)]
 
 
-def query_string_twin(oracle, s: str, k: int = 10, max_expansions: int = 8):
+def query_string_twin(oracle, s: str, k: int = 10, max_expansions: int = 8,
+                      default_operator: str = "or"):
     """Pure-Python twin of query/querystring.py::query_string_search
     over a BM25Oracle: same parse (shared parser — deterministic pure
     Python), same expansion ranking, phrase pf-scoring, must/must_not
@@ -1215,7 +1216,7 @@ def query_string_twin(oracle, s: str, k: int = 10, max_expansions: int = 8):
     from dpr_spark.query.boolquery import wildcard_regex
     from dpr_spark.query.querystring import parse_query_string
 
-    clauses = parse_query_string(s)
+    clauses = parse_query_string(s, default_operator)
     contribs: Dict[int, Dict[int, float]] = {}  # doc -> cid -> contrib
     matched_cids: Dict[int, set] = {}  # doc -> set(cid)
     veto: set = set()

@@ -60,8 +60,17 @@ class QSClause:
     edits: int = 1
 
 
-def parse_query_string(s: str) -> List[QSClause]:
-    """Deterministic parse; raises ValueError on empty/unparsable."""
+def parse_query_string(s: str, default_operator: str = "or") -> List[QSClause]:
+    """Deterministic parse; raises ValueError on empty/unparsable.
+    default_operator (ES simple_query_string/query_string
+    `default_operator`): "or" (default) makes unprefixed clauses
+    SHOULD; "and" makes them MUST (explicit +/- prefixes are
+    unaffected). A multi-token bare input under "and" therefore
+    requires EVERY token, Lucene's analyzer-splits-join-with-the-
+    operator rule."""
+    if default_operator not in ("or", "and"):
+        raise ValueError(f"unknown default_operator {default_operator!r}")
+    bare = "should" if default_operator == "or" else "must"
     from dpr_spark.functions.normalize import normalize_question
     from dpr_spark.functions.tokenizer import tokenize
 
@@ -77,7 +86,7 @@ def parse_query_string(s: str) -> List[QSClause]:
         out.append(QSClause(len(out), kind, occur, text, edits))
 
     for t in toks:
-        occur = "should"
+        occur = bare
         if t.startswith("+"):
             occur, t = "must", t[1:]
         elif t.startswith("-"):
@@ -115,13 +124,14 @@ def query_string_search(
     max_expansions: int = 8,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    default_operator: str = "or",
 ) -> DataFrame:
     """(qid, rank, doc_id, score) top-k under the parsed semantics."""
     from dpr_spark.query.boolquery import expand_wildcard, wildcard_regex
     from dpr_spark.query.fuzzy import expand_fuzzy
     from dpr_spark.query.scorer import top_k
 
-    parsed = {qid: parse_query_string(q) for qid, q in queries}
+    parsed = {qid: parse_query_string(q, default_operator) for qid, q in queries}
     if any(
         c.kind == "phrase" for cs in parsed.values() for c in cs
     ) and positions is None:

@@ -82,6 +82,10 @@ def main(argv=None) -> None:
                          "rewrite; omit a side for an open bound, [ / ( "
                          "prefix and ] / ) suffix toggle inclusivity, "
                          "e.g. '[query..spark)' or 'table..')")
+    ap.add_argument("--default-operator", choices=["or", "and"], default="or",
+                    help="ES default_operator for --query-string: bare "
+                         "(unprefixed) clauses are SHOULD under 'or', "
+                         "MUST under 'and'")
     ap.add_argument("--query-string", action="store_true",
                     help='parse questions as the +must -not "phrase" glob* '
                          "fuzzy~N query-string language "
@@ -258,7 +262,8 @@ def main(argv=None) -> None:
         qs = [(int(r.qid), r.question)
               for r in queries.select("qid", "question").collect()]
         results = query_string_search(
-            spark, qs, idx, positions=idx.positions, k=args.k
+            spark, qs, idx, positions=idx.positions, k=args.k,
+            default_operator=args.default_operator,
         )
     elif args.regexp:
         from dpr_spark.query.boolquery import regexp_search

@@ -105,3 +105,44 @@ def test_query_string_requires_positions_for_phrases(spark, index):
 
     with pytest.raises(ValueError):
         query_string_search(spark, [(0, '"a b"')], index, positions=None)
+
+
+def test_default_operator_and(spark, index, qs_positions, oracle):
+    """ES default_operator=AND: bare tokens become MUST — rank-identical
+    to the twin, and every returned doc contains every bare token."""
+    from dpr_spark.oracle.bm25 import query_string_twin
+    from dpr_spark.query.querystring import (
+        parse_query_string,
+        query_string_search,
+    )
+
+    cs = parse_query_string("alpha beta -gamma", default_operator="and")
+    assert [(c.occur, c.text) for c in cs] == [
+        ("must", "alpha"), ("must", "beta"), ("must_not", "gamma"),
+    ]
+
+    terms = sorted(oracle.df, key=lambda t: -oracle.df[t])
+    q = f"{terms[0]} {terms[4]}"
+    QS = [(0, q)]
+    rows = query_string_search(
+        spark, QS, index, positions=qs_positions, k=10,
+        default_operator="and",
+    ).collect()
+    assert rows
+    exp = query_string_twin(oracle, q, k=10, default_operator="and")
+    got = sorted((r.rank, r.doc_id, round(r.score, 9)) for r in rows)
+    want = [
+        (i + 1, d, round(sc, 9)) for i, (d, sc) in enumerate(exp)
+    ]
+    assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in want]
+    for (_, d, gs), (_, _, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
+    # AND semantics: every hit contains both tokens
+    for _, d, _ in got:
+        toks = set(oracle.doc_tokens[d])
+        assert terms[0] in toks and terms[4] in toks
+    # and is strictly a subset of the OR result's matches
+    or_rows = query_string_search(
+        spark, QS, index, positions=qs_positions, k=1000,
+    ).collect()
+    assert {r.doc_id for r in rows} <= {r.doc_id for r in or_rows}

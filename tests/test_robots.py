@@ -109,3 +109,66 @@ def test_robots_spot_semantics(spark):
     assert got[9].allowed and got[9].matched_rule == "allow"
     # no rules for host -> allowed, no match columns
     assert got[10].allowed and got[10].matched_rule is None
+
+
+# --------------------------- property test ---------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SEGS = ["", "a", "bb", "c1", "*", "x*y", "*.pdf"]
+
+pattern_strategy = st.builds(
+    lambda segs, anchor: "/" + "/".join(segs) + ("$" if anchor else ""),
+    st.lists(st.sampled_from(_SEGS), min_size=0, max_size=3),
+    st.booleans(),
+)
+path_strategy = st.builds(
+    lambda segs: "/" + "/".join(segs),
+    st.lists(st.sampled_from(["a", "bb", "c1", "xzy", "b.pdf"]),
+             min_size=0, max_size=4),
+)
+rule_strategy = st.tuples(
+    st.sampled_from(["h1", "h2"]),
+    st.sampled_from(["*", "mybot"]),
+    st.sampled_from(["allow", "disallow"]),
+    pattern_strategy,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    rules=st.lists(rule_strategy, min_size=0, max_size=8),
+    paths=st.lists(
+        st.tuples(st.sampled_from(["h1", "h2", "h3"]), path_strategy),
+        min_size=1,
+        max_size=8,
+    ),
+    agent=st.sampled_from(["mybot", "other"]),
+)
+def test_robots_property_vs_twin(spark, rules, paths, agent):
+    from dpr_spark.extras.robots import robots_allowed
+
+    urls = spark.createDataFrame(
+        [(i, h, p) for i, (h, p) in enumerate(paths)],
+        "uid long, host string, path string",
+    )
+    if rules:
+        rules_df = spark.createDataFrame(
+            rules, "host string, agent string, rule string, path string"
+        )
+    else:
+        rules_df = spark.createDataFrame(
+            [], "host string, agent string, rule string, path string"
+        )
+    got = {
+        r.uid: r.allowed for r in robots_allowed(urls, rules_df, agent).collect()
+    }
+    assert len(got) == len(paths)
+    for i, (h, p) in enumerate(paths):
+        want_allowed, _r, _p = _twin_decide(rules, agent, h, p)
+        assert got[i] == want_allowed, (h, p, rules)
