@@ -28,7 +28,7 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
-_JOB = r"""
+_JOB_PRE = r"""
 import json, sys, time
 sys.path.insert(0, {here!r})
 
@@ -106,6 +106,9 @@ spark = get_spark("scale_probe", master=f"local[{{cores}}]", shuffle_partitions=
 pages = spark.read.parquet({pages!r}).repartition(64).persist()
 n = pages.count()  # warm the input cache so IO doesn't skew the compare
 
+"""
+
+_BUILD_BODY = r"""
 from dpr_spark.index.build import build_index
 
 def full_build():
@@ -137,9 +140,48 @@ print("RESULT " + json.dumps({{"cores": cores, "docs": n, "wall_sec": round(wall
 spark.stop()
 """
 
+_QUERY_BODY = r"""
+from dpr_spark.fixtures.corpus import gen_pages_pdf, gen_queries_pdf
+from dpr_spark.index.build import build_index
+from dpr_spark.query.wand import build_impact_segments, search_segments
 
-def run_level(cores: int, pages: str, inner_reps: int = 2) -> dict:
-    code = _JOB.format(here=HERE, cores=cores, pages=pages, inner_reps=inner_reps)
+# untimed setup: one index + doc-bucketed impact segments (the serving
+# layout); the measured job is PURE QUERY throughput on a warm layout
+idx = build_index(spark, pages, build_blocks=False)
+seg = build_impact_segments(idx, num_buckets=max(8, cores)).persist()
+seg.count()
+qpdf = gen_queries_pdf(gen_pages_pdf(100, seed=42), n_queries=2000, seed=43)
+qdf = spark.createDataFrame(qpdf[["qid", "question"]])
+n = len(qpdf)
+
+def full_build():
+    search_segments(spark, qdf, idx, seg, k=100).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+full_build()  # warm (codegen + resolved terms path)
+walls = []
+for _ in range({inner_reps}):
+    t0 = time.perf_counter()
+    full_build()
+    walls.append(round(time.perf_counter() - t0, 2))
+wall = min(walls)
+spread = round(max(walls) / min(walls), 3)
+print("RESULT " + json.dumps({{"cores": cores, "docs": n, "wall_sec": round(wall, 2),
+                               "docs_per_sec": round(n / wall, 1),
+                               "host_factor": host_factor,
+                               "kernel_wall": kernel_wall,
+                               "bw_gbps": bw_gbps,
+                               "walls": walls, "spread": spread}}))
+spark.stop()
+"""
+
+
+
+def run_level(cores: int, pages: str, inner_reps: int = 2,
+              body: str = None) -> dict:
+    tmpl = _JOB_PRE + (body if body is not None else _BUILD_BODY)
+    code = tmpl.format(here=HERE, cores=cores, pages=pages, inner_reps=inner_reps)
     env = dict(os.environ, DPR_SPARK_DRIVER_MEM="24g")
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800, env=env
@@ -151,7 +193,8 @@ def run_level(cores: int, pages: str, inner_reps: int = 2) -> dict:
 
 
 
-def measure_pair(levels, cache, reps, inner_reps, stable_spread, quiet_factor):
+def measure_pair(levels, cache, reps, inner_reps, stable_spread, quiet_factor,
+                 body=None):
     """Run the build at two parallelism levels, interleaved A/B/A/B, and
     return the per-pair efficiencies plus the headline pair.
 
@@ -179,7 +222,7 @@ def measure_pair(levels, cache, reps, inner_reps, stable_spread, quiet_factor):
     all_runs: dict[int, list] = {c: [] for c in levels}
     for _ in range(reps):
         for c in levels:
-            all_runs[c].append(run_level(c, cache, inner_reps))
+            all_runs[c].append(run_level(c, cache, inner_reps, body=body))
     ratio = levels[-1] / levels[0]
     pairs = []
     for i in range(reps):
@@ -259,6 +302,10 @@ def _pair_table(levels, results):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=200000)
+    ap.add_argument("--job", choices=["build", "query"], default="build",
+                    help="which job to scale: the index build (default) or "
+                         "pure BM25 query throughput (2000 queries over a "
+                         "warm doc-bucketed segment layout)")
     ap.add_argument("--levels", type=int, nargs="+", default=[2, 8])
     ap.add_argument(
         "--also-levels", type=int, nargs=2, default=None,
@@ -294,12 +341,14 @@ def main() -> None:
             write_pages_parquet(cache, docs, seed=42)
         return cache
 
+    body = _QUERY_BODY if args.job == "query" else _BUILD_BODY
     primary = measure_pair(sorted(args.levels), _cache_for(args.docs),
                            args.reps, args.inner_reps, args.stable_spread,
-                           args.quiet_factor)
+                           args.quiet_factor, body=body)
     psum = _pair_summary(primary, args.quiet_factor, args.stable_spread)
     out = {
-        "job": "index_build(tokenize+tf+dictionary+postings+blocks)",
+        "job": ("bm25_query(segments, 2000q, k=100)" if args.job == "query"
+                else "index_build(tokenize+tf+dictionary+postings+blocks)"),
         "docs": args.docs,
         **psum,
     }
@@ -308,7 +357,7 @@ def main() -> None:
         also_docs = args.also_docs or args.docs
         secondary = measure_pair(sorted(args.also_levels), _cache_for(also_docs),
                                  args.reps, args.inner_reps, args.stable_spread,
-                                 args.quiet_factor)
+                                 args.quiet_factor, body=body)
         out["secondary"] = {"docs": also_docs,
                             **_pair_summary(secondary, args.quiet_factor,
                                             args.stable_spread)}
