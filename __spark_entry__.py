@@ -61,7 +61,14 @@ oracle_sql()    -> DuckDB twins for EVERY entry — len(oracle_sql()) ==
                    gapped ordered spans (SpanGapQuery), and distributed
                    BPE tokenizer training (iteration-0 pair statistics
                    twinned; the merge loop is pytest-verified against
-                   the pure-Python Sennrich twin) —
+                   the pure-Python Sennrich twin), plus session-11:
+                   MoreLikeThis unlike docs, term-suggester
+                   missing/popular/always modes, mojibake repair
+                   (JVM latin1 roundtrip), WHATWG charset sniffing,
+                   index shrink via the stored routing-space hash,
+                   multi-fragment highlighting, RFC 9309 robots.txt
+                   evaluation, hierarchical taxonomy facets, and
+                   query-string default_operator=AND —
                    every one DuckDB-twinned (the exact count is
                    len(queries()), asserted == len(oracle_sql()) in
                    tests/test_entry.py).
