@@ -150,7 +150,7 @@ from dpr_spark.query.wand import build_impact_segments, search_segments
 idx = build_index(spark, pages, build_blocks=False)
 seg = build_impact_segments(idx, num_buckets=max(8, cores)).persist()
 seg.count()
-qpdf = gen_queries_pdf(gen_pages_pdf(100, seed=42), n_queries=2000, seed=43)
+qpdf = gen_queries_pdf(gen_pages_pdf(100, seed=42), n_queries={n_queries}, seed=43)
 qdf = spark.createDataFrame(qpdf[["qid", "question"]])
 n = len(qpdf)
 
@@ -179,9 +179,10 @@ spark.stop()
 
 
 def run_level(cores: int, pages: str, inner_reps: int = 2,
-              body: str = None) -> dict:
+              body: str = None, n_queries: int = 2000) -> dict:
     tmpl = _JOB_PRE + (body if body is not None else _BUILD_BODY)
-    code = tmpl.format(here=HERE, cores=cores, pages=pages, inner_reps=inner_reps)
+    code = tmpl.format(here=HERE, cores=cores, pages=pages,
+                       inner_reps=inner_reps, n_queries=n_queries)
     env = dict(os.environ, DPR_SPARK_DRIVER_MEM="24g")
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800, env=env
@@ -194,7 +195,7 @@ def run_level(cores: int, pages: str, inner_reps: int = 2,
 
 
 def measure_pair(levels, cache, reps, inner_reps, stable_spread, quiet_factor,
-                 body=None):
+                 body=None, n_queries=2000):
     """Run the build at two parallelism levels, interleaved A/B/A/B, and
     return the per-pair efficiencies plus the headline pair.
 
@@ -222,7 +223,8 @@ def measure_pair(levels, cache, reps, inner_reps, stable_spread, quiet_factor,
     all_runs: dict[int, list] = {c: [] for c in levels}
     for _ in range(reps):
         for c in levels:
-            all_runs[c].append(run_level(c, cache, inner_reps, body=body))
+            all_runs[c].append(run_level(c, cache, inner_reps, body=body,
+                                         n_queries=n_queries))
     ratio = levels[-1] / levels[0]
     pairs = []
     for i in range(reps):
@@ -302,6 +304,10 @@ def _pair_table(levels, results):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=200000)
+    ap.add_argument("--queries", type=int, default=20000,
+                    help="query-batch size for --job query; big enough to "
+                         "amortize per-wave fixed costs (resolution, "
+                         "planning) that do not scale with cores")
     ap.add_argument("--job", choices=["build", "query"], default="build",
                     help="which job to scale: the index build (default) or "
                          "pure BM25 query throughput (2000 queries over a "
@@ -344,10 +350,11 @@ def main() -> None:
     body = _QUERY_BODY if args.job == "query" else _BUILD_BODY
     primary = measure_pair(sorted(args.levels), _cache_for(args.docs),
                            args.reps, args.inner_reps, args.stable_spread,
-                           args.quiet_factor, body=body)
+                           args.quiet_factor, body=body,
+                           n_queries=args.queries)
     psum = _pair_summary(primary, args.quiet_factor, args.stable_spread)
     out = {
-        "job": ("bm25_query(segments, 2000q, k=100)" if args.job == "query"
+        "job": (f"bm25_query(segments, {args.queries}q, k=100)" if args.job == "query"
                 else "index_build(tokenize+tf+dictionary+postings+blocks)"),
         "docs": args.docs,
         **psum,
@@ -357,7 +364,8 @@ def main() -> None:
         also_docs = args.also_docs or args.docs
         secondary = measure_pair(sorted(args.also_levels), _cache_for(also_docs),
                                  args.reps, args.inner_reps, args.stable_spread,
-                                 args.quiet_factor, body=body)
+                                 args.quiet_factor, body=body,
+                                 n_queries=args.queries)
         out["secondary"] = {"docs": also_docs,
                             **_pair_summary(secondary, args.quiet_factor,
                                             args.stable_spread)}
@@ -494,6 +502,12 @@ encode + 8.5h FAISS build for the same corpus.
     # preserve any hand-written analysis: everything from a "## Notes"
     # heading onward survives regeneration (ADVICE r3: a rewrite used to
     # silently delete appended narrative)
+    if args.job != "build":
+        # BENCH.md's generated header documents the BUILD protocol; a
+        # query-job run must not clobber it — the JSON above is the
+        # record, folded into BENCH.md's Notes by hand
+        print("query job: BENCH.md left untouched")
+        return
     bench_path = os.path.join(HERE, "BENCH.md")
     notes = ""
     if os.path.exists(bench_path):
