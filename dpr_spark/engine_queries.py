@@ -5114,6 +5114,60 @@ def q_suggest_topn() -> Entry:
     return fn, sql
 
 
+FUZZY_SUGGEST_PREFIXES = [(0, "spar"), (1, "spqr"), (2, "custm"), (3, "wi")]
+
+
+def q_suggest_fuzzy_topn() -> Entry:
+    """Typo-tolerant autocomplete (Lucene FuzzySuggester, its default
+    guards; query/suggest.py suggest_completions_fuzzy): a term
+    completes a typed prefix when some term-prefix within one char of
+    the typed length is within 1 edit — the first char stays exact
+    (nonFuzzyPrefix=1) and prefixes under 3 chars match exactly
+    (minFuzzyLength=3). Exact completions rank first, then df DESC,
+    term ASC."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.suggest import suggest_completions_fuzzy
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        return suggest_completions_fuzzy(
+            spark, FUZZY_SUGGEST_PREFIXES, idx, n=5
+        )
+
+    pvals = ", ".join(f"({qid}, '{p}')" for qid, p in FUZZY_SUGGEST_PREFIXES)
+    sql = f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2),
+    dict AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    p AS (SELECT * FROM (VALUES {pvals}) AS p(qid, prefix)),
+    cand AS (
+      SELECT p.qid, p.prefix, d.term, d.df,
+             starts_with(d.term, p.prefix) AS ex,
+             CASE WHEN starts_with(d.term, p.prefix) THEN 0 ELSE least(
+               CASE WHEN length(p.prefix) - 1 >= 1
+                    THEN levenshtein(substr(d.term, 1, length(p.prefix) - 1),
+                                     p.prefix) ELSE 999 END,
+               levenshtein(substr(d.term, 1, length(p.prefix)), p.prefix),
+               levenshtein(substr(d.term, 1, length(p.prefix) + 1), p.prefix)
+             ) END AS dist
+      FROM p JOIN dict d ON length(d.term) >= length(p.prefix) - 1),
+    ok AS (
+      SELECT * FROM cand
+      WHERE ex OR (length(prefix) >= 3
+                   AND substr(term, 1, 1) = substr(prefix, 1, 1)
+                   AND dist <= 1)),
+    r AS (SELECT qid, term, df, dist,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY (dist > 0), df DESC, term) AS rn
+          FROM ok)
+    SELECT qid, rn::INT AS rank, term, df AS weight, dist::INT AS dist
+    FROM r WHERE rn <= 5"""
+    return fn, sql
+
+
 def q_sorted_layout_topk() -> Entry:
     """Index-time sorting + early termination (query/paging.py
     build_sorted_layout / search_sorted_layout; Lucene IndexSorting +
@@ -12099,6 +12153,7 @@ def all_entries() -> Dict[str, Entry]:
         "percolate_phrase_matches": q_percolate_phrase_matches(),
         "regexp_topk": q_regexp_topk(),
         "suggest_topn": q_suggest_topn(),
+        "suggest_fuzzy_topn": q_suggest_fuzzy_topn(),
         "sorted_layout_topk": q_sorted_layout_topk(),
         "has_child_topk": q_has_child_topk(),
         "bool_tree_topk": q_bool_tree_topk(),

@@ -118,3 +118,99 @@ def suggest_completions_in_context(
         .filter(F.col("rank") <= n)
         .select("qid", "rank", "term", "weight")
     )
+
+
+def suggest_completions_fuzzy(
+    spark: SparkSession,
+    prefixes: Sequence[Tuple[int, str]],
+    index: InvertedIndex,
+    n: int = 5,
+    max_edits: int = 1,
+    non_fuzzy_prefix: int = 1,
+    min_fuzzy_length: int = 3,
+    exact_first: bool = True,
+) -> DataFrame:
+    """Typo-tolerant autocomplete (Lucene suggest FuzzySuggester, its
+    documented defaults): a vocabulary term completes a typed prefix
+    when some prefix of the term, within one char of the typed length,
+    is within `max_edits` edits of it — so "spqr" still completes to
+    the "spark..." terms. Lucene's guards apply verbatim: the first
+    `non_fuzzy_prefix` chars must match exactly, and typed prefixes
+    shorter than `min_fuzzy_length` match exactly (no fuzz). Output
+    (qid, rank, term, weight, dist): weight = df, dist = best
+    qualifying prefix distance (0 = exact prefix).
+
+    Ranking: exact-prefix completions first when `exact_first` (the
+    Lucene exactFirst option), then weight DESC, term ASC.
+
+    Scale shape: the tiny prefix set broadcasts into the ONE dictionary
+    scan; the non-fuzzy head chars become a pushed StartsWith
+    disjunction — exact pruning (never a semantic change), because the
+    contract itself fixes those chars."""
+    rows = [(qid, p.lower()) for qid, p in prefixes]
+    if not rows or any(not p for _, p in rows):
+        raise ValueError("empty prefix")
+    if non_fuzzy_prefix < 1:
+        raise ValueError("non_fuzzy_prefix must be >= 1 (the pushed-scan contract)")
+    pdf = spark.createDataFrame(rows, "qid long, prefix string")
+    dic = index.dictionary.select("term", F.col("df").alias("weight"))
+    # pushed pruning — EXACT: fuzz never touches the first
+    # non_fuzzy_prefix chars, and short prefixes match in full
+    lits = sorted(
+        {
+            p if len(p) < min_fuzzy_length else p[:non_fuzzy_prefix]
+            for _q, p in rows
+        }
+    )
+    flt = None
+    for h in lits:
+        c = F.col("term").startswith(h)
+        flt = c if flt is None else (flt | c)
+    dic = dic.filter(flt)
+    plen = F.length("prefix")
+    fuzzy_ok = plen >= F.lit(min_fuzzy_length)
+
+    def _d(delta):
+        win = plen + F.lit(delta)
+        return F.when(
+            win >= F.lit(non_fuzzy_prefix),
+            F.levenshtein(
+                F.substring(F.col("term"), 1, win), F.col("prefix"), max_edits
+            ),
+        ).otherwise(F.lit(-1))
+
+    dists = F.array(
+        *[
+            F.when(F.col(f"_d{i}") >= 0, F.col(f"_d{i}")).otherwise(F.lit(999))
+            for i in range(3)
+        ]
+    )
+    head_ok = F.substring(F.col("term"), 1, non_fuzzy_prefix) == F.substring(
+        F.col("prefix"), 1, non_fuzzy_prefix
+    )
+    cand = (
+        F.broadcast(pdf)
+        .join(dic, F.length("term") >= plen - F.lit(max_edits))
+        .withColumn("_exact", F.col("term").startswith(F.col("prefix")))
+        .withColumn("_d0", _d(-1))
+        .withColumn("_d1", _d(0))
+        .withColumn("_d2", _d(1))
+        .withColumn(
+            "dist",
+            F.when(F.col("_exact"), F.lit(0)).otherwise(F.array_min(dists)),
+        )
+        .filter(
+            F.col("_exact")
+            | (fuzzy_ok & head_ok & (F.col("dist") <= F.lit(max_edits)))
+        )
+        .drop("_d0", "_d1", "_d2", "_exact")
+    )
+    order = [F.desc("weight"), F.asc("term")]
+    if exact_first:
+        order = [F.asc((F.col("dist") > 0).cast("int"))] + order
+    w = Window.partitionBy("qid").orderBy(*order)
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("qid", "rank", "term", "weight", "dist")
+    )

@@ -149,3 +149,84 @@ def test_cli_new_query_modes(tmp_path, pages_pdf, queries_pdf):
     assert out4.returncode == 0, out4.stderr[-2000:]
     assert os.path.isdir(tmp_path / "r4" / "suggestions")
     assert pq.read_table(str(tmp_path / "r4" / "suggestions")).num_rows > 0
+
+
+# --------------------- FuzzySuggester (typo-tolerant) ---------------------
+
+
+def _fuzzy_twin(oracle, prefix, n=5, max_edits=1, nfp=1, mfl=3,
+                exact_first=True):
+    from dpr_spark.oracle.bm25 import _levenshtein
+
+    p = prefix.lower()
+    out = []
+    for t, w in oracle.df.items():
+        exact = t.startswith(p)
+        if exact:
+            dist = 0
+        else:
+            if len(p) < mfl or t[:nfp] != p[:nfp]:
+                continue
+            if len(t) < len(p) - max_edits:
+                continue
+            best = 999
+            for L in (len(p) - 1, len(p), len(p) + 1):
+                if L < nfp:
+                    continue
+                d = _levenshtein(t[:L], p, max_edits)
+                if d >= 0:
+                    best = min(best, d)
+            dist = best
+            if dist > max_edits:
+                continue
+        out.append((t, w, dist))
+    out.sort(key=lambda x: ((x[2] > 0) if exact_first else False, -x[1], x[0]))
+    return [(i + 1, t, w, d) for i, (t, w, d) in enumerate(out[:n])]
+
+
+def test_fuzzy_suggest_vs_twin(spark, index, oracle):
+    from dpr_spark.query.suggest import suggest_completions_fuzzy
+
+    terms = sorted(oracle.df, key=lambda t: -oracle.df[t])
+    t_long = next(t for t in terms if len(t) >= 5)
+    cases = [
+        (0, t_long[:3]),                       # clean prefix
+        (1, t_long[:2] + "z" + t_long[3]),     # typo inside the prefix
+        (2, t_long[:2]),                       # short: exact-only regime
+        (3, "zzqq"),                           # hopeless: no rows
+    ]
+    rows = suggest_completions_fuzzy(spark, cases, index, n=5).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.qid, []).append((r.rank, r.term, r.weight, r.dist))
+    for v in got.values():
+        v.sort()
+    for qid, p in cases:
+        want = _fuzzy_twin(oracle, p, n=5)
+        assert got.get(qid, []) == want, (qid, p)
+    assert 0 in got and 1 in got        # typo'd prefix still completes
+    assert 3 not in got
+    # exact-first: within qid 0, dist-0 rows precede dist>0 rows
+    for qid, sugg in got.items():
+        dists = [d for _r, _t, _w, d in sugg]
+        assert dists == sorted(dists, key=lambda d: d > 0)
+
+
+def test_fuzzy_suggest_respects_guards(spark, index, oracle):
+    """non_fuzzy_prefix pins the head char; min_fuzzy_length gates
+    short prefixes to exact."""
+    from dpr_spark.query.suggest import suggest_completions_fuzzy
+
+    terms = sorted(oracle.df, key=lambda t: -oracle.df[t])
+    t_long = next(t for t in terms if len(t) >= 5)
+    # head-char typo: never fuzzy-matches (Lucene nonFuzzyPrefix=1)
+    head_typo = ("z" if t_long[0] != "z" else "q") + t_long[1:4]
+    rows = suggest_completions_fuzzy(
+        spark, [(0, head_typo)], index, n=5
+    ).collect()
+    assert all(r.term.startswith(head_typo[0]) for r in rows)
+    # short prefix: only exact completions even with a typo
+    rows2 = suggest_completions_fuzzy(
+        spark, [(0, t_long[0] + "z")], index, n=5
+    ).collect()
+    assert all(r.term.startswith(t_long[0] + "z") for r in rows2)
