@@ -3,6 +3,7 @@ and the DuckDB twin side-by-side at a given sf dir and compare sorted
 rows (the same contract tests/test_entry.py sweeps in full).
 
 Usage: python tools/check_entries.py [sf_dir] name [name ...]
+       python tools/check_entries.py [sf_dir] --all     # every entry
 """
 
 import sys
@@ -25,6 +26,8 @@ def main():
     import __spark_entry__ as e
 
     q, o = e.queries(), e.oracle_sql()
+    if args == ["--all"]:
+        args = sorted(q)
     spark = get_spark("check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
