@@ -549,3 +549,38 @@ def test_span_multi_plan_shapes(spark, index):
     # literal list INSET, a small one IN)
     flat = plan.replace("#", " ")
     assert "INSET" in plan or " IN " in flat, plan[:2000]
+
+
+def test_fuzzy_suggest_pushes_head_chars(spark, stored_index):
+    """FuzzySuggester: the non-fuzzy head chars reach the dictionary
+    scan as a pushed StringStartsWith disjunction (exact pruning — the
+    contract fixes those chars), and short prefixes push their full
+    literal."""
+    from dpr_spark.query.suggest import suggest_completions_fuzzy
+
+    plan = _explain(
+        suggest_completions_fuzzy(
+            spark, [(0, "word"), (1, "wo")], stored_index, n=5
+        )
+    )
+    assert "StringStartsWith(term,w)" in plan, plan
+    assert "StringStartsWith(term,wo)" in plan, plan
+
+
+def test_robots_join_is_hash_keyed(spark):
+    """robots_allowed: the urls×rules match is an equi-join on host
+    with the LIKE as a residual — never a nested-loop over the cross
+    product, so the rules side behaves like any dimension join at
+    scale."""
+    from dpr_spark.extras.robots import robots_allowed
+
+    urls = spark.createDataFrame(
+        [(0, "h1", "/a"), (1, "h2", "/b/c")], "uid long, host string, path string"
+    )
+    rules = spark.createDataFrame(
+        [("h1", "*", "disallow", "/a*"), ("h2", "*", "allow", "/b/")],
+        "host string, agent string, rule string, path string",
+    )
+    plan = _explain(robots_allowed(urls, rules, "bot"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
