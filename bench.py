@@ -415,7 +415,7 @@ def main() -> None:
         "mlt_unlike_topk", "spell_suggest_popular", "fix_mojibake",
         "routed_shrink_topk", "highlight_multi_topk", "charset_sniff",
         "robots_allowed", "taxonomy_facets", "query_string_and_topk",
-        "suggest_fuzzy_topn",
+        "suggest_fuzzy_topn", "term_vectors_artificial",
     ]:
         try:
             fn, _ = entries[name]

@@ -6352,6 +6352,57 @@ def q_term_vectors() -> Entry:
     return fn, sql
 
 
+TV_TEXTS = [
+    (0, "spark window spark zzunknown"),
+    (1, "the customer batch customer"),
+]
+
+
+def q_term_vectors_artificial() -> Entry:
+    """ES _termvectors with an ARTIFICIAL doc (doc: body, no _id;
+    query/termvectors.py term_vectors_for_text): tf + positions from
+    the supplied text, df/idf from the LIVE index dictionary; a term
+    the index has never seen reports df 0 and the df-0 idf. Positions
+    compare as a comma-joined string."""
+
+    def fn(spark, sf_dir):
+        from dpr_spark.index.build import build_index_from_docs
+        from dpr_spark.query.termvectors import term_vectors_for_text
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        idx = build_index_from_docs(spark, docs, build_blocks=False)
+        res = term_vectors_for_text(spark, TV_TEXTS, idx)
+        return res.select(
+            "tid", "term", "tf", "df",
+            F.round("idf", 6).alias("idf_r"),
+            F.array_join(
+                F.transform("positions", lambda p: p.cast("string")), ","
+            ).alias("positions"),
+        )
+
+    tvals = ", ".join(f"({tid}, '{t}')" for tid, t in TV_TEXTS)
+    toks_of_txt = _DUCK_TOKS.replace("lower(text)", "lower(txt)")
+    sql = f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    tp AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+    dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tp GROUP BY 1),
+    stats AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    tx AS (SELECT * FROM (VALUES {tvals}) t(tid, txt)),
+    xt AS (SELECT tid, unnest({toks_of_txt}) AS term,
+                  generate_subscripts({toks_of_txt}, 1) - 1 AS p
+           FROM tx),
+    tv AS (SELECT tid, term, count(*) AS tf,
+                  string_agg(p::VARCHAR, ',' ORDER BY p) AS positions
+           FROM xt GROUP BY 1, 2)
+    SELECT tv.tid, tv.term, tv.tf,
+           coalesce(d.df, 0)::BIGINT AS df,
+           round(ln((s.n - coalesce(d.df, 0) + 0.5)
+                    / (coalesce(d.df, 0) + 0.5) + 1.0), 6) AS idf_r,
+           tv.positions
+    FROM tv LEFT JOIN dict d USING (term) CROSS JOIN stats s"""
+    return fn, sql
+
+
 NEG_BOOST = 0.25
 
 
@@ -12176,6 +12227,7 @@ def all_entries() -> Dict[str, Entry]:
         "multi_match_best_fields": q_multi_match_best_fields(),
         "multi_match_cross_fields": q_multi_match_cross_fields(),
         "term_vectors": q_term_vectors(),
+        "term_vectors_artificial": q_term_vectors_artificial(),
         "boosting_topk": q_boosting_topk(),
         "phrase_suggest": q_phrase_suggest(),
         "hybrid_rrf_topk": q_hybrid_rrf_topk(),

@@ -54,3 +54,54 @@ def term_vectors(
             "doc_id", "term", "tf", "df", "idf", "positions"
         )
     return out.select("doc_id", "term", "tf", "df", "idf")
+
+
+def term_vectors_for_text(
+    spark,
+    texts: Sequence,
+    index: InvertedIndex,
+) -> DataFrame:
+    """ES `_termvectors` with an ARTIFICIAL document (`doc:` body, no
+    `_id`): analyze caller-supplied text with the index's analysis
+    chain and decorate it with the INDEX's statistics — tf and
+    positions from the text itself (position-increment gaps preserved,
+    the W20 contract), df/idf from the live dictionary; terms absent
+    from the index report df 0 with the df-0 idf. texts: [(tid, text)]
+    -> (tid, term, tf, positions, df, idf).
+
+    The "how would this doc score?" debugging surface: no index
+    mutation, no retokenize of indexed docs. Scale shape: the supplied
+    texts are a tiny driver-side set — their term rows broadcast into
+    the ONE dictionary scan (left join keeps unindexed terms)."""
+    import math
+
+    from dpr_spark.functions.tokenizer import tokenize
+
+    rows = []
+    for tid, text in texts:
+        toks = tokenize(text)
+        if index.analyzer is not None:
+            pairs = index.analyzer.analyze_with_positions(toks)
+        else:
+            pairs = list(enumerate(toks))
+        per = {}
+        for pos, t in pairs:
+            per.setdefault(t, []).append(pos)
+        for t, ps in sorted(per.items()):
+            rows.append((int(tid), t, len(ps), ps))
+    if not rows:
+        raise ValueError("no tokenizable texts")
+    tdf = spark.createDataFrame(
+        rows, "tid long, term string, tf int, positions array<int>"
+    )
+    n = float(index.stats.n_docs)
+    idf0 = math.log((n + 0.5) / 0.5 + 1.0)
+    dic = index.dictionary.select("term", "df", "idf")
+    return tdf.join(dic, "term", "left").select(
+        "tid",
+        "term",
+        "tf",
+        "positions",
+        F.coalesce("df", F.lit(0)).cast("long").alias("df"),
+        F.coalesce("idf", F.lit(idf0)).alias("idf"),
+    )

@@ -58,3 +58,24 @@ def test_term_vectors_without_positions(spark, index, oracle):
     assert {r.doc_id for r in rows} == set(doc_ids)
     for r in rows:
         assert r.tf >= 1 and r.df >= 1 and r.idf > 0
+
+
+def test_term_vectors_artificial(spark, index, oracle):
+    """Artificial-doc term vectors: tf/positions from the text, df/idf
+    from the index; unseen terms get df 0 and the df-0 idf."""
+    import math
+
+    from dpr_spark.query.termvectors import term_vectors_for_text
+
+    terms = sorted(oracle.df, key=lambda t: -oracle.df[t])
+    text = f"{terms[0]} {terms[2]} {terms[0]} zzneverindexed"
+    rows = term_vectors_for_text(spark, [(7, text)], index).collect()
+    got = {r.term: (r.tf, list(r.positions), r.df, r.idf) for r in rows}
+    assert got[terms[0]][0] == 2 and got[terms[0]][1] == [0, 2]
+    assert got[terms[2]] [0] == 1 and got[terms[2]][1] == [1]
+    assert got[terms[0]][2] == oracle.df[terms[0]]
+    assert got[terms[0]][3] == pytest.approx(oracle.idf(terms[0]), abs=1e-12)
+    tf, pos, df, idf = got["zzneverindexed"]
+    assert (tf, pos, df) == (1, [3], 0)
+    n = oracle.N
+    assert idf == pytest.approx(math.log((n + 0.5) / 0.5 + 1.0), abs=1e-12)
