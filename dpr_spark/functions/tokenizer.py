@@ -64,6 +64,53 @@ def tokenize_fast(text: str) -> List[str]:
     return [t.lower() for t in _compiled_fast().findall(text)]
 
 
+# --- vectorized ASCII fast path (Arrow/RE2, ~5x the regex-module kernel) ---
+#
+# For pure-ASCII text the reference token language simplifies exactly:
+# \p{L}\p{N}\p{M} == [0-9A-Za-z], \p{Z} == space (0x20), \p{C} ==
+# [\x00-\x1f\x7f]; so tokens are maximal alnum runs plus every other
+# printable char as a single token, and match-then-lower == lower-then-
+# match. That lets the whole tokenize run as three RE2/C passes in
+# pyarrow (lower, controls->space, space-pad punctuation, split) with no
+# per-document Python. Equality with tokenize() on ASCII is asserted in
+# tests/test_tokenizer.py (random ASCII + the fixture corpus); non-ASCII
+# batches fall back to the regex-module kernel.
+_CONTROLS = "[\\x00-\\x1f\\x7f]"
+_PUNCT = "([^0-9a-z ])"
+
+
+def _all_ascii(arr) -> bool:
+    """True when every (non-null) string in the Arrow array is ASCII
+    (char count == byte count)."""
+    import pyarrow.compute as pc
+
+    ok = pc.all(pc.equal(pc.utf8_length(arr), pc.binary_length(arr)))
+    return ok.as_py() is True
+
+
+def tokenize_ascii_arrow(arr):
+    """Tokenize an all-ASCII Arrow string array; returns (flat tokens
+    StringArray, per-row token counts int64 numpy). Caller must have
+    checked _all_ascii(arr) (and filled nulls with "")."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    low = pc.utf8_lower(arr)
+    a = pc.replace_substring_regex(low, pattern=_CONTROLS, replacement=" ")
+    b = pc.replace_substring_regex(a, pattern=_PUNCT, replacement=" \\1 ")
+    trimmed = pc.utf8_trim_whitespace(b)
+    toks = pc.ascii_split_whitespace(trimmed)
+    flat = toks.flatten()
+    lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
+    # after trim, '' tokens arise ONLY from fully-empty rows (['']);
+    # interior whitespace runs collapse and edges are trimmed
+    empty_rows = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    if empty_rows.any():
+        lens[empty_rows] = 0
+        flat = flat.filter(pc.not_equal(flat, ""))
+    return flat, lens
+
+
 def tokenize(text: str, uncased: bool = True) -> List[str]:
     """Pure-Python reference tokenizer: `tokenizers.py:177-199` +
     `words(uncased=True)` (`:51-60`)."""

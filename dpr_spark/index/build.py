@@ -35,6 +35,7 @@ Scale notes (the part that must survive 10^12 docs / 1000 executors):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Iterator, Optional
 
@@ -294,6 +295,59 @@ def tf_batch(texts, pat, vocab_map=None) -> Optional[tuple]:
     return u_doc, lens, terms.take(u_code), counts.astype(np.int64)
 
 
+def tf_batch_arrow(texts, vocab_map=None) -> Optional[tuple]:
+    """Arrow-vectorized twin of :func:`tf_batch` for one Arrow string
+    array: ASCII batches tokenize in three RE2/C passes
+    (tokenizer.tokenize_ascii_arrow, ~5x the regex-module kernel) and the
+    (row, term) histogram runs over pyarrow dictionary codes; non-ASCII
+    batches fall back to the regex kernel (identical tokens by
+    construction — asserted in tests/test_tokenizer.py). Returns
+    (row_idx, doclen_per_row, terms pyarrow.StringArray, tfs)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dpr_spark.functions.tokenizer import (
+        _all_ascii,
+        _compiled_fast,
+        tokenize_ascii_arrow,
+    )
+
+    if texts.null_count:
+        texts = pc.fill_null(texts, "")
+    if not _all_ascii(texts):
+        out = tf_batch(texts.to_pandas(), _compiled_fast(), vocab_map=vocab_map)
+        if out is None:
+            return None
+        u_doc, lens, terms, tfs = out
+        return u_doc, lens, pa.array(terms, type=pa.string()), tfs
+    flat, lens = tokenize_ascii_arrow(texts)
+    if lens.sum() == 0:
+        return None
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    terms = enc.dictionary
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    if vocab_map is not None:
+        mapped = vocab_map(terms.to_pandas())
+        keep_v = mapped.notna().to_numpy()
+        if not keep_v.any():
+            return None
+        remap = np.full(len(terms), -1, dtype=np.int64)
+        codes2, terms2 = pd.factorize(mapped[keep_v], sort=False)
+        remap[keep_v] = codes2
+        codes = remap[codes]
+        keep = codes >= 0
+        codes = codes[keep]
+        doc_idx = doc_idx[keep]
+        terms = pa.array(terms2, type=pa.string())
+        lens = np.bincount(doc_idx, minlength=len(lens)).astype(np.int64)
+    key = (doc_idx << np.int64(32)) | codes
+    ukey, counts = np.unique(key, return_counts=True)
+    u_doc = (ukey >> np.int64(32)).astype(np.int64)
+    u_code = (ukey & np.int64(0xFFFFFFFF)).astype(np.int64)
+    return u_doc, lens, terms.take(pa.array(u_code)), counts.astype(np.int64)
+
+
 def doc_terms(docs: DataFrame, analyzer=None) -> DataFrame:
     """Fused tokenize + per-doc term histogram (T1 + A7) in ONE Arrow
     pass. tf per (term, doc) is a per-document quantity — computing it
@@ -301,29 +355,44 @@ def doc_terms(docs: DataFrame, analyzer=None) -> DataFrame:
     8.75M token rows entirely (a doc's tokens never leave its partition).
     doclen rides on every row (functionally dependent on doc_id).
     analyzer: optional functions/analysis.Analyzer, applied vocab-level
-    inside the same kernel."""
-    from dpr_spark.functions.tokenizer import _compiled_fast
+    inside the same kernel.
+
+    mapInArrow (not mapInPandas): the text column stays an Arrow buffer
+    end-to-end (no per-row Python string objects on either side of the
+    boundary — guide §4.2), and (doclen, tf) cross the boundary packed
+    into one int64 that a JVM-side projection unpacks (the per-CELL cost
+    of the Python boundary dominates at this row count — measured
+    ~4.6µs/cell on this host)."""
+    import pyarrow as pa
 
     vocab_map = analyzer.map_vocab if analyzer is not None else None
 
-    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pat = _compiled_fast()
-        for pdf in it:
-            out = tf_batch(pdf["text"], pat, vocab_map=vocab_map)
+    def run(it):
+        for batch in it:
+            out = tf_batch_arrow(batch.column(1), vocab_map=vocab_map)
             if out is None:
                 continue
             u_doc, lens, terms, tfs = out
-            doc_ids = pdf["doc_id"].to_numpy(np.int64)
-            yield pd.DataFrame(
-                {
-                    "doc_id": doc_ids[u_doc],
-                    "doclen": lens[u_doc].astype(np.int32),
-                    "term": terms,
-                    "tf": tfs,
-                }
+            doc_ids = batch.column(0).to_numpy(zero_copy_only=False)
+            dl_tf = (lens[u_doc] << np.int64(32)) | tfs
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids[u_doc], type=pa.int64()),
+                    terms,
+                    pa.array(dl_tf, type=pa.int64()),
+                ],
+                names=["doc_id", "term", "dl_tf"],
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, DOC_TERMS_SCHEMA)
+    packed = docs.select("doc_id", "text").mapInArrow(
+        run, "doc_id long, term string, dl_tf long"
+    )
+    return packed.select(
+        "doc_id",
+        F.shiftrightunsigned("dl_tf", 32).cast("int").alias("doclen"),
+        "term",
+        F.col("dl_tf").bitwiseAND(F.lit(0xFFFFFFFF)).alias("tf"),
+    )
 
 
 def doc_terms_from_parts(parts: DataFrame, offsets_bc, analyzer=None) -> DataFrame:
@@ -332,37 +401,46 @@ def doc_terms_from_parts(parts: DataFrame, offsets_bc, analyzer=None) -> DataFra
     Python stage. Chaining a separate id-assign mapInPandas in front of
     the tokenizer round-trips the full page text through Arrow twice and
     doubles the Python-stage count — fusing removes both."""
-    from dpr_spark.functions.tokenizer import _compiled_fast
+    import pyarrow as pa
+
     from dpr_spark.plans.ids import _offset_for
 
     vocab_map = analyzer.map_vocab if analyzer is not None else None
 
-    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pat = _compiled_fast()
+    def run(it):
         seen = 0
-        for pdf in it:
-            if not len(pdf):
+        for batch in it:
+            if not batch.num_rows:
                 continue
             # partition resolved via the stamped column, not TaskContext
             # (a union/coalesce in the consumer plan offsets task ids —
             # see plans/ids.py ranged_parts)
-            base = _offset_for(offsets_bc, int(pdf["_range_pid"].iloc[0]))
-            ids = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
-            seen += len(pdf)
-            out = tf_batch(pdf["text"], pat, vocab_map=vocab_map)
+            base = _offset_for(offsets_bc, int(batch.column(1)[0].as_py()))
+            ids = np.arange(base + seen, base + seen + batch.num_rows, dtype=np.int64)
+            seen += batch.num_rows
+            out = tf_batch_arrow(batch.column(0), vocab_map=vocab_map)
             if out is None:
                 continue
             u_doc, lens, terms, tfs = out
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids[u_doc],
-                    "doclen": lens[u_doc].astype(np.int32),
-                    "term": terms,
-                    "tf": tfs,
-                }
+            dl_tf = (lens[u_doc] << np.int64(32)) | tfs
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids[u_doc], type=pa.int64()),
+                    terms,
+                    pa.array(dl_tf, type=pa.int64()),
+                ],
+                names=["doc_id", "term", "dl_tf"],
             )
 
-    return parts.select("text", "_range_pid").mapInPandas(run, DOC_TERMS_SCHEMA)
+    packed = parts.select("text", "_range_pid").mapInArrow(
+        run, "doc_id long, term string, dl_tf long"
+    )
+    return packed.select(
+        "doc_id",
+        F.shiftrightunsigned("dl_tf", 32).cast("int").alias("doclen"),
+        "term",
+        F.col("dl_tf").bitwiseAND(F.lit(0xFFFFFFFF)).alias("tf"),
+    )
 
 
 def build_index(
@@ -444,13 +522,15 @@ def build_index(
         src.select("url", "text"), "url", 3 * par, cleanup
     )
     tf = doc_terms_from_parts(parts, bc, analyzer=analyzer).persist()
-    tf.count()  # materialize before the term-ranking sampler (see below)
+    n_tf = tf.count()  # materialize before the term-ranking sampler (see below)
     # docstats' (doc_id, url) view reuses the same offsets — off the
     # critical path, no text column
     docs = attach_ids(parts, bc, "doc_id", columns=["url"])
     idx = _finish_index(
         spark, tf, docs, n_docs_cnt, build_blocks=build_blocks, k1=k1, b=b,
         salt_df_agg=salt_df_agg, cleanup=cleanup, id_strategy="dense_rank",
+        n_tf=n_tf,
+        doc_id_bounds=(0, n_docs_cnt - 1) if n_docs_cnt else None,
     )
     idx.analyzer = analyzer
     if build_positional:
@@ -514,15 +594,23 @@ def build_index_from_docs(
     # Python stage under the sampler and was measured 3-10x slower than
     # count-then-sample on this box (and the count is the posting-row
     # metric the build manifest wants anyway)
-    tf.count()
+    n_tf = tf.count()
 
-    # N is a free byproduct of the dense-id prefix sum when available
-    n_docs_cnt = int(n_docs_hint) if n_docs_hint is not None else docs.count()
+    # N is a free byproduct of the dense-id prefix sum when available;
+    # without it the corpus count (and the doc-id bounds the packed
+    # encode needs) fuse into _finish_index's one scalar-stats job
+    n_docs_cnt = int(n_docs_hint) if n_docs_hint is not None else None
     idx = _finish_index(
         spark, tf, docs.select("doc_id", "url"), n_docs_cnt,
         build_blocks=build_blocks, k1=k1, b=b, salt_df_agg=salt_df_agg,
         cleanup=cleanup, doc_split_bits=doc_split_bits,
         doc_split_threshold=doc_split_threshold, id_strategy=id_strategy,
+        n_tf=n_tf,
+        doc_id_bounds=(
+            (0, int(n_docs_hint) - 1)
+            if n_docs_hint is not None and int(n_docs_hint) > 0
+            else None
+        ),
     )
     idx.analyzer = analyzer
     if build_positional:
@@ -539,11 +627,28 @@ def build_index_from_docs(
     return idx
 
 
+# vocab dense-rank strategy: when the materialized posting-row count (an
+# upper bound on vocab size) is at or below this, term_id assignment uses
+# the single-partition window rank (one exchange, zero extra jobs)
+# instead of the two-phase ranged rank (a sampling job + a counts job per
+# build — pure fixed cost that a vocab-sized sort never repays below
+# ~10^7 rows). Above it the scalable two-phase path is unchanged; tune
+# via the env knob for cluster deployments.
+LOCAL_TERM_RANK_MAX = int(
+    os.environ.get("DPR_SPARK_LOCAL_TERM_RANK_MAX", str(32_000_000))
+)
+# encode-shuffle packing: ship idf to the encode kernel as a broadcast
+# numpy array (indexed by dense term_id) when the vocab is at most this
+# many terms (8 B/term); larger vocabs fall back to the idf-on-the-row
+# flow
+IDF_BCAST_MAX = int(os.environ.get("DPR_SPARK_IDF_BCAST_MAX", str(1 << 24)))
+
+
 def _finish_index(
     spark: SparkSession,
     tf: DataFrame,
     docs: DataFrame,
-    n_docs_cnt: int,
+    n_docs_cnt: Optional[int],
     build_blocks: bool = True,
     k1: float = BM25_K1,
     b: float = BM25_B,
@@ -552,12 +657,21 @@ def _finish_index(
     doc_split_bits: Optional[int] = None,
     doc_split_threshold: int = 8_000_000,
     id_strategy: Optional[str] = None,
+    n_tf: Optional[int] = None,
+    doc_id_bounds: Optional[tuple] = None,
 ) -> InvertedIndex:
     """Shared back half of the build: a materialized tf cache + a
     (doc_id, url) view -> dictionary/stats/postings/blocks.
     sum(doclen) == sum(tf) rides on the df aggregation (one fewer full
     pass over the tf cache); zero-token docs contribute 0 to the sum
-    while still counting in N — exactly the oracle's arithmetic."""
+    while still counting in N — exactly the oracle's arithmetic.
+
+    n_tf: the caller's already-materialized posting-row count — selects
+    the local vs two-phase term rank (LOCAL_TERM_RANK_MAX). n_docs_cnt
+    None fuses the corpus count (plus the doc-id bounds the packed
+    encode shuffle needs) into the ONE scalar-stats job instead of a
+    separate count() job. doc_id_bounds: (min, max) when the caller
+    already knows them (dense ids: (0, N-1))."""
     cleanup = cleanup if cleanup is not None else []
     par = spark.sparkContext.defaultParallelism
 
@@ -587,12 +701,40 @@ def _finish_index(
 
     from dpr_spark.plans.ids import assign_dense_ids
 
-    ranked = assign_dense_ids(df_by_term, "term", "term_id", cleanup=cleanup)
-    # scalar corpus stats off the (persisted) ranked dictionary — a
-    # vocab-sized job, not another 10^10-row tf pass; max(df) rides along
-    # to drive the head-term split decision for the encode shuffle
-    srow = ranked.agg(F.sum("ttf"), F.max("df")).collect()[0]
-    sum_dl, max_df = srow[0] or 0, srow[1] or 0
+    local_rank = n_tf is not None and n_tf <= LOCAL_TERM_RANK_MAX
+    ranked = assign_dense_ids(
+        df_by_term, "term", "term_id", cleanup=cleanup, local=local_rank
+    )
+    if local_rank:
+        # vocab-sized; persisted so downstream consumers (scalar stats,
+        # the postings/blocks broadcast, entry queries) don't re-run the
+        # df aggregation + sort per job
+        ranked = ranked.persist()
+        cleanup.append(ranked)
+    # scalar corpus stats off the ranked dictionary — a vocab-sized job,
+    # not another 10^10-row tf pass; max(df) rides along to drive the
+    # head-term split decision for the encode shuffle, count(*) (the
+    # vocab size = max term_id + 1) the packed-encode guard. When the
+    # caller didn't pre-count the corpus, the doc-side scalars run as a
+    # second branch of the SAME job (crossJoin of two 1-row aggregates)
+    # instead of a separate count() action.
+    term_agg = ranked.agg(
+        F.sum("ttf").alias("sd"), F.max("df").alias("md"), F.count("*").alias("nv")
+    )
+    if n_docs_cnt is None:
+        drow = docs.agg(
+            F.count("*").alias("nd"),
+            F.min("doc_id").alias("dmin"),
+            F.max("doc_id").alias("dmax"),
+        )
+        srow = term_agg.crossJoin(drow).collect()[0]
+        n_docs_cnt = int(srow["nd"])
+        if doc_id_bounds is None and srow["dmin"] is not None:
+            doc_id_bounds = (int(srow["dmin"]), int(srow["dmax"]))
+    else:
+        srow = term_agg.collect()[0]
+    sum_dl, max_df = srow["sd"] or 0, srow["md"] or 0
+    n_vocab = int(srow["nv"] or 0)
     stats = IndexStats(n_docs_cnt, float(sum_dl) / n_docs_cnt if n_docs_cnt else 0.0)
 
     if doc_split_bits is None and max_df > doc_split_threshold:
@@ -622,17 +764,43 @@ def _finish_index(
         .select("term_id", "doc_id", "tf", "doclen", "idf")
     )
 
-    blocks = (
-        # explicit partition count: without it AQE coalesces the encode
-        # shuffle to ~64MB partitions, idling most cores in the stage;
-        # 2 tasks/core smooths head-term skew
-        _encode_blocks(
-            postings, stats.avgdl, k1=k1, b=b, num_partitions=2 * par,
-            doc_split_bits=doc_split_bits,
+    blocks = None
+    if build_blocks:
+        # packed encode shuffle: when term_id and doc_id both fit 31 bits
+        # (dense vocab rank + known doc-id bounds) and the vocab is small
+        # enough to broadcast its idf column as a numpy array, the encode
+        # input crosses the shuffle AND the Python boundary as TWO packed
+        # int64 columns instead of four — the boundary's per-cell cost
+        # dominates this stage (guide §2.3 "narrower types" / §8 "shuffle
+        # keys, not payloads"); the kernel recomputes the float64 impact
+        # with the exact impact_expr operation order, so blocks are
+        # bit-identical (asserted in tests/test_codec.py)
+        pack_ids = (
+            doc_id_bounds is not None
+            and doc_id_bounds[0] >= 0
+            and doc_id_bounds[1] < (1 << 31)
+            and 0 < n_vocab <= (1 << 31)
+            and n_vocab <= IDF_BCAST_MAX
         )
-        if build_blocks
-        else None
-    )
+        if pack_ids:
+            idf_pdf = dictionary.select("term_id", "idf").toPandas()
+            idf_arr = np.zeros(n_vocab, dtype=np.float64)
+            idf_arr[idf_pdf["term_id"].to_numpy(np.int64)] = idf_pdf[
+                "idf"
+            ].to_numpy(np.float64)
+            blocks = _encode_blocks(
+                postings, stats.avgdl, k1=k1, b=b, num_partitions=2 * par,
+                doc_split_bits=doc_split_bits,
+                idf_by_term_id=spark.sparkContext.broadcast(idf_arr),
+            )
+        else:
+            # explicit partition count: without it AQE coalesces the
+            # encode shuffle to ~64MB partitions, idling most cores in
+            # the stage; 2 tasks/core smooths head-term skew
+            blocks = _encode_blocks(
+                postings, stats.avgdl, k1=k1, b=b, num_partitions=2 * par,
+                doc_split_bits=doc_split_bits,
+            )
     return InvertedIndex(
         docstats, dictionary, postings.drop("idf"), blocks, stats,
         cached=[tf, docstats] + cleanup,
@@ -662,6 +830,7 @@ def _encode_blocks(
     b: float,
     num_partitions: Optional[int] = None,
     doc_split_bits: Optional[int] = None,
+    idf_by_term_id=None,
 ) -> DataFrame:
     """Compressed posting blocks: slim the shuffle (impact precomputed,
     doclen/idf dropped), HASH repartition on term_id, then ONE numpy
@@ -685,6 +854,70 @@ def _encode_blocks(
     # normalize it to "no split" so both sites agree
     if doc_split_bits is not None and doc_split_bits < 1:
         doc_split_bits = None
+    parts = [num_partitions] if num_partitions else []
+
+    if idf_by_term_id is not None:
+        # packed flow (guarded by the caller: term_id and doc_id fit 31
+        # bits, tf/doclen always fit 32): TWO int64 columns cross the
+        # shuffle and the Python boundary — td = term_id<<32 | doc_id,
+        # dt = doclen<<32 | tf — and the kernel recomputes the impact in
+        # float64 with impact_expr's exact operation order from the
+        # broadcast idf (so scores, block maxes and block bytes are
+        # bit-identical to the unpacked flow, asserted in
+        # tests/test_codec.py). 16 B/posting on the wire instead of 24,
+        # and half the per-cell boundary cost.
+        packed = postings.select(
+            (F.shiftleft(F.col("term_id"), 32).bitwiseOR(F.col("doc_id"))).alias("td"),
+            (
+                F.shiftleft(F.col("doclen").cast("long"), 32).bitwiseOR(F.col("tf"))
+            ).alias("dt"),
+        )
+        k1p1 = k1 + 1.0
+        one_minus_b = 1.0 - b
+
+        def encode_packed(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            tds, dts = [], []
+            for p in it:
+                if len(p):
+                    tds.append(p["td"].to_numpy(np.int64))
+                    dts.append(p["dt"].to_numpy(np.int64))
+            if not tds:
+                return
+            td = np.concatenate(tds) if len(tds) > 1 else tds[0]
+            dt = np.concatenate(dts) if len(dts) > 1 else dts[0]
+            t = td >> np.int64(32)
+            d = td & np.int64(0xFFFFFFFF)
+            dl = (dt >> np.int64(32)).astype(np.float64)
+            f = dt & np.int64(0xFFFFFFFF)
+            idf = idf_by_term_id.value
+            # impact_expr's exact float64 op order, then the same f32
+            # round-trip the unpacked flow's float cast performs
+            tf_f = f.astype(np.float64)
+            s = ((idf[t] * tf_f) * k1p1) / (
+                tf_f + k1 * (one_minus_b + (b * dl) / avgdl)
+            )
+            s = s.astype(np.float32).astype(np.float64)
+            order = np.lexsort((d, t))
+            ds = d.take(order)
+            splits = (ds >> np.int64(doc_split_bits)) if doc_split_bits else None
+            out = _encode_arrays(
+                t.take(order), ds, f.take(order), s.take(order),
+                run_breaks=splits,
+            )
+            if out is not None:
+                yield out
+
+        keys = [F.shiftrightunsigned(F.col("td"), 32)]
+        if doc_split_bits is not None:
+            keys.append(
+                F.shiftright(
+                    F.col("td").bitwiseAND(F.lit(0xFFFFFFFF)), doc_split_bits
+                )
+            )
+        return packed.repartition(*parts, *keys).mapInPandas(
+            encode_packed, POSTINGS_BLOCK_SCHEMA
+        )
+
     slim = postings.select(
         "term_id",
         "doc_id",
@@ -727,7 +960,6 @@ def _encode_blocks(
     keys = [F.col("term_id")]
     if doc_split_bits is not None:
         keys.append(F.shiftright(F.col("doc_id"), doc_split_bits))
-    parts = [num_partitions] if num_partitions else []
     return slim.repartition(*parts, *keys).mapInPandas(encode, POSTINGS_BLOCK_SCHEMA)
 
 

@@ -90,6 +90,7 @@ def assign_dense_ids(
     narrow: bool = False,
     cleanup: Optional[list] = None,
     broadcast_map: bool = True,
+    local: bool = False,
 ) -> DataFrame:
     """narrow=True ranks over order_col ALONE (a slim shuffle: one string
     column instead of the whole row, e.g. no page text) and joins the
@@ -100,7 +101,23 @@ def assign_dense_ids(
     cleanup: optional list that receives the DataFrames this function
     persists (the ranked partitions must outlive the returned DataFrame's
     lineage); callers unpersist them when the ids are no longer needed.
-    """
+
+    local=True ranks with a plain single-partition row_number window —
+    ONE exchange, no sampling job, no counts job, no Python stage.
+    Correct at any size (the ids are the same dense rank) but the sort
+    runs in one task, so callers only pass it when they KNOW the input is
+    driver-scale small (e.g. a vocab bounded by an already-materialized
+    row count); the default stays the scalable two-phase path.
+    `_dense_id_count` is not computed (no counts job ran)."""
+    if local:
+        from pyspark.sql import Window
+
+        out = df.withColumn(
+            id_col,
+            (F.row_number().over(Window.orderBy(order_col)) - 1).cast("long"),
+        )
+        out._dense_id_count = None
+        return out
     if narrow:
         ids = assign_dense_ids(
             df.select(order_col), order_col, id_col, num_partitions, cleanup=cleanup
