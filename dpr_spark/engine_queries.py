@@ -8534,22 +8534,29 @@ _DUCK_LINES = (
 
 
 def _multiline_docs(spark, sf_dir) -> DataFrame:
-    toks = _tok_col()
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        "source",
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.ceil(F.size(toks) / _LINE_TOKENS).cast("int") - 1,
+    # tokens into a NAMED column first: the tokenizer expression inside
+    # the transform() lambda re-runs per array element otherwise
+    # (interpreted HOF eval — measured 10x on exactly this shape)
+    toks = F.col("_toks")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", _tok_col().alias("_toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(toks) / _LINE_TOKENS).cast("int") - 1,
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, i * _LINE_TOKENS + 1, _LINE_TOKENS)
+                    ),
                 ),
-                lambda i: F.concat_ws(
-                    " ", F.slice(toks, i * _LINE_TOKENS + 1, _LINE_TOKENS)
-                ),
-            ),
-        ).alias("text"),
+            ).alias("text"),
+        )
     )
 
 
@@ -8567,7 +8574,9 @@ def q_c4_clean() -> Entry:
     def fn(spark, sf_dir):
         from dpr_spark.extras.webclean import c4_clean
 
-        toks = _tok_col()
+        # named token column: the tokenizer inside the transform() lambda
+        # would re-run per array element (interpreted HOF eval)
+        toks = F.col("_toks")
         n_lines = F.ceil(F.size(toks) / LW).cast("int")
         lines = F.transform(
             F.sequence(F.lit(0), n_lines - 1),
@@ -8591,7 +8600,11 @@ def q_c4_clean() -> Entry:
             F.col("doc_id") % 13 == 0,
             F.concat(text, F.lit("\nthis verboten word line ends.")),
         ).otherwise(text)
-        d = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+        d = (
+            _docs(spark, sf_dir)
+            .select("doc_id", _tok_col().alias("_toks"))
+            .select("doc_id", text.alias("text"))
+        )
         return c4_clean(d, badwords=("verboten",)).orderBy("doc")
 
     sql = f"""

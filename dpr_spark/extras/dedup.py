@@ -36,18 +36,27 @@ def portable_hash60(col):
 
 
 def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    toks = tokenize_col(text_col)
-    return df.select(
-        F.col(id_col).alias("doc"),
-        F.explode_outer(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    # tokenize into a NAMED column first: referencing the regex tokenizer
+    # expression directly inside the transform() lambda re-evaluates it
+    # PER ARRAY ELEMENT in interpreted higher-order-function eval
+    # (measured 10x on this exact shape); the multi-referenced alias
+    # survives CollapseProject, so the regex runs once per row
+    toks = F.col("_toks")
+    return (
+        df.select(F.col(id_col).alias("doc"), tokenize_col(text_col).alias("_toks"))
+        .select(
+            "doc",
+            F.explode_outer(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                    )
                 )
-            )
-        ).alias("shingle"),
-    ).filter(F.col("shingle") != "")
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle") != "")
+    )
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -418,7 +427,9 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .persist()
         )
-        new.count()
+        # ONE job per round: counting changed labels is the first action
+        # on `new`, so it materializes the persist as a side effect (the
+        # previous separate new.count() was a second full job per round)
         changed = (
             new.join(labels.withColumnRenamed("component", "old"), "node")
             .filter(F.col("component") != F.col("old"))

@@ -61,7 +61,11 @@ def hashed_ngram_buckets(
     Stays Catalyst-native end to end (array transform + explode +
     map-side-combined groupBy) — no Python in the loop.
     """
-    toks = tokenize_col(text_col, lowercase_first=lowercase_first)
+    # tokens into a NAMED column first: element_at(tokenizer-expr, ...)
+    # inside the transform() lambda re-runs the regex tokenizer per
+    # array element in interpreted HOF eval (measured 10x on the n-gram
+    # shape); the multi-referenced alias survives CollapseProject
+    toks = F.col("_toks")
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -76,7 +80,11 @@ def hashed_ngram_buckets(
         F.col("g"), buckets
     )
     return (
-        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("g"))
+        df.select(
+            F.col(id_col).alias("doc"),
+            tokenize_col(text_col, lowercase_first=lowercase_first).alias("_toks"),
+        )
+        .select("doc", F.explode(grams).alias("g"))
         .select("doc", bucket.alias("bucket"))
         .groupBy("doc", "bucket")
         .agg(F.count("*").alias("c"))

@@ -63,7 +63,10 @@ def shingle_edges(
     window is tiny (<= max_df rows) so no skewed partition forms —
     exactly the hot-shingle discipline dedup.py uses.
     """
-    toks = tokenize_col(text_col, lowercase_first=True)
+    # tokens into a NAMED column first: the tokenizer expression inside
+    # the transform() lambda would re-run per array element in
+    # interpreted HOF eval (measured 10x on the shingle shape)
+    toks = F.col("_toks")
     grams = F.when(
         F.size(toks) >= n,
         F.array_distinct(
@@ -73,7 +76,10 @@ def shingle_edges(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("anchor"))
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_col(text_col, lowercase_first=True).alias("_toks"),
+    ).select("doc_id", F.explode(grams).alias("anchor"))
     dfreq = (
         sh.groupBy("anchor")
         .agg(F.count("*").alias("df"))
@@ -127,22 +133,25 @@ def pagerank(
 
     ranks = base.withColumn("rank", F.lit(scale).cast("long")).localCheckpoint()
     for _ in range(n_iter):
-        dang = (
+        # dangling mass rides the update plan as a 1-row crossJoin branch
+        # instead of a separate collect() job — one Spark job per
+        # iteration (the eager localCheckpoint), not two; the arithmetic
+        # is the same integer sum/div, so ranks stay bit-identical
+        dangdf = (
             ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("d"))
-            .collect()[0]["d"]
+            .select(F.expr(f"d div {n}L").alias("dshare"))
         )
-        dshare = int(dang) // n
         contribs = (
             ranks.join(edges_od, ranks["node"] == edges_od["src"])
             .select(F.col("dst").alias("node"), F.expr("rank div od").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = base.join(contribs, "node", "left").select(
+        ranks = base.join(contribs, "node", "left").crossJoin(F.broadcast(dangdf)).select(
             "node",
             F.expr(
-                f"{teleport}L + ({damping_num}L * (coalesce(s, 0L) + {dshare}L))"
+                f"{teleport}L + ({damping_num}L * (coalesce(s, 0L) + dshare))"
                 f" div {damping_den}L"
             ).alias("rank"),
         )
@@ -188,17 +197,22 @@ def hits(
     hub = base.withColumn("hub", F.lit(scale).cast("long")).localCheckpoint()
     auth = None
     for _ in range(n_iter):
+        # max-normalization denominator rides the update plan as a 1-row
+        # crossJoin branch instead of a collect() job — two Spark jobs
+        # per iteration (the eager localCheckpoints), not four; same
+        # integer arithmetic, bit-identical scores
         a = (
             hub.join(edges, hub["node"] == edges["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("s"))
             .persist()
         )
-        amax = a.agg(F.coalesce(F.max("s"), F.lit(0)).alias("m")).collect()[0]["m"]
-        amax = max(int(amax), 1)
-        auth = base.join(a, "node", "left").select(
+        amaxdf = a.agg(
+            F.expr("greatest(coalesce(max(s), 0L), 1L)").alias("amax")
+        )
+        auth = base.join(a, "node", "left").crossJoin(F.broadcast(amaxdf)).select(
             "node",
-            F.expr(f"coalesce(s, 0L) * {scale}L div {amax}L").alias("auth"),
+            F.expr(f"coalesce(s, 0L) * {scale}L div amax").alias("auth"),
         ).localCheckpoint()
         a.unpersist()
         h = (
@@ -207,11 +221,12 @@ def hits(
             .agg(F.sum("auth").alias("s"))
             .persist()
         )
-        hmax = h.agg(F.coalesce(F.max("s"), F.lit(0)).alias("m")).collect()[0]["m"]
-        hmax = max(int(hmax), 1)
-        hub = base.join(h, "node", "left").select(
+        hmaxdf = h.agg(
+            F.expr("greatest(coalesce(max(s), 0L), 1L)").alias("hmax")
+        )
+        hub = base.join(h, "node", "left").crossJoin(F.broadcast(hmaxdf)).select(
             "node",
-            F.expr(f"coalesce(s, 0L) * {scale}L div {hmax}L").alias("hub"),
+            F.expr(f"coalesce(s, 0L) * {scale}L div hmax").alias("hub"),
         ).localCheckpoint()
         h.unpersist()
     edges.unpersist()

@@ -107,16 +107,30 @@ def train_quality_classifier(
         resid = labels.join(margins, "doc").select(
             "doc", (_sigmoid(F.col("m")) - F.col("y").cast("double")).alias("r")
         )
+        # ONE job per step: the bias gradient (mean residual) rides the
+        # bucket-gradient aggregation as a sentinel bucket (-1, never a
+        # hash bucket) carrying sum(r)/count(r) — the same avg() doubles
+        # the separate resid.agg job computed
         grads = (
             feats.join(resid, "doc")
+            .select("bucket", (F.col("x") * F.col("r")).alias("v"))
+            .unionByName(
+                resid.select(F.lit(-1).cast("long").alias("bucket"), F.col("r").alias("v"))
+            )
             .groupBy("bucket")
-            .agg((F.sum(F.col("x") * F.col("r")) / F.lit(float(n))).alias("g"))
+            .agg(
+                (F.sum("v") / F.lit(float(n))).alias("g"),
+                (F.sum("v") / F.count("v")).alias("m"),
+            )
             .collect()
         )
-        mean_r = resid.agg(F.avg("r")).first()[0]
+        mean_r = None
         for row in grads:
-            w[row.bucket] = w.get(row.bucket, 0.0) - eta * row.g
-        bias -= eta * mean_r
+            if row.bucket == -1:
+                mean_r = row.m
+            else:
+                w[row.bucket] = w.get(row.bucket, 0.0) - eta * row.g
+        bias -= eta * (mean_r if mean_r is not None else 0.0)
     feats.unpersist()
     labels.unpersist()
     return w, bias

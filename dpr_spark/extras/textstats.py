@@ -135,7 +135,11 @@ def bigram_lm_perplexity(
     if AQE's skew-join doesn't. Docs shorter than 2 tokens drop (no
     bigrams to score). ppl rounds at `ppl_round` so cross-engine ln/sum
     ulp noise can't flip a hash."""
-    toks = tokenize_col(text_col)
+    # tokens into a NAMED column first: element_at(tokenizer-expr, ...)
+    # inside the transform() lambda re-runs the regex tokenizer PER
+    # ARRAY ELEMENT in interpreted HOF eval (measured 10x on the n-gram
+    # shape); the multi-referenced alias survives CollapseProject
+    toks = F.col("_toks")
     pairs = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -152,7 +156,10 @@ def bigram_lm_perplexity(
     # the vocab count and the join — persist both or the tokenize pass
     # re-runs once per consumer (it was 4 corpus passes)
     bg = (
-        df.select(F.col(id_col).alias("doc"), F.explode(pairs).alias("p"))
+        df.select(
+            F.col(id_col).alias("doc"), tokenize_col(text_col).alias("_toks")
+        )
+        .select("doc", F.explode(pairs).alias("p"))
         .select("doc", F.col("p.u").alias("u"), F.col("p.g").alias("g"))
         .persist()
     )

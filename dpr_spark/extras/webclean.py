@@ -159,6 +159,20 @@ def repetition_stats(
     d = df.select(
         F.col(id_col).alias("doc"), lines.alias("lines"), toks.alias("toks")
     )
+    # materialize each sorted gram array ONCE as a named column: n=2 and
+    # n=3 feed both a top- and a dup-stat, and without the alias each
+    # consumer re-builds and re-sorts its gram array per row (the gram
+    # construction + sort dominates this operator's cost)
+    gram_ns = sorted(set(top_ns) | set(dup_ns))
+    d = d.select(
+        "doc",
+        "lines",
+        "toks",
+        *[
+            F.array_sort(_grams(F.col("toks"), n)).alias(f"_sg{n}")
+            for n in gram_ns
+        ],
+    )
     line_chars = F.aggregate(
         "lines", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
@@ -176,12 +190,12 @@ def repetition_stats(
     ]
     denom = F.greatest(tok_chars, F.lit(1))
     for n in top_ns:
-        ts = _top_group_stats(F.array_sort(_grams(F.col("toks"), n)))
+        ts = _top_group_stats(F.col(f"_sg{n}"))
         cols.append(
             F.round((ts["best"] * ts["blen"]) / denom, 6).alias(f"top{n}gram_char_frac")
         )
     for n in dup_ns:
-        ds = _dup_group_stats(F.array_sort(_grams(F.col("toks"), n)))
+        ds = _dup_group_stats(F.col(f"_sg{n}"))
         cols.append(F.round(ds["dupc"] / denom, 6).alias(f"dup{n}gram_char_frac"))
     return d.select(*cols)
 
@@ -230,8 +244,18 @@ def gopher_quality_rules(
     """
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     lines = F.split(F.col(text_col), line_sep)
+    # two-step select: ws/ls once per row, then the derived arrays the
+    # metrics reference repeatedly (lowercased words feed the stop-word
+    # lambda 8x per row; the re-joined text feeds 4 length probes) are
+    # ALSO named columns so they evaluate once per row, not per use
     d = df.select(
         F.col(id_col).alias("doc"), words.alias("ws"), lines.alias("ls")
+    ).select(
+        "doc",
+        "ws",
+        "ls",
+        F.transform("ws", F.lower).alias("_lws"),
+        F.concat_ws(" ", F.col("ws")).alias("_tc"),
     )
     n_words = F.size("ws").cast("long")
     word_chars = F.aggregate(
@@ -245,7 +269,7 @@ def gopher_quality_rules(
     )
     # ellipses: unicode '…' anywhere + literal '...' runs (count
     # non-overlapping '...' occurrences via length arithmetic)
-    text_c = F.concat_ws(" ", F.col("ws"))
+    text_c = F.col("_tc")
     n_uni_ell = F.length(text_c) - F.length(F.replace(text_c, F.lit("…")))
     n_dot_ell = (
         F.length(text_c) - F.length(F.regexp_replace(text_c, r"\.\.\.", ""))
@@ -268,7 +292,7 @@ def gopher_quality_rules(
         F.filter("ws", lambda w: w.rlike("[a-zA-Z]"))
     ).cast("long")
     alpha_frac = n_alpha / F.greatest(n_words, F.lit(1)).cast("double")
-    lower_ws = F.transform("ws", F.lower)
+    lower_ws = F.col("_lws")
     stop_hits = F.size(
         F.filter(
             F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS]),
@@ -335,22 +359,31 @@ def c4_clean(
     The paper's fourth stage (three-sentence-span dedup across the
     corpus) is the separate `dup_span_strip` operator."""
     lines = F.split(F.col(text_col), line_sep)
-    d = df.select(
-        F.col(id_col).alias("doc"), F.col(text_col).alias("_t"), lines.alias("ls")
-    )
     line_words = lambda l: F.size(  # noqa: E731
         F.filter(F.split(l, r"\s+"), lambda w: w != "")
     )
     keep_line = lambda l: F.rtrim(l).rlike('[.!?"]$') & (  # noqa: E731
         line_words(l) >= min_line_words
     )
-    kept = F.filter("ls", keep_line)
+    # two-step select: the kept-lines filter, the re-joined clean text
+    # and the lowercased text each feed several downstream metrics —
+    # named columns evaluate them once per row instead of once per use
+    d = df.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("_t"), lines.alias("ls")
+    ).select(
+        "doc",
+        "_t",
+        "ls",
+        F.filter("ls", keep_line).alias("_kept"),
+        F.lower(F.col("_t")).alias("_low"),
+    )
+    kept = F.col("_kept")
     clean_text = F.concat_ws(line_sep, kept)
     n_sent = (
         F.length(clean_text)
         - F.length(F.regexp_replace(clean_text, r"[.!?]", ""))
     ).cast("long")
-    low = F.lower(F.col("_t"))
+    low = F.col("_low")
     words_low = F.filter(F.split(low, r"\s+"), lambda w: w != "")
     if badwords:
         bad = F.arrays_overlap(
@@ -404,9 +437,15 @@ def ngram_decontaminate(
     decontamination). join_on="text" gives the exact contract the
     DuckDB oracle twins.
     """
-    toks = tokenize_col(text_col, lowercase_first=True)
+    # tokens into a NAMED column first: the tokenizer expression inside
+    # _grams' transform() lambda re-runs per array element otherwise
+    # (interpreted HOF eval; measured 10x on the n-gram shape)
     dg = (
-        docs.select(F.col(id_col).alias("doc"), _grams(toks, n).alias("gs"))
+        docs.select(
+            F.col(id_col).alias("doc"),
+            tokenize_col(text_col, lowercase_first=True).alias("_toks"),
+        )
+        .select("doc", _grams(F.col("_toks"), n).alias("gs"))
         .select("doc", F.explode("gs").alias("gram"))
         .distinct()
     )
