@@ -522,14 +522,20 @@ def build_index(
         src.select("url", "text"), "url", 3 * par, cleanup
     )
     tf = doc_terms_from_parts(parts, bc, analyzer=analyzer).persist()
-    n_tf = tf.count()  # materialize before the term-ranking sampler (see below)
+    # the ranged prefix sum already counted the corpus: a small-enough
+    # doc count commits to the local vocab rank up front, skipping the
+    # tf.count() materialization barrier (the stats job materializes the
+    # persisted tf instead); large corpora keep count-then-sample, which
+    # shields the two-phase rank's range sampler from re-tokenizing
+    local_rank = True if n_docs_cnt <= LOCAL_TERM_RANK_DOCS_MAX else None
+    n_tf = None if local_rank else tf.count()
     # docstats' (doc_id, url) view reuses the same offsets — off the
     # critical path, no text column
     docs = attach_ids(parts, bc, "doc_id", columns=["url"])
     idx = _finish_index(
         spark, tf, docs, n_docs_cnt, build_blocks=build_blocks, k1=k1, b=b,
         salt_df_agg=salt_df_agg, cleanup=cleanup, id_strategy="dense_rank",
-        n_tf=n_tf,
+        n_tf=n_tf, local_rank=local_rank,
         doc_id_bounds=(0, n_docs_cnt - 1) if n_docs_cnt else None,
     )
     idx.analyzer = analyzer
@@ -579,22 +585,44 @@ def build_index_from_docs(
         docs = docs.withColumn("url", F.col("doc_id").cast("string"))
     par = spark.sparkContext.defaultParallelism
     n_docs_hint = getattr(docs, "_dense_id_count", None)
+    # local vocab rank decided UP FRONT when the input is provably small
+    # (known row count, or Catalyst's free size estimate for the docs
+    # plan): the tf.count() materialization job exists only to (a) pick
+    # local vs two-phase rank and (b) shield the two-phase path's
+    # range-bounds sampler from re-running the tokenizer — both moot
+    # when the local rank is already committed, so the build drops one
+    # driver barrier (guide §1.2: fewer passes; the first consumer job
+    # materializes the persisted tf instead).
+    est = _plan_size_bytes(docs)
+    local_rank = (
+        (n_docs_hint is not None and int(n_docs_hint) <= LOCAL_TERM_RANK_DOCS_MAX)
+        or (est is not None and est <= LOCAL_TERM_RANK_EST_BYTES)
+    ) or None  # None = unknown, fall back to the n_tf count
     if repartition:
         # D1: spread the corpus over all cores before the tokenize pass —
         # a single-file parquet scan (or a broadcast-join output) otherwise
         # arrives in 1-2 partitions and serializes the expensive Arrow
-        # stage. 3 tasks/core smooths stragglers. Callers with an already
+        # stage. 3 tasks/core smooths stragglers; for small inputs the
+        # width is derived from the size estimate instead (a 600 KB corpus
+        # across 96 tasks is pure scheduling overhead — guide §2 "make
+        # partitioning scale-adaptive"). Callers with an already
         # well-partitioned source pass repartition=False and skip the
         # (10^12-row) extra shuffle.
-        docs = docs.repartition(3 * par)
+        nparts = 3 * par
+        if est is not None:
+            nparts = max(8, min(nparts, -(-est // (2 * 1024 * 1024))))
+        docs = docs.repartition(nparts)
     # one Arrow pass: tokenize + per-doc tf histogram (no explode shuffle)
     tf = doc_terms(docs, analyzer=analyzer).persist()
-    # materialize the cache NOW with a plain count: leaving it to the term
-    # ranking's range-bounds sampling job pipelines the expensive double
-    # Python stage under the sampler and was measured 3-10x slower than
-    # count-then-sample on this box (and the count is the posting-row
-    # metric the build manifest wants anyway)
-    n_tf = tf.count()
+    if local_rank:
+        n_tf = None
+    else:
+        # materialize the cache NOW with a plain count: leaving it to the
+        # term ranking's range-bounds sampling job pipelines the expensive
+        # double Python stage under the sampler and was measured 3-10x
+        # slower than count-then-sample on this box (and the count is the
+        # posting-row metric the build manifest wants anyway)
+        n_tf = tf.count()
 
     # N is a free byproduct of the dense-id prefix sum when available;
     # without it the corpus count (and the doc-id bounds the packed
@@ -605,7 +633,7 @@ def build_index_from_docs(
         build_blocks=build_blocks, k1=k1, b=b, salt_df_agg=salt_df_agg,
         cleanup=cleanup, doc_split_bits=doc_split_bits,
         doc_split_threshold=doc_split_threshold, id_strategy=id_strategy,
-        n_tf=n_tf,
+        n_tf=n_tf, local_rank=local_rank,
         doc_id_bounds=(
             (0, int(n_docs_hint) - 1)
             if n_docs_hint is not None and int(n_docs_hint) > 0
@@ -637,6 +665,35 @@ def build_index_from_docs(
 LOCAL_TERM_RANK_MAX = int(
     os.environ.get("DPR_SPARK_LOCAL_TERM_RANK_MAX", str(32_000_000))
 )
+# doc-count twin of LOCAL_TERM_RANK_MAX: when the caller already knows
+# the corpus row count (ranged_parts prefix sum / dense-id hint), a
+# corpus at or below this many docs commits to the local vocab rank
+# WITHOUT running the tf.count() materialization job first (one fewer
+# driver barrier per build). Vocabulary grows sublinearly in docs
+# (Heaps' law), so 1M web docs bound the single-task vocab sort at a
+# few million terms — far under LOCAL_TERM_RANK_MAX's intent.
+LOCAL_TERM_RANK_DOCS_MAX = int(
+    os.environ.get("DPR_SPARK_LOCAL_TERM_RANK_DOCS_MAX", str(1_000_000))
+)
+# plan-size twin for callers with NO row count (entry queries building
+# from a parquet scan): when Catalyst's sizeInBytes estimate for the
+# docs plan is at or below this, the build likewise commits to the
+# local vocab rank up front and skips the tf.count() job. 64 MB of
+# source text tokenizes to well under LOCAL_TERM_RANK_MAX postings.
+LOCAL_TERM_RANK_EST_BYTES = int(
+    os.environ.get("DPR_SPARK_LOCAL_TERM_RANK_EST_BYTES", str(64 * 1024 * 1024))
+)
+
+
+def _plan_size_bytes(df: DataFrame) -> Optional[int]:
+    """Catalyst's optimizer size estimate for a plan (bytes) — free
+    (driver-side, no job). For parquet scans this is file-size-derived
+    and reliable; opaque plans report huge defaults, which safely fall
+    through every "small" test."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
 # encode-shuffle packing: ship idf to the encode kernel as a broadcast
 # numpy array (indexed by dense term_id) when the vocab is at most this
 # many terms (8 B/term); larger vocabs fall back to the idf-on-the-row
@@ -659,6 +716,7 @@ def _finish_index(
     id_strategy: Optional[str] = None,
     n_tf: Optional[int] = None,
     doc_id_bounds: Optional[tuple] = None,
+    local_rank: Optional[bool] = None,
 ) -> InvertedIndex:
     """Shared back half of the build: a materialized tf cache + a
     (doc_id, url) view -> dictionary/stats/postings/blocks.
@@ -667,11 +725,13 @@ def _finish_index(
     while still counting in N — exactly the oracle's arithmetic.
 
     n_tf: the caller's already-materialized posting-row count — selects
-    the local vs two-phase term rank (LOCAL_TERM_RANK_MAX). n_docs_cnt
-    None fuses the corpus count (plus the doc-id bounds the packed
-    encode shuffle needs) into the ONE scalar-stats job instead of a
-    separate count() job. doc_id_bounds: (min, max) when the caller
-    already knows them (dense ids: (0, N-1))."""
+    the local vs two-phase term rank (LOCAL_TERM_RANK_MAX) when
+    `local_rank` is None (callers that committed up front — known-small
+    doc count or plan-size estimate — pass local_rank=True and skip the
+    count job entirely). n_docs_cnt None fuses the corpus count (plus
+    the doc-id bounds the packed encode shuffle needs) into the ONE
+    scalar-stats job instead of a separate count() job. doc_id_bounds:
+    (min, max) when the caller already knows them (dense ids: (0, N-1))."""
     cleanup = cleanup if cleanup is not None else []
     par = spark.sparkContext.defaultParallelism
 
@@ -701,7 +761,8 @@ def _finish_index(
 
     from dpr_spark.plans.ids import assign_dense_ids
 
-    local_rank = n_tf is not None and n_tf <= LOCAL_TERM_RANK_MAX
+    if local_rank is None:
+        local_rank = n_tf is not None and n_tf <= LOCAL_TERM_RANK_MAX
     ranked = assign_dense_ids(
         df_by_term, "term", "term_id", cleanup=cleanup, local=local_rank
     )
@@ -717,24 +778,51 @@ def _finish_index(
     # vocab size = max term_id + 1) the packed-encode guard. When the
     # caller didn't pre-count the corpus, the doc-side scalars run as a
     # second branch of the SAME job (crossJoin of two 1-row aggregates)
-    # instead of a separate count() action.
-    term_agg = ranked.agg(
-        F.sum("ttf").alias("sd"), F.max("df").alias("md"), F.count("*").alias("nv")
+    # instead of a separate count() action. When the corpus count IS
+    # known and the encode will need the vocab idf broadcast anyway
+    # (local-ranked blocks build with known doc-id bounds), the stats
+    # FUSE into that vocab-sized toPandas pull — one job instead of two;
+    # idf is computed by the same Spark expression inside the pull job,
+    # so packed-encode scores stay bit-identical.
+    idf_pdf = None
+    n_docs = float(n_docs_cnt) if n_docs_cnt else 0.0
+    idf_col = F.log(
+        (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
     )
-    if n_docs_cnt is None:
-        drow = docs.agg(
-            F.count("*").alias("nd"),
-            F.min("doc_id").alias("dmin"),
-            F.max("doc_id").alias("dmax"),
+    fused_pull = (
+        build_blocks
+        and local_rank
+        and n_docs_cnt is not None
+        and doc_id_bounds is not None
+        and doc_id_bounds[0] >= 0
+        and doc_id_bounds[1] < (1 << 31)
+    )
+    if fused_pull:
+        idf_pdf = (
+            ranked.select("term_id", "df", "ttf", idf_col.alias("idf")).toPandas()
         )
-        srow = term_agg.crossJoin(drow).collect()[0]
-        n_docs_cnt = int(srow["nd"])
-        if doc_id_bounds is None and srow["dmin"] is not None:
-            doc_id_bounds = (int(srow["dmin"]), int(srow["dmax"]))
+        sum_dl = int(idf_pdf["ttf"].sum()) if len(idf_pdf) else 0
+        max_df = int(idf_pdf["df"].max()) if len(idf_pdf) else 0
+        n_vocab = len(idf_pdf)
     else:
-        srow = term_agg.collect()[0]
-    sum_dl, max_df = srow["sd"] or 0, srow["md"] or 0
-    n_vocab = int(srow["nv"] or 0)
+        term_agg = ranked.agg(
+            F.sum("ttf").alias("sd"), F.max("df").alias("md"), F.count("*").alias("nv")
+        )
+        if n_docs_cnt is None:
+            drow = docs.agg(
+                F.count("*").alias("nd"),
+                F.min("doc_id").alias("dmin"),
+                F.max("doc_id").alias("dmax"),
+            )
+            srow = term_agg.crossJoin(drow).collect()[0]
+            n_docs_cnt = int(srow["nd"])
+            if doc_id_bounds is None and srow["dmin"] is not None:
+                doc_id_bounds = (int(srow["dmin"]), int(srow["dmax"]))
+        else:
+            srow = term_agg.collect()[0]
+        sum_dl, max_df = srow["sd"] or 0, srow["md"] or 0
+        n_vocab = int(srow["nv"] or 0)
     stats = IndexStats(n_docs_cnt, float(sum_dl) / n_docs_cnt if n_docs_cnt else 0.0)
 
     if doc_split_bits is None and max_df > doc_split_threshold:
@@ -783,7 +871,8 @@ def _finish_index(
             and n_vocab <= IDF_BCAST_MAX
         )
         if pack_ids:
-            idf_pdf = dictionary.select("term_id", "idf").toPandas()
+            if idf_pdf is None:
+                idf_pdf = dictionary.select("term_id", "idf").toPandas()
             idf_arr = np.zeros(n_vocab, dtype=np.float64)
             idf_arr[idf_pdf["term_id"].to_numpy(np.int64)] = idf_pdf[
                 "idf"

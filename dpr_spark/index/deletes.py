@@ -81,12 +81,12 @@ def purge_deletes(
         .select("term", "doc_id", "tf", "doclen")
         .persist()
     )
-    tf_live.count()
+    n_tf_live = tf_live.count()
     cleanup: list = []
     purged = _finish_index(
         spark, tf_live, live_stats, n_live,
         build_blocks=build_blocks, k1=k1, b=b, cleanup=cleanup,
-        id_strategy=index.id_strategy,
+        id_strategy=index.id_strategy, n_tf=n_tf_live,
     )
     if index.positions is not None:
         idmap = (
