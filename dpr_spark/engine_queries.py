@@ -127,12 +127,16 @@ ranked AS (
 def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared Spark-side BM25 pipeline over the testdata documents table,
     mirroring _BM25_CTES term for term (J6 + M1 + A6/A7)."""
-    # persist: tok feeds three consumers (stats collect, tf, and dic via
-    # tf) — without it the Arrow tokenize pass re-runs per consumer
+    # persist: tok feeds three consumers (the stats branch, tf, and dic
+    # via tf) — without it the Arrow tokenize pass re-runs per consumer
     tok = _tokenized(spark, sf_dir).persist()
     ds = tok.select("doc_id", F.size("toks").alias("doclen"))
-    srow = ds.agg(F.count("*").cast("double").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
-    n, avgdl = float(srow["n"]), float(srow["avgdl"])
+    # corpus scalars ride the plan as a broadcast 1-row crossJoin instead
+    # of a driver collect: one Spark job per consuming entry instead of
+    # two, same doubles (count/avg computed by the identical aggregates)
+    stats = ds.agg(
+        F.count("*").cast("double").alias("n"), F.avg("doclen").alias("avgdl")
+    )
     tf = (
         tok.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
@@ -144,15 +148,16 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         qt.join(F.broadcast(dic), "term")
         .join(tf, "term")
         .join(ds, "doc_id")
+        .crossJoin(F.broadcast(stats))
     )
     component = (
-        F.log((F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
+        F.log((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
         * F.col("tf").cast("double")
         * F.lit(BM25_K1 + 1.0)
         / (
             F.col("tf").cast("double")
             + F.lit(BM25_K1)
-            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("doclen").cast("double") / F.lit(avgdl))
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("doclen").cast("double") / F.col("avgdl"))
         )
     )
     scored = (
@@ -10521,7 +10526,11 @@ def q_pipeline_e2e() -> Entry:
         )
         corpus = sb.select(
             F.col("doc").alias("doc_id"), F.col("clean_text").alias("text")
-        ).join(contaminated, "doc_id", "left_anti")
+        ).join(contaminated, "doc_id", "left_anti").persist()
+        # persist: the cleaned corpus feeds BOTH the tokenize kernel and
+        # the corpus-count stats job inside the build — without it the
+        # whole boilerplate-strip + decontamination subtree re-executes
+        # per consumer (guide §7.2 duplicated subtrees)
         idx = build_index_from_docs(spark, corpus, build_blocks=False)
         seg = build_impact_segments(idx, num_buckets=8)
         qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")

@@ -400,14 +400,29 @@ def connected_components(
     dedup contract: docs absent from the output keep themselves.
     Raises if not converged within max_iters (a pathological chain —
     raise max_iters, or pre-collapse with exact dedup first)."""
-    edges = (
+    e0 = (
         pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
         .filter(F.col("x") != F.col("y"))
     )
-    # symmetrize once; labels start as the node id
-    edges = edges.unionByName(
-        edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
-    ).distinct().persist()
+    # symmetrize once via explode, NOT a union of two selects over the
+    # same child: the union references the (often expensive — e.g. a
+    # whole MinHash/LSH pipeline) pair subtree twice and re-executes it
+    # per reference inside the materialization job (guide §7.2
+    # "duplicated subtrees"); explode reads it once. Labels start as
+    # the node id.
+    edges = (
+        e0.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("x"), F.col("y")),
+                    F.struct(F.col("y").alias("x"), F.col("x").alias("y")),
+                )
+            ).alias("_e")
+        )
+        .select(F.col("_e.x").alias("x"), F.col("_e.y").alias("y"))
+        .distinct()
+        .persist()
+    )
     labels = (
         edges.select(F.col("x").alias("node"))
         .distinct()

@@ -204,19 +204,37 @@ def build_fielded_index(
     if "url" not in docs.columns:
         docs = docs.withColumn("url", F.col("doc_id").cast("string"))
     par = spark.sparkContext.defaultParallelism
+    from dpr_spark.index.build import (
+        LOCAL_TERM_RANK_EST_BYTES,
+        _plan_size_bytes,
+    )
+
+    est = _plan_size_bytes(docs)
+    small = est is not None and est <= LOCAL_TERM_RANK_EST_BYTES
     if repartition:
-        docs = docs.repartition(3 * par)
+        # scale-adaptive width (see build.build_index_from_docs): tiny
+        # corpora don't pay 3*cores-task stages
+        nparts = 3 * par
+        if est is not None:
+            nparts = max(8, min(nparts, -(-est // (2 * 1024 * 1024))))
+        docs = docs.repartition(nparts)
 
     tff = doc_terms_fielded(docs, fields, analyzer=analyzer).persist()
-    tff.count()  # materialize before the rank sampler (see build.py)
-    n_docs = docs.count()
+    if not small:
+        tff.count()  # materialize before the rank sampler (see build.py)
 
     # per-field avgdl: Σ tf / N per field — docs with an empty field
-    # contribute 0 to the sum but count in N, same as the base build
-    sums = {
-        int(r["field_id"]): float(r["s"] or 0.0)
-        for r in tff.groupBy("field_id").agg(F.sum("tf").alias("s")).collect()
-    }
+    # contribute 0 to the sum but count in N, same as the base build.
+    # The corpus count rides the same (fields-sized) job as a broadcast
+    # 1-row crossJoin instead of a second count() action.
+    frows = (
+        tff.groupBy("field_id")
+        .agg(F.sum("tf").alias("s"))
+        .crossJoin(F.broadcast(docs.agg(F.count("*").alias("nd"))))
+        .collect()
+    )
+    n_docs = int(frows[0]["nd"]) if frows else docs.count()
+    sums = {int(r["field_id"]): float(r["s"] or 0.0) for r in frows}
     avgdl = {
         fname: (sums.get(fid, 0.0) / n_docs if n_docs else 0.0)
         for fid, fname in enumerate(fields)
@@ -233,7 +251,12 @@ def build_fielded_index(
         "_key", F.concat(F.col("term"), F.lit(_KEY_SEP), F.col("field_id").cast("string"))
     )
     cleanup: list = []
-    ranked = assign_dense_ids(keyed, "_key", "term_id", cleanup=cleanup)
+    ranked = assign_dense_ids(keyed, "_key", "term_id", cleanup=cleanup, local=small)
+    if small:
+        # vocab-sized; downstream consumers (postings broadcast, query
+        # resolution) reuse it instead of re-running the df aggregation
+        ranked = ranked.persist()
+        cleanup.append(ranked)
     n = float(n_docs)
     dictionary = ranked.select(
         "term",

@@ -75,8 +75,15 @@ def merge_indexes(
 
     n_docs = sum(ix.stats.n_docs for ix in indexes)
     docstats = _union_all([ix.docstats.select("doc_id", "url", "doclen") for ix in indexes])
+    # ONE doc-sized job: the disjointness gate (countDistinct doc_id) and
+    # the exact integer doclen sum (bit-identical avgdl vs a fresh build)
+    # ride the same aggregation instead of two separate actions
+    srow = docstats.agg(
+        F.countDistinct("doc_id").alias("nd") if check_disjoint else F.lit(None).alias("nd"),
+        F.sum("doclen").alias("sd"),
+    ).collect()[0]
     if check_disjoint:
-        distinct = docstats.select("doc_id").distinct().count()
+        distinct = int(srow["nd"])
         if distinct != n_docs:
             raise ValueError(
                 f"doc_id spaces overlap: {n_docs} docs across inputs, "
@@ -90,11 +97,20 @@ def merge_indexes(
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
     )
-    # same id rule as a fresh build (_finish_index): dense rank by term
-    ranked = assign_dense_ids(vocab, "term", "term_id", cleanup=cleanup)
+    # same id rule as a fresh build (_finish_index): dense rank by term;
+    # a provably small union vocabulary (Catalyst estimate — the inputs'
+    # dictionaries are usually cached with accurate stats) ranks with the
+    # local window, skipping the two-phase sampler+counts jobs
+    from dpr_spark.index.build import LOCAL_TERM_RANK_EST_BYTES, _plan_size_bytes
 
-    # exact integer doclen sum -> bit-identical avgdl vs a fresh build
-    sum_dl = docstats.agg(F.sum("doclen")).first()[0] or 0
+    vest = _plan_size_bytes(vocab)
+    vlocal = vest is not None and vest <= LOCAL_TERM_RANK_EST_BYTES
+    ranked = assign_dense_ids(vocab, "term", "term_id", cleanup=cleanup, local=vlocal)
+    if vlocal:
+        ranked = ranked.persist()
+        cleanup.append(ranked)
+
+    sum_dl = srow["sd"] or 0
     stats = IndexStats(n_docs, float(sum_dl) / n_docs if n_docs else 0.0)
 
     dictionary = ranked.withColumn(

@@ -307,13 +307,28 @@ def histogram_agg(
     if min_doc_count > 0:
         out = counts.filter(F.col("count") >= min_doc_count)
     else:
-        span = counts.groupBy("qid").agg(
-            F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+        # single-pass densify: collapse each qid's buckets to one row
+        # (span + a bucket->count map), then explode the dense range and
+        # look counts up in the map. The former span + left-self-join
+        # shape referenced the unpersisted `counts` subtree twice, which
+        # re-executed the whole match pipeline (index build included)
+        # per reference — guide §7.2 "duplicated subtrees".
+        g = counts.groupBy("qid").agg(
+            F.min("_b").alias("_lo"),
+            F.max("_b").alias("_hi"),
+            F.map_from_entries(
+                F.collect_list(F.struct("_b", "count"))
+            ).alias("_m"),
         )
-        dense = span.select(
-            "qid", F.explode(F.sequence("_lo", "_hi")).alias("_b")
+        out = g.select(
+            "qid", F.explode(F.sequence("_lo", "_hi")).alias("_b"), "_m"
+        ).select(
+            "qid",
+            "_b",
+            F.coalesce(F.element_at("_m", F.col("_b")), F.lit(0).cast("long")).alias(
+                "count"
+            ),
         )
-        out = dense.join(counts, ["qid", "_b"], "left").fillna(0, ["count"])
     return out.select(
         "qid", (F.col("_b") * F.lit(iv)).alias("bucket"), "count"
     )
