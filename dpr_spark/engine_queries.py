@@ -442,16 +442,17 @@ def q_ngram_jaccard_pairs() -> Entry:
     MAX_SDF = 1000
 
     def fn(spark, sf_dir):
-        tok = _tokenized(spark, sf_dir).filter(F.size("toks") >= N)
-        sh = tok.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - N),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, N)),
-                )
-            ).alias("shingle"),
-        ).distinct()
+        from dpr_spark.functions.ngrams_fast import ngram_rows
+
+        # vectorized Arrow n-gram kernel; distinct=True inside the
+        # kernel == the former global (doc_id, shingle) DISTINCT (every
+        # doc's grams live in one batch), dropping that exchange.
+        # persist: sh feeds four consumers (hot filter, anti-join, the
+        # a/b self-join, sizes) — cached after the first materialization
+        sh = ngram_rows(
+            _docs(spark, sf_dir), N, lowercase_first=True, mode="full",
+            distinct=True, out_id="doc_id", out_gram="shingle",
+        ).persist()
         hot = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
         sh = sh.join(
             F.broadcast(hot.filter(F.col("sdf") > MAX_SDF).select("shingle")),
@@ -6777,10 +6778,11 @@ def q_ltr_features() -> Entry:
         # title-field BM25 (title = first 3 tokens, its own stats)
         ttl = tok.select("doc_id", F.slice("toks", 1, 3).alias("ttoks"))
         ds_t = ttl.select("doc_id", F.size("ttoks").alias("doclen"))
-        srow = ds_t.agg(
-            F.count("*").cast("double").alias("n"), F.avg("doclen").alias("avgdl")
-        ).collect()[0]
-        n_t, avgdl_t = float(srow["n"]), float(srow["avgdl"])
+        # title-field scalars ride the plan as a broadcast 1-row
+        # crossJoin (same trick as _bm25_ranked) — no driver collect
+        stats_t = ds_t.agg(
+            F.count("*").cast("double").alias("n_t"), F.avg("doclen").alias("avgdl_t")
+        )
         tf_t = (
             ttl.select("doc_id", F.explode("ttoks").alias("term"))
             .groupBy("doc_id", "term")
@@ -6788,17 +6790,18 @@ def q_ltr_features() -> Entry:
         )
         dic_t = tf_t.groupBy("term").agg(F.count("*").alias("df"))
         comp_t = (
-            F.log((F.lit(n_t) - F.col("df") + F.lit(0.5))
+            F.log((F.col("n_t") - F.col("df") + F.lit(0.5))
                   / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
             * F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)
             / (F.col("tf").cast("double")
                + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B)
                                    + F.lit(BM25_B) * F.col("doclen").cast("double")
-                                   / F.lit(avgdl_t)))
+                                   / F.col("avgdl_t")))
         )
         tscore = (
             _qterms_df(spark).join(F.broadcast(dic_t), "term")
             .join(tf_t, "term").join(ds_t, "doc_id")
+            .crossJoin(F.broadcast(stats_t))
             .select("qid", "doc_id", comp_t.alias("c"))
             .groupBy("qid", "doc_id").agg(F.round(F.sum("c"), 6).alias("f_title"))
         )
@@ -11562,6 +11565,8 @@ def q_routed_shrink_topk() -> Entry:
     ≡ fresh-build equivalence, checked cross-engine."""
 
     def fn(spark, sf_dir):
+        import atexit
+        import shutil
         import tempfile
 
         from dpr_spark.index.resize import shrink_layout
@@ -11569,10 +11574,15 @@ def q_routed_shrink_topk() -> Entry:
 
         docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
         src = tempfile.mkdtemp(prefix="routed_src_")
+        # the returned DataFrame lazily reads these layout dirs, so they
+        # must outlive the query — reclaim them at process exit instead
+        # of leaking one pair per invocation (r5 ADVICE)
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
         build_routed_layout(
             spark, docs, "source", src, num_buckets=_ROUTE_NB, portable=True
         )
         dst = tempfile.mkdtemp(prefix="routed_shrunk_")
+        atexit.register(shutil.rmtree, dst, ignore_errors=True)
         shrink_layout(spark, src, dst, _SHRINK_NB)
         srcs = sorted(
             r["source"] for r in docs.select("source").distinct().collect()

@@ -36,26 +36,17 @@ def portable_hash60(col):
 
 
 def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    # tokenize into a NAMED column first: referencing the regex tokenizer
-    # expression directly inside the transform() lambda re-evaluates it
-    # PER ARRAY ELEMENT in interpreted higher-order-function eval
-    # (measured 10x on this exact shape); the multi-referenced alias
-    # survives CollapseProject, so the regex runs once per row
-    toks = F.col("_toks")
-    return (
-        df.select(F.col(id_col).alias("doc"), tokenize_col(text_col).alias("_toks"))
-        .select(
-            "doc",
-            F.explode_outer(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-                        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-                    )
-                )
-            ).alias("shingle"),
-        )
-        .filter(F.col("shingle") != "")
+    # vectorized Arrow n-gram kernel (functions/ngrams_fast.py): same
+    # (doc, shingle) rows as the explode_outer(array_distinct(transform))
+    # + filter('' out) shape — short_tail mode reproduces the
+    # slice-past-the-end behaviour (a doc with 1 <= len < n emits one
+    # whole-doc shingle) — without per-element interpreted HOF eval
+    from dpr_spark.functions.ngrams_fast import ngram_rows
+
+    return ngram_rows(
+        df, n, id_col=id_col, text_col=text_col,
+        lowercase_first=False, mode="short_tail", distinct=True,
+        out_id="doc", out_gram="shingle",
     )
 
 

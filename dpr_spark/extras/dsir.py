@@ -61,30 +61,21 @@ def hashed_ngram_buckets(
     Stays Catalyst-native end to end (array transform + explode +
     map-side-combined groupBy) — no Python in the loop.
     """
-    # tokens into a NAMED column first: element_at(tokenizer-expr, ...)
-    # inside the transform() lambda re-runs the regex tokenizer per
-    # array element in interpreted HOF eval (measured 10x on the n-gram
-    # shape); the multi-referenced alias survives CollapseProject
-    toks = F.col("_toks")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = F.concat(toks, bigrams)
+    # vectorized Arrow n-gram kernel (functions/ngrams_fast.py): the
+    # unigram+bigram stream is built in two pyarrow C calls per batch
+    # instead of per-element interpreted HOF eval; the bucket hash and
+    # the map-side-combined count stay Catalyst-native
+    from dpr_spark.functions.ngrams_fast import ngram_rows
+
     bucket = (_portable_bucket if portable else _default_bucket)(
         F.col("g"), buckets
     )
     return (
-        df.select(
-            F.col(id_col).alias("doc"),
-            tokenize_col(text_col, lowercase_first=lowercase_first).alias("_toks"),
+        ngram_rows(
+            df, 2, id_col=id_col, text_col=text_col,
+            lowercase_first=lowercase_first, mode="uni_bi",
+            out_id="doc", out_gram="g",
         )
-        .select("doc", F.explode(grams).alias("g"))
         .select("doc", bucket.alias("bucket"))
         .groupBy("doc", "bucket")
         .agg(F.count("*").alias("c"))

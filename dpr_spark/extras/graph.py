@@ -63,23 +63,16 @@ def shingle_edges(
     window is tiny (<= max_df rows) so no skewed partition forms —
     exactly the hot-shingle discipline dedup.py uses.
     """
-    # tokens into a NAMED column first: the tokenizer expression inside
-    # the transform() lambda would re-run per array element in
-    # interpreted HOF eval (measured 10x on the shingle shape)
-    toks = F.col("_toks")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        tokenize_col(text_col, lowercase_first=True).alias("_toks"),
-    ).select("doc_id", F.explode(grams).alias("anchor"))
+    # vectorized Arrow n-gram kernel (functions/ngrams_fast.py): same
+    # (doc_id, anchor) rows as explode(array_distinct(transform(...)))
+    # without per-element interpreted HOF eval
+    from dpr_spark.functions.ngrams_fast import ngram_rows
+
+    sh = ngram_rows(
+        docs, n, id_col=id_col, text_col=text_col,
+        lowercase_first=True, mode="full", distinct=True,
+        out_id="doc_id", out_gram="anchor",
+    )
     dfreq = (
         sh.groupBy("anchor")
         .agg(F.count("*").alias("df"))

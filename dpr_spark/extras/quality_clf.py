@@ -89,9 +89,9 @@ def train_quality_classifier(
     bias — the unrolled SQL twin exploits that."""
     feats = feats.persist()
     labels = labels.persist()
-    n = labels.count()
     w: Dict[int, float] = {}
     bias = 0.0
+    n = None  # recovered from the sentinel row's count on step 1
     for _ in range(steps):
         if w:
             wdf = spark.createDataFrame(
@@ -109,8 +109,10 @@ def train_quality_classifier(
         )
         # ONE job per step: the bias gradient (mean residual) rides the
         # bucket-gradient aggregation as a sentinel bucket (-1, never a
-        # hash bucket) carrying sum(r)/count(r) — the same avg() doubles
-        # the separate resid.agg job computed
+        # hash bucket), and n itself is the sentinel row's count (one
+        # residual per label) — no separate labels.count() barrier. The
+        # driver-side s/n division on the collected float64 sums is the
+        # identical IEEE operation Spark's Divide performed in-plan.
         grads = (
             feats.join(resid, "doc")
             .select("bucket", (F.col("x") * F.col("r")).alias("v"))
@@ -118,18 +120,20 @@ def train_quality_classifier(
                 resid.select(F.lit(-1).cast("long").alias("bucket"), F.col("r").alias("v"))
             )
             .groupBy("bucket")
-            .agg(
-                (F.sum("v") / F.lit(float(n))).alias("g"),
-                (F.sum("v") / F.count("v")).alias("m"),
-            )
+            .agg(F.sum("v").alias("s"), F.count("v").alias("c"))
             .collect()
         )
         mean_r = None
         for row in grads:
             if row.bucket == -1:
-                mean_r = row.m
-            else:
-                w[row.bucket] = w.get(row.bucket, 0.0) - eta * row.g
+                if n is None:
+                    # step 1's margins cover every label (no weight join
+                    # yet), so the sentinel count IS the label count
+                    n = float(row.c)
+                mean_r = row.s / row.c
+        for row in grads:
+            if row.bucket != -1:
+                w[row.bucket] = w.get(row.bucket, 0.0) - eta * (row.s / n)
         bias -= eta * (mean_r if mean_r is not None else 0.0)
     feats.unpersist()
     labels.unpersist()

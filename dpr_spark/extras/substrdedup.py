@@ -72,15 +72,19 @@ def duplicate_window_positions(
     """(doc_id, pos) of every window whose content occurs >= 2 times in
     the corpus (within- or cross-document)."""
     wins = window_positions(docs, L, text_col, id_col)
-    dup_keys = (
-        wins.groupBy("key")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > 1)
-        .select("key")
+    # ONE window enumeration and ONE key shuffle: count-over-key keeps
+    # every (doc_id, pos) row next to its key's count. The former
+    # groupBy + left-semi shape enumerated (substr + md5 of every
+    # window of every doc) TWICE — once under the count, once under the
+    # probe side — and shuffled the probe rows by key anyway, so the
+    # window form halves the dominant fingerprint cost at identical
+    # skew exposure (a hot boilerplate key co-locates either way; the
+    # sort-based window spills gracefully).
+    return (
+        wins.withColumn("_n", F.count("*").over(Window.partitionBy("key")))
+        .filter(F.col("_n") > 1)
+        .select("doc_id", "pos")
     )
-    # second enumeration of wins is a recompute of a Generate, not a
-    # cache miss; the join shuffles (key, doc_id, pos) on the 16-byte key
-    return wins.join(dup_keys, "key", "left_semi").select("doc_id", "pos")
 
 
 def duplicate_spans(

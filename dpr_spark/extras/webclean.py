@@ -440,14 +440,15 @@ def ngram_decontaminate(
     # tokens into a NAMED column first: the tokenizer expression inside
     # _grams' transform() lambda re-runs per array element otherwise
     # (interpreted HOF eval; measured 10x on the n-gram shape)
-    dg = (
-        docs.select(
-            F.col(id_col).alias("doc"),
-            tokenize_col(text_col, lowercase_first=True).alias("_toks"),
-        )
-        .select("doc", _grams(F.col("_toks"), n).alias("gs"))
-        .select("doc", F.explode("gs").alias("gram"))
-        .distinct()
+    # vectorized Arrow n-gram kernel (functions/ngrams_fast.py): same
+    # (doc, gram) rows as the interpreted transform/concat_ws shape,
+    # built with two pyarrow C calls per batch instead of per-element
+    # interpreted eval
+    from dpr_spark.functions.ngrams_fast import ngram_rows
+
+    dg = ngram_rows(
+        docs, n, id_col=id_col, text_col=text_col,
+        lowercase_first=True, mode="full",
     )
     bg = bench.select(F.col(gram_col).alias("gram")).distinct()
     if join_on == "hash":
@@ -456,8 +457,16 @@ def ngram_decontaminate(
         key = "gk"
     else:
         key = "gram"
+    # broadcast-filter FIRST, dedup the (tiny) survivor set after: the
+    # former (doc, gram).distinct() before the join shuffled EVERY n-gram
+    # string of every document; the benchmark probe drops ~all of them
+    # map-side, so countDistinct over the survivors computes the same
+    # n_hits with a match-sized shuffle (guide §2.3 "aggregate before
+    # you shuffle" / §3.2 pre-filtering).
     hits = dg.join(F.broadcast(bg), key)
-    return hits.groupBy("doc").agg(F.count("*").cast("long").alias("n_hits"))
+    return hits.groupBy("doc").agg(
+        F.countDistinct(key).cast("long").alias("n_hits")
+    )
 
 
 def decontaminated(

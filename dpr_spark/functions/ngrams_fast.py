@@ -1,0 +1,157 @@
+"""Vectorized (doc, n-gram) row generation — the mapInArrow twin of the
+Catalyst shape
+
+    transform(sequence(0, size(toks) - n),
+              i -> concat_ws(' ', slice(toks, i + 1, n)))
+
+whose per-element interpreted evaluation (higher-order functions do not
+participate in whole-stage codegen) dominates every n-gram-shaped entry
+at bench scale (guide §4.2: hand whole batches to vectorized native
+code). Tokens come from the same ASCII Arrow fast path the index build
+uses (tokenizer.tokenize_ascii_arrow — asserted token-identical to the
+reference tokenizer); n-grams are built with TWO pyarrow C calls over
+the flat token stream: n aligned slices joined element-wise, then a
+doc-boundary mask (a gram is valid iff its first and last token fall in
+the same document). Non-ASCII batches fall back to the regex-module
+tokenizer twin.
+
+Semantics knobs mirror the call sites they replace:
+- mode="full": docs with len < n emit nothing (webclean._grams).
+- mode="short_tail": docs with 1 <= len < n emit ONE gram joining all
+  their tokens (dedup._shingles' slice-past-the-end behaviour).
+- mode="uni_bi": every unigram plus every bigram (dsir's feature
+  stream).
+- distinct=True dedups (doc, gram) pairs inside the kernel
+  (array_distinct / DISTINCT equivalents).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _tokens_batch(texts_arr, lowercase_first: bool):
+    """(flat pyarrow.StringArray, per-row counts int64) — the token
+    stream of tokenize_col(text, lowercase_first=...)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dpr_spark.functions.tokenizer import (
+        _all_ascii,
+        _compiled_fast,
+        tokenize_ascii_arrow,
+    )
+
+    if texts_arr.null_count:
+        texts_arr = pc.fill_null(texts_arr, "")
+    if _all_ascii(texts_arr):
+        # on ASCII, lower-then-match == match-then-lower — one kernel
+        # serves both lowercase_first settings
+        return tokenize_ascii_arrow(texts_arr)
+    pat = _compiled_fast()
+    if lowercase_first:
+        tok_lists = [pat.findall((t or "").lower()) for t in texts_arr.to_pylist()]
+    else:
+        tok_lists = [
+            [m.lower() for m in pat.findall(t or "")] for t in texts_arr.to_pylist()
+        ]
+    lens = np.fromiter((len(x) for x in tok_lists), np.int64, count=len(tok_lists))
+    flat = pa.array(
+        [tok for ts in tok_lists for tok in ts], type=pa.string(), size=int(lens.sum())
+    )
+    return flat, lens
+
+
+def _grams_batch(flat, lens: np.ndarray, n: int, short_tail: bool):
+    """(doc_row_idx int64, grams StringArray) for one batch's flat token
+    stream. Full n-grams only; `short_tail` adds the one whole-doc gram
+    for docs with 1 <= len < n."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64), pa.array([], type=pa.string())
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    parts_idx, parts_gram = [], []
+    if total >= n:
+        m = total - n + 1
+        cols = [flat.slice(j, m) for j in range(n)]
+        grams_all = (
+            pc.binary_join_element_wise(*cols, " ") if n > 1 else cols[0]
+        )
+        valid = doc_idx[:m] == doc_idx[n - 1 : n - 1 + m]
+        sel = np.flatnonzero(valid)
+        if len(sel):
+            parts_idx.append(doc_idx[sel])
+            parts_gram.append(grams_all.take(pa.array(sel)))
+    if short_tail:
+        # docs with 1 <= len < n emit ONE gram of all their tokens (the
+        # slice-past-the-end behaviour of the Catalyst original); such
+        # docs are rare, a per-doc join is fine
+        short = np.flatnonzero((lens > 0) & (lens < n))
+        if len(short):
+            starts = np.r_[0, np.cumsum(lens)]
+            g = [
+                " ".join(flat.slice(starts[s], lens[s]).to_pylist())
+                for s in short
+            ]
+            parts_idx.append(short.astype(np.int64))
+            parts_gram.append(pa.array(g, type=pa.string()))
+    if not parts_idx:
+        return np.empty(0, np.int64), pa.array([], type=pa.string())
+    if len(parts_idx) == 1:
+        return parts_idx[0], parts_gram[0]
+    return np.concatenate(parts_idx), pa.concat_arrays(
+        [p.combine_chunks() if hasattr(p, "combine_chunks") else p for p in parts_gram]
+    )
+
+
+def ngram_rows(
+    df,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase_first: bool = True,
+    mode: str = "full",
+    distinct: bool = False,
+    out_id: str = "doc",
+    out_gram: str = "gram",
+):
+    """df(id_col, text_col) -> (out_id long, out_gram string) rows —
+    one Arrow pass, no shuffle, no interpreted HOF eval."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if mode not in ("full", "short_tail", "uni_bi"):
+        raise ValueError(mode)
+
+    def run(it):
+        for batch in it:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            flat, lens = _tokens_batch(batch.column(1), lowercase_first)
+            if mode == "uni_bi":
+                i1, g1 = _grams_batch(flat, lens, 1, False)
+                i2, g2 = _grams_batch(flat, lens, 2, False)
+                sel = np.concatenate([i1, i2])
+                grams = pa.concat_arrays([g1, g2])
+            else:
+                sel, grams = _grams_batch(
+                    flat, lens, n, short_tail=(mode == "short_tail")
+                )
+            if not len(sel):
+                continue
+            out_ids = ids[sel]
+            if distinct:
+                pdf = pd.DataFrame({"i": out_ids, "g": grams.to_pandas()})
+                pdf = pdf.drop_duplicates()
+                out_ids = pdf["i"].to_numpy(np.int64)
+                grams = pa.array(pdf["g"], type=pa.string())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=pa.int64()), grams],
+                names=[out_id, out_gram],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        run, f"{out_id} long, {out_gram} string"
+    )
