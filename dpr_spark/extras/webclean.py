@@ -154,49 +154,38 @@ def repetition_stats(
     - dup{n}gram_char_frac (n in dup_ns): same denominator, numerator =
       characters of ALL n-gram occurrences whose gram occurs >1 time.
     """
-    lines = F.split(F.col(text_col), line_sep)
-    toks = tokenize_col(text_col, lowercase_first=True)
-    d = df.select(
-        F.col(id_col).alias("doc"), lines.alias("lines"), toks.alias("toks")
-    )
-    # materialize each sorted gram array ONCE as a named column: n=2 and
-    # n=3 feed both a top- and a dup-stat, and without the alias each
-    # consumer re-builds and re-sorts its gram array per row (the gram
-    # construction + sort dominates this operator's cost)
+    # integer stats come from ONE Arrow pass (functions/ngrams_fast.py
+    # repstat_rows — the pure-Catalyst fold re-built and sorted every
+    # gram array per row in interpreted HOF eval); every division and
+    # round() below stays in Spark, so the output doubles are
+    # bit-identical to the previous formulation
+    from dpr_spark.functions.ngrams_fast import repstat_rows
+
     gram_ns = sorted(set(top_ns) | set(dup_ns))
-    d = d.select(
-        "doc",
-        "lines",
-        "toks",
-        *[
-            F.array_sort(_grams(F.col("toks"), n)).alias(f"_sg{n}")
-            for n in gram_ns
-        ],
+    d = repstat_rows(
+        df, gram_ns, id_col=id_col, text_col=text_col, line_sep=line_sep
     )
-    line_chars = F.aggregate(
-        "lines", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    )
-    tok_chars = F.length(F.concat_ws(" ", F.col("toks")))
-    ls = _dup_group_stats(F.array_sort("lines"))
     cols = [
         F.col("doc"),
-        F.size("lines").cast("long").alias("n_lines"),
-        F.round(ls["dupn"] / F.greatest(F.size("lines"), F.lit(1)), 6).alias(
-            "dup_line_frac"
-        ),
-        F.round(ls["dupc"] / F.greatest(line_chars, F.lit(1)), 6).alias(
-            "dup_line_char_frac"
-        ),
+        F.col("n_lines"),
+        F.round(
+            F.col("line_dupn") / F.greatest(F.col("n_lines"), F.lit(1)), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.col("line_dupc") / F.greatest(F.col("line_chars"), F.lit(1)), 6
+        ).alias("dup_line_char_frac"),
     ]
-    denom = F.greatest(tok_chars, F.lit(1))
+    denom = F.greatest(F.col("tok_chars"), F.lit(1))
     for n in top_ns:
-        ts = _top_group_stats(F.col(f"_sg{n}"))
         cols.append(
-            F.round((ts["best"] * ts["blen"]) / denom, 6).alias(f"top{n}gram_char_frac")
+            F.round(
+                (F.col(f"top{n}_best") * F.col(f"top{n}_blen")) / denom, 6
+            ).alias(f"top{n}gram_char_frac")
         )
     for n in dup_ns:
-        ds = _dup_group_stats(F.col(f"_sg{n}"))
-        cols.append(F.round(ds["dupc"] / denom, 6).alias(f"dup{n}gram_char_frac"))
+        cols.append(
+            F.round(F.col(f"dup{n}_dupc") / denom, 6).alias(f"dup{n}gram_char_frac")
+        )
     return d.select(*cols)
 
 

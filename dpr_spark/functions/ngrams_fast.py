@@ -107,6 +107,110 @@ def _grams_batch(flat, lens: np.ndarray, n: int, short_tail: bool):
     )
 
 
+def repstat_rows(
+    df,
+    gram_ns,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+):
+    """Per-document INTEGER repetition statistics in one Arrow pass —
+    the kernel half of webclean.repetition_stats. Emits only integer
+    counts (top-gram run/char-length, duplicated-gram chars, line dup
+    stats, token chars); every division and round() stays in Spark so
+    the final doubles are bit-identical to the pure-Catalyst fold it
+    replaces (which re-built + array_sorted each gram array per row in
+    interpreted HOF eval).
+
+    Group-stat semantics mirror webclean._dup_group_stats /
+    _top_group_stats: dupn/dupc = Σ count / Σ count·len over values with
+    count > 1; best = max count, blen = max len among values with that
+    count (the fold's longer-element tie-break). Both depend only on
+    value multiplicities, so no sort is needed here.
+
+    A null text row emits all-null stats (Catalyst's ANSI null
+    propagation through split/tokenize does the same)."""
+    import pyarrow as pa
+
+    gram_ns = sorted(set(int(n) for n in gram_ns))
+    fields = ["n_lines", "line_dupn", "line_dupc", "line_chars", "tok_chars"]
+    for n in gram_ns:
+        fields += [f"top{n}_best", f"top{n}_blen", f"dup{n}_dupc"]
+    schema = "doc long, " + ", ".join(f"{f} long" for f in fields)
+
+    def _dup_stats(vals):
+        """(dupn, dupc) over a list of strings."""
+        if not len(vals):
+            return 0, 0
+        import collections
+
+        cnt = collections.Counter(vals)
+        dupn = dupc = 0
+        for v, c in cnt.items():
+            if c > 1:
+                dupn += c
+                dupc += c * len(v)
+        return dupn, dupc
+
+    def _top_stats(vals):
+        """(best, blen): max count; among those, max length."""
+        if not len(vals):
+            return 0, 0
+        import collections
+
+        cnt = collections.Counter(vals)
+        best = max(cnt.values())
+        blen = max(len(v) for v, c in cnt.items() if c == best)
+        return best, blen
+
+    def run(it):
+        for batch in it:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            texts = batch.column(1).to_pylist()
+            cols = {f: [] for f in fields}
+            out_ids = []
+            # tokens via the batch kernel (ASCII fast path); nulls
+            # handled row-wise below
+            tarr = batch.column(1)
+            flat, lens = _tokens_batch(tarr, True)
+            starts = np.r_[0, np.cumsum(lens)]
+            toks_py = flat.to_pylist()
+            for i, t in enumerate(texts):
+                out_ids.append(int(ids[i]))
+                if t is None:
+                    for f in fields:
+                        cols[f].append(None)
+                    continue
+                lines = t.split(line_sep)
+                ldupn, ldupc = _dup_stats(lines)
+                cols["n_lines"].append(len(lines))
+                cols["line_dupn"].append(ldupn)
+                cols["line_dupc"].append(ldupc)
+                cols["line_chars"].append(sum(len(x) for x in lines))
+                toks = toks_py[starts[i] : starts[i + 1]]
+                cols["tok_chars"].append(
+                    sum(len(x) for x in toks) + max(len(toks) - 1, 0)
+                )
+                for n in gram_ns:
+                    grams = (
+                        [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+                        if len(toks) >= n
+                        else []
+                    )
+                    best, blen = _top_stats(grams)
+                    dupn, dupc = _dup_stats(grams)
+                    cols[f"top{n}_best"].append(best)
+                    cols[f"top{n}_blen"].append(blen)
+                    cols[f"dup{n}_dupc"].append(dupc)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=pa.int64())]
+                + [pa.array(cols[f], type=pa.int64()) for f in fields],
+                names=["doc"] + fields,
+            )
+
+    return df.select(id_col, text_col).mapInArrow(run, schema)
+
+
 def ngram_rows(
     df,
     n: int,
