@@ -88,8 +88,10 @@ def build_bigram_lm(docs: DataFrame) -> BigramLM:
     )
     uni = uni.persist()
     bi = bi.persist()
-    total = uni.agg(F.sum("c")).collect()[0][0] or 0
-    vocab = uni.count()
+    # one job for both scalars (sum + vocab size ride the same agg)
+    srow = uni.agg(F.sum("c").alias("s"), F.count("*").alias("v")).collect()[0]
+    total = srow["s"] or 0
+    vocab = srow["v"]
     t.unpersist()
     return BigramLM(bigrams=bi, unigrams=uni, total_tokens=int(total), vocab_size=int(vocab))
 

@@ -106,11 +106,11 @@ def score_lmdirichlet(
 ) -> DataFrame:
     """(qid, doc_id, score) under LM Dirichlet (contract above)."""
     qt = _resolved(queries, index)
-    # exact integer collection length (docstats is doc-sized; the agg is
-    # a scalar — the same cost class as the build's own stats pass)
-    total_tokens = float(
-        index.docstats.agg(F.sum("doclen").alias("s")).collect()[0]["s"]
-    )
+    # exact integer collection length recovered from the stored stats:
+    # avgdl = Σdl/N in float64, and round(avgdl·N) is exact while
+    # Σdl·2^-52 < 0.5 (merge._sum_doclen's argument) — no doc-sized
+    # docstats job per query
+    total_tokens = float(int(round(index.stats.avgdl * index.stats.n_docs)))
     # ctf for the resolved terms only: distinct term_ids broadcast into a
     # postings probe; output is query-term-sized
     tids = qt.select("term_id").distinct()
@@ -139,9 +139,7 @@ def _ctf_for(queries: DataFrame, index: InvertedIndex):
     postings probe restricted to the resolved term_ids (query-sized
     output), exact integer Σ doclen for the collection length."""
     qt = _resolved(queries, index)
-    total_tokens = float(
-        index.docstats.agg(F.sum("doclen").alias("s")).collect()[0]["s"]
-    )
+    total_tokens = float(int(round(index.stats.avgdl * index.stats.n_docs)))
     tids = qt.select("term_id").distinct()
     ctf = (
         index.postings.join(F.broadcast(tids), "term_id")
