@@ -81,6 +81,17 @@ def _tokenized(spark, sf_dir) -> DataFrame:
     )
 
 
+def _parallel_builds(fns):
+    """Run independent index builds from a small driver thread pool so
+    their driver-side barriers (stats collects) overlap and later
+    builds' tasks back-fill the earlier builds' stage tails (guide
+    §2.6). Builds are independent — results identical to sequential."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, len(fns))) as ex:
+        return [f.result() for f in [ex.submit(fn) for fn in fns]]
+
+
 def _qterm_values_sql() -> str:
     """(qid, term) VALUES literal — queries pre-tokenized with the
     reference tokenizer (pure Python, ASCII → identical to SQL spelling)."""
@@ -1016,11 +1027,13 @@ def q_merged_index_topk() -> Entry:
         from dpr_spark.query.wand import build_impact_segments, search_segments
 
         docs = _docs(spark, sf_dir).select("doc_id", "text")
-        a = build_index_from_docs(
-            spark, docs.filter(F.col("doc_id") % 2 == 0), build_blocks=False
-        )
-        b = build_index_from_docs(
-            spark, docs.filter(F.col("doc_id") % 2 == 1), build_blocks=False
+        a, b = _parallel_builds(
+            [
+                lambda i=i: build_index_from_docs(
+                    spark, docs.filter(F.col("doc_id") % 2 == i), build_blocks=False
+                )
+                for i in range(2)
+            ]
         )
         idx = merge_indexes(spark, [a, b])
         seg = build_impact_segments(idx, num_buckets=8)
@@ -1170,13 +1183,15 @@ def q_multi_segment_topk() -> Entry:
         from dpr_spark.index.merge import search_across
 
         docs = _docs(spark, sf_dir).select("doc_id", "text")
-        parts = [
-            build_index_from_docs(
-                spark, docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i),
-                build_blocks=False,
-            )
-            for i in range(3)
-        ]
+        parts = _parallel_builds(
+            [
+                lambda i=i: build_index_from_docs(
+                    spark, docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i),
+                    build_blocks=False,
+                )
+                for i in range(3)
+            ]
+        )
         qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
         res = search_across(spark, qdf, parts, k=10).select(
             "qid", "doc_id", F.round("score", 6).alias("score_r")
@@ -9643,13 +9658,16 @@ def q_indices_boost_topk() -> Entry:
         cat.rollover("corpus", 1, 1)
         cat.rollover("corpus", 1, 1)
         names = cat.resolve("corpus")
-        indexes = {
-            n: build_index_from_docs(
-                spark, docs.filter(F.col("doc_id") % 3 == i),
-                build_blocks=False,
-            )
-            for i, n in enumerate(names)
-        }
+        built = _parallel_builds(
+            [
+                lambda i=i: build_index_from_docs(
+                    spark, docs.filter(F.col("doc_id") % 3 == i),
+                    build_blocks=False,
+                )
+                for i in range(len(names))
+            ]
+        )
+        indexes = dict(zip(names, built))
         qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
         res = search_alias(
             spark, cat, "corpus", indexes, qdf, k=10, boosts=ALIAS_BOOSTS
@@ -9699,13 +9717,16 @@ def q_alias_rollover_topk() -> Entry:
         cat.rollover("corpus", 1, 1)
         cat.rollover("corpus", 1, 1)
         names = cat.resolve("corpus")
-        indexes = {
-            n: build_index_from_docs(
-                spark, docs.filter(F.col("doc_id") % 3 == i),
-                build_blocks=False,
-            )
-            for i, n in enumerate(names)
-        }
+        built = _parallel_builds(
+            [
+                lambda i=i: build_index_from_docs(
+                    spark, docs.filter(F.col("doc_id") % 3 == i),
+                    build_blocks=False,
+                )
+                for i in range(len(names))
+            ]
+        )
+        indexes = dict(zip(names, built))
         qdf = spark.createDataFrame(BENCH_QUERIES, "qid int, question string")
         res = search_alias(spark, cat, "corpus", indexes, qdf, k=10).select(
             "qid", "doc_id", F.round("score", 6).alias("score_r")

@@ -610,7 +610,7 @@ def build_index_from_docs(
         # (10^12-row) extra shuffle.
         nparts = 3 * par
         if est is not None:
-            nparts = max(8, min(nparts, -(-est // (2 * 1024 * 1024))))
+            nparts = max(8, min(nparts, -(-est // (1024 * 1024))))
         docs = docs.repartition(nparts)
     # one Arrow pass: tokenize + per-doc tf histogram (no explode shuffle)
     tf = doc_terms(docs, analyzer=analyzer).persist()

@@ -216,7 +216,7 @@ def build_fielded_index(
         # corpora don't pay 3*cores-task stages
         nparts = 3 * par
         if est is not None:
-            nparts = max(8, min(nparts, -(-est // (2 * 1024 * 1024))))
+            nparts = max(8, min(nparts, -(-est // (1024 * 1024))))
         docs = docs.repartition(nparts)
 
     tff = doc_terms_fielded(docs, fields, analyzer=analyzer).persist()
