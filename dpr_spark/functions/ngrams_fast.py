@@ -222,17 +222,20 @@ def ngram_rows(
     out_id: str = "doc",
     out_gram: str = "gram",
 ):
-    """df(id_col, text_col) -> (out_id long, out_gram string) rows —
-    one Arrow pass, no shuffle, no interpreted HOF eval."""
+    """df(id_col, text_col) -> (out_id <id type>, out_gram string) rows
+    — one Arrow pass, no shuffle, no interpreted HOF eval. The id
+    column keeps its source type (long doc ids, string url keys in the
+    streaming ledgers, ...)."""
     import pandas as pd
     import pyarrow as pa
 
     if mode not in ("full", "short_tail", "uni_bi"):
         raise ValueError(mode)
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def run(it):
         for batch in it:
-            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            id_arr = batch.column(0)
             flat, lens = _tokens_batch(batch.column(1), lowercase_first)
             if mode == "uni_bi":
                 i1, g1 = _grams_batch(flat, lens, 1, False)
@@ -245,17 +248,18 @@ def ngram_rows(
                 )
             if not len(sel):
                 continue
-            out_ids = ids[sel]
+            out_ids = id_arr.take(pa.array(sel))
             if distinct:
-                pdf = pd.DataFrame({"i": out_ids, "g": grams.to_pandas()})
+                pdf = pd.DataFrame(
+                    {"i": out_ids.to_pandas(), "g": grams.to_pandas()}
+                )
                 pdf = pdf.drop_duplicates()
-                out_ids = pdf["i"].to_numpy(np.int64)
+                out_ids = pa.array(pdf["i"], type=id_arr.type)
                 grams = pa.array(pdf["g"], type=pa.string())
             yield pa.RecordBatch.from_arrays(
-                [pa.array(out_ids, type=pa.int64()), grams],
-                names=[out_id, out_gram],
+                [out_ids, grams], names=[out_id, out_gram]
             )
 
     return df.select(id_col, text_col).mapInArrow(
-        run, f"{out_id} long, {out_gram} string"
+        run, f"{out_id} {id_type}, {out_gram} string"
     )

@@ -70,6 +70,22 @@ def test_short_tail_distinct_matches_shingles_shape(docs):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
 
 
+def test_string_id_column_passes_through(spark):
+    # the streaming near-dup ledger keys shingles by string doc keys —
+    # the kernel must carry the id column's source type, not assume long
+    df = spark.createDataFrame(
+        [("u1", "alpha beta gamma"), ("u2", "beta gamma delta")],
+        "k string, text string",
+    )
+    got = ngram_rows(
+        df, 3, id_col="k", lowercase_first=False, mode="short_tail",
+        distinct=True, out_id="doc",
+    )
+    rows = sorted(map(tuple, got.collect()))
+    assert rows == [("u1", "alpha beta gamma"), ("u2", "beta gamma delta")]
+    assert dict(got.dtypes)["doc"] == "string"
+
+
 def test_uni_bi_matches_dsir_shape(docs):
     toks = F.col("_t")
     bigrams = F.when(
