@@ -70,13 +70,18 @@ def tokenize_fast(text: str) -> List[str]:
 # \p{L}\p{N}\p{M} == [0-9A-Za-z], \p{Z} == space (0x20), \p{C} ==
 # [\x00-\x1f\x7f]; so tokens are maximal alnum runs plus every other
 # printable char as a single token, and match-then-lower == lower-then-
-# match. That lets the whole tokenize run as three RE2/C passes in
-# pyarrow (lower, controls->space, space-pad punctuation, split) with no
-# per-document Python. Equality with tokenize() on ASCII is asserted in
+# match. That lets the whole tokenize run as two RE2/C passes in pyarrow
+# (ascii_lower, then ONE fused rewrite that space-pads punctuation and
+# blanks controls — RE2 substitutes an unmatched group as the empty
+# string, so "(punct)|control" -> " \1 " blanks a control to two spaces,
+# which the whitespace split collapses identically) with no per-document
+# Python. Equality with tokenize() on ASCII is asserted in
 # tests/test_tokenizer.py (random ASCII + the fixture corpus); non-ASCII
 # batches fall back to the regex-module kernel.
 _CONTROLS = "[\\x00-\\x1f\\x7f]"
 _PUNCT = "([^0-9a-z ])"
+# punct (captured, space-padded) | control (uncaptured, blanked)
+_PUNCT_OR_CONTROL = "([^0-9a-z \\x00-\\x1f\\x7f])|[\\x00-\\x1f\\x7f]"
 
 
 def _all_ascii(arr) -> bool:
@@ -95,10 +100,9 @@ def tokenize_ascii_arrow(arr):
     import numpy as np
     import pyarrow.compute as pc
 
-    low = pc.utf8_lower(arr)
-    a = pc.replace_substring_regex(low, pattern=_CONTROLS, replacement=" ")
-    b = pc.replace_substring_regex(a, pattern=_PUNCT, replacement=" \\1 ")
-    trimmed = pc.utf8_trim_whitespace(b)
+    low = pc.ascii_lower(arr)  # ASCII-only input: == utf8_lower, no decode
+    b = pc.replace_substring_regex(low, pattern=_PUNCT_OR_CONTROL, replacement=" \\1 ")
+    trimmed = pc.ascii_trim_whitespace(b)
     toks = pc.ascii_split_whitespace(trimmed)
     flat = toks.flatten()
     lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)

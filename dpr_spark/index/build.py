@@ -92,6 +92,11 @@ class InvertedIndex:
     # chain automatically (Lucene: search with the index's analyzer);
     # None = the identity chain (raw SimpleTokenizer terms)
     analyzer: Optional[object] = None
+    # (min, max) doc_id when the build proved them (dense ids: (0, N-1),
+    # or the fused stats job's measured bounds). Consumers use this to
+    # decide packed int64 encodings (doc_id must fit 31 bits); None =
+    # unknown — consumers fall back to unpacked flows.
+    doc_id_bounds: Optional[tuple] = None
 
     def unpersist(self) -> None:
         for df in self.cached or []:
@@ -125,6 +130,9 @@ class InvertedIndex:
                     "avgdl": self.stats.avgdl,
                     "id_strategy": self.id_strategy,
                     "analyzer": self.analyzer.spec() if self.analyzer else None,
+                    "doc_id_bounds": list(self.doc_id_bounds)
+                    if self.doc_id_bounds is not None
+                    else None,
                 },
                 f,
             )
@@ -149,6 +157,9 @@ class InvertedIndex:
             stats=IndexStats(s["n_docs"], s["avgdl"]),
             id_strategy=s.get("id_strategy"),
             positions=spark.read.parquet(pos_path) if os.path.isdir(pos_path) else None,
+            doc_id_bounds=tuple(s["doc_id_bounds"])
+            if s.get("doc_id_bounds") is not None
+            else None,
         )
 
 
@@ -894,6 +905,7 @@ def _finish_index(
         docstats, dictionary, postings.drop("idf"), blocks, stats,
         cached=[tf, docstats] + cleanup,
         id_strategy=id_strategy,
+        doc_id_bounds=doc_id_bounds,
     )
 
 

@@ -45,6 +45,7 @@ selectively.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -76,21 +77,120 @@ NORMS_SCHEMA = "bucket int, doc_id long, doclen int"
 _F32_INFLATE = 1.0 + 2.0 ** -22
 _SLACK = 1e-9
 
+# packed encode auto-gate: the postings plan's Catalyst size estimate
+# must be at least this for the packed flow's vocab-sized idf pull (one
+# extra driver job) to repay itself; tiny entry-scale builds keep the
+# join flow and its job count.
+_PACK_EST_MIN = int(
+    os.environ.get("DPR_SPARK_BLOCK_PACK_EST_MIN", str(4 * 1024 * 1024))
+)
+
 
 def build_block_segments(
     index: InvertedIndex,
     num_buckets: int = 64,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    pack: Optional[bool] = None,
 ) -> Tuple[DataFrame, DataFrame]:
     """(blocks, norms) in the doc-bucketed serving layout. One shuffle on
     bucket, one vectorized encode pass per partition; at real scale both
     are written to storage partitioned by bucket and this runs once per
     index build. num_buckets sizes per-task memory: a bucket holds
-    n_docs/B norms + its share of postings — raise B with corpus size."""
-    from dpr_spark.index.build import _encode_arrays
+    n_docs/B norms + its share of postings — raise B with corpus size.
+
+    pack: True/False forces the packed/unpacked encode input; None (the
+    default) packs automatically when the index's doc-id bounds prove
+    doc_id fits 31 bits, the vocab idf fits a broadcast numpy array, and
+    Catalyst's size estimate says the postings side is big enough to
+    repay the vocab-sized idf pull (env DPR_SPARK_BLOCK_PACK_EST_MIN).
+    Packed: (bucket, term_id<<32|doc_id, doclen<<32|tf) cross the bucket
+    shuffle and the Python boundary — 20 B/posting instead of 32+ and
+    3 cells instead of 5 — and the kernel recomputes the float64 impact
+    with impact_expr's exact operation order from the broadcast idf, so
+    blocks are bit-identical to the unpacked flow (the same argument as
+    the index build's packed encode shuffle; asserted in
+    tests/test_blockmax.py)."""
+    from dpr_spark.index.build import (
+        IDF_BCAST_MAX,
+        _encode_arrays,
+        _plan_size_bytes,
+    )
 
     avgdl = index.stats.avgdl
+    norms = index.docstats.select(
+        F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int").alias("bucket"),
+        "doc_id",
+        F.col("doclen").cast("int").alias("doclen"),
+    )
+
+    use_pack = pack
+    if use_pack is None:
+        bounds = getattr(index, "doc_id_bounds", None)
+        est = _plan_size_bytes(index.postings)
+        use_pack = (
+            bounds is not None
+            and bounds[0] >= 0
+            and bounds[1] < (1 << 31)
+            and est is not None
+            and est >= _PACK_EST_MIN
+        )
+    if use_pack:
+        idf_pdf = index.dictionary.select("term_id", "idf").toPandas()
+        n_ids = int(idf_pdf["term_id"].max()) + 1 if len(idf_pdf) else 0
+        if not (0 < n_ids <= (1 << 31) and n_ids <= IDF_BCAST_MAX):
+            use_pack = False
+    if use_pack:
+        idf_arr = np.zeros(n_ids, dtype=np.float64)
+        idf_arr[idf_pdf["term_id"].to_numpy(np.int64)] = idf_pdf["idf"].to_numpy(
+            np.float64
+        )
+        sc = index.postings.sparkSession.sparkContext
+        idf_bc = sc.broadcast(idf_arr)
+        packed = index.postings.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int").alias("bucket"),
+            (F.shiftleft(F.col("term_id"), 32).bitwiseOR(F.col("doc_id"))).alias("td"),
+            (
+                F.shiftleft(F.col("doclen").cast("long"), 32).bitwiseOR(F.col("tf"))
+            ).alias("dt"),
+        )
+        k1p1 = k1 + 1.0
+        one_minus_b = 1.0 - b
+
+        def encode_packed(it):
+            bks, tds, dts = [], [], []
+            for p in it:
+                if len(p):
+                    bks.append(p["bucket"].to_numpy(np.int64))
+                    tds.append(p["td"].to_numpy(np.int64))
+                    dts.append(p["dt"].to_numpy(np.int64))
+            if not tds:
+                return
+            cat = lambda xs: np.concatenate(xs) if len(xs) > 1 else xs[0]
+            bkt, td, dt = cat(bks), cat(tds), cat(dts)
+            t = td >> np.int64(32)
+            d = td & np.int64(0xFFFFFFFF)
+            dl = (dt >> np.int64(32)).astype(np.float64)
+            f = dt & np.int64(0xFFFFFFFF)
+            # impact_expr's exact float64 op order (same kernel as the
+            # index build's packed encode — bit-identical block maxes)
+            tf_f = f.astype(np.float64)
+            s = ((idf_bc.value[t] * tf_f) * k1p1) / (
+                tf_f + k1 * (one_minus_b + (b * dl) / avgdl)
+            )
+            order = np.lexsort((d, t, bkt))
+            out = _encode_arrays(
+                t.take(order), d.take(order), f.take(order), s.take(order),
+                buckets=bkt.take(order),
+            )
+            if out is not None:
+                yield out
+
+        blocks = packed.repartition(num_buckets, "bucket").mapInPandas(
+            encode_packed, BUCKETED_BLOCK_SCHEMA
+        )
+        return blocks, norms
+
     slim = (
         index.postings.join(
             F.broadcast(index.dictionary.select("term_id", "idf")), "term_id"
@@ -126,11 +226,6 @@ def build_block_segments(
 
     blocks = slim.repartition(num_buckets, "bucket").mapInPandas(
         encode, BUCKETED_BLOCK_SCHEMA
-    )
-    norms = index.docstats.select(
-        F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int").alias("bucket"),
-        "doc_id",
-        F.col("doclen").cast("int").alias("doclen"),
     )
     return blocks, norms
 

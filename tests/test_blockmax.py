@@ -247,3 +247,34 @@ def test_ten_thousand_queries_wave_batched(spark, index, block_segs):
     }
     assert got == exact
     res.unpersist(True)
+
+
+def test_packed_encode_blocks_bit_identical(spark, index):
+    """The packed encode input (td/dt int64 pairs + broadcast idf, taken
+    automatically for big dense-id builds) must produce byte-identical
+    blocks to the unpacked join flow — same proof obligation as the index
+    build's packed encode shuffle (tests/test_codec.py)."""
+    from dpr_spark.query.blockmax import build_block_segments
+
+    assert index.doc_id_bounds is not None  # dense build records bounds
+
+    def canon(blocks):
+        return sorted(
+            (
+                r.bucket,
+                r.term_id,
+                r.block_id,
+                r.n,
+                bytes(r.doc_ids),
+                bytes(r.tfs),
+                float(r.block_max_score),
+            )
+            for r in blocks.collect()
+        )
+
+    b_packed, n_packed = build_block_segments(index, num_buckets=4, pack=True)
+    b_plain, n_plain = build_block_segments(index, num_buckets=4, pack=False)
+    assert canon(b_packed) == canon(b_plain)
+    assert sorted(map(tuple, n_packed.collect())) == sorted(
+        map(tuple, n_plain.collect())
+    )
