@@ -423,12 +423,35 @@ def _search_bucket(
             stats["blocks_decoded"] += len(need)
             stats["postings_decoded"] += int(counts.sum())
 
-    def dec(r: int) -> Tuple[np.ndarray, np.ndarray]:
-        got = cache.get(r)
-        if got is None:
-            dec_many([r])
-            got = cache[r]
-        return got
+    def _concat(rows) -> Tuple[np.ndarray, np.ndarray]:
+        dec_many(rows)
+        if len(rows) == 1:
+            return cache[int(rows[0])]
+        got = [cache[int(r)] for r in rows]
+        return (
+            np.concatenate([g[0] for g in got]),
+            np.concatenate([g[1] for g in got]),
+        )
+
+    tcache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def gather(p, rows, bs, be) -> Tuple[np.ndarray, np.ndarray]:
+        """Concatenated (lidx, imp) for the given block rows of term slot
+        p, ascending block order. Blocks of a term are doc-disjoint
+        ranges, so the concatenation is sorted by lidx and every doc
+        appears at most once — one scatter-add / searchsorted probe per
+        TERM is arithmetic-identical to one per 128-posting block (the
+        per-call numpy overhead of the per-block loops was ~45% of kernel
+        wall at 200-query waves). Full-range gathers (rows unique in
+        [bs, be), so count equality means full coverage) are memoized per
+        term: hot stopword terms repeat across the wave's queries."""
+        if len(rows) == be - bs:
+            got = tcache.get(p)
+            if got is None:
+                got = _concat(rows)
+                tcache[p] = got
+            return got
+        return _concat(rows)
 
     out_q, out_d, out_s = [], [], []
     # SPARSE per-query accumulation via generation stamping: `scores` and
@@ -494,9 +517,8 @@ def _search_bucket(
                         < his
                     )
                     rows = rows[viable | has_cand]
-            dec_many(rows)
-            for r in rows:
-                lidx, imp = dec(int(r))
+            if len(rows):
+                lidx, imp = gather(int(p), rows, bs, be)
                 add(lidx, imp)
 
         if stats is not None:
@@ -521,14 +543,15 @@ def _search_bucket(
             drop = bound < theta - _SLACK
             live = ~drop & inblk
             keep, kbpos = cand[live], bpos[live]
-            dec_many(bs + np.unique(kbpos))
-            for rb in np.unique(kbpos):
-                r = bs + int(rb)
-                lidx, imp = dec(r)
-                sub = keep[kbpos == rb]
-                ppos = np.searchsorted(lidx, sub)
-                ok = (ppos < len(lidx)) & (lidx[np.minimum(ppos, len(lidx) - 1)] == sub)
-                scores[sub[ok]] += imp[ppos[ok]]
+            rows = bs + np.unique(kbpos)
+            if len(rows):
+                # keep's postings live each in its assigned (decoded)
+                # block; blocks are doc-disjoint, so one probe against the
+                # term's concatenated arrays finds exactly the same hits
+                lidx, imp = gather(int(p), rows, bs, be)
+                ppos = np.searchsorted(lidx, keep)
+                ok = (ppos < len(lidx)) & (lidx[np.minimum(ppos, len(lidx) - 1)] == keep)
+                scores[keep[ok]] += imp[ppos[ok]]
                 if stats is not None:
                     stats["score_writes"] += int(ok.sum())
             cand = cand[~drop]
@@ -545,16 +568,18 @@ def _search_bucket(
         for p in hit:  # ascending term order
             bs, be = int(t_starts[p]), int(t_ends[p])
             bpos = np.searchsorted(bid[bs:be], sdocs, side="right") - 1
-            dec_many(bs + np.unique(bpos[bpos >= 0]))
-            for rb in np.unique(bpos[bpos >= 0]):
-                r = bs + int(rb)
-                lidx, imp = dec(r)
-                sel = np.flatnonzero(bpos == rb)
-                ppos = np.searchsorted(lidx, sdocs_local[sel])
-                ok = (ppos < len(lidx)) & (
-                    lidx[np.minimum(ppos, len(lidx) - 1)] == sdocs_local[sel]
-                )
-                exact[srt[sel[ok]]] += imp[ppos[ok]]
+            rows = bs + np.unique(bpos[bpos >= 0])
+            if not len(rows):
+                continue
+            # one probe per term over the concatenated decoded blocks: a
+            # survivor scores in at most one (doc-disjoint) block, and a
+            # bpos==-1 doc (before the term's first block) matches nothing
+            lidx, imp = gather(int(p), rows, bs, be)
+            ppos = np.searchsorted(lidx, sdocs_local)
+            ok = (ppos < len(lidx)) & (
+                lidx[np.minimum(ppos, len(lidx) - 1)] == sdocs_local
+            )
+            exact[srt[ok]] += imp[ppos[ok]]
         top, top_scores = _final_topk(top, exact, nd, k)
         out_q.append(np.full(len(top), qid, dtype=np.int64))
         out_d.append(nd[top])
