@@ -15,14 +15,25 @@ All shapes are shuffle-conscious for web scale:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dpr_spark.functions.tokenizer import tokenize_col
 
 _P = 2147483647  # 2^31-1
+
+# connected_components small-graph gate: when the materialized pair
+# table holds at most this many edges, labels come from a single-task
+# union-find (one job) instead of the iterative propagation rounds; the
+# scalable iterative path stays the default for larger graphs. 4M edges
+# is ~64 MB of (x, y) longs — comfortably one task.
+LOCAL_CC_EDGES_MAX = int(
+    os.environ.get("DPR_SPARK_LOCAL_CC_EDGES_MAX", str(4_000_000))
+)
 
 
 def portable_hash60(col):
@@ -390,11 +401,62 @@ def connected_components(
     Isolated nodes never appear (no pairs -> no row), matching the
     dedup contract: docs absent from the output keep themselves.
     Raises if not converged within max_iters (a pathological chain —
-    raise max_iters, or pre-collapse with exact dedup first)."""
+    raise max_iters, or pre-collapse with exact dedup first).
+
+    Small-graph fast path (same pattern as the build's local vocab
+    rank): the raw pair table is persisted and counted — the same
+    materialization job the iterative path pays via its first
+    labels.count() — and a graph of at most LOCAL_CC_EDGES_MAX edges
+    takes a single-task union-find with min-as-root instead of the
+    iterative join rounds: ONE job, and union-find's min-root invariant
+    computes exactly the same (node, min id of its component) labels
+    the converged propagation does. Larger graphs keep the scalable
+    iterative path (the count there prices one cached scan, not a
+    pipeline re-run)."""
     e0 = (
         pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
         .filter(F.col("x") != F.col("y"))
-    )
+    ).persist()
+    n_edges = e0.count()
+    if n_edges <= LOCAL_CC_EDGES_MAX:
+        ntype = e0.schema["x"].dataType.simpleString()
+
+        def uf_full(it):
+            parent: dict = {}
+            seen: set = set()
+
+            def find(v):
+                r = v
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(v, v) != v:  # path compression
+                    parent[v], v = r, parent[v]
+                return r
+
+            for pdf in it:
+                for xv, yv in zip(pdf["x"], pdf["y"]):
+                    seen.add(xv)
+                    seen.add(yv)
+                    rx, ry = find(xv), find(yv)
+                    if rx == ry:
+                        continue
+                    # attach the larger root under the smaller: the root
+                    # IS the component minimum at every step
+                    if rx < ry:
+                        parent[ry] = rx
+                    else:
+                        parent[rx] = ry
+            members = list(seen)
+            yield pd.DataFrame(
+                {"node": members, "component": [find(v) for v in members]}
+            )
+
+        # repartition(1), not coalesce(1): the (often expensive — MinHash/
+        # LSH) pair pipeline keeps its full parallelism above the one-
+        # partition exchange
+        return e0.repartition(1).mapInPandas(
+            uf_full, f"node {ntype}, component {ntype}"
+        )
     # symmetrize once via explode, NOT a union of two selects over the
     # same child: the union references the (often expensive — e.g. a
     # whole MinHash/LSH pipeline) pair subtree twice and re-executes it
@@ -421,6 +483,7 @@ def connected_components(
         .persist()
     )
     labels.count()
+    e0.unpersist(True)  # the symmetrized edges cache is materialized now
     for _ in range(max_iters):
         # neighbor-min in one pass: edge (x, y) proposes y's label to x
         prop = (

@@ -667,3 +667,26 @@ def test_bigram_lm_perplexity_matches_python(spark):
             continue
         s = sum(math.log((big[p] + 0.1) / (uni[p[0]] + 0.1 * V)) for p in pairs)
         assert got[d] == (len(pairs), round(math.exp(-s / len(pairs)), 4))
+
+
+def test_connected_components_local_and_iterative_agree(spark, monkeypatch):
+    """The single-task union-find fast path and the iterative min-label
+    propagation must produce identical labels on the same graph (the
+    gate only picks an execution strategy, never a different answer)."""
+    import dpr_spark.extras.dedup as dd
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (5, 4),
+        (10, 11), (10, 12), (10, 13),
+        (20, 21), (21, 22), (20, 22),
+        (30, 31), (31, 30), (7, 7),
+        (100, 40), (40, 90), (90, 41),
+    ]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    local = {r.node: r.component for r in dd.connected_components(pairs).collect()}
+    monkeypatch.setattr(dd, "LOCAL_CC_EDGES_MAX", 0)
+    iterative = {
+        r.node: r.component for r in dd.connected_components(pairs).collect()
+    }
+    assert local == iterative
+    assert local[5] == 1 and local[41] == 40 and 7 not in local
