@@ -36,12 +36,47 @@ prior exactly like this (score * f(pagerank) via funcscore.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dpr_spark.functions.tokenizer import tokenize_col
 
 SCALE = 10**12
+
+# fixed-point-loop small-graph gate (same pattern as dedup's local
+# union-find): a graph whose materialized edge count is at most this
+# runs its whole integer fixed-point in ONE task's numpy instead of one
+# Spark job per iteration; integer arithmetic makes the scores
+# bit-identical by construction. Larger graphs keep the iterative plan.
+LOCAL_GRAPH_EDGES_MAX = int(
+    os.environ.get("DPR_SPARK_LOCAL_GRAPH_EDGES_MAX", str(4_000_000))
+)
+
+
+def _integral(df: DataFrame, col: str) -> bool:
+    return df.schema[col].dataType.simpleString() in ("bigint", "int", "smallint")
+
+
+def _local_graph_kernel(base: DataFrame, edges: DataFrame, fn, out_schema: str):
+    """Run `fn(node_ids, src, dst) -> pandas.DataFrame` in one task with
+    both the node and edge tables delivered via a dummy-key cogroup (no
+    driver-side data). Caller gates on the materialized edge count."""
+    k = F.lit(0).alias("_k")
+    return (
+        base.select(k, "node")
+        .groupby("_k")
+        .cogroup(edges.select(k, "src", "dst").groupby("_k"))
+        .applyInPandas(
+            lambda npdf, epdf: fn(
+                npdf["node"].to_numpy(),
+                epdf["src"].to_numpy(),
+                epdf["dst"].to_numpy(),
+            ),
+            out_schema,
+        )
+    )
 
 
 def shingle_edges(
@@ -121,9 +156,71 @@ def pagerank(
     # persist or the ENTIRE edge-derivation lineage re-runs per
     # iteration per consumer
     edges = edges.select("src", "dst").persist()
+    n_e = edges.count()
+    # small-graph fast path: the whole integer fixed-point runs in ONE
+    # task's numpy (int64 sums/floor-divides on non-negative operands ==
+    # Spark's long arithmetic term for term, so ranks are bit-identical
+    # — asserted against the iterative path in tests/test_graph.py).
+    # The damping multiply bounds the node count: num*(n+1)*scale must
+    # stay inside int64 exactly like the Spark plan's long math.
+    if (
+        n_e <= LOCAL_GRAPH_EDGES_MAX
+        and n <= LOCAL_GRAPH_EDGES_MAX
+        and damping_num * (n + 1) * scale < (1 << 62)
+        and _integral(base, "node")
+        and _integral(edges, "src")
+        and _integral(edges, "dst")
+    ):
+        import numpy as np
+        import pandas as pd
+
+        def pr_kernel(node_ids, src, dst):
+            node_ids = node_ids.astype(np.int64)
+            src = src.astype(np.int64)
+            dst = dst.astype(np.int64)
+            snodes = np.sort(node_ids, kind="stable")
+
+            def member(vals):
+                pos = np.searchsorted(snodes, vals)
+                ok = (pos < len(snodes)) & (
+                    snodes[np.minimum(pos, max(len(snodes) - 1, 0))] == vals
+                )
+                return pos, ok
+
+            # out-degree per src over ALL edges (the groupBy counts every
+            # edge row, including ones into non-base dst)
+            usrc, od_u = np.unique(src, return_counts=True)
+            od_edge = od_u[np.searchsorted(usrc, src)] if len(src) else src
+            bpos = np.searchsorted(usrc, snodes)
+            has_out = (bpos < len(usrc)) & (
+                usrc[np.minimum(bpos, max(len(usrc) - 1, 0))] == snodes
+            ) if len(usrc) else np.zeros(len(snodes), dtype=bool)
+            spos, s_ok = member(src)
+            dpos, d_ok = member(dst)
+            # only edges whose src carries a rank contribute; dst outside
+            # the base is summed then dropped by the left join — skip it
+            contrib = s_ok & d_ok
+            es, ed = spos[contrib], dpos[contrib]
+            eod = od_edge[contrib]
+
+            rank = np.full(len(snodes), np.int64(scale), dtype=np.int64)
+            for _ in range(n_iter):
+                dshare = int(rank[~has_out].sum()) // n
+                s = np.zeros(len(snodes), dtype=np.int64)
+                if len(es):
+                    np.add.at(s, ed, rank[es] // eod)
+                rank = (
+                    np.int64(teleport)
+                    + (np.int64(damping_num) * (s + np.int64(dshare)))
+                    // np.int64(damping_den)
+                )
+            return pd.DataFrame({"node": snodes, "pr": rank})
+
+        out = _local_graph_kernel(base, edges, pr_kernel, "node long, pr long")
+        return out
+
     outdeg = edges.groupBy("src").agg(F.count("*").alias("od")).persist()
     edges_od = edges.join(outdeg, "src").persist()
-
     ranks = base.withColumn("rank", F.lit(scale).cast("long")).localCheckpoint()
     for _ in range(n_iter):
         # dangling mass rides the update plan as a 1-row crossJoin branch
@@ -187,6 +284,72 @@ def hits(
     # the edge table feeds two joins per iteration — persist or the
     # whole derivation lineage re-runs each time (the pagerank rule)
     edges = edges.select("src", "dst").persist()
+    n_e = edges.count()
+    n_b = base.count()
+    # small-graph fast path (same argument as pagerank's): int64 sums +
+    # floor divides on non-negative operands replicate the Spark longs
+    # bit for bit; the max-normalize multiply bounds the node count by
+    # (n+1)*scale*scale inside int64, the docstring's ~9e6-node headroom.
+    if (
+        n_e <= LOCAL_GRAPH_EDGES_MAX
+        and n_b <= LOCAL_GRAPH_EDGES_MAX
+        and (n_b + 1) * scale * scale < (1 << 62)
+        and _integral(base, "node")
+        and _integral(edges, "src")
+        and _integral(edges, "dst")
+    ):
+        import numpy as np
+        import pandas as pd
+
+        def hits_kernel(node_ids, src, dst):
+            node_ids = node_ids.astype(np.int64)
+            src = src.astype(np.int64)
+            dst = dst.astype(np.int64)
+            snodes = np.sort(node_ids, kind="stable")
+            nn = len(snodes)
+
+            def member(vals):
+                pos = np.searchsorted(snodes, vals)
+                ok = (pos < nn) & (
+                    snodes[np.minimum(pos, max(nn - 1, 0))] == vals
+                )
+                return pos, ok
+
+            spos, s_ok = member(src)
+            dpos, d_ok = member(dst)
+
+            def spread(weights, key_vals):
+                """sum weights per key value (ANY key — the groupBy sums
+                non-base keys too, and the max-normalizer sees them);
+                returns (sums_over_all_keys, per-base-node sums)."""
+                ukeys, inv = np.unique(key_vals, return_inverse=True)
+                sums = np.zeros(len(ukeys), dtype=np.int64)
+                np.add.at(sums, inv, weights)
+                per_base = np.zeros(nn, dtype=np.int64)
+                if len(ukeys):
+                    p = np.searchsorted(ukeys, snodes)
+                    ok = (p < len(ukeys)) & (
+                        ukeys[np.minimum(p, len(ukeys) - 1)] == snodes
+                    )
+                    per_base[ok] = sums[p[ok]]
+                return sums, per_base
+
+            hub_v = np.full(nn, np.int64(scale), dtype=np.int64)
+            auth_v = np.zeros(nn, dtype=np.int64)
+            for _ in range(n_iter):
+                # auth step: contributions from edges whose src is ranked
+                sums, per_base = spread(hub_v[spos[s_ok]], dst[s_ok])
+                amax = max(int(sums.max()) if len(sums) else 0, 1)
+                auth_v = (per_base * np.int64(scale)) // np.int64(amax)
+                # hub step: contributions from edges whose dst is ranked
+                sums, per_base = spread(auth_v[dpos[d_ok]], src[d_ok])
+                hmax = max(int(sums.max()) if len(sums) else 0, 1)
+                hub_v = (per_base * np.int64(scale)) // np.int64(hmax)
+            return pd.DataFrame({"node": snodes, "hub": hub_v, "auth": auth_v})
+
+        return _local_graph_kernel(
+            base, edges, hits_kernel, "node long, hub long, auth long"
+        )
     hub = base.withColumn("hub", F.lit(scale).cast("long")).localCheckpoint()
     auth = None
     for _ in range(n_iter):

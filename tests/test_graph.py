@@ -147,3 +147,46 @@ def test_hits_matches_integer_twin_bitexact(spark):
     assert got[0][0] == max(h for h, _ in got.values())
     # edge-less node scores zero on both axes
     assert got[7] == (0, 0)
+
+
+def test_pagerank_local_and_iterative_agree(spark, monkeypatch):
+    """The single-task fixed-point kernel and the iterative plan must be
+    bit-identical (integer arithmetic both sides)."""
+    import dpr_spark.extras.graph as g
+
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 0), (3, 1), (4, 5), (6, 6),
+         (7, 0), (7, 99), (0, 1)],  # dup edge + edge into a non-base dst
+        "src long, dst long",
+    )
+    local = {
+        r.node: r.pr
+        for r in g.pagerank(nodes.select("doc_id"), edges, n_iter=5).collect()
+    }
+    monkeypatch.setattr(g, "LOCAL_GRAPH_EDGES_MAX", 0)
+    iterative = {
+        r.node: r.pr
+        for r in g.pagerank(nodes.select("doc_id"), edges, n_iter=5).collect()
+    }
+    assert local == iterative
+
+
+def test_hits_local_and_iterative_agree(spark, monkeypatch):
+    import dpr_spark.extras.graph as g
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 1), (3, 4), (5, 5), (6, 42), (1, 2)],
+        "src long, dst long",
+    )
+    local = {
+        (r.node): (r.hub, r.auth)
+        for r in g.hits(nodes.select("doc_id"), edges, n_iter=3).collect()
+    }
+    monkeypatch.setattr(g, "LOCAL_GRAPH_EDGES_MAX", 0)
+    iterative = {
+        (r.node): (r.hub, r.auth)
+        for r in g.hits(nodes.select("doc_id"), edges, n_iter=3).collect()
+    }
+    assert local == iterative
