@@ -53,7 +53,8 @@ POSITIONS_SCHEMA = "doc_id long, doclen int, term string, tf long, positions arr
 
 
 def positions_batch(
-    texts, pat, vocab: Optional[frozenset] = None, vocab_map=None
+    texts, pat, vocab: Optional[frozenset] = None, vocab_map=None,
+    split_lists: bool = True,
 ) -> Optional[tuple]:
     """Vectorized tokenize + per-(doc, term) position-list grouping.
 
@@ -70,17 +71,44 @@ def positions_batch(
     to one vocab entry merge their position lists (the stable key sort
     keeps each merged list ascending). The analyzer runs BEFORE the
     vocab filter, so a query-time vocab is in analyzed terms."""
-    tok_lists = [pat.findall(t) if t is not None else [] for t in texts]
-    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
-    total = int(lens.sum())
-    if total == 0:
-        return None
-    flat = pd.Series([tok for toks in tok_lists for tok in toks], dtype="object")
-    codes_raw, vocab_raw = pd.factorize(flat, sort=False)
-    code_map, terms = pd.factorize(pd.Series(vocab_raw).str.lower(), sort=False)
-    codes = code_map[codes_raw].astype(np.int64)
-    doc_idx = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
-    starts = np.zeros(len(tok_lists), dtype=np.int64)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dpr_spark.functions.tokenizer import _all_ascii, tokenize_ascii_arrow
+
+    # ASCII fast path: the index build's Arrow tokenizer (token-identical
+    # to the regex kernel by tests/test_tokenizer.py) + dictionary codes;
+    # positions are indexes into each row's flat token run either way.
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        arr = texts
+    else:
+        arr = pa.array(texts, type=pa.string())
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    if _all_ascii(arr):
+        flat_pa, lens = tokenize_ascii_arrow(arr)
+        total = int(lens.sum())
+        if total == 0:
+            return None
+        enc = pc.dictionary_encode(flat_pa)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = enc.dictionary.to_numpy(zero_copy_only=False)
+        n_rows = len(lens)
+    else:
+        tok_lists = [pat.findall(t) for t in arr.to_pylist()]
+        lens = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return None
+        flat = pd.Series([tok for toks in tok_lists for tok in toks], dtype="object")
+        codes_raw, vocab_raw = pd.factorize(flat, sort=False)
+        code_map, terms = pd.factorize(pd.Series(vocab_raw).str.lower(), sort=False)
+        codes = code_map[codes_raw].astype(np.int64)
+        n_rows = len(tok_lists)
+    doc_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    starts = np.zeros(n_rows, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
     pos = np.arange(total, dtype=np.int64) - starts[doc_idx]
     if vocab_map is not None:
@@ -97,7 +125,7 @@ def positions_batch(
             return None
         codes, doc_idx, pos = codes[keep], doc_idx[keep], pos[keep]
         terms = terms2
-        lens = np.bincount(doc_idx, minlength=len(tok_lists)).astype(np.int64)
+        lens = np.bincount(doc_idx, minlength=n_rows).astype(np.int64)
     if vocab is not None:
         keep_codes = np.flatnonzero(
             pd.Series(terms).isin(vocab).to_numpy()
@@ -114,6 +142,15 @@ def positions_batch(
     counts = np.diff(np.append(first, len(skey)))
     u_doc = (ukey >> np.int64(32)).astype(np.int64)
     u_code = (ukey & np.int64(0xFFFFFFFF)).astype(np.int64)
+    if not split_lists:
+        # raw form for Arrow-native callers: the sorted flat positions +
+        # group offsets build a ListArray directly (np.split into millions
+        # of per-group Python arrays was the dominant kernel cost)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        return (
+            u_doc, lens, terms.take(u_code), counts.astype(np.int64),
+            spos, offsets,
+        )
     pos_lists = np.split(spos, np.cumsum(counts)[:-1])
     return u_doc, lens, terms.take(u_code), counts.astype(np.int64), pos_lists
 
@@ -131,25 +168,34 @@ def doc_term_positions(
     vset = frozenset(vocab) if vocab is not None else None
     vocab_map = analyzer.map_vocab if analyzer is not None else None
 
-    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(it):
+        import pyarrow as pa
+
         pat = _compiled_fast()
-        for pdf in it:
-            out = positions_batch(pdf["text"], pat, vset, vocab_map=vocab_map)
+        for batch in it:
+            out = positions_batch(
+                batch.column(1), pat, vset, vocab_map=vocab_map,
+                split_lists=False,
+            )
             if out is None:
                 continue
-            u_doc, lens, terms, tfs, pos_lists = out
-            doc_ids = pdf["doc_id"].to_numpy(np.int64)
-            yield pd.DataFrame(
-                {
-                    "doc_id": doc_ids[u_doc],
-                    "doclen": lens[u_doc].astype(np.int32),
-                    "term": terms,
-                    "tf": tfs,
-                    "positions": pos_lists,
-                }
+            u_doc, lens, terms, tfs, spos, offsets = out
+            doc_ids = batch.column(0).to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids[u_doc], type=pa.int64()),
+                    pa.array(lens[u_doc].astype(np.int32), type=pa.int32()),
+                    pa.array(terms, type=pa.string()),
+                    pa.array(tfs, type=pa.int64()),
+                    pa.ListArray.from_arrays(
+                        pa.array(offsets, type=pa.int32()),
+                        pa.array(spos, type=pa.int32()),
+                    ),
+                ],
+                names=["doc_id", "doclen", "term", "tf", "positions"],
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, POSITIONS_SCHEMA)
+    return docs.select("doc_id", "text").mapInArrow(run, POSITIONS_SCHEMA)
 
 
 def build_positions(docs: DataFrame, dictionary: DataFrame, analyzer=None) -> DataFrame:
