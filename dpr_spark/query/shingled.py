@@ -60,45 +60,55 @@ SHINGLE_POS_SCHEMA = (
 
 
 def gram_positions_batch(
-    texts, pat, n: int = 2, vocab: Optional[frozenset] = None
+    texts, pat, n: int = 2, vocab: Optional[frozenset] = None,
+    split_lists: bool = True,
 ) -> Optional[tuple]:
     """Vectorized tokenize + per-(doc, gram) position-list grouping —
     the shingle twin of ``phrase.positions_batch``. A gram's position
     is its FIRST token's index; doclen stays the unigram token count
-    (the BM25 norm must not change)."""
-    tok_lists = [pat.findall(t) if t is not None else [] for t in texts]
-    unilens = np.fromiter(
-        (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
-    )
-    gram_lists = []
-    for toks in tok_lists:
-        if len(toks) < n:
-            gram_lists.append([])
-            continue
-        low = [t.lower() for t in toks]
-        gram_lists.append(
-            [" ".join(low[i : i + n]) for i in range(len(low) - n + 1)]
-        )
-    lens = np.fromiter(
-        (len(g) for g in gram_lists), dtype=np.int64, count=len(gram_lists)
-    )
-    total = int(lens.sum())
-    if total == 0:
+    (the BM25 norm must not change). Tokens come from the shared batch
+    kernel (ASCII Arrow fast path, regex fallback); grams are n aligned
+    slices of the flat token stream joined in ONE pyarrow call (the
+    ngrams_fast construction) instead of a per-doc Python loop.
+    split_lists=False returns the raw (sorted positions + group offsets)
+    form for Arrow-native callers."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dpr_spark.functions.ngrams_fast import _tokens_batch
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        arr = texts
+    else:
+        arr = pa.array(texts, type=pa.string())
+    # match-then-lower (the reference semantics; identical to lower-first
+    # on the ASCII fast path)
+    flat, unilens = _tokens_batch(arr, lowercase_first=False)
+    total = int(unilens.sum())
+    if total < n:
         return None
-    flat = pd.Series([g for gs in gram_lists for g in gs], dtype="object")
-    codes, grams = pd.factorize(flat, sort=False)
-    codes = codes.astype(np.int64)
-    doc_idx = np.repeat(np.arange(len(gram_lists), dtype=np.int64), lens)
-    starts = np.zeros(len(gram_lists), dtype=np.int64)
-    np.cumsum(lens[:-1], out=starts[1:])
-    pos = np.arange(total, dtype=np.int64) - starts[doc_idx]
+    doc_idx = np.repeat(np.arange(len(unilens), dtype=np.int64), unilens)
+    starts = np.zeros(len(unilens), dtype=np.int64)
+    np.cumsum(unilens[:-1], out=starts[1:])
+    m = total - n + 1
+    cols = [flat.slice(j, m) for j in range(n)]
+    grams_all = pc.binary_join_element_wise(*cols, " ") if n > 1 else cols[0]
+    valid = doc_idx[:m] == doc_idx[n - 1 : n - 1 + m]
+    sel = np.flatnonzero(valid)
+    if not len(sel):
+        return None
+    gdoc = doc_idx[sel]
+    pos = sel - starts[gdoc]
+    enc = pc.dictionary_encode(grams_all.take(pa.array(sel)))
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    grams = enc.dictionary.to_numpy(zero_copy_only=False)
     if vocab is not None:
         keep_codes = np.flatnonzero(pd.Series(grams).isin(vocab).to_numpy())
         mask = np.isin(codes, keep_codes)
         if not mask.any():
             return None
-        codes, doc_idx, pos = codes[mask], doc_idx[mask], pos[mask]
-    key = (doc_idx << np.int64(32)) | codes
+        codes, gdoc, pos = codes[mask], gdoc[mask], pos[mask]
+    key = (gdoc << np.int64(32)) | codes
     order = np.argsort(key, kind="stable")
     skey = key[order]
     spos = pos[order].astype(np.int32)
@@ -106,6 +116,12 @@ def gram_positions_batch(
     counts = np.diff(np.append(first, len(skey)))
     u_doc = (ukey >> np.int64(32)).astype(np.int64)
     u_code = (ukey & np.int64(0xFFFFFFFF)).astype(np.int64)
+    if not split_lists:
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        return (
+            u_doc, unilens, grams.take(u_code), counts.astype(np.int64),
+            spos, offsets,
+        )
     pos_lists = np.split(spos, np.cumsum(counts)[:-1])
     return u_doc, unilens, grams.take(u_code), counts.astype(np.int64), pos_lists
 
@@ -119,27 +135,35 @@ def doc_gram_positions(
 
     vset = frozenset(vocab) if vocab is not None else None
 
-    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(it):
+        import pyarrow as pa
+
         pat = _compiled_fast()
-        for pdf in it:
-            if not len(pdf):
+        for batch in it:
+            if not batch.num_rows:
                 continue
-            out = gram_positions_batch(pdf["text"], pat, n=n, vocab=vset)
+            out = gram_positions_batch(
+                batch.column(1), pat, n=n, vocab=vset, split_lists=False
+            )
             if out is None:
                 continue
-            u_doc, unilens, grams, tfs, pos_lists = out
-            doc_ids = pdf["doc_id"].to_numpy(np.int64)
-            yield pd.DataFrame(
-                {
-                    "doc_id": doc_ids[u_doc],
-                    "doclen": unilens[u_doc].astype(np.int32),
-                    "gram": grams,
-                    "tf": tfs.astype(np.int32),
-                    "positions": pos_lists,
-                }
+            u_doc, unilens, grams, tfs, spos, offsets = out
+            doc_ids = batch.column(0).to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids[u_doc], type=pa.int64()),
+                    pa.array(unilens[u_doc].astype(np.int32), type=pa.int32()),
+                    pa.array(grams, type=pa.string()),
+                    pa.array(tfs.astype(np.int32), type=pa.int32()),
+                    pa.ListArray.from_arrays(
+                        pa.array(offsets, type=pa.int32()),
+                        pa.array(spos, type=pa.int32()),
+                    ),
+                ],
+                names=["doc_id", "doclen", "gram", "tf", "positions"],
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, SHINGLE_POS_SCHEMA)
+    return docs.select("doc_id", "text").mapInArrow(run, SHINGLE_POS_SCHEMA)
 
 
 @dataclass
