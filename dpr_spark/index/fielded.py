@@ -380,29 +380,44 @@ def doc_term_positions_fielded(
     fields = list(fields)
     vocab_map = analyzer.map_vocab if analyzer is not None else None
 
-    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(it):
+        import pyarrow as pa
+
         pat = _compiled_fast()
-        for pdf in it:
-            if not len(pdf):
+        for batch in it:
+            if not batch.num_rows:
                 continue
-            doc_ids = pdf["doc_id"].to_numpy(np.int64)
+            doc_ids = batch.column(0).to_numpy(zero_copy_only=False)
             for fid, fname in enumerate(fields):
-                out = positions_batch(pdf[fname], pat, vocab_map=vocab_map)
+                out = positions_batch(
+                    batch.column(1 + fid), pat, vocab_map=vocab_map,
+                    split_lists=False,
+                )
                 if out is None:
                     continue
-                u_doc, lens, terms, tfs, pos_lists = out
-                yield pd.DataFrame(
-                    {
-                        "doc_id": doc_ids[u_doc],
-                        "field_id": np.full(len(u_doc), fid, dtype=np.int32),
-                        "doclen": lens[u_doc].astype(np.int32),
-                        "term": terms,
-                        "tf": tfs.astype(np.int32),
-                        "positions": pos_lists,
-                    }
+                u_doc, lens, terms, tfs, spos, offsets = out
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(doc_ids[u_doc], type=pa.int64()),
+                        pa.array(
+                            np.full(len(u_doc), fid, dtype=np.int32),
+                            type=pa.int32(),
+                        ),
+                        pa.array(lens[u_doc].astype(np.int32), type=pa.int32()),
+                        pa.array(terms, type=pa.string()),
+                        pa.array(tfs.astype(np.int32), type=pa.int32()),
+                        pa.ListArray.from_arrays(
+                            pa.array(offsets, type=pa.int32()),
+                            pa.array(spos, type=pa.int32()),
+                        ),
+                    ],
+                    names=[
+                        "doc_id", "field_id", "doclen", "term", "tf",
+                        "positions",
+                    ],
                 )
 
-    return docs.select("doc_id", *fields).mapInPandas(
+    return docs.select("doc_id", *fields).mapInArrow(
         run, FIELDED_POSITIONS_SCHEMA
     )
 
