@@ -142,36 +142,46 @@ def doc_terms_fielded(
 ) -> DataFrame:
     """Fused tokenize + per-(doc, field) term histogram in ONE Arrow pass
     (the fielded twin of build.doc_terms): per batch, run the shared
-    tf_batch kernel once per field — a doc's tokens never leave its
-    partition, and the page text crosses into Python exactly once."""
-    from dpr_spark.functions.tokenizer import _compiled_fast
-    from dpr_spark.index.build import tf_batch
+    tf_batch_arrow kernel once per field — a doc's tokens never leave
+    its partition, the page text crosses into Python exactly once, and
+    ASCII batches tokenize through the Arrow fast path (token-identical
+    to the regex kernel by tests/test_tokenizer.py)."""
+    from dpr_spark.index.build import tf_batch_arrow
 
     fields = list(fields)
     vocab_map = analyzer.map_vocab if analyzer is not None else None
 
-    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pat = _compiled_fast()
-        for pdf in it:
-            if not len(pdf):
+    def run(it):
+        import pyarrow as pa
+
+        for batch in it:
+            if not batch.num_rows:
                 continue
-            doc_ids = pdf["doc_id"].to_numpy(np.int64)
-            for fid, fname in enumerate(fields):
-                out = tf_batch(pdf[fname], pat, vocab_map=vocab_map)
+            doc_ids = batch.column(0).to_numpy(zero_copy_only=False)
+            for fid in range(len(fields)):
+                out = tf_batch_arrow(batch.column(1 + fid), vocab_map=vocab_map)
                 if out is None:
                     continue
                 u_doc, lens, terms, tfs = out
-                yield pd.DataFrame(
-                    {
-                        "doc_id": doc_ids[u_doc],
-                        "field_id": np.full(len(u_doc), fid, dtype=np.int32),
-                        "doclen": lens[u_doc].astype(np.int32),
-                        "term": terms,
-                        "tf": tfs,
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(doc_ids[u_doc], type=pa.int64()),
+                        pa.array(
+                            np.full(len(u_doc), fid, dtype=np.int32),
+                            type=pa.int32(),
+                        ),
+                        pa.array(lens[u_doc].astype(np.int32), type=pa.int32()),
+                        terms if isinstance(terms, pa.Array) else pa.array(
+                            terms, type=pa.string()
+                        ),
+                        pa.array(tfs, type=pa.int64()),
+                    ],
+                    names=["doc_id", "field_id", "doclen", "term", "tf"],
                 )
 
-    return docs.select("doc_id", *fields).mapInPandas(run, FIELDED_DOC_TERMS_SCHEMA)
+    return docs.select("doc_id", *fields).mapInArrow(
+        run, FIELDED_DOC_TERMS_SCHEMA
+    )
 
 
 def build_fielded_index(
